@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+  python3 scripts/verify_local.py <sfDir> <outDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
+parquet tables, and compares values exactly (columns sorted by name,
+rows sorted by all columns). Exit code 1 on any mismatch.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, bool):
+                vals.append(("b", v))
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    vals.append(("f", "nan"))
+                else:
+                    vals.append(("f", repr(v)))
+            elif isinstance(v, int):
+                vals.append(("f", repr(float(v))) if abs(v) < 2**52 else ("i", v))
+            else:
+                vals.append(("s", str(v)))
+        out.append(tuple(vals))
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    failures = []
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        res_glob = f"{out_dir}/{name}/*.parquet"
+        try:
+            spark_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{res_glob}' LIMIT 0").description]
+            order = ", ".join(f'"{c}"' for c in sorted(spark_cols))
+            spark_rows = con.execute(
+                f"SELECT {order} FROM '{res_glob}'").fetchall()
+        except Exception as e:
+            failures.append((name, f"spark result unreadable: {e}"))
+            continue
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_rows)} rows")
+            if len(spark_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            oracle_cols = [d[0] for d in cur.description]
+            cur = con.execute(
+                f"SELECT {order} FROM ({oracle[name]})")
+            oracle_rows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"oracle failed: {e}"))
+            continue
+        if sorted(spark_cols) != sorted(oracle_cols):
+            failures.append(
+                (name, f"schema mismatch: {sorted(spark_cols)} vs "
+                       f"{sorted(oracle_cols)}"))
+            continue
+        a, b = canon(spark_rows), canon(oracle_rows)
+        if len(a) != len(b):
+            failures.append((name, f"row count {len(a)} vs {len(b)}"))
+            continue
+        # compare as multisets sorted
+        sa, sb = sorted(a), sorted(b)
+        if sa != sb:
+            bad = next(i for i, (x, y) in enumerate(zip(sa, sb)) if x != y)
+            failures.append(
+                (name, f"value mismatch at sorted row {bad}:\n"
+                       f"    spark : {sa[bad]}\n    oracle: {sb[bad]}"))
+            continue
+        print(f"  [ok] {name}: {len(a)} rows")
+    if failures:
+        print(f"\n{len(failures)} FAILURES:")
+        for n, msg in failures:
+            print(f"  [FAIL] {n}: {msg}")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()

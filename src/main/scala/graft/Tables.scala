@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives an `sfDir` like
+  * `/root/testdata/sf0.01`; tables are single parquet files inside it.
+  * At 100 TB these would be partitioned directories — `spark.read.parquet`
+  * handles both transparently, and all predicate/column pushdown still
+  * applies (scan operator S1 in SURVEY.md §2.1).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (microseconds) cannot represent directly — the vectorized reader
+    * throws PARQUET_TYPE_ILLEGAL. Read nanos as long (legacy conf), then
+    * truncate to micros, matching DuckDB's ns→us cast semantics.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      // integer division — epoch-nanos (~1.7e18) exceeds double's 2^53
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Register every table as a temp view so `spark.sql` can use the same
+    * table names as the DuckDB oracle (catalog-scan operator S6).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,554 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Operator-parity query library for SURVEY.md §2 (scans S1–S3/S6,
+  * projections/filters P1–P12, joins J1–J4, aggregates A1–A9, window W1+,
+  * sort/limit O1–O3) plus the three gold-model analogs (reference
+  * `src/config/gold_config.yaml:8-65`), re-expressed Spark-first on the
+  * driver's star schema.
+  *
+  * Scale notes (100 TB posture): all filters/projections sit directly on
+  * the parquet scan so Catalyst pushes them down; the fact⋈dim joins
+  * broadcast the dimension side explicitly; aggregations are plain
+  * hash-aggregates with map-side partial aggregation; no collect()
+  * anywhere; the only ORDER BYs are for oracle determinism and are
+  * top-level (Spark plans a final range-partitioned sort — at scale these
+  * would be dropped or replaced by `sortWithinPartitions`).
+  */
+object Relational extends QuerySet {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- S1: parquet scan with pushed filter + pruned columns ----
+  def s1Scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_orderkey") < 1000)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- S2: CSV scan (round-trip through csv so the oracle sees the
+  //      same rows from parquet; reader uses explicit schema + header,
+  //      mirroring reference bronze_config.yaml:21-24 options loop) ----
+  def s2Csv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(dir, "csv_region")
+    t(s, dir, "region").select("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("r_regionkey INT, r_name STRING").csv(tmp)
+      .orderBy("r_regionkey")
+  }
+
+  // ---- S3: JSON-lines scan (schema-inferred, reference bronze S3) ----
+  def s3Json(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(dir, "json_nation")
+    t(s, dir, "nation").coalesce(1).write.mode("overwrite").json(tmp)
+    s.read.json(tmp)
+      .select("n_nationkey", "n_name", "n_regionkey") // inferred order varies
+      .orderBy("n_nationkey")
+  }
+
+  // ---- S6: catalog/view scan via spark.sql (same text as the oracle) ----
+  private val s6Sql =
+    """SELECT n.n_name, r.r_name FROM nation n
+      | JOIN region r ON n.n_regionkey = r.r_regionkey
+      | ORDER BY n.n_name""".stripMargin
+  def s6SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s6Sql)
+  }
+
+  // ---- P1/P2-analog: literal ingest columns (audit cols minus the
+  //      non-deterministic current_timestamp, which is bench-only) ----
+  def p1Lit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), lit("erp_orders").as("source_id"))
+      .orderBy("o_orderkey")
+
+  // ---- P3: projection with aliases + scalar function ----
+  def p3Project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("customer_id"),
+      upper(col("c_name")).as("customer_name"),
+      col("c_mktsegment").as("segment"))
+      .orderBy("customer_id")
+
+  // ---- P4: per-row arithmetic (unrounded; bit-exact both engines) ----
+  def p4Arith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 5000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- P5 + P9: null-producing CASE then IS NOT NULL filter ----
+  def p5NullFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") =!= "O", col("o_orderstatus"))
+          .otherwise(lit(null)).as("status_nn"))
+      .filter(col("status_nn").isNotNull)
+      .orderBy("o_orderkey")
+
+  // ---- P6: regex predicate (reference dq_engine.py:81-92 shape) ----
+  def p6Regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").rlike("^(small|large) (widget|bolt)$"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  // ---- P7: arbitrary boolean SQL expression filter (dq expression) ----
+  def p7ExprFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(expr("l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.06"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- P8: date-literal range predicate (${PROCESSING_DATE} analog) ----
+  def p8DateRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01")
+        && col("l_shipdate") < lit("1995-04-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- P9: CASE / when-otherwise tagging ----
+  def p9Case(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_totalprice") > 200000, "large")
+        .when(col("o_totalprice") > 50000, "medium")
+        .otherwise("small").as("order_size"))
+      .orderBy("o_orderkey")
+
+  // ---- P10/P11: drop + rename reshape ----
+  def p10Reshape(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumnRenamed("s_name", "supplier_name")
+      .drop("s_acctbal")
+      .orderBy("s_suppkey")
+
+  // ---- P12: conjunctive equality predicates on string cols ----
+  def p12Equality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F"
+        && col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+
+  // ---- J1: fact⋈dim inner equi-join, dimension broadcast ----
+  def j1Inner(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").as("total_qty"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  // ---- J2: left outer join, null-extended then coalesced ----
+  def j2Left(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("order_key"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("total_price"))
+      .orderBy("c_custkey", "order_key")
+  }
+
+  // ---- J3: anti join (referential-integrity violations) ----
+  def j3Anti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- J4: semi join (referential-integrity passers) ----
+  def j4Semi(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  // ---- A1–A5: multi-key hash agg with count/sum/avg/max ----
+  def a1MultiAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_sales"),
+        round(avg("o_totalprice"), 2).as("avg_sale"),
+        max(to_date(col("o_orderdate"))).as("last_order_date"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // ---- A6: ungrouped count (single-pass; reference ran it eagerly) ----
+  def a6Count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  // ---- A7: per-key cardinality (duplicate detection support) ----
+  def a7KeyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 3)
+      .orderBy("l_orderkey")
+
+  // ---- A8: DISTINCT projection ----
+  def a8Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- A9: existence probe as a 1-row boolean (no eager collect) ----
+  def a9Exists(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      .agg((count(lit(1)) > 0).as("has_rows"))
+
+  // ---- W1: uniqueness/dedup by rank (fixed version of the reference's
+  //      broken validate_uniqueness, dq_engine.py:231-241) ----
+  def w1DedupRank(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the testdata — the
+    // extra keys make the rank (and thus the kept row) a total order
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  // ---- W2: running total (frame spec; beyond-reference window) ----
+  def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- W3: lag (prior-row comparison) ----
+  def w3Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lag("o_totalprice", 1).over(w), lit(-1.0)).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- W4: top-N per group ----
+  def w4TopNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  // ---- O1: global top-k (TakeOrderedAndProject) ----
+  def o1TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  // ---- O2: plain sort on a unique string key ----
+  def o2Sort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+  // ---- O3: deterministic limit sample ----
+  def o3Limit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  // ---- gold model analogs (gold_config.yaml:8-65) ----
+  def g1DailySales(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1995-01-01")
+        && col("l_shipdate") < lit("1995-07-01"))
+      .groupBy(to_date(col("l_shipdate")).as("sale_date"), col("p_type"))
+      .agg(count(lit(1)).as("transaction_count"),
+        sum("l_quantity").as("total_quantity"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_sales"),
+        round(avg("l_extendedprice"), 2).as("avg_sale_amount"))
+      .orderBy("sale_date", "p_type")
+  }
+
+  def g2CustomerSummary(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(count(lit(1)).as("total_transactions"),
+        round(sum("o_totalprice"), 2).as("total_spend"),
+        round(avg("o_totalprice"), 2).as("avg_transaction_value"),
+        max(to_date(col("o_orderdate"))).as("last_purchase_date"))
+      .orderBy("c_custkey")
+  }
+
+  def g3ProductPerformance(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_name", "p_brand")
+      .agg(sum("l_quantity").as("units_sold"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.6)), 2)
+          .as("gross_profit"),
+        round(avg(col("l_extendedprice") / col("l_quantity")), 4)
+          .as("avg_unit_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** Scratch dir for source-format round-trips (inside the repo target
+    * dir; queries must not write outside /root/repo).
+    */
+  private def scratchDir(dir: String, name: String): String =
+    s"/root/repo/target/scratch/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  val entries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> pricingSummary _,
+    "s1_parquet_scan" -> s1Scan _,
+    "s2_csv_scan" -> s2Csv _,
+    "s3_json_scan" -> s3Json _,
+    "s6_sql_catalog" -> s6SqlCatalog _,
+    "p1_literal_cols" -> p1Lit _,
+    "p3_projection" -> p3Project _,
+    "p4_arithmetic" -> p4Arith _,
+    "p5_null_filter" -> p5NullFilter _,
+    "p6_regex_filter" -> p6Regex _,
+    "p7_expr_filter" -> p7ExprFilter _,
+    "p8_date_range" -> p8DateRange _,
+    "p9_case_when" -> p9Case _,
+    "p10_drop_rename" -> p10Reshape _,
+    "p12_equality_filter" -> p12Equality _,
+    "j1_inner_join" -> j1Inner _,
+    "j2_left_join" -> j2Left _,
+    "j3_anti_join" -> j3Anti _,
+    "j4_semi_join" -> j4Semi _,
+    "a1_multi_agg" -> a1MultiAgg _,
+    "a6_count_rows" -> a6Count _,
+    "a7_key_counts" -> a7KeyCounts _,
+    "a8_distinct" -> a8Distinct _,
+    "a9_exists_probe" -> a9Exists _,
+    "w1_dedup_rank" -> w1DedupRank _,
+    "w2_running_sum" -> w2RunningSum _,
+    "w3_lag" -> w3Lag _,
+    "w4_topn_per_group" -> w4TopNPerGroup _,
+    "o1_topk" -> o1TopK _,
+    "o2_sort" -> o2Sort _,
+    "o3_limit" -> o3Limit _,
+    "g1_daily_sales_by_type" -> g1DailySales _,
+    "g2_customer_summary" -> g2CustomerSummary _,
+    "g3_product_performance" -> g3ProductPerformance _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(l_quantity) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | AVG(l_quantity) AS avg_qty,
+        | ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        | ROUND(AVG(l_discount), 4) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s1_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_csv_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s3_json_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s6_sql_catalog" -> s6Sql,
+    "p1_literal_cols" ->
+      "SELECT o_orderkey, 'erp_orders' AS source_id FROM orders ORDER BY o_orderkey",
+    "p3_projection" ->
+      """SELECT c_custkey AS customer_id, UPPER(c_name) AS customer_name,
+        | c_mktsegment AS segment
+        |FROM customer ORDER BY customer_id""".stripMargin,
+    "p4_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+        | l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem WHERE l_orderkey < 5000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p5_null_filter" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus ELSE NULL END AS status_nn
+        |FROM orders
+        |WHERE (CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus ELSE NULL END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "p6_regex_filter" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE regexp_matches(p_name, '^(small|large) (widget|bolt)$')
+        |ORDER BY p_partkey""".stripMargin,
+    "p7_expr_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.06
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p8_date_range" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p9_case_when" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'large'
+        |      WHEN o_totalprice > 50000 THEN 'medium'
+        |      ELSE 'small' END AS order_size
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p10_drop_rename" ->
+      """SELECT s_suppkey, s_name AS supplier_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "p12_equality_filter" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "j1_inner_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items, SUM(l_quantity) AS total_qty,
+        | ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j2_left_join" ->
+      """SELECT c_custkey, COALESCE(o_orderkey, -1) AS order_key,
+        | COALESCE(o_totalprice, 0.0) AS total_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, order_key""".stripMargin,
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        |ORDER BY p_partkey""".stripMargin,
+    "a1_multi_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 2) AS total_sales,
+        | ROUND(AVG(o_totalprice), 2) AS avg_sale,
+        | MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "a6_count_rows" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "a7_key_counts" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) > 3 ORDER BY l_orderkey""".stripMargin,
+    "a8_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a9_exists_probe" ->
+      "SELECT COUNT(*) > 0 AS has_rows FROM orders WHERE o_orderstatus = 'P'",
+    "w1_dedup_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROUND(SUM(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w3_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | COALESCE(LAG(o_totalprice, 1) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1.0) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w4_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "o2_sort" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+    "o3_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "g1_daily_sales_by_type" ->
+      """SELECT CAST(l_shipdate AS DATE) AS sale_date, p_type,
+        | COUNT(*) AS transaction_count,
+        | SUM(l_quantity) AS total_quantity,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_sales,
+        | ROUND(AVG(l_extendedprice), 2) AS avg_sale_amount
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+        |GROUP BY CAST(l_shipdate AS DATE), p_type
+        |ORDER BY sale_date, p_type""".stripMargin,
+    "g2_customer_summary" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | COUNT(*) AS total_transactions,
+        | ROUND(SUM(o_totalprice), 2) AS total_spend,
+        | ROUND(AVG(o_totalprice), 2) AS avg_transaction_value,
+        | MAX(CAST(o_orderdate AS DATE)) AS last_purchase_date
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "g3_product_performance" ->
+      """SELECT p_partkey, p_name, p_brand,
+        | SUM(l_quantity) AS units_sold,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+        | FLOOR(SUM(l_extendedprice * (1.0 - l_discount)
+        |   - p_retailprice * l_quantity * 0.6) * 100.0 + 0.5) / 100.0 AS gross_profit,
+        | ROUND(AVG(l_extendedprice / l_quantity), 4) AS avg_unit_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name, p_brand
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}
