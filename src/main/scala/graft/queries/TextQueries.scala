@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + exact-dedup operators over the `documents` table —
+  * the training-data-pipeline surface (token counting, quality scoring,
+  * language ID, fingerprinting, exact dedup), all oracle-checked.
+  *
+  * Scale: every query is scan → narrow projection (no shuffle except
+  * the dedup groupBy, which map-side combines on the md5 key).
+  */
+object TextQueries extends QuerySet {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        / size(toks)).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  def t2Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      alphaRatio(col("text")).as("alpha_ratio"),
+      digitRatio(col("text")).as("digit_ratio"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def t3LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    * keep the smallest doc_id per group. At 100 TB this is the standard
+    * one-shuffle dedup (map-side partial agg on md5 keys).
+    */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  val entries: Map[String, Q] = Map(
+    "t1_token_stats" -> t1TokenStats _,
+    "t2_quality_scores" -> t2Quality _,
+    "t3_lang_id" -> t3LangId _,
+    "t4_fingerprint" -> t4Fingerprint _,
+    "d1_dedup_exact" -> d1DedupExact _,
+  )
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
+  private val toksLowerSql =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
+  private def hitsSql(words: Seq[String]): String =
+    s"""len(list_filter($toksLowerSql, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"""
+  private val fpSql =
+    """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+  private val stopRatioSql =
+    s"${hitsSql(langStopwords.head._2)} * 1.0 / len($toksLowerSql)"
+  private val alphaSql = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)"
+  private val digitSql = "len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)"
+
+  // ordered CASE chain == Spark's greatest(struct(score, lang)) tie-break
+  // (highest score wins; ties go to the lexicographically-greatest lang)
+  private val langCaseSql: String = {
+    val scores = langStopwords.map { case (l, ws) => l -> hitsSql(ws) }.toMap
+    val order = langStopwords.map(_._1).sortBy(identity).reverse // zh,fr,es,en,de
+    val arms = order.init.zipWithIndex.map { case (l, i) =>
+      val rest = order.drop(i + 1)
+      val conds = rest.map(r => s"${scores(l)} >= ${scores(r)}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '${order.last}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         | len($toksSql) AS n_tokens,
+         | len(regexp_extract_all(text, '(\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s])', 1)) AS n_bpeish_tokens,
+         | list_sum(list_transform($toksSql, t -> len(t))) * 1.0 / len($toksSql) AS avg_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_scores" ->
+      s"""SELECT doc_id,
+         | $alphaSql AS alpha_ratio,
+         | $digitSql AS digit_ratio,
+         | $stopRatioSql AS stop_ratio,
+         | ($alphaSql) * 0.5 + least(($stopRatioSql) * 5.0, 1.0) * 0.3
+         |   + (1.0 - ($digitSql)) * 0.2 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" ->
+      s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents ORDER BY doc_id",
+    "t4_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    "d1_dedup_exact" ->
+      s"""SELECT $fpSql AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+  )
+}
