@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH,
+  * SimHash, and n-gram Jaccard — all as composed built-in expressions
+  * (higher-order functions), no UDFs, so each stage stays distributed
+  * and the only shuffle is the LSH band-key join.
+  *
+  * 100 TB shape: shingling/hashing is per-row map work fused into the
+  * scan, with exactly ONE digest per shingle/token — the 16 minhash
+  * functions derive from two 56-bit halves of a single md5 via
+  * Kirsch-Mitzenmacher (h1 + j·h2), and the 60 simhash bit functions are
+  * static bit-shifts of one 60-bit token hash. Hash columns are
+  * materialized in their own projection (CollapseProject won't inline an
+  * expensive alias referenced 60×, so the digest runs once per row).
+  * Candidate generation explodes (doc × bands) and equi-joins on
+  * (band_idx, band_key) — the classic shuffle-on-bucket LSH join;
+  * signatures are persisted before the self-join so the text is hashed
+  * once, not once per join side. No quadratic step ever materializes.
+  *
+  * Two hash families: `XxHash` (codegen'd `xxhash64`, production) and
+  * `Md5Hash` (bit-identical re-derivable in DuckDB via
+  * `('0x'||substr(md5(x),1,k))::BIGINT` — used by the oracle-checked
+  * queries).
+  */
+object Dedup {
+
+  sealed trait HashMode
+  case object XxHash extends HashMode
+  case object Md5Hash extends HashMode
+
+  /** Distinct word n-gram shingles; texts shorter than n tokens get one
+    * whole-text shingle (sequence() would go descending on a negative
+    * span — the guard is required, not cosmetic).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  private def hex2long(c: Column, from: Int, len: Int): Column =
+    conv(substring(c, from, len), 16, 10).cast("long")
+
+  /** Two independent 56-bit hashes per value from one digest. */
+  private def hashPair(s: Column, mode: HashMode): Column = mode match {
+    case XxHash =>
+      struct(abs(xxhash64(lit(1), s)).as("h1"), abs(xxhash64(lit(2), s)).as("h2"))
+    case Md5Hash =>
+      val d = md5(s)
+      struct(hex2long(d, 1, 14).as("h1"), hex2long(d, 15, 14).as("h2"))
+  }
+
+  /** One 60-bit hash per value (simhash bit source). */
+  private def hash60(s: Column, mode: HashMode): Column = mode match {
+    case XxHash => abs(xxhash64(s)) % (1L << 60)
+    case Md5Hash => hex2long(md5(s), 1, 15)
+  }
+
+  /** Adds `sh` (shingle set) and `band_0..band_{bands-1}` LSH key
+    * columns. Signature element j = min over shingles of h1 + j·h2
+    * (Kirsch-Mitzenmacher); band key = md5 of its signature slice.
+    */
+  def withMinhashBands(df: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      mode: HashMode = XxHash): DataFrame = {
+    val rows = numHashes / bands
+    val sig = (0 until numHashes).map(j =>
+      array_min(transform(col("_hp"), p =>
+        p.getField("h1") + lit(j) * p.getField("h2"))))
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r =>
+        sig(b * rows + r).cast("string")): _*)).as(s"band_$b")
+    }
+    df.withColumn("sh", shingles(col(textCol), shingleN))
+      .withColumn("_hp", transform(col("sh"), s => hashPair(s, mode)))
+      .select(df.columns.map(col) ++ Seq(col("sh")) ++ bandCols: _*)
+  }
+
+  /** Jaccard similarity of two distinct-element arrays (exact int/int
+    * division — deterministic).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  /** Candidate pairs via banded LSH: explode band keys, equi-join on
+    * (band position, key), dedupe. `id < id` keeps one direction.
+    */
+  def candidatePairs(base: DataFrame, idCol: String, bandCols: Seq[Column]): DataFrame = {
+    val exploded = base
+      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+      col("a.band_idx") === col("b.band_idx")
+        && col("a.band_key") === col("b.band_key")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → verify candidates with exact Jaccard. Signatures are
+    * persisted: the join has three consumers (explode side ×2, shingle
+    * lookup ×2) and re-hashing the corpus per consumer is the classic
+    * LSH-on-Spark mistake.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.0, mode: HashMode = XxHash): DataFrame = {
+    val base = withMinhashBands(docs.select(col(idCol), col(textCol)),
+      textCol, shingleN, numHashes, bands, mode)
+      .drop(textCol).persist()
+    val pairs = candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
+    val left = base.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val right = base.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(left, "doc_a").join(right, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Adds `sim_chunk_0..3`: a 60-bit SimHash as 4×15-bit chunks (for
+    * banded Hamming search — docs within Hamming distance 3 share at
+    * least one chunk). Bit b of the sketch = sign of the
+    * multiplicity-weighted sum over tokens of ±1 by bit b of the token
+    * hash. One digest per token; bits via static shifts.
+    */
+  def withSimhashChunks(df: DataFrame, textCol: String,
+      mode: HashMode = XxHash): DataFrame = {
+    val counts = (0 until 60).map { b =>
+      aggregate(col("_th"), lit(0), (acc, h) =>
+        acc + when(shiftright(h, b) % 2 === 1, 1).otherwise(-1))
+    }
+    val bits = counts.map(c => when(c > 0, 1).otherwise(0))
+    val chunks = (0 until 4).map { c =>
+      (0 until 15).map(r => bits(c * 15 + r) * lit(1 << r))
+        .reduce(_ + _).as(s"sim_chunk_$c")
+    }
+    df.withColumn("_th", transform(TextFunctions.tokens(col(textCol)),
+        t => hash60(t, mode)))
+      .select(df.columns.map(col) ++ chunks: _*)
+  }
+
+  /** SimHash near-dup candidates: equi-join on any equal chunk — the
+    * standard pigeonhole blocking for Hamming distance ≤ bands-1.
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      mode: HashMode = XxHash): DataFrame = {
+    val base = withSimhashChunks(docs.select(col(idCol), col(textCol)), textCol, mode)
+      .drop(textCol).persist()
+    candidatePairs(base, idCol, (0 until 4).map(c => col(s"sim_chunk_$c")))
+  }
+}

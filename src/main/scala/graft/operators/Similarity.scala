@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over an `array<float>` embedding column:
+  * brute-force cosine top-k as the exact baseline, and an IVF
+  * (inverted-file) variant as the scale path — assign every vector to
+  * its nearest centroid once, then probe only the query's cell.
+  *
+  * All math is higher-order functions (`zip_with`/`aggregate`) over
+  * doubles — deterministic left folds, no UDFs. Vectors are normalized
+  * to unit length ONCE (`withUnitVector`), so every pairwise cosine is
+  * a single dot fold instead of dot + two norms — 3× fewer folds on the
+  * quadratic stage, which dominates at scale.
+  * 100 TB shape: the query/centroid side of every join is broadcast;
+  * the corpus side never shuffles for brute force and shuffles once on
+  * cell id for IVF / near-dup blocking.
+  */
+object Similarity {
+
+  /** Dot product with elements cast to double before multiplying —
+    * identical IEEE sequence in Spark and DuckDB oracles.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Dot of two already-double arrays (unit vectors). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Adds `uv`: the embedding scaled to unit length (double elements).
+    * The norm lives in its own projection so it folds once per row, not
+    * once per element.
+    */
+  def withUnitVector(df: DataFrame, vecCol: String, out: String = "uv"): DataFrame =
+    df.withColumn("_n", l2Norm(col(vecCol)))
+      .withColumn(out, transform(col(vecCol), x => x.cast("double") / col("_n")))
+      .drop("_n")
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * `queries` must be small enough to broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withUnitVector(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("uv").as("qv"))
+    val c = withUnitVector(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("uv").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dotD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Assign each unit vector to its highest-cosine centroid (ties →
+    * lowest centroid id). Returns (idCol, cell, uv).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = withUnitVector(centroids, vecCol)
+      .select(col(idCol).as("centroid_id"), col("uv").as("centv"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    withUnitVector(corpus, vecCol)
+      .join(broadcast(cent))
+      .withColumn("cscore", dotD(col("uv"), col("centv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("centroid_id").as("cell"), col("uv"))
+  }
+
+  /** IVF probe-1 top-k: search only the query's own cell. Recall is
+    * approximate by construction; nprobe>1 = union more cells.
+    */
+  def ivfTopK(assigned: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("cell").as("qcell"), col("uv").as("qv"))
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    assigned.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("score", dotD(col("qv"), col("uv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import graft.operators.Dedup.Md5Hash
+
+/** Near-dup detection queries over `documents`, oracle-checked end to
+  * end: the md5-derived 60-bit hash family is bit-identical in DuckDB
+  * (`('0x'||substr(md5(x),1,15))::BIGINT`), so MinHash signatures, LSH
+  * band keys, candidate pairs, exact Jaccard scores, and SimHash chunks
+  * all hash-match the oracle — not just row counts. Production callers
+  * use the `XxHash` family instead (same pipeline, codegen'd hashing;
+  * covered by ScalaTest with planted near-dups).
+  */
+object DedupQueries extends QuerySet {
+
+  private val N = 3 // shingle width
+  private val H = 16 // minhash count
+  private val B = 4 // LSH bands (4 rows per band)
+
+  def d2MinhashBands(s: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashBands(
+      Tables.load(s, dir, "documents").select("doc_id", "text"),
+      "text", N, H, B, Md5Hash)
+      .select("doc_id", "band_0", "band_1", "band_2", "band_3")
+      .orderBy("doc_id")
+
+  def d3MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.load(s, dir, "documents"),
+      "doc_id", "text", N, H, B, threshold = 0.0, mode = Md5Hash)
+      .orderBy("doc_a", "doc_b")
+
+  def d4SimhashChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhashChunks(
+      Tables.load(s, dir, "documents").select("doc_id", "text"), "text", Md5Hash)
+      .select("doc_id", "sim_chunk_0", "sim_chunk_1", "sim_chunk_2", "sim_chunk_3")
+      .orderBy("doc_id")
+
+  def d5SimhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables.load(s, dir, "documents"),
+      "doc_id", "text", Md5Hash)
+      .orderBy("doc_a", "doc_b")
+
+  val entries: Map[String, Q] = Map(
+    "d2_minhash_bands" -> d2MinhashBands _,
+    "d3_minhash_pairs" -> d3MinhashPairs _,
+    "d4_simhash_chunks" -> d4SimhashChunks _,
+    "d5_simhash_candidates" -> d5SimhashCandidates _,
+  )
+
+  // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
+
+  private val shSql =
+    s"""CASE WHEN len($toksSql) >= $N
+       | THEN list_distinct(list_transform(generate_series(1, len($toksSql) - ${N - 1}),
+       |   i -> array_to_string(($toksSql)[i:i+${N - 1}], ' ')))
+       | ELSE [array_to_string($toksSql, ' ')] END""".stripMargin
+
+  // Kirsch-Mitzenmacher: minhash_j = min over shingles of h1 + j*h2,
+  // h1/h2 = two 56-bit halves of one md5 (identical to the Spark side)
+  private def minhashSql(j: Int, sh: String): String =
+    s"""list_min(list_transform($sh, s ->
+       | ('0x' || substr(md5(s), 1, 14))::BIGINT
+       | + $j * ('0x' || substr(md5(s), 15, 14))::BIGINT))""".stripMargin
+
+  private def bandSql(b: Int, sh: String): String = {
+    val parts = (0 until H / B).map(r => minhashSql(b * (H / B) + r, sh))
+    s"md5(array_to_string([${parts.mkString(", ")}], ','))"
+  }
+
+  private val jaccardSql =
+    "len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh)))"
+
+  private val minhashBaseCte =
+    s"""SELECT doc_id, $shSql AS sh,
+       | ${(0 until B).map(b => s"${bandSql(b, shSql)} AS band_$b").mkString(",\n ")}
+       |FROM documents""".stripMargin
+
+  // bit i = parity of bit i of the single 60-bit token hash
+  private def bitSql(i: Int): String =
+    s"""CASE WHEN list_sum(list_transform($toksSql, t ->
+       | CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> $i) & 1) = 1
+       | THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END""".stripMargin
+
+  private def chunkSql(c: Int): String =
+    (0 until 15).map(r => s"(${bitSql(c * 15 + r)}) * ${1 << r}").mkString(" + ")
+
+  private val simhashBaseCte =
+    s"""SELECT doc_id,
+       | ${(0 until 4).map(c => s"${chunkSql(c)} AS sim_chunk_$c").mkString(",\n ")}
+       |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d2_minhash_bands" ->
+      s"""SELECT doc_id, band_0, band_1, band_2, band_3
+         |FROM ($minhashBaseCte) ORDER BY doc_id""".stripMargin,
+    "d3_minhash_pairs" ->
+      s"""WITH base AS ($minhashBaseCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
+         |FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         | (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_simhash_chunks" ->
+      s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
+         |FROM ($simhashBaseCte) ORDER BY doc_id""".stripMargin,
+    "d5_simhash_candidates" ->
+      s"""WITH base AS ($simhashBaseCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         | (a.sim_chunk_0 = b.sim_chunk_0 OR a.sim_chunk_1 = b.sim_chunk_1
+         |  OR a.sim_chunk_2 = b.sim_chunk_2 OR a.sim_chunk_3 = b.sim_chunk_3)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

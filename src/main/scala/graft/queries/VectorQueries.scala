@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity-search queries over `embeddings`
+  * (vec_id, embedding array<float>, label): exact brute-force cosine
+  * top-k, IVF probe-1 top-k, and cosine near-dup pairs — every score
+  * oracle-checked to 6 decimals against DuckDB computing the identical
+  * normalize-once-then-dot double-precision folds.
+  */
+object VectorQueries extends QuerySet {
+
+  private val K = 10
+  private val NumCentroids = 8
+  private val QueryId = 100L
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def v1Norms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"),
+        round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
+  def v2CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  def v3IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Similarity.assignCells(e, e.filter(col("vec_id") < NumCentroids))
+      .persist()
+    Similarity.ivfTopK(assigned, QueryId, K)
+      .select(col("neighbor_id"), round(col("score"), 6).as("score"),
+        col("rank").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by IVF cell (same-cell
+    * pairs only — the quadratic step never crosses cells).
+    */
+  def v4NearDupCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Similarity.assignCells(e, e.filter(col("vec_id") < NumCentroids))
+      .persist()
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
+      col("uv").as("va"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+      col("uv").as("vb"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.dotD(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= 0.25)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val entries: Map[String, Q] = Map(
+    "v1_vector_norms" -> v1Norms _,
+    "v2_cosine_topk" -> v2CosineTopK _,
+    "v3_ivf_topk" -> v3IvfTopK _,
+    "v4_neardup_cosine" -> v4NearDupCosine _,
+  )
+
+  // ---- oracle builders (identical double-precision folds in DuckDB) ----
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) for p in list_zip($a, $b)])"
+
+  private def dotDSql(a: String, b: String): String =
+    s"list_sum([p[1] * p[2] for p in list_zip($a, $b)])"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  // normalize once, then every cosine is a plain dot — mirrors
+  // Similarity.withUnitVector/dotD so the IEEE sequences line up
+  private val unitCte =
+    s"""SELECT vec_id, list_transform(embedding,
+       |  x -> CAST(x AS DOUBLE) / ${normSql("embedding")}) AS uv
+       |FROM embeddings""".stripMargin
+
+  private val assignedCte =
+    s"""SELECT vec_id, uv, centroid_id AS cell FROM (
+       |  SELECT u.vec_id, u.uv, c.centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY u.vec_id
+       |      ORDER BY ${dotDSql("u.uv", "c.centv")} DESC, c.centroid_id) AS crank
+       |  FROM unit u, (SELECT vec_id AS centroid_id, uv AS centv
+       |                FROM unit WHERE vec_id < $NumCentroids) c
+       |) WHERE crank = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v1_vector_norms" ->
+      s"""SELECT vec_id, ROUND(${normSql("embedding")}, 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v2_cosine_topk" ->
+      s"""WITH unit AS ($unitCte),
+         |q AS (SELECT vec_id AS query_id, uv AS qv FROM unit WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, u.vec_id AS neighbor_id,
+         |    ${dotDSql("qv", "u.uv")} AS score
+         |  FROM unit u JOIN q ON query_id <> u.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "v3_ivf_topk" ->
+      s"""WITH unit AS ($unitCte),
+         |assigned AS ($assignedCte),
+         |q AS (SELECT cell AS qcell, uv AS qv FROM assigned
+         |      WHERE vec_id = $QueryId),
+         |scored AS (
+         |  SELECT a.vec_id AS neighbor_id, ${dotDSql("qv", "a.uv")} AS score
+         |  FROM assigned a JOIN q ON a.cell = q.qcell
+         |  WHERE a.vec_id <> $QueryId),
+         |ranked AS (
+         |  SELECT neighbor_id, score,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT neighbor_id, ROUND(score, 6) AS score, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin,
+    "v4_neardup_cosine" ->
+      s"""WITH unit AS ($unitCte),
+         |assigned AS ($assignedCte)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${dotDSql("a.uv", "b.uv")}, 6) AS score
+         |FROM assigned a JOIN assigned b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ROUND(${dotDSql("a.uv", "b.uv")}, 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}
