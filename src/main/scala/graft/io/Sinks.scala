@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Sink modes (reference operators K1–K6) on parquet catalog tables:
+  * append, overwrite (optional partitionBy), and keyed upsert (the
+  * no-Delta MERGE emulation, SURVEY.md §7.4).
+  */
+object Sinks {
+
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).saveAsTable(table)
+
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+}
+
+/** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN
+  * NOT MATCHED INSERT *` ≡ (target ⟕̸ source on keys) ∪ source — the
+  * whole-row-replace semantics of the reference's merge
+  * (db_utils.py:96-100, gold_layer.py:184-213).
+  *
+  * The un-matched remainder is staged to a scratch path before the
+  * overwrite because Spark cannot overwrite a table that feeds the plan
+  * being written. Not concurrent-safe — matching the single-driver
+  * reference. At real scale this becomes: write a new version directory
+  * + atomic catalog pointer swap (what table formats do for you), and a
+  * keyed MERGE shuffles both sides on the key columns — source side is
+  * broadcast when small.
+  */
+object Upsert {
+
+  def upsertTable(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      source.write.saveAsTable(table)
+      return
+    }
+    val target = spark.table(table)
+    val cond = keys.map(k => target(k) === source(k)).reduce(_ && _)
+    val merged = target.join(source, cond, "left_anti")
+      .unionByName(source.select(target.columns.map(col).toSeq: _*))
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__upsert_stage/" +
+      table.replace('.', '_')
+    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    // the overwrite leaves a stale cached file index behind the catalog
+    // entry — readers would hit FILE_NOT_EXIST without this
+    spark.catalog.refreshTable(table)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.layers
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.dq.DqEngine
+import graft.io.{Sinks, Sources, Upsert}
+import graft.meta.{AuditLogger, MetadataManager}
+
+/** The three medallion layer processors (reference F1–F6 loop
+  * semantics: `enabled` gating, per-item error isolation, audit
+  * bracketing, control-table watermarking) — re-expressed so each unit
+  * of work reads its input ONCE: row counts come from `Observation`
+  * metrics attached to the very write that materializes the table,
+  * never from a second count() pass (the reference recomputed every
+  * plan 2+2·rules times, SURVEY.md §3.2).
+  */
+final case class LayerReport(layer: String, succeeded: Seq[String],
+    failed: Seq[(String, String)])
+
+abstract class Layer(spark: SparkSession, meta: MetadataManager,
+    audit: AuditLogger) {
+
+  def layerName: String
+  def run(): LayerReport
+
+  /** Run every enabled item, isolating failures per item (F1). */
+  protected def runAll[C](items: Seq[C], id: C => String,
+      enabled: C => Boolean)(work: C => Unit): LayerReport = {
+    val results = items.filter(enabled).map { item =>
+      try { work(item); Right(id(item)) }
+      catch { case e: Throwable => Left(id(item) -> String.valueOf(e.getMessage)) }
+    }
+    LayerReport(layerName,
+      results.collect { case Right(i) => i },
+      results.collect { case Left(f) => f })
+  }
+
+  /** Write with an observed row count (single pass). */
+  protected def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
+    val obs = new Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+}
+
+/** Bronze: config-driven ingest (S1–S5) + audit columns + append. */
+class BronzeLayer(spark: SparkSession, config: EtlConfig,
+    meta: MetadataManager, audit: AuditLogger, runDate: String)
+  extends Layer(spark, meta, audit) {
+
+  val layerName = "bronze"
+
+  def run(): LayerReport =
+    runAll[SourceConfig](config.sources, _.sourceId, _.enabled)(ingest)
+
+  def ingest(src0: SourceConfig): Unit = {
+    // incremental watermark: substitute ${EXTRACT_DATE} with the last
+    // successful run date (F5); full loads use the pipeline run date
+    val extractDate =
+      if (src0.extractStrategy == "incremental")
+        meta.lastRunDate(src0.targetTable, layerName).getOrElse("1970-01-01")
+      else runDate
+    val vars = Map("EXTRACT_DATE" -> extractDate, "PROCESSING_DATE" -> runDate)
+    val src = src0.copy(
+      sourcePath = EtlConfig.substitute(src0.sourcePath, vars),
+      options = src0.options.map { case (k, v) => k -> EtlConfig.substitute(v, vars) })
+    audit.bracket(layerName, "ingest", "BronzeLayer", src.sourceId, src.targetTable) {
+      var df = Sources.read(spark, src)
+        .withColumn("ingestion_timestamp", current_timestamp())
+        .withColumn("source_id", lit(src.sourceId))
+      for (c <- src.incrementalColumn if src.extractStrategy == "incremental")
+        df = df.filter(col(c) > lit(extractDate))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${db(src.targetTable)}")
+      val rows = writeCounted(df, Sinks.append(_, src.targetTable))
+      meta.updateControl(src.targetTable, layerName, runDate, rows, "SUCCESS")
+      ((), rows)
+    }
+  }
+
+  private def db(table: String): String = table.split('.').head
+}
+
+/** Silver: SQL transform + DQ rules + partitioned overwrite. */
+class SilverLayer(spark: SparkSession, config: EtlConfig,
+    meta: MetadataManager, audit: AuditLogger, runDate: String)
+  extends Layer(spark, meta, audit) {
+
+  val layerName = "silver"
+
+  def run(): LayerReport =
+    runAll[TransformConfig](config.transformations, _.transformId, _.enabled)(transform)
+
+  def transform(t: TransformConfig): Unit =
+    audit.bracket(layerName, "transform", "SilverLayer", t.transformId, t.targetTable) {
+      val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
+      val base = spark.sql(sql)
+      val dq = DqEngine(spark, base, t.dataQuality)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${t.targetTable.split('.').head}")
+      val rows = writeCounted(dq.data, Sinks.overwrite(_, t.targetTable, t.partitionBy))
+      meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS")
+      ((), rows)
+    }
+}
+
+/** Gold: aggregate model + full overwrite or keyed incremental upsert. */
+class GoldLayer(spark: SparkSession, config: EtlConfig,
+    meta: MetadataManager, audit: AuditLogger, runDate: String)
+  extends Layer(spark, meta, audit) {
+
+  val layerName = "gold"
+
+  def run(): LayerReport =
+    runAll[ModelConfig](config.models, _.modelId, _.enabled)(build)
+
+  def build(m: ModelConfig): Unit =
+    audit.bracket(layerName, "model", "GoldLayer", m.modelId, m.targetTable) {
+      val sql = EtlConfig.substitute(m.sqlQuery, Map("PROCESSING_DATE" -> runDate))
+      val df = spark.sql(sql).withColumn("gold_insert_timestamp", current_timestamp())
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
+      val rows =
+        if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
+          && spark.catalog.tableExists(m.targetTable)) {
+          // upsert must see a materialized source row count; Observation
+          // on the staged write inside upsertTable would be invisible
+          // here, so count on the (small, aggregated) model output
+          Upsert.upsertTable(spark, m.targetTable, df, m.primaryKeys)
+          spark.table(m.targetTable).count()
+        } else {
+          writeCounted(df, Sinks.overwrite(_, m.targetTable, m.partitionBy))
+        }
+      meta.updateControl(m.targetTable, layerName, runDate, rows, "SUCCESS")
+      ((), rows)
+    }
+}

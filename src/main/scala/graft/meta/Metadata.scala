@@ -1,0 +1,118 @@
+package graft.meta
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Upsert
+
+/** Metadata plane: control table (per-target watermark + run state) and
+  * audit log (event per unit of work) — the reference's
+  * metadata_manager.py / audit_logger.py re-expressed as typed Datasets
+  * on parquet catalog tables.
+  *
+  * Deliberate fixes vs the reference (SURVEY.md §2.12 latent bugs):
+  * create-if-absent instead of drop-and-recreate (which wiped history
+  * mid-pipeline and made incremental watermarks unreachable), and
+  * DataFrame upserts instead of f-string SQL interpolation.
+  */
+final case class ControlRow(
+    table_name: String, layer: String, last_run_date: String,
+    records_processed: Long, status: String, config_snapshot: String,
+    updated_timestamp: Timestamp)
+
+final case class AuditEvent(
+    log_id: String, event_timestamp: Timestamp, layer: String,
+    operation: String, component: String, source_id: String,
+    target_table: String, status: String, rows_processed: Long,
+    error_message: String, execution_time_seconds: Double,
+    run_id: String, spark_user: String)
+
+/** Injectable clock/id source so tests are deterministic. */
+trait IdClock {
+  def now(): Timestamp
+  def uuid(): String
+}
+object SystemIdClock extends IdClock {
+  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  def uuid(): String = java.util.UUID.randomUUID().toString
+}
+
+class MetadataManager(spark: SparkSession, db: String = "metadata",
+    clock: IdClock = SystemIdClock) {
+  import spark.implicits._
+
+  val controlTable = s"$db.etl_control_table"
+  val auditTable = s"$db.etl_audit_log"
+
+  def init(): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (!spark.catalog.tableExists(controlTable))
+      spark.emptyDataset[ControlRow].write.saveAsTable(controlTable)
+    if (!spark.catalog.tableExists(auditTable))
+      spark.emptyDataset[AuditEvent].write.saveAsTable(auditTable)
+  }
+
+  /** Upsert one control row keyed on (table_name, layer). */
+  def updateControl(tableName: String, layer: String, runDate: String,
+      records: Long, status: String, configSnapshot: String = "{}"): Unit = {
+    val row = Seq(ControlRow(tableName, layer, runDate, records, status,
+      configSnapshot, clock.now())).toDS().toDF()
+    Upsert.upsertTable(spark, controlTable, row, Seq("table_name", "layer"))
+  }
+
+  /** Incremental watermark: last successful run date for a target. */
+  def lastRunDate(tableName: String, layer: String): Option[String] =
+    spark.table(controlTable)
+      .filter(col("table_name") === tableName && col("layer") === layer
+        && col("status") === "SUCCESS")
+      .select("last_run_date")
+      .collect().headOption.map(_.getString(0))
+
+  def controlReport(layer: String): DataFrame =
+    spark.table(controlTable).filter(col("layer") === layer)
+      .orderBy("table_name")
+}
+
+class AuditLogger(spark: SparkSession, meta: MetadataManager,
+    clock: IdClock = SystemIdClock) {
+  import spark.implicits._
+
+  val runId: String = clock.uuid()
+
+  private def emit(e: AuditEvent): Unit =
+    Seq(e).toDS().write.mode(SaveMode.Append).saveAsTable(meta.auditTable)
+
+  def event(layer: String, operation: String, component: String,
+      sourceId: String, targetTable: String, status: String,
+      rows: Long = 0L, error: String = "", seconds: Double = 0.0): Unit =
+    emit(AuditEvent(clock.uuid(), clock.now(), layer, operation, component,
+      sourceId, targetTable, status, rows, error, seconds, runId,
+      spark.sparkContext.sparkUser))
+
+  /** STARTED/SUCCESS/ERROR bracketing around a unit of work (reference
+    * F4), returning the body's result.
+    */
+  def bracket[T](layer: String, operation: String, component: String,
+      sourceId: String, targetTable: String)(body: => (T, Long)): T = {
+    val t0 = System.nanoTime()
+    event(layer, operation, component, sourceId, targetTable, "STARTED")
+    try {
+      val (result, rows) = body
+      event(layer, operation, component, sourceId, targetTable, "SUCCESS",
+        rows, seconds = (System.nanoTime() - t0) / 1e9)
+      result
+    } catch {
+      case e: Throwable =>
+        event(layer, operation, component, sourceId, targetTable, "ERROR",
+          error = String.valueOf(e.getMessage),
+          seconds = (System.nanoTime() - t0) / 1e9)
+        throw e
+    }
+  }
+
+  def recentEvents(n: Int = 100): DataFrame =
+    spark.table(meta.auditTable)
+      .filter(col("run_id") === runId)
+      .orderBy(col("event_timestamp").desc, col("log_id"))
+      .limit(n)
+}

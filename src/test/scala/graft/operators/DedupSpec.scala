@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1/2 near-identical (one word changed), 3 unrelated, 4 == 1 exactly
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct n-grams; short text falls back to whole text") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).size == 12) // 14 tokens -> 12 trigrams, all distinct
+    val short = Seq((9L, "only two")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(short == Seq("only two"))
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups (xxhash path)") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, mode = Dedup.XxHash)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard is exact on known sets") {
+    val j = spark.range(1)
+      .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))
+      .as[Double].head()
+    assert(j == 0.5)
+  }
+
+  test("simhash: identical docs share all chunks, near-dups most chunks") {
+    val chunks = Dedup.withSimhashChunks(docs, "text")
+      .select("doc_id", "sim_chunk_0", "sim_chunk_1", "sim_chunk_2", "sim_chunk_3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(chunks(1L) == chunks(4L))
+    // one changed word in a 14-token doc flips several near-zero bit
+    // counts, so only ≥1 shared chunk is guaranteed-ish at this length
+    assert(chunks(1L).zip(chunks(2L)).count { case (a, b) => a == b } >= 1)
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L)))
+    assert(cands.contains((1L, 2L)))
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand math") {
+    val c = vecs.filter($"vec_id" === 0).as("a")
+      .crossJoin(vecs.filter($"vec_id" === 2).as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].head()
+    assert(math.abs(c) < 1e-12) // orthogonal
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(top.map(_._2).toSeq == Seq(1L, 2L))
+    assert(top.head._3 > 0.99)
+  }
+
+  test("IVF with a matching centroid finds the true neighbor in-cell") {
+    val assigned = Similarity.assignCells(vecs, vecs.filter($"vec_id" < 2))
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)]
+      .collect().toMap
+    assert(cells(0L) == 0L && cells(1L) == 1L || cells(1L) == 1L)
+    assert(cells(2L) == 1L) // y-axis closer to (0.9,0.1,0) than (1,0,0)
+    val top = Similarity.ivfTopK(assigned, 2L, 2)
+      .as[(Long, Double, Int)].collect()
+    assert(top.nonEmpty && top.forall(r => cells(r._1) == cells(2L)))
+  }
+
+  test("unit vectors have norm 1") {
+    val norms = Similarity.withUnitVector(vecs, "embedding")
+      .select(Similarity.dotD($"uv", $"uv")).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
+  }
+}

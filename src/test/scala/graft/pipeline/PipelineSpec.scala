@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.EtlConfig
+import graft.meta.FixedClock
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion run mirroring the reference demo: CSV customers
+  * + JSON products + parquet transactions → bronze ingest → silver SQL
+  * transform with DQ rules → gold aggregate + incremental upsert.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stage = s"/root/repo/target/e2e-stage-${System.nanoTime()}"
+
+  private def writeFixtures(): Unit = {
+    Seq(
+      ("C001", "ann@x.com", "CA"), ("C002", "bob@y.org", "NY"),
+      ("C003", "bad-email", "CA"), ("C004", "dee@z.net", "TX"))
+      .toDF("customer_id", "email", "state")
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$stage/customers")
+    Seq(
+      ("P01", "Toys", 10.0, 6.0), ("P02", "Books", 20.0, 12.0),
+      ("P03", "Games", 0.0, 1.0)) // invalid: price <= cost
+      .toDF("product_id", "category", "price", "cost")
+      .coalesce(1).write.mode("overwrite").json(s"$stage/products")
+    Seq(
+      ("T1", "C001", "P01", "2024-01-01", Some(30.0), 3),
+      ("T2", "C002", "P02", "2024-01-02", Some(20.0), 1),
+      ("T3", "C001", "P02", "2024-01-02", Some(40.0), 2),
+      ("T4", "C009", "P01", "2024-01-03", Some(10.0), 1), // orphan customer
+      ("T5", "C003", "P01", "2024-01-03", None, 1)) // null amount
+      .toDF("transaction_id", "customer_id", "product_id",
+        "transaction_date", "amount", "quantity")
+      .write.mode("overwrite").parquet(s"$stage/transactions")
+  }
+
+  private val bronzeYaml =
+    s"""sources:
+       |  - source_id: customers_csv
+       |    source_type: file
+       |    source_path: $stage/customers
+       |    file_format: csv
+       |    options: {header: "true", inferSchema: "true"}
+       |    target_table: bronze_e2e.customers
+       |  - source_id: products_json
+       |    source_type: file
+       |    source_path: $stage/products
+       |    file_format: json
+       |    target_table: bronze_e2e.products
+       |  - source_id: tx_parquet
+       |    source_type: file
+       |    source_path: $stage/transactions
+       |    file_format: parquet
+       |    target_table: bronze_e2e.sales_transactions
+       |""".stripMargin
+
+  private val silverYaml =
+    """transformations:
+      |  - transform_id: sales_clean
+      |    source_table: bronze_e2e.sales_transactions
+      |    target_table: silver_e2e.sales_clean
+      |    sql_query: >
+      |      SELECT transaction_id, customer_id, product_id,
+      |             CAST(transaction_date AS DATE) AS transaction_date,
+      |             amount, quantity
+      |      FROM bronze_e2e.sales_transactions
+      |    data_quality:
+      |      - rule_name: amount_not_null
+      |        rule_type: not_null
+      |        column: amount
+      |        action_on_failure: filter
+      |      - rule_name: customer_exists
+      |        rule_type: referential_integrity
+      |        column: customer_id
+      |        ref_table: bronze_e2e.customers
+      |        ref_column: customer_id
+      |        action_on_failure: filter
+      |  - transform_id: customers_clean
+      |    source_table: bronze_e2e.customers
+      |    target_table: silver_e2e.customers
+      |    sql_query: SELECT customer_id, email, state FROM bronze_e2e.customers
+      |    partition_by: [state]
+      |    data_quality:
+      |      - rule_name: email_format
+      |        rule_type: regex
+      |        column: email
+      |        pattern: "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+      |        action_on_failure: tag
+      |""".stripMargin
+
+  private val goldYaml =
+    """models:
+      |  - model_id: daily_sales
+      |    sql_query: >
+      |      SELECT s.transaction_date, p.category,
+      |             COUNT(*) AS transaction_count,
+      |             SUM(s.amount) AS total_sales,
+      |             AVG(s.amount / s.quantity) AS avg_unit_price
+      |      FROM silver_e2e.sales_clean s
+      |      JOIN bronze_e2e.products p ON s.product_id = p.product_id
+      |      GROUP BY s.transaction_date, p.category
+      |    target_table: gold_e2e.daily_sales_by_category
+      |    refresh_type: incremental
+      |    primary_keys: [transaction_date, category]
+      |""".stripMargin
+
+  test("bronze -> silver -> gold end to end with DQ and upsert") {
+    writeFixtures()
+    val pipeline = new Pipeline(spark, "2024-01-05", new FixedClock())
+    val reports = pipeline.run(Map(
+      "bronze" -> EtlConfig.fromYaml(bronzeYaml),
+      "silver" -> EtlConfig.fromYaml(silverYaml),
+      "gold" -> EtlConfig.fromYaml(goldYaml)))
+
+    assert(reports.forall(_.failed.isEmpty), reports.flatMap(_.failed).toString)
+
+    // bronze: raw rows + audit columns
+    val bronzeTx = spark.table("bronze_e2e.sales_transactions")
+    assert(bronzeTx.count() == 5)
+    assert(bronzeTx.columns.contains("ingestion_timestamp"))
+    assert(bronzeTx.select("source_id").distinct().as[String].head() == "tx_parquet")
+
+    // silver: null amount (T5) and orphan customer (T4) filtered
+    val clean = spark.table("silver_e2e.sales_clean")
+    assert(clean.select("transaction_id").as[String].collect().toSet ==
+      Set("T1", "T2", "T3"))
+    // tag action keeps all customers, flags the bad email
+    val cust = spark.table("silver_e2e.customers")
+    assert(cust.count() == 4)
+    assert(cust.filter($"dq_email_format_flag" === "INVALID")
+      .select("customer_id").as[String].head() == "C003")
+
+    // gold: aggregates over clean rows only
+    val gold = spark.table("gold_e2e.daily_sales_by_category")
+    val toys = gold.filter($"category" === "Toys").as[GoldRow].collect()
+    assert(toys.length == 1 && toys.head.total_sales == 30.0)
+    val goldCountBefore = gold.count() // materialize before the upsert
+    // invalidates this plan's file listing
+
+    // control table has one SUCCESS row per target
+    val control = spark.table(pipeline.meta.controlTable)
+      .filter($"status" === "SUCCESS")
+    assert(control.filter($"layer" === "bronze").count() == 3)
+    assert(control.filter($"layer" === "silver").count() == 2)
+    assert(control.filter($"layer" === "gold").count() == 1)
+
+    // audit: STARTED+SUCCESS per unit of work, no ERRORs
+    val audit = spark.table(pipeline.meta.auditTable)
+      .filter($"run_id" === pipeline.audit.runId)
+    assert(audit.filter($"status" === "ERROR").count() == 0)
+    assert(audit.filter($"status" === "SUCCESS").count() == 6)
+
+    // gold incremental: re-run upserts instead of duplicating
+    val pipeline2 = new Pipeline(spark, "2024-01-06", new FixedClock(1750000000000L))
+    pipeline2.run(Map("gold" -> EtlConfig.fromYaml(goldYaml)))
+    val gold2 = spark.table("gold_e2e.daily_sales_by_category")
+    assert(gold2.count() == goldCountBefore)
+    assert(gold2.groupBy("transaction_date", "category").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
+  test("per-item isolation: one broken source does not stop the layer") {
+    val broken =
+      s"""sources:
+         |  - source_id: missing_path
+         |    source_type: file
+         |    source_path: $stage/nope
+         |    file_format: parquet
+         |    target_table: bronze_e2e.nope
+         |  - source_id: customers_ok
+         |    source_type: file
+         |    source_path: $stage/customers
+         |    file_format: csv
+         |    options: {header: "true"}
+         |    target_table: bronze_e2e.customers_again
+         |""".stripMargin
+    writeFixtures()
+    val pipeline = new Pipeline(spark, "2024-01-05", new FixedClock(1760000000000L))
+    val reports = pipeline.run(Map("bronze" -> EtlConfig.fromYaml(broken)))
+    assert(reports.head.failed.map(_._1) == Seq("missing_path"))
+    assert(reports.head.succeeded == Seq("customers_ok"))
+  }
+}
+
+case class GoldRow(transaction_date: java.sql.Date, category: String,
+    transaction_count: Long, total_sales: Double, avg_unit_price: Double,
+    gold_insert_timestamp: java.sql.Timestamp)
