@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event queries
+  * (EventQueries): the reference is batch-only (SURVEY.md §2.9 — its
+  * "incremental" loads are a metadata watermark), so these are the
+  * honest Spark-native generalization: the SAME aggregation expressions
+  * run over `readStream` with event-time watermarks, plus a stateful
+  * sessionizer via flatMapGroupsWithState.
+  *
+  * At scale: windowed aggs shuffle on (window, key) with partial
+  * aggregation; session state is per-user in the state store — both are
+  * the standard unbounded-input shapes. Watermark bounds state size.
+  */
+/** Session-state record. Top-level (not nested/private) because the
+  * state-store encoder generates Java that must see the accessors;
+  * timestamps kept as objects — reconstructing from epoch-ms would drop
+  * the microsecond component and diverge from the batch sessionizer.
+  */
+final case class SessionState(start: java.sql.Timestamp,
+    last: java.sql.Timestamp, n: Long, total: Double)
+
+object EventsStreaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+
+  /** Streaming reader for an events parquet directory. The files carry
+    * TIMESTAMP(NANOS); read nanos as long and truncate to micros (same
+    * normalization as graft.Tables.loadEvents).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source needs a directory (basePath); testdata keeps all
+    // tables in one dir, so stage events.parquet alone into scratch
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stage = java.nio.file.Paths.get(
+      s"/root/repo/target/stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val staged = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged))
+      java.nio.file.Files.copy(src, staged)
+    val schema = spark.read.parquet(staged.toString).schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling hourly rollup with a 1-hour watermark — identical
+    * aggregation expressions to the batch `e1_hourly_rollup`.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful sessionization: a session closes after `gapMinutes` of
+    * user inactivity (processing continues across micro-batches through
+    * the state store; event-time timeout flushes idle sessions).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      if (state.hasTimedOut && cur.isDefined) {
+        val s = cur.get
+        closed ::= Session(userId, s.start, s.last, s.n, s.total)
+        state.remove()
+        cur = None
+      }
+      // state-store order is not arrival order — sort the micro-batch
+      for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+        cur match {
+          case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+            closed ::= Session(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last.getTime + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import graft.queries.EventQueries
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly rollup converges to the batch answer") {
+    val q = EventsStreaming.hourlyRollup(EventsStreaming.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .select("hour", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization closes sessions on gap > 30min") {
+    val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val sessions = spark.table("sessions_out")
+    // closed sessions must respect the gap invariant and match the
+    // batch sessionizer on the (user, session_start) level it emitted
+    val batchSessions = EventQueries.e2Sessionize(spark, dir)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val streamedSessions = sessions
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // the stream only emits CLOSED sessions (watermark can hold the
+    // final session of each user open) — so streamed ⊆ batch and most
+    // sessions should have closed
+    assert(streamedSessions.subsetOf(batchSessions))
+    assert(streamedSessions.nonEmpty)
+    assert(streamedSessions.size >= batchSessions.size / 2)
+  }
+}
