@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque BINARY payloads plus typed metadata, with decode /
+  * feature-extract / resize / frame-sample as *batched partition-level
+  * transforms* (`Dataset.mapPartitions` — the Scala/JVM counterpart of
+  * Python's `mapInPandas`: one task per partition, rows processed in
+  * bounded batches, codec state amortized per batch).
+  *
+  * The actual codecs are STUBBED (this container has no image/audio
+  * libraries): `StubCodecs` derives deterministic fake pixels/samples
+  * from the payload bytes, clearly marked for replacement. Everything
+  * the pipeline depends on — schema, partitioning, signatures, batch
+  * shape — is real and tested.
+  *
+  * 100 TB posture: payloads never pass through a shuffle — feature
+  * extraction is map-side on the scan partitioning; only the small
+  * feature/metadata outputs shuffle (e.g. for the embedding-dedup join
+  * downstream). Repartition by byte size, not row count, before heavy
+  * decode so a task's batch fits executor memory.
+  */
+final case class MediaFile(media_id: Long, kind: String, mime: String,
+    payload: Array[Byte], width: Int, height: Int, n_frames: Int)
+
+final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+    mean_luma: Double, embedding: Array[Float])
+
+final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+/** Deterministic stand-ins for real codecs. Replace `decodeImage` with
+  * an actual decoder (e.g. TwelveMonkeys/javax.imageio) in production —
+  * the call sites and shapes stay identical.
+  */
+object StubCodecs {
+  /** STUB — fake H×W luma plane derived from payload bytes. */
+  def decodeImage(payload: Array[Byte], w: Int, h: Int): Array[Array[Int]] =
+    Array.tabulate(h, w)((y, x) =>
+      java.lang.Byte.toUnsignedInt(payload((y * w + x) % payload.length)))
+
+  /** STUB — nearest-neighbor resize on the fake plane (the arithmetic
+    * is the real algorithm; only the pixels are fake).
+    */
+  def resize(img: Array[Array[Int]], newW: Int, newH: Int): Array[Array[Int]] = {
+    val (h, w) = (img.length, img.head.length)
+    Array.tabulate(newH, newW)((y, x) => img(y * h / newH)(x * w / newW))
+  }
+
+  /** STUB — byte span of frame i inside a fake video payload. */
+  def frameBytes(payload: Array[Byte], i: Int, n: Int): Array[Byte] = {
+    val span = math.max(1, payload.length / n)
+    payload.slice(i * span, math.min((i + 1) * span, payload.length))
+  }
+}
+
+object Multimodal {
+
+  /** Bounded batch size for partition-level processing (the `mapInPandas`
+    * arrow-batch analog): decode state is amortized per batch and memory
+    * stays bounded regardless of partition size.
+    */
+  val BatchSize = 64
+
+  /** Deterministic synthetic media corpus (payload bytes from a seeded
+    * per-row generator) — the test fixture standing in for real files.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val rnd = new scala.util.Random(i)
+      val (w, h) = (16 + (i % 8).toInt * 4, 16 + (i % 5).toInt * 4)
+      val kind = if (i % 3 == 2) "video" else "image"
+      val frames = if (kind == "video") 8 else 1
+      val bytes = new Array[Byte](w * h * frames)
+      rnd.nextBytes(bytes)
+      MediaFile(i, kind, if (kind == "video") "video/fake" else "image/fake",
+        bytes, w, h, frames)
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition: mean luminance and
+    * a 16-dim pooled-patch embedding per image.
+    */
+  def imageFeatures(media: Dataset[MediaFile]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch => // bounded batch shape
+        batch.map { m =>
+          val img = StubCodecs.decodeImage(m.payload, m.width, m.height)
+          val pooled = StubCodecs.resize(img, 4, 4)
+          ImageFeatures(m.media_id, m.width, m.height,
+            img.map(_.sum.toDouble).sum / (m.width * m.height),
+            pooled.flatten.map(_ / 255.0f))
+        }
+      }
+    }
+  }
+
+  /** Resize every image to a fixed thumbnail, re-encoding the (fake)
+    * plane back into a payload column.
+    */
+  def thumbnails(media: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val resized = StubCodecs.resize(
+          StubCodecs.decodeImage(m.payload, m.width, m.height), w, h)
+        m.copy(payload = resized.flatten.map(_.toByte), width = w, height = h)
+      })
+    }
+  }
+
+  /** Sample every `stride`-th frame of each video into its own row —
+    * the row-explosion shape of video pipelines (one payload in, many
+    * smaller payloads out; output partition count follows input).
+    */
+  def sampleFrames(media: Dataset[MediaFile], stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      (0 until m.n_frames by stride).map(i =>
+        Frame(m.media_id, i, StubCodecs.frameBytes(m.payload, i, m.n_frames)))
+    }
+  }
+}
