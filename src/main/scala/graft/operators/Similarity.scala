@@ -20,17 +20,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product with elements cast to double before multiplying —
-    * identical IEEE sequence in Spark and DuckDB oracles.
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProduct]]) — same sequential fold (and thus
+    * bit-identical to the HOF `aggregate(zip_with(...))` form and the
+    * DuckDB oracle), minus the per-element closure/boxing cost that
+    * dominates the quadratic stages.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   /** Dot of two already-double arrays (unit vectors). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dotD(a: Column, b: Column): Column = dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
