@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Scale-posture audit: these assertions pin the physical-plan
+  * properties that make the library viable at 100 TB — filters reaching
+  * the parquet scan, column pruning, dimension broadcast, map-side
+  * partial aggregation, whole-stage codegen, and no accidental
+  * cartesian products in the LSH pipeline. A regression here is a
+  * performance bug even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("s1: predicate pushdown and column pruning reach the scan") {
+    val p = plan("s1_parquet_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1000)]"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_shipdate"), "scan must not read unprojected columns")
+  }
+
+  test("j1: dimension side broadcasts; no shuffle of the fact for the join") {
+    val p = plan("j1_inner_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1/g1: hash aggregation is partial+final (map-side combine)") {
+    assert("HashAggregate".r.findAllIn(plan("q1_pricing_summary")).size >= 2)
+    val g1 = plan("g1_daily_sales_by_type")
+    assert(g1.contains("BroadcastHashJoin") && g1.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen spans the pricing summary") {
+    // AQE defers stage compilation, so ask the codegen explain mode
+    val codegen = graft.SparkEntry.queries("q1_pricing_summary")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("date-range filter is pushed to parquet (partition-prunable shape)") {
+    val p = plan("p8_date_range")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("LSH candidate join is an equi-join, never a cartesian product") {
+    val p = plan("d3_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup-exact aggregates partially before the shuffle") {
+    val p = plan("d1_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("anti/semi joins plan as such (no null-filter emulation)") {
+    assert(plan("j3_anti_join").contains("LeftAnti"))
+    assert(plan("j4_semi_join").contains("LeftSemi"))
+  }
+}
