@@ -55,6 +55,12 @@ object Sources {
     if (resp.statusCode() >= 400)
       throw new RuntimeException(s"API source ${src.sourceId}: HTTP ${resp.statusCode()}")
     import spark.implicits._
-    spark.read.json(spark.createDataset(Seq(resp.body())))
+    // one dataset element per JSON record: split JSON-lines payloads;
+    // a top-level array parses as a single element
+    val body = resp.body()
+    val records =
+      if (body.trim.startsWith("[")) Seq(body)
+      else body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    spark.read.json(spark.createDataset(records))
   }
 }
