@@ -55,4 +55,21 @@ class SourcesSpec extends SparkSpec {
       assert(e.getMessage.contains("api_src") && e.getMessage.contains("503"))
     }
   }
+
+  test("jdbc source pushes a full query to the database (embedded Derby)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE tx (id INT, amount DOUBLE)")
+      st.execute("INSERT INTO tx VALUES (1, 10.5), (2, 20.0), (3, 5.25)")
+    } finally conn.close()
+
+    val df = Sources.read(spark, SourceConfig("db_src", "jdbc", url, "",
+      Map("query" -> "SELECT id, amount FROM tx WHERE amount > 6",
+        "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver"),
+      "bronze.tx", "full", None, enabled = true))
+    assert(df.count() == 2)
+    assert(df.columns.map(_.toLowerCase).sorted.toSeq == Seq("amount", "id"))
+  }
 }

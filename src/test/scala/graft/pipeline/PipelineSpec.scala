@@ -162,6 +162,38 @@ class PipelineSpec extends SparkSpec {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("incremental bronze: second run ingests only rows past the watermark") {
+    writeFixtures()
+    val incYaml =
+      s"""sources:
+         |  - source_id: tx_inc
+         |    source_type: file
+         |    source_path: $stage/transactions
+         |    file_format: parquet
+         |    target_table: bronze_e2e.tx_incremental
+         |    extract_strategy: incremental
+         |    incremental_column: transaction_date
+         |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tx_incremental")
+    val p1 = new Pipeline(spark, "2024-01-05", new FixedClock(1770000000000L))
+    p1.run(Map("bronze" -> EtlConfig.fromYaml(incYaml)))
+    assert(spark.table("bronze_e2e.tx_incremental").count() == 5)
+
+    // new delta arrives after the watermark date
+    Seq(("T6", "C002", "P02", "2024-01-08", Some(15.0), 1),
+      ("T7", "C001", "P01", "2024-01-02", Some(99.0), 1)) // older than watermark
+      .toDF("transaction_id", "customer_id", "product_id",
+        "transaction_date", "amount", "quantity")
+      .write.mode("append").parquet(s"$stage/transactions")
+    val p2 = new Pipeline(spark, "2024-01-10", new FixedClock(1771000000000L))
+    p2.run(Map("bronze" -> EtlConfig.fromYaml(incYaml)))
+    val after = spark.table("bronze_e2e.tx_incremental")
+    // only T6 (date > 2024-01-05) crossed the watermark; T7 is history
+    assert(after.count() == 6)
+    assert(after.filter($"transaction_id" === "T6").count() == 1)
+    assert(after.filter($"transaction_id" === "T7").count() == 0)
+  }
+
   test("per-item isolation: one broken source does not stop the layer") {
     val broken =
       s"""sources:
