@@ -34,8 +34,17 @@ object Sinks {
   */
 object Upsert {
 
-  def upsertTable(spark: SparkSession, table: String, source: DataFrame,
+  def upsertTable(spark: SparkSession, table: String, source0: DataFrame,
       keys: Seq[String]): Unit = {
+    // Delta MERGE rejects duplicate source keys; we instead keep one
+    // deterministic row per key (first over a total row order) so the
+    // operation stays idempotent
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(source0.columns.map(col).toSeq: _*)
+    val source = source0
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
     if (!spark.catalog.tableExists(table)) {
       source.write.saveAsTable(table)
       return

@@ -1,0 +1,85 @@
+package graft
+
+import graft.config.DqRuleConfig
+import graft.dq.DqEngine
+import graft.io.Upsert
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §5.2
+  * item 3). Seeds are fixed so failures reproduce; each property runs
+  * over several independently-generated datasets.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seeds = Seq(1, 7, 42, 1234, 99999)
+
+  test("upsert is idempotent and key-unique for arbitrary batches") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS prop_test")
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val t = s"prop_test.u_$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val batches = Seq.fill(3)(
+        Seq.fill(rnd.nextInt(20) + 1)((rnd.nextInt(10), rnd.nextInt(1000)))
+          .toDF("k", "v"))
+      batches.foreach(b => Upsert.upsertTable(spark, t, b, Seq("k")))
+      val afterAll = spark.table(t).as[(Int, Int)].collect().toSet
+      Upsert.upsertTable(spark, t, batches.last, Seq("k"))
+      assert(spark.table(t).as[(Int, Int)].collect().toSet == afterAll,
+        s"seed $seed: re-upsert of last batch changed the table")
+      val keys = spark.table(t).select("k").as[Int].collect()
+      assert(keys.length == keys.distinct.length, s"seed $seed: duplicate keys")
+    }
+  }
+
+  test("dq filter + invalid metrics partition the input exactly") {
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val n = rnd.nextInt(200) + 10
+      val df = (0 until n).map(i =>
+        (i, if (rnd.nextBoolean()) Some(rnd.nextDouble() * 100 - 20) else None))
+        .toDF("id", "amount")
+      val res = DqEngine(spark, df, Seq(
+        DqRuleConfig("nn", "not_null", Seq("amount"), None, None, None, None, "filter"),
+        DqRuleConfig("pos", "expression", Nil, None,
+          Some("amount > 0"), None, None, "filter")))
+      val m = res.metrics
+      assert(m.head.validCount + m.head.invalidCount == n, s"seed $seed")
+      assert(m(1).validCount + m(1).invalidCount == m.head.validCount, s"seed $seed")
+      assert(res.data.count() == m(1).validCount, s"seed $seed")
+      assert(res.data.filter($"amount".isNull || $"amount" <= 0).count() == 0)
+    }
+  }
+
+  test("jaccard bounds and identity on generated shingle sets") {
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      def randSet() = rnd.shuffle(vocab).take(rnd.nextInt(6) + 2)
+      val rows = (0 until 10).map(i => (i, randSet(), randSet()))
+        .toDF("id", "sa", "sb")
+      val out = rows.select($"id",
+        Dedup.jaccard($"sa", $"sb").as("j"),
+        Dedup.jaccard($"sa", $"sa").as("self")).collect()
+      assert(out.forall { r =>
+        val j = r.getDouble(1); j >= 0.0 && j <= 1.0
+      }, s"seed $seed: jaccard out of bounds")
+      assert(out.forall(_.getDouble(2) == 1.0), s"seed $seed: self-jaccard != 1")
+    }
+  }
+
+  test("tag action never changes row count on generated data") {
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val n = rnd.nextInt(100) + 5
+      val df = (0 until n).map(i => (i, rnd.nextString(5))).toDF("id", "s")
+      val res = DqEngine(spark, df, Seq(
+        DqRuleConfig("fmt", "regex", Seq("s"), Some("^[a-z]+$"),
+          None, None, None, "tag")))
+      assert(res.data.count() == n, s"seed $seed")
+    }
+  }
+}
