@@ -77,11 +77,65 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Parse a substring of a lowercase-hex string column into a long —
+  * replaces `conv(substring(md5(x), from, len), 16, 10).cast(long)`,
+  * which round-trips through BigInteger and a decimal string. This is
+  * the per-shingle/per-token inner loop of the md5-family dedup path;
+  * `len` ≤ 15 keeps the value positive in 60 bits. Bit-identical to the
+  * conv form (both parse the same hex digits).
+  */
+case class HexSliceToLong(child: Expression, from: Int, len: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(len <= 15, "more than 15 hex digits would overflow a positive long")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hex_slice needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var v = 0L
+    var i = from - 1
+    val end = math.min(s.length, from - 1 + len)
+    while (i < end) {
+      val c = s.charAt(i)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10)
+      i += 1
+    }
+    v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.String s = $c.toString();
+         |long v = 0L;
+         |int end = java.lang.Math.min(s.length(), ${from - 1 + len});
+         |for (int i = ${from - 1}; i < end; i++) {
+         |  char ch = s.charAt(i);
+         |  v = (v << 4) | (ch <= '9' ? ch - '0' : ch - 'a' + 10);
+         |}
+         |${ev.value} = v;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-API surface for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column surface for [[HexSliceToLong]]. */
+  def hexSliceToLong(c: Column, from: Int, len: Int): Column =
+    GraftColumnBridge.column(
+      HexSliceToLong(GraftColumnBridge.expression(c), from, len))
 
   /** Register `dot_product` for spark.sql callers. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

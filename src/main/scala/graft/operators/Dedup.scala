@@ -33,10 +33,17 @@ object Dedup {
   case object Md5Hash extends HashMode
 
   /** Distinct word n-gram shingles; texts shorter than n tokens get one
-    * whole-text shingle (sequence() would go descending on a negative
-    * span — the guard is required, not cosmetic).
+    * whole-text shingle. Native one-pass expression — the composable
+    * HOF form is kept below for reference/tests and is set-equal.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordShingles(text, n)
+
+  /** Composable-HOF formulation of [[shingles]] (4 interpreted HOFs —
+    * ~10× slower; retained as the executable spec the native expression
+    * is tested against).
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -44,8 +51,11 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  // native hex parse (graft.functions.HexSliceToLong): the conv() form
+  // allocates a BigInteger + decimal string per value, which dominates
+  // the md5-family signature cost
   private def hex2long(c: Column, from: Int, len: Int): Column =
-    conv(substring(c, from, len), 16, 10).cast("long")
+    graft.functions.VectorExpressions.hexSliceToLong(c, from, len)
 
   /** Two independent 56-bit hashes per value from one digest. */
   private def hashPair(s: Column, mode: HashMode): Column = mode match {
@@ -134,6 +144,20 @@ object Dedup {
     * hash. One digest per token; bits via static shifts.
     */
   def withSimhashChunks(df: DataFrame, textCol: String,
+      mode: HashMode = XxHash): DataFrame = {
+    val chunks = graft.functions.TextExpressions
+      .simhashChunks(col(textCol), mode == Md5Hash)
+    df.withColumn("_sc", chunks)
+      .select(df.columns.map(col) ++
+        (0 until 4).map(c => col("_sc").getItem(c).as(s"sim_chunk_$c")): _*)
+      .drop("_sc")
+  }
+
+  /** Composable-HOF formulation of [[withSimhashChunks]] (60 interpreted
+    * aggregates per row — retained as the executable spec the native
+    * expression is tested against).
+    */
+  def withSimhashChunksHof(df: DataFrame, textCol: String,
       mode: HashMode = XxHash): DataFrame = {
     val counts = (0 until 60).map { b =>
       aggregate(col("_th"), lit(0), (acc, h) =>

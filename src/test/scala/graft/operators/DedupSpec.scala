@@ -33,6 +33,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("native WordShingles is set-equal to the HOF formulation on real docs") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = real.select(
+      Dedup.shingles($"text", 3).as("nat"),
+      Dedup.shinglesHof($"text", 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (n, h) => n.toSet == h.toSet })
+  }
+
+  test("native SimhashChunks equals the HOF formulation, both hash modes") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val nat = Dedup.withSimhashChunks(real, "text", mode)
+        .select("doc_id", "sim_chunk_0", "sim_chunk_1", "sim_chunk_2", "sim_chunk_3")
+        .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+      val hof = Dedup.withSimhashChunksHof(real, "text", mode)
+        .select("doc_id", "sim_chunk_0", "sim_chunk_1", "sim_chunk_2", "sim_chunk_3")
+        .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+      assert(nat.sameElements(hof), s"mode $mode diverged")
+    }
+  }
+
   test("jaccard is exact on known sets") {
     val j = spark.range(1)
       .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))
