@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed
+  * (AQE's skew-join handles sort-merge cases adaptively; explicit
+  * salting remains the tool when a handful of hot keys dominate a
+  * shuffled join and you know it up front).
+  *
+  * Fact rows get a deterministic salt in [0, S) derived from the whole
+  * row, splitting each hot key across S reducers; the (small) build
+  * side replicates ×S. Results are identical to the unsalted join —
+  * only the partitioning changes.
+  */
+object Skew {
+
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val factSalted = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    val dimReplicated = dim.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    factSalted.join(dimReplicated,
+      Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}
