@@ -142,9 +142,76 @@ case class SimhashChunksExpr(child: Expression, useMd5: Boolean)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+  * every character k-gram with a polynomial rolling hash, then keep the
+  * minimum of each w-window of consecutive k-gram hashes — the standard
+  * near-dup/plagiarism fingerprint whose selected hashes are stable
+  * under insertion/deletion outside the window.
+  *
+  * Codepoint-based so positions match the oracle's character semantics;
+  * arithmetic is (h·31 + c) mod 1e9+7 over longs, bit-identical in
+  * DuckDB. Direct O(n·k) per row (k is small); a production variant
+  * would use the O(n) rolling update — same outputs.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  private val Mod = 1000000007L
+  private val Base = 31L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val nk = cps.length - k + 1
+    val kh: Array[Long] =
+      if (nk < 1) {
+        var h = 0L
+        cps.foreach(c => h = (h * Base + c) % Mod)
+        Array(h)
+      } else Array.tabulate(nk) { i =>
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * Base + cps(i + j)) % Mod; j += 1 }
+        h
+      }
+    val minima = new java.util.TreeSet[java.lang.Long]()
+    if (kh.length < w) minima.add(kh.min)
+    else {
+      var i = 0
+      while (i <= kh.length - w) {
+        var m = kh(i)
+        var j = 1
+        while (j < w) { if (kh(i + j) < m) m = kh(i + j); j += 1 }
+        minima.add(m)
+        i += 1
+      }
+    }
+    // TreeSet gives distinct + sorted, matching the oracle's
+    // list_sort(list_distinct(...))
+    val arr = new Array[Any](minima.size)
+    val it = minima.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprints(GraftColumnBridge.expression(c), k, w))
 
   def simhashChunks(c: Column, useMd5: Boolean): Column =
     GraftColumnBridge.column(

@@ -55,11 +55,23 @@ object TextQueries extends QuerySet {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("fp")
 
+  /** Winnowing (rolling k-gram hash) fingerprints, one row per selected
+    * hash — the structural near-dup fingerprint alongside t4's exact
+    * content hash.
+    */
+  def t5Winnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions
+          .winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .orderBy("doc_id", "fp")
+
   val entries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_scores" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
     "t4_fingerprint" -> t4Fingerprint _,
+    "t5_winnow_fingerprints" -> t5Winnow _,
     "d1_dedup_exact" -> d1DedupExact _,
   )
 
@@ -108,6 +120,26 @@ object TextQueries extends QuerySet {
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents ORDER BY doc_id",
     "t4_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    "t5_winnow_fingerprints" -> {
+      // k=8, w=4; same (h*31+c) % 1e9+7 over codepoints
+      val kh =
+        """CASE WHEN len(text) - 7 >= 1 THEN
+          |  list_transform(generate_series(1, len(text) - 7), i ->
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(0, 7), j ->
+          |        CAST(ord(substr(text, i + j, 1)) AS BIGINT))),
+          |      (a, b) -> (a * 31 + b) % 1000000007))
+          | ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |   list_transform(generate_series(1, len(text)), j ->
+          |     CAST(ord(substr(text, j, 1)) AS BIGINT))),
+          |   (a, b) -> (a * 31 + b) % 1000000007)] END""".stripMargin
+      s"""SELECT doc_id, unnest(list_sort(list_distinct(
+         |  CASE WHEN len(kh) >= 4 THEN
+         |    list_transform(generate_series(1, len(kh) - 3), i -> list_min(kh[i:i+3]))
+         |  ELSE [list_min(kh)] END))) AS fp
+         |FROM (SELECT doc_id, $kh AS kh FROM documents)
+         |ORDER BY doc_id, fp""".stripMargin
+    },
     "d1_dedup_exact" ->
       s"""SELECT $fpSql AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
