@@ -98,6 +98,10 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
       val dq = DqEngine(spark, base, t.dataQuality)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${t.targetTable.split('.').head}")
       val rows = writeCounted(dq.data, Sinks.overwrite(_, t.targetTable, t.partitionBy))
+      meta.recordDqMetrics(dq.metrics.map(m =>
+        graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
+          m.ruleType, m.action, m.validCount, m.invalidCount, runDate,
+          graft.meta.SystemIdClock.now())))
       meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS")
       ((), rows)
     }

@@ -20,6 +20,14 @@ final case class ControlRow(
     records_processed: Long, status: String, config_snapshot: String,
     updated_timestamp: Timestamp)
 
+/** Per-rule DQ outcome row (reference declares this schema in
+  * silver_schemas.py:72-85 but never populates it — we do).
+  */
+final case class DqMetricRow(
+    target_table: String, transform_id: String, rule_name: String,
+    rule_type: String, action: String, valid_count: Long,
+    invalid_count: Long, run_date: String, recorded_at: Timestamp)
+
 final case class AuditEvent(
     log_id: String, event_timestamp: Timestamp, layer: String,
     operation: String, component: String, source_id: String,
@@ -43,6 +51,7 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
 
   val controlTable = s"$db.etl_control_table"
   val auditTable = s"$db.etl_audit_log"
+  val dqMetricsTable = s"$db.data_quality_metrics"
 
   def init(): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -50,7 +59,13 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
       spark.emptyDataset[ControlRow].write.saveAsTable(controlTable)
     if (!spark.catalog.tableExists(auditTable))
       spark.emptyDataset[AuditEvent].write.saveAsTable(auditTable)
+    if (!spark.catalog.tableExists(dqMetricsTable))
+      spark.emptyDataset[DqMetricRow].write.saveAsTable(dqMetricsTable)
   }
+
+  def recordDqMetrics(rows: Seq[DqMetricRow]): Unit =
+    if (rows.nonEmpty)
+      rows.toDS().write.mode(SaveMode.Append).saveAsTable(dqMetricsTable)
 
   /** Upsert one control row keyed on (table_name, layer). */
   def updateControl(tableName: String, layer: String, runDate: String,

@@ -35,4 +35,19 @@ class Pipeline(spark: SparkSession, runDate: String,
       }
     }
   }
+
+  /** End-of-run summary (reference F6: run_etl_pipeline.py:246-276):
+    * per-layer target tables with rows processed and status, straight
+    * from the control table.
+    */
+  def summary(): Seq[(String, String, Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    spark.table(meta.controlTable)
+      .select(col("layer"), col("table_name"),
+        col("records_processed"), col("status"))
+      .orderBy("layer", "table_name")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+  }
 }

@@ -147,6 +147,22 @@ class PipelineSpec extends SparkSpec {
     assert(control.filter($"layer" === "silver").count() == 2)
     assert(control.filter($"layer" === "gold").count() == 1)
 
+    // DQ metrics persisted per rule (the reference declared this table
+    // but never filled it)
+    val dqm = spark.table(pipeline.meta.dqMetricsTable)
+      .filter($"run_date" === "2024-01-05")
+    assert(dqm.filter($"rule_name" === "amount_not_null")
+      .head().getAs[Long]("invalid_count") == 1L)
+    assert(dqm.filter($"rule_name" === "customer_exists")
+      .head().getAs[Long]("invalid_count") == 1L)
+    assert(dqm.filter($"rule_name" === "email_format")
+      .head().getAs[Long]("invalid_count") == 1L)
+
+    // F6 summary reads back per-target rows from the control table
+    val sum = pipeline.summary()
+    assert(sum.exists(s => s._1 == "silver" && s._2 == "silver_e2e.sales_clean"
+      && s._3 == 3L && s._4 == "SUCCESS"))
+
     // audit: STARTED+SUCCESS per unit of work, no ERRORs
     val audit = spark.table(pipeline.meta.auditTable)
       .filter($"run_id" === pipeline.audit.runId)
