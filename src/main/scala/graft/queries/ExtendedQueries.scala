@@ -67,7 +67,21 @@ object ExtendedQueries extends QuerySet {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Multimodal feature extraction over the deterministic synthetic
+    * binary corpus (rows-only driver check — the stub codec's fake
+    * pixels are JVM-seeded and not re-derivable in SQL; see
+    * `graft.multimodal` and its spec for the full contract).
+    */
+  def m1ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
+    graft.multimodal.Multimodal.imageFeatures(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"))
+      .orderBy("media_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "m1_image_features" -> m1ImageFeatures _,
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
