@@ -48,7 +48,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = []
-    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+    produced = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    manifest_path = Path(out_dir, "queries.json")
+    if manifest_path.exists():
+        declared = json.loads(manifest_path.read_text())
+        for missing in sorted(set(declared) - set(produced)):
+            failures.append((missing, "declared query produced no result "
+                                      "(Spark side failed)"))
+    for name in produced:
         res_glob = f"{out_dir}/{name}/*.parquet"
         try:
             spark_cols = [d[0] for d in con.execute(

@@ -30,9 +30,15 @@ object DqEngine {
     def isValid: Boolean = invalidCount == 0L
   }
 
-  final case class DqResult(data: DataFrame, metrics: Seq[RuleMetrics]) {
+  final case class DqResult(data: DataFrame, metrics: Seq[RuleMetrics],
+      private[dq] val cached: Option[DataFrame] = None) {
     def rejected: Seq[RuleMetrics] =
       metrics.filter(m => m.action == "reject" && !m.isValid)
+    /** Release the flagged plan's cache once `data` has been consumed
+      * (the metrics pass materialized it so the write is a cache read,
+      * not a second full recomputation).
+      */
+    def cleanup(): Unit = cached.foreach(_.unpersist())
   }
 
   class DqRejectException(val failed: Seq[RuleMetrics]) extends RuntimeException(
@@ -46,9 +52,10 @@ object DqEngine {
   def predicate(rule: DqRuleConfig): Column = rule.ruleType match {
     case "not_null" =>
       rule.columns.map(col(_).isNotNull).reduce(_ && _)
-    case "regex" =>
-      col(rule.columns.head).isNotNull &&
-        col(rule.columns.head).rlike(rule.pattern.getOrElse(".*"))
+    case "regex" => // every configured column must match
+      rule.columns.map(c =>
+        col(c).isNotNull && col(c).rlike(rule.pattern.getOrElse(".*")))
+        .reduce(_ && _)
     case "expression" =>
       coalesce(expr(rule.expression.getOrElse("true")), lit(false))
     case other =>
@@ -63,6 +70,8 @@ object DqEngine {
     rules.foldLeft(df) { (acc, rule) =>
       rule.ruleType match {
         case "referential_integrity" =>
+          require(rule.columns.size == 1,
+            s"referential_integrity rule '${rule.ruleName}' needs exactly one column")
           val c = rule.columns.head
           val refCol = rule.refColumn.getOrElse(c)
           val marker = s"__ref_${rule.ruleName}"
@@ -72,9 +81,12 @@ object DqEngine {
             .withColumn(flagCol(rule.ruleName), col(marker).isNotNull)
             .drop(marker)
         case "uniqueness" =>
-          // keep-first semantics over a deterministic total order
+          // keep-first semantics; ordering by ALL columns makes the
+          // surviving duplicate deterministic (the key columns alone
+          // tie within the partition by construction)
           val parts = rule.columns.map(col)
-          val w = Window.partitionBy(parts: _*).orderBy(parts: _*)
+          val w = Window.partitionBy(parts: _*)
+            .orderBy(acc.columns.map(col).toSeq: _*)
           acc.withColumn(flagCol(rule.ruleName),
             row_number().over(w) === 1)
         case _ =>
@@ -92,15 +104,22 @@ object DqEngine {
   def apply(spark: SparkSession, df: DataFrame,
       rules: Seq[DqRuleConfig]): DqResult = {
     if (rules.isEmpty) return DqResult(df, Nil)
-    val flagged = withFlags(spark, df, rules)
+    // persisted: the metrics aggregation below materializes the flagged
+    // plan (incl. any ref-integrity joins), so the caller's write reads
+    // the cache instead of recomputing the transform end-to-end;
+    // released via DqResult.cleanup()
+    val flagged = withFlags(spark, df, rules).persist()
 
     // one aggregation pass: per rule, counts conditioned on surviving
-    // every prior filter-action rule
+    // every prior filter-action rule; coalesce because sum() over an
+    // EMPTY input is null, not 0
     var survival: Column = lit(true)
     val aggCols = rules.flatMap { r =>
       val f = col(flagCol(r.ruleName))
-      val valid = sum(when(survival && f, 1L).otherwise(0L)).as(s"v_${r.ruleName}")
-      val invalid = sum(when(survival && !f, 1L).otherwise(0L)).as(s"i_${r.ruleName}")
+      val valid = coalesce(sum(when(survival && f, 1L).otherwise(0L)), lit(0L))
+        .as(s"v_${r.ruleName}")
+      val invalid = coalesce(sum(when(survival && !f, 1L).otherwise(0L)), lit(0L))
+        .as(s"i_${r.ruleName}")
       if (r.actionOnFailure == "filter") survival = survival && f
       Seq(valid, invalid)
     }
@@ -111,7 +130,10 @@ object DqEngine {
     }
 
     val rejected = metrics.filter(m => m.action == "reject" && !m.isValid)
-    if (rejected.nonEmpty) throw new DqRejectException(rejected)
+    if (rejected.nonEmpty) {
+      flagged.unpersist()
+      throw new DqRejectException(rejected)
+    }
 
     val out = rules.foldLeft(flagged) { (acc, r) =>
       r.actionOnFailure match {
@@ -121,6 +143,7 @@ object DqEngine {
         case _ => acc
       }
     }
-    DqResult(out.drop(rules.map(r => flagCol(r.ruleName)): _*), metrics)
+    DqResult(out.drop(rules.map(r => flagCol(r.ruleName)): _*), metrics,
+      Some(flagged))
   }
 }

@@ -62,19 +62,72 @@ case class DotProduct(left: Expression, right: Expression)
       def get(v: String, e: Expression, i: String): String =
         if (elemType(e) == FloatType) s"(double) $v.getFloat($i)"
         else s"$v.getDouble($i)"
+      // freshName: several DotProducts can share one codegen scope
+      // (e.g. dot/(norm*norm)) — fixed names would collide and kick the
+      // whole stage back to the interpreted path
+      val n = ctx.freshName("dpN")
+      val sum = ctx.freshName("dpSum")
+      val i = ctx.freshName("dpI")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += ${get(a, left, "i")} * ${get(b, right, "i")};
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${get(a, left, i)} * ${get(b, right, i)};
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Scale an array<float|double> to unit L2 length, returning
+  * array<double> — norm computed once, then one division per element.
+  *
+  * The composable form (`transform(v, x -> x / l2Norm(v))`) is a trap:
+  * the norm alias is referenced exactly once (inside the lambda), so
+  * CollapseProject inlines it and the O(d) norm fold re-runs for every
+  * element — O(d²) per row. Identical IEEE sequence to the composable
+  * form's intent (sum of squares in element order, sqrt, divide), so
+  * oracle comparisons are unaffected.
+  */
+case class UnitVector(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"unit_vector needs array<float|double>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = a.numElements()
+    val vals = new Array[Double](n)
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      vals(i) = v
+      ss += v * v
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = vals(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Parse a substring of a lowercase-hex string column into a long —
@@ -110,15 +163,20 @@ case class HexSliceToLong(child: Expression, from: Int, len: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("hexS")
+      val v = ctx.freshName("hexV")
+      val end = ctx.freshName("hexEnd")
+      val i = ctx.freshName("hexI")
+      val ch = ctx.freshName("hexCh")
       s"""
-         |java.lang.String s = $c.toString();
-         |long v = 0L;
-         |int end = java.lang.Math.min(s.length(), ${from - 1 + len});
-         |for (int i = ${from - 1}; i < end; i++) {
-         |  char ch = s.charAt(i);
-         |  v = (v << 4) | (ch <= '9' ? ch - '0' : ch - 'a' + 10);
+         |java.lang.String $s = $c.toString();
+         |long $v = 0L;
+         |int $end = java.lang.Math.min($s.length(), ${from - 1 + len});
+         |for (int $i = ${from - 1}; $i < $end; $i++) {
+         |  char $ch = $s.charAt($i);
+         |  $v = ($v << 4) | ($ch <= '9' ? $ch - '0' : $ch - 'a' + 10);
          |}
-         |${ev.value} = v;
+         |${ev.value} = $v;
        """.stripMargin
     })
 
@@ -131,6 +189,10 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column surface for [[UnitVector]]. */
+  def unitVector(c: Column): Column =
+    GraftColumnBridge.column(UnitVector(GraftColumnBridge.expression(c)))
 
   /** Column surface for [[HexSliceToLong]]. */
   def hexSliceToLong(c: Column, from: Int, len: Int): Column =

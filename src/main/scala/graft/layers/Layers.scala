@@ -97,7 +97,9 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
       val base = spark.sql(sql)
       val dq = DqEngine(spark, base, t.dataQuality)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${t.targetTable.split('.').head}")
-      val rows = writeCounted(dq.data, Sinks.overwrite(_, t.targetTable, t.partitionBy))
+      val rows =
+        try writeCounted(dq.data, Sinks.overwrite(_, t.targetTable, t.partitionBy))
+        finally dq.cleanup()
       meta.recordDqMetrics(dq.metrics.map(m =>
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
           m.ruleType, m.action, m.validCount, m.invalidCount, runDate,

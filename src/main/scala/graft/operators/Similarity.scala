@@ -37,14 +37,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Adds `uv`: the embedding scaled to unit length (double elements).
-    * The norm lives in its own projection so it folds once per row, not
-    * once per element.
+  /** Adds `uv`: the embedding scaled to unit length (double elements)
+    * via the native [[graft.functions.UnitVector]] — the composable
+    * withColumn-then-transform form gets its norm alias inlined by
+    * CollapseProject (single reference) and degrades to O(d²) per row.
     */
   def withUnitVector(df: DataFrame, vecCol: String, out: String = "uv"): DataFrame =
-    df.withColumn("_n", l2Norm(col(vecCol)))
-      .withColumn(out, transform(col(vecCol), x => x.cast("double") / col("_n")))
-      .drop("_n")
+    df.withColumn(out, graft.functions.VectorExpressions.unitVector(col(vecCol)))
 
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` must be small enough to broadcast.

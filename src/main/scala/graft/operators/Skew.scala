@@ -17,6 +17,11 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit saltBuckets null-extended copies of
+    // every unmatched dim row — only fact-preserving types are sound
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer" || joinType == "left_semi",
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val dimReplicated = dim.withColumn("_salt",

@@ -46,8 +46,12 @@ object EventsStreaming {
       s"/root/repo/target/stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(stage)
     val staged = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(src, staged)
+    // size check: a silently-stale copy would make streaming diverge
+    // from batch over the same path if the source file were regenerated
+    if (!java.nio.file.Files.exists(staged)
+      || java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(staged.toString).schema
     spark.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

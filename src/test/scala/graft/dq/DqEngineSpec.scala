@@ -68,6 +68,26 @@ class DqEngineSpec extends SparkSpec {
     assert(res.data.groupBy("email").count().filter($"count" > 1).count() == 0)
   }
 
+  test("empty input yields zero metrics, not an NPE") {
+    val res = DqEngine(spark, fixture.filter($"id" < 0),
+      Seq(rule("amount_nn", "not_null", Seq("amount"))))
+    assert(res.metrics.head.validCount == 0)
+    assert(res.metrics.head.invalidCount == 0)
+    assert(res.data.count() == 0)
+    res.cleanup()
+  }
+
+  test("uniqueness survivor is deterministic across repeated runs") {
+    val dup = Seq((1, "x", "a"), (1, "x", "b"), (2, "y", "c"))
+      .toDF("k", "g", "payload")
+    val surv = (1 to 3).map { _ =>
+      DqEngine(spark, dup.repartition(4),
+        Seq(rule("u", "uniqueness", Seq("k"))))
+        .data.orderBy("k").select("payload").as[String].collect().toSeq
+    }
+    assert(surv.distinct.size == 1, surv.toString)
+  }
+
   test("reject throws and names the failing rule") {
     val e = intercept[DqEngine.DqRejectException] {
       DqEngine(spark, fixture,
