@@ -173,6 +173,43 @@ object Dedup {
       .select(df.columns.map(col) ++ chunks: _*)
   }
 
+  /** Connected components over candidate pairs → dedup clusters: each
+    * doc labeled with the smallest doc id in its component (the
+    * canonical representative to keep). Iterative min-label propagation
+    * — one equi-join + min-aggregate per round, converging in
+    * O(component diameter) rounds; dedup graphs are shallow by nature
+    * (near-dup clusters are dense), so this is a handful of shuffles,
+    * not a long chain. The per-round driver `count()` is one scalar,
+    * not data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("neighbor_min"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("neighbor_min"), labels("label")))
+            .as("label"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old").as("o"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("label", "cluster_id")
+  }
+
   /** SimHash near-dup candidates: equi-join on any equal chunk — the
     * standard pigeonhole blocking for Hamming distance ≤ bands-1.
     */

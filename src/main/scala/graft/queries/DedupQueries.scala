@@ -43,11 +43,20 @@ object DedupQueries extends QuerySet {
       "doc_id", "text", Md5Hash)
       .orderBy("doc_a", "doc_b")
 
+  /** Dedup clusters: connected components over the MinHash candidate
+    * pairs, labeling every clustered doc with its component's smallest
+    * doc id (the canonical keeper).
+    */
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(d3MinhashPairs(s, dir))
+      .orderBy("doc_id")
+
   val entries: Map[String, Q] = Map(
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
     "d4_simhash_chunks" -> d4SimhashChunks _,
     "d5_simhash_candidates" -> d5SimhashCandidates _,
+    "d6_dedup_clusters" -> d6DedupClusters _,
   )
 
   // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
@@ -106,6 +115,22 @@ object DedupQueries extends QuerySet {
          | (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+         |cpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d4_simhash_chunks" ->
       s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
          |FROM ($simhashBaseCte) ORDER BY doc_id""".stripMargin,
