@@ -94,6 +94,21 @@ object Dedup {
       .select(df.columns.map(col) ++ Seq(col("sh")) ++ bandCols: _*)
   }
 
+  /** Adds `sig`: the raw MinHash signature as an array column (input
+    * for cluster-level signature merging via [[MinhashUnionAggregator]]).
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16,
+      mode: HashMode = XxHash): DataFrame = {
+    val sig = (0 until numHashes).map(j =>
+      array_min(transform(col("_hp"), p =>
+        p.getField("h1") + lit(j) * p.getField("h2"))))
+    df.withColumn("_hp",
+        transform(shingles(col(textCol), shingleN), s => hashPair(s, mode)))
+      .withColumn("sig", array(sig: _*))
+      .drop("_hp")
+  }
+
   /** Jaccard similarity of two distinct-element arrays (exact int/int
     * division — deterministic).
     */
@@ -208,6 +223,34 @@ object Dedup {
     edges.unpersist()
     labels.withColumnRenamed("id", "doc_id")
       .withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Typed aggregator merging MinHash signatures by element-wise min —
+    * the signature of a UNION of shingle sets is the element-wise min
+    * of the members' signatures, so cluster-level signatures come from
+    * a plain `groupBy(cluster).agg(...)` without re-shingling any text
+    * (SURVEY.md §7.6's custom-aggregate case). Buffer is a mutable
+    * array; merge is associative/commutative, so Spark can partial-
+    * aggregate map-side.
+    */
+  class MinhashUnionAggregator(numHashes: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.Encoder
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes && i < a.length) {
+        if (a(i) < b(i)) b(i) = a(i)
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = reduce(x, y)
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** SimHash near-dup candidates: equi-join on any equal chunk — the

@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("MinhashUnionAggregator merges signatures element-wise (min)") {
+    val sigs = Dedup.withMinhashSignature(docs, "text")
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])]
+    val byHand = sigs.collect().toMap
+    val merged = sigs
+      .groupByKey { case (id, _) => if (id <= 2) "c1" else "c2" }
+      .mapValues(_._2)
+      .agg(new Dedup.MinhashUnionAggregator(16).toColumn)
+      .collect().toMap
+    val expectC1 = (0 until 16).map(i =>
+      Seq(byHand(1L)(i), byHand(2L)(i)).min)
+    assert(merged("c1") == expectC1)
+    assert(merged("c2") == (0 until 16).map(i =>
+      Seq(byHand(3L)(i), byHand(4L)(i)).min))
+  }
+
   test("connected components label chains and keep singleton pairs apart") {
     // chain 1-2-3-4 plus separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
