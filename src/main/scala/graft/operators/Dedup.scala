@@ -197,26 +197,36 @@ object Dedup {
     * not a long chain. The per-round driver `count()` is one scalar,
     * not data.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // localCheckpoint (not persist): each round references the previous
+    // labels three times (propagate, merge, convergence check), so the
+    // logical plan would grow ~3^k and OOM the driver around round 15 —
+    // lineage must be CUT per round, not just cached
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("neighbor_min"))
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
+      val stepped = labels.join(prop, labels("id") === prop("src"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("neighbor_min"), labels("label")))
             .as("label"))
-        .persist()
+      // pointer jumping: also adopt the label's own label (path
+      // compression) — turns O(diameter) rounds into O(log diameter)
+      val byId = stepped.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = stepped.join(byId, stepped("label") === col("lid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("llabel"), stepped("label")))
+            .as("label"))
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
