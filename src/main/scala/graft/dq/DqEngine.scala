@@ -81,12 +81,15 @@ object DqEngine {
             .withColumn(flagCol(rule.ruleName), col(marker).isNotNull)
             .drop(marker)
         case "uniqueness" =>
-          // keep-first semantics; ordering by ALL columns makes the
-          // surviving duplicate deterministic (the key columns alone
-          // tie within the partition by construction)
+          // keep-first semantics; ordering by all ORDERABLE columns
+          // makes the surviving duplicate deterministic (the key
+          // columns alone tie within the partition by construction;
+          // map-typed columns cannot appear in ORDER BY)
           val parts = rule.columns.map(col)
-          val w = Window.partitionBy(parts: _*)
-            .orderBy(acc.columns.map(col).toSeq: _*)
+          val orderable = acc.schema.fields.filter(f =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType)).map(f => col(f.name)).toSeq
+          val w = Window.partitionBy(parts: _*).orderBy(orderable: _*)
           acc.withColumn(flagCol(rule.ruleName),
             row_number().over(w) === 1)
         case _ =>
@@ -123,7 +126,9 @@ object DqEngine {
       if (r.actionOnFailure == "filter") survival = survival && f
       Seq(valid, invalid)
     }
-    val row = flagged.agg(aggCols.head, aggCols.tail: _*).head()
+    val row =
+      try flagged.agg(aggCols.head, aggCols.tail: _*).head()
+      catch { case e: Throwable => flagged.unpersist(); throw e }
     val metrics = rules.zipWithIndex.map { case (r, i) =>
       RuleMetrics(r.ruleName, r.ruleType, r.actionOnFailure,
         row.getLong(2 * i), row.getLong(2 * i + 1))

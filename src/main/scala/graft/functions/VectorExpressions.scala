@@ -114,6 +114,9 @@ case class UnitVector(child: Expression)
     var i = 0
     var ss = 0.0
     while (i < n) {
+      // a corrupt (null-element) vector must surface as a null result,
+      // not silently read as 0.0 and produce a plausible wrong score
+      if (a.isNullAt(i)) return null
       val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       vals(i) = v
       ss += v * v

@@ -103,7 +103,7 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
       meta.recordDqMetrics(dq.metrics.map(m =>
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
           m.ruleType, m.action, m.validCount, m.invalidCount, runDate,
-          graft.meta.SystemIdClock.now())))
+          new java.sql.Timestamp(0)))) // stamped by the manager's clock
       meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS")
       ((), rows)
     }

@@ -63,9 +63,13 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
       spark.emptyDataset[DqMetricRow].write.saveAsTable(dqMetricsTable)
   }
 
+  /** Stamps `recorded_at` here with the manager's (injectable) clock so
+    * callers don't reach for wall-clock time.
+    */
   def recordDqMetrics(rows: Seq[DqMetricRow]): Unit =
     if (rows.nonEmpty)
-      rows.toDS().write.mode(SaveMode.Append).saveAsTable(dqMetricsTable)
+      rows.map(_.copy(recorded_at = clock.now())).toDS()
+        .write.mode(SaveMode.Append).saveAsTable(dqMetricsTable)
 
   /** Upsert one control row keyed on (table_name, layer). */
   def updateControl(tableName: String, layer: String, runDate: String,

@@ -74,17 +74,23 @@ object Dedup {
     case Md5Hash => hex2long(md5(s), 1, 15)
   }
 
+  /** Signature element j over the `_hp` hash-pair column: min over
+    * shingles of h1 + j·h2 (Kirsch-Mitzenmacher) — the single source
+    * both the band keys and raw signatures derive from.
+    */
+  private def sigCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(j =>
+      array_min(transform(col("_hp"), p =>
+        p.getField("h1") + lit(j) * p.getField("h2"))))
+
   /** Adds `sh` (shingle set) and `band_0..band_{bands-1}` LSH key
-    * columns. Signature element j = min over shingles of h1 + j·h2
-    * (Kirsch-Mitzenmacher); band key = md5 of its signature slice.
+    * columns; band key = md5 of its signature slice.
     */
   def withMinhashBands(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       mode: HashMode = XxHash): DataFrame = {
     val rows = numHashes / bands
-    val sig = (0 until numHashes).map(j =>
-      array_min(transform(col("_hp"), p =>
-        p.getField("h1") + lit(j) * p.getField("h2"))))
+    val sig = sigCols(numHashes)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rows).map(r =>
         sig(b * rows + r).cast("string")): _*)).as(s"band_$b")
@@ -99,15 +105,11 @@ object Dedup {
     */
   def withMinhashSignature(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
-      mode: HashMode = XxHash): DataFrame = {
-    val sig = (0 until numHashes).map(j =>
-      array_min(transform(col("_hp"), p =>
-        p.getField("h1") + lit(j) * p.getField("h2"))))
+      mode: HashMode = XxHash): DataFrame =
     df.withColumn("_hp",
         transform(shingles(col(textCol), shingleN), s => hashPair(s, mode)))
-      .withColumn("sig", array(sig: _*))
+      .withColumn("sig", array(sigCols(numHashes): _*))
       .drop("_hp")
-  }
 
   /** Jaccard similarity of two distinct-element arrays (exact int/int
     * division — deterministic).
@@ -227,6 +229,7 @@ object Dedup {
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .filter(col("label") < col("old")).count()
+      labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       iter += 1
     }

@@ -18,10 +18,13 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     // right/full outer would emit saltBuckets null-extended copies of
-    // every unmatched dim row — only fact-preserving types are sound
-    require(joinType == "inner" || joinType == "left" ||
-      joinType == "left_outer" || joinType == "left_semi",
-      s"saltedJoin supports fact-preserving join types only, got $joinType")
+    // every unmatched dim row — only fact-preserving types are sound.
+    // Normalize through Catalyst so all Spark spellings are accepted.
+    import org.apache.spark.sql.catalyst.plans._
+    require(JoinType(joinType) match {
+      case Inner | LeftOuter | LeftSemi | LeftAnti => true
+      case _ => false
+    }, s"saltedJoin supports fact-preserving join types only, got $joinType")
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val dimReplicated = dim.withColumn("_salt",

@@ -43,6 +43,9 @@ class Pipeline(spark: SparkSession, runDate: String,
   def summary(): Seq[(String, String, Long, String)] = {
     import org.apache.spark.sql.functions.col
     spark.table(meta.controlTable)
+      // the control table spans all runs; scope to THIS run's date so
+      // stale targets from earlier runs don't appear in the summary
+      .filter(col("last_run_date") === runDate)
       .select(col("layer"), col("table_name"),
         col("records_processed"), col("status"))
       .orderBy("layer", "table_name")

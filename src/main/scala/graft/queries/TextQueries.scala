@@ -61,6 +61,7 @@ object TextQueries extends QuerySet {
     */
   def t5Winnow(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .filter(col("text").isNotNull) // null-text handling differs from SQL
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions
           .winnowFingerprints(col("text"), 8, 4)).as("fp"))
@@ -137,7 +138,7 @@ object TextQueries extends QuerySet {
          |  CASE WHEN len(kh) >= 4 THEN
          |    list_transform(generate_series(1, len(kh) - 3), i -> list_min(kh[i:i+3]))
          |  ELSE [list_min(kh)] END))) AS fp
-         |FROM (SELECT doc_id, $kh AS kh FROM documents)
+         |FROM (SELECT doc_id, $kh AS kh FROM documents WHERE text IS NOT NULL)
          |ORDER BY doc_id, fp""".stripMargin
     },
     "d1_dedup_exact" ->
