@@ -32,9 +32,15 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Register every table as a temp view so `spark.sql` can use the same
-    * table names as the DuckDB oracle (catalog-scan operator S6).
+  /** Register the named tables as temp views so `spark.sql` can use the
+    * same table names as the DuckDB oracle (catalog-scan operator S6).
+    * Register only what the query reads — view registration is lazy,
+    * but the events view pays a nanos-normalization read setup that a
+    * 2-table join should not.
     */
+  def register(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, all)
 }

@@ -193,42 +193,58 @@ object Dedup {
   /** Connected components over candidate pairs → dedup clusters: each
     * doc labeled with the smallest doc id in its component (the
     * canonical representative to keep). Iterative min-label propagation
-    * — one equi-join + min-aggregate per round, converging in
-    * O(component diameter) rounds; dedup graphs are shallow by nature
+    * with pointer jumping (path compression), converging in
+    * O(log diameter) rounds; dedup graphs are shallow by nature
     * (near-dup clusters are dense), so this is a handful of shuffles,
-    * not a long chain. The per-round driver `count()` is one scalar,
-    * not data.
+    * not a long chain.
+    *
+    * Cost shape per round = exactly ONE Spark job: the convergence
+    * check rides the eager `localCheckpoint` materialization as an
+    * `Observation` metric (a `CollectMetrics` node in the same plan),
+    * instead of a second driver-synchronized `count()` job. Round 1 is
+    * folded into initialization (label₀ = min(id, direct neighbors)),
+    * and the undirected edge list is built with one `posexplode` scan
+    * of the (possibly expensive) upstream pairs plan rather than a
+    * 2-scan union.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both directions from ONE scan of the upstream plan
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // localCheckpoint (not persist): each round references the previous
-    // labels three times (propagate, merge, convergence check), so the
+    // labels three times (propagate, merge, pointer-jump), so the
     // logical plan would grow ~3^k and OOM the driver around round 15 —
-    // lineage must be CUT per round, not just cached
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // lineage must be CUT per round, not just cached.
+    // Initialization already performs round 1: label = min(self, neighbors).
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy("src").agg(min("label").as("neighbor_min"))
       val stepped = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("label").as("old"),
           least(labels("label"), coalesce(col("neighbor_min"), labels("label")))
             .as("label"))
       // pointer jumping: also adopt the label's own label (path
       // compression) — turns O(diameter) rounds into O(log diameter)
       val byId = stepped.select(col("id").as("lid"), col("label").as("llabel"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = stepped.join(byId, stepped("label") === col("lid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), stepped("old"),
           least(stepped("label"), coalesce(col("llabel"), stepped("label")))
             .as("label"))
+        // convergence metric computed DURING the checkpoint job — no
+        // separate count() job, no extra pass over the data
+        .observe(obs, count(when(col("label") < col("old"), 1)).as("changed"))
+        .select("id", "label")
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old").as("o"), "id")
-        .filter(col("label") < col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       iter += 1
@@ -236,6 +252,21 @@ object Dedup {
     edges.unpersist()
     labels.withColumnRenamed("id", "doc_id")
       .withColumnRenamed("label", "cluster_id")
+  }
+
+  /** LSH candidate pairs straight from the text — [[minhashNearDups]]
+    * minus the exact-Jaccard verification joins, for consumers (e.g.
+    * clustering) that only need the pair list. One corpus scan, one
+    * band-key equi-join shuffle.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      mode: HashMode = XxHash): DataFrame = {
+    val base = withMinhashBands(docs.select(col(idCol), col(textCol)),
+      textCol, shingleN, numHashes, bands, mode)
+      .drop(textCol, "sh")
+      .persist() // self-joined in candidatePairs: hash the corpus once
+    candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
   }
 
   /** Typed aggregator merging MinHash signatures by element-wise min —

@@ -65,34 +65,90 @@ object Similarity {
 
   /** Assign each unit vector to its highest-cosine centroid (ties →
     * lowest centroid id). Returns (idCol, cell, uv).
+    *
+    * ZERO-shuffle formulation: the centroids collapse to a single
+    * broadcast row holding an array of (centroid_id, centv), and each
+    * corpus row picks its argmax with an order-independent `aggregate`
+    * fold — no corpus×centroids row explosion, no window shuffle of the
+    * whole corpus by vec_id. At 100 TB cell assignment is pure map work
+    * fused into the scan; the previous join+row_number shape shuffled
+    * every corpus row.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = withUnitVector(centroids, vecCol)
+    val centArr = withUnitVector(centroids, vecCol)
       .select(col(idCol).as("centroid_id"), col("uv").as("centv"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("cscore").desc, col("centroid_id"))
+      .agg(collect_list(struct(col("centroid_id"), col("centv"))).as("cents"))
     withUnitVector(corpus, vecCol)
-      .join(broadcast(cent))
-      .withColumn("cscore", dotD(col("uv"), col("centv")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col(idCol), col("centroid_id").as("cell"), col("uv"))
+      .join(broadcast(centArr)) // 1-row broadcast — free
+      .withColumn("cell", aggregate(
+        col("cents"),
+        struct(lit(Long.MaxValue).as("cid"),
+          lit(Double.NegativeInfinity).as("best")),
+        (acc, c) => {
+          // null-score (zero-norm) → -inf, so the lowest-id tiebreak
+          // matches the old NULLS LAST + centroid_id window ordering
+          val s = coalesce(dotD(col("uv"), c.getField("centv")),
+            lit(Double.NegativeInfinity))
+          val better = (s > acc.getField("best")) ||
+            (s === acc.getField("best")
+              && c.getField("centroid_id") < acc.getField("cid"))
+          when(better, struct(c.getField("centroid_id").as("cid"), s.as("best")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cid")))
+      .select(col(idCol), col("cell"), col("uv"))
   }
 
   /** IVF probe-1 top-k: search only the query's own cell. Recall is
-    * approximate by construction; nprobe>1 = union more cells.
+    * approximate by construction; see [[ivfTopKBatch]] for multi-query
+    * + nprobe>1. The ranking window is partitioned by query — never a
+    * global single-task sort.
     */
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int,
       idCol: String = "vec_id"): DataFrame = {
     val q = assigned.filter(col(idCol) === queryId)
-      .select(col("cell").as("qcell"), col("uv").as("qv"))
-    val w = Window.orderBy(col("score").desc, col(idCol))
+      .select(col(idCol).as("query_id"), col("cell").as("qcell"),
+        col("uv").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
     assigned.join(broadcast(q), col("cell") === col("qcell"))
-      .filter(col(idCol) =!= queryId)
+      .filter(col(idCol) =!= col("query_id"))
       .withColumn("score", dotD(col("qv"), col("uv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Batched IVF top-k with configurable probe width: each query ranks
+    * all centroids (broadcast), probes its `nprobe` best cells, and the
+    * candidate scan is ONE equi-join of the corpus against the
+    * broadcast (query × probe-cell) list — ranking windows are
+    * per-query, so query batches scale out instead of funneling into a
+    * single partition.
+    */
+  def ivfTopKBatch(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = withUnitVector(centroids, vecCol)
+      .select(col(idCol).as("centroid_id"), col("uv").as("centv"))
+    val q = withUnitVector(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("uv").as("qv"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cscore", dotD(col("qv"), col("centv")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", dotD(col("qv"), col("uv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("score"), col("rank"))
   }
 }

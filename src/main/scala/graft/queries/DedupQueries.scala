@@ -45,10 +45,15 @@ object DedupQueries extends QuerySet {
 
   /** Dedup clusters: connected components over the MinHash candidate
     * pairs, labeling every clustered doc with its component's smallest
-    * doc id (the canonical keeper).
+    * doc id (the canonical keeper). Uses the candidates-only pipeline
+    * (no exact-Jaccard verify joins, no sort) — the oracle clusters the
+    * raw banded pairs, so the verify stage never changed the answer,
+    * only added two joins and a corpus-wide `sh` carry.
     */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(d3MinhashPairs(s, dir))
+    Dedup.connectedComponents(
+      Dedup.minhashCandidates(Tables.load(s, dir, "documents"),
+        "doc_id", "text", N, H, B, Md5Hash))
       .orderBy("doc_id")
 
   val entries: Map[String, Q] = Map(

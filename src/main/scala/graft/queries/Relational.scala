@@ -76,7 +76,7 @@ object Relational extends QuerySet {
       | JOIN region r ON n.n_regionkey = r.r_regionkey
       | ORDER BY n.n_name""".stripMargin
   def s6SqlCatalog(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.register(s, dir, Seq("nation", "region"))
     s.sql(s6Sql)
   }
 

@@ -63,4 +63,28 @@ class PlanSpec extends SparkSpec {
     assert(plan("j3_anti_join").contains("LeftAnti"))
     assert(plan("j4_semi_join").contains("LeftSemi"))
   }
+
+  test("v3: every ranking window is partitioned — no single-task global sort") {
+    val sp = graft.SparkEntry.queries("v3_ivf_topk")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a ranking window in the IVF plan")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
+  test("IVF cell assignment is pure map work — no shuffle exchange") {
+    import graft.operators.Similarity
+    val corpus = graft.Tables.load(spark, dir, "embeddings")
+    val cents = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val sp = Similarity.assignCells(corpus, cents)
+      .queryExecution.sparkPlan
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"cell assignment must not shuffle the corpus:\n$sp")
+  }
 }
