@@ -192,33 +192,126 @@ object Dedup {
 
   /** Connected components over candidate pairs → dedup clusters: each
     * doc labeled with the smallest doc id in its component (the
-    * canonical representative to keep). Iterative min-label propagation
-    * with pointer jumping (path compression), converging in
-    * O(log diameter) rounds; dedup graphs are shallow by nature
-    * (near-dup clusters are dense), so this is a handful of shuffles,
-    * not a long chain.
+    * canonical representative to keep).
     *
-    * Cost shape per round = exactly ONE Spark job: the convergence
-    * check rides the eager `localCheckpoint` materialization as an
-    * `Observation` metric (a `CollectMetrics` node in the same plan),
-    * instead of a second driver-synchronized `count()` job. Round 1 is
-    * folded into initialization (label₀ = min(id, direct neighbors)),
-    * and the undirected edge list is built with one `posexplode` scan
-    * of the (possibly expensive) upstream pairs plan rather than a
-    * 2-scan union.
+    * Strategy (integral ids — the production path): hierarchical
+    * partition-local union-find. Each pass hash-partitions the edge
+    * list and runs an in-memory union-find per partition (genuine
+    * per-partition imperative logic — the `mapPartitions` case), emitting
+    * a star edge (node → partition-local min root) for every node seen;
+    * replacing a partition's edges with its spanning stars preserves
+    * connectivity of the union, so each pass is an exact contraction,
+    * not a heuristic. Partition count then shrinks 32× per pass, so
+    * stars from different partitions that share a node merge in the
+    * next pass; the pass at p=1 is globally exact. Locally (and for any
+    * graph whose candidate-edge list fits one task: < [[maxEdgesPerTask]])
+    * that means ONE pass, zero iterations — versus the 12
+    * driver-synchronized rounds min-label propagation needs on the long
+    * mutation chains in this corpus (measured at sf0.1). At 100 TB with
+    * E edges the funnel is ceil(log32(E / 2M)) ≈ 3-4 narrow-task passes;
+    * if the contracted stars still exceed [[maxEdgesPerTask]], the last
+    * hop falls back to [[labelPropagation]] over the flattened stars,
+    * which converges in a handful of rounds because every pass has
+    * already collapsed chains into depth-1 stars.
+    *
+    * Non-integral id types take the label-propagation path directly.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      maxEdgesPerTask: Long = 200000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = pairs.schema("doc_a").dataType
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val e0 = pairs
+          .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .as[(Long, Long)].persist()
+        val n = e0.count() // materializes; also sizes the funnel
+        val targetPerTask = 2000000L
+        var p = math.max(1L, (n + targetPerTask - 1) / targetPerTask).toInt
+        // first pass: coalesce (reads cached blocks, no shuffle) — any
+        // edge grouping is a valid sub-graph; later passes must
+        // hash-partition by node so stars sharing a src merge
+        var stars = ufPass(e0.coalesce(p)).localCheckpoint(true)
+        e0.unpersist()
+        while (p > 1) {
+          p = math.max(1, p / 32)
+          if (p == 1 && stars.count() > maxEdgesPerTask) {
+            // contracted graph still too big for one task: finish with
+            // label propagation over the (depth-1) stars — few rounds
+            val res = labelPropagation(
+              stars.toDF("doc_a", "doc_b").filter(col("doc_a") =!= col("doc_b")),
+              maxIter)
+            return restoreIdType(res, idType)
+          }
+          val next = ufPass(stars.repartition(p, col("_1")))
+            .localCheckpoint(true)
+          stars.unpersist()
+          stars = next
+        }
+        restoreIdType(stars.toDF("doc_id", "cluster_id"), idType)
+      case _ =>
+        labelPropagation(pairs, maxIter)
+    }
+  }
+
+  private def restoreIdType(labels: DataFrame,
+      t: org.apache.spark.sql.types.DataType): DataFrame =
+    labels.select(col("doc_id").cast(t).as("doc_id"),
+      col("cluster_id").cast(t).as("cluster_id"))
+
+  /** One union-find contraction pass: per partition, union all local
+    * edges (min id becomes the root) and emit (node, root) for every
+    * node seen — including roots themselves, so the node set is
+    * preserved across passes and final labels cover every doc that
+    * appeared in a pair.
+    */
+  private def ufPass(e: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import e.sparkSession.implicits._
+    e.mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression: point the whole chain at the root
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (s, d) =>
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val rs = find(s)
+        val rd = find(d)
+        if (rs != rd) { // min-root union: component root = smallest id
+          if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd)
+        }
+      }
+      val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+      keys.iterator.map(k => (k.longValue, find(k.longValue)))
+    }
+  }
+
+  /** Min-label propagation with pointer jumping — the generic fallback
+    * for non-integral id types (and the residual phase when the
+    * union-find funnel bottoms out above one task). O(log diameter)
+    * rounds, each exactly ONE Spark job: the convergence check rides
+    * the eager `localCheckpoint` materialization as an `Observation`
+    * metric instead of a second driver-synchronized `count()` job.
+    * localCheckpoint (not persist) because each round references the
+    * previous labels three times, so the logical plan would grow ~3^k
+    * and OOM the driver around round 15 — lineage must be CUT per
+    * round, not just cached.
+    */
+  private[operators] def labelPropagation(pairs: DataFrame, maxIter: Int): DataFrame = {
     // both directions from ONE scan of the upstream plan
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    // localCheckpoint (not persist): each round references the previous
-    // labels three times (propagate, merge, pointer-jump), so the
-    // logical plan would grow ~3^k and OOM the driver around round 15 —
-    // lineage must be CUT per round, not just cached.
-    // Initialization already performs round 1: label = min(self, neighbors).
+    // initialization already performs round 1: label = min(self, neighbors)
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
@@ -239,8 +332,6 @@ object Dedup {
         .select(stepped("id"), stepped("old"),
           least(stepped("label"), coalesce(col("llabel"), stepped("label")))
             .as("label"))
-        // convergence metric computed DURING the checkpoint job — no
-        // separate count() job, no extra pass over the data
         .observe(obs, count(when(col("label") < col("old"), 1)).as("changed"))
         .select("id", "label")
         .localCheckpoint(true)
