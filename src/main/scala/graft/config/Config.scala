@@ -54,14 +54,63 @@ final case class EtlConfig(
     transformations: Seq[TransformConfig],
     models: Seq[ModelConfig])
 
+/** Minimal JSON rendering of config items for the control table's
+  * `config_snapshot` column (reference metadata_manager.py:115-117
+  * stores `json.dumps(config)` per run) — hand-rolled so the engine
+  * stays dependency-free.
+  */
+object ConfigJson {
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def js(s: String): String = "\"" + esc(s) + "\""
+  private def jarr(xs: Seq[String]): String = xs.map(js).mkString("[", ",", "]")
+  private def jobj(fields: (String, String)*): String =
+    fields.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
+
+  def apply(s: SourceConfig): String = jobj(
+    "source_id" -> js(s.sourceId), "source_type" -> js(s.sourceType),
+    "source_path" -> js(s.sourcePath), "file_format" -> js(s.fileFormat),
+    "options" -> s.options.toSeq.sortBy(_._1)
+      .map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}"),
+    "target_table" -> js(s.targetTable),
+    "extract_strategy" -> js(s.extractStrategy),
+    "incremental_column" -> s.incrementalColumn.map(js).getOrElse("null"),
+    "enabled" -> s.enabled.toString)
+
+  def apply(t: TransformConfig): String = jobj(
+    "transform_id" -> js(t.transformId), "source_table" -> js(t.sourceTable),
+    "target_table" -> js(t.targetTable), "sql_query" -> js(t.sqlQuery),
+    "partition_by" -> jarr(t.partitionBy),
+    "data_quality" -> t.dataQuality.map(r => jobj(
+      "rule_name" -> js(r.ruleName), "rule_type" -> js(r.ruleType),
+      "columns" -> jarr(r.columns),
+      "action_on_failure" -> js(r.actionOnFailure))).mkString("[", ",", "]"),
+    "enabled" -> t.enabled.toString)
+
+  def apply(m: ModelConfig): String = jobj(
+    "model_id" -> js(m.modelId), "sql_query" -> js(m.sqlQuery),
+    "target_table" -> js(m.targetTable), "partition_by" -> jarr(m.partitionBy),
+    "refresh_type" -> js(m.refreshType), "primary_keys" -> jarr(m.primaryKeys),
+    "enabled" -> m.enabled.toString)
+}
+
 object EtlConfig {
 
   /** `${PROCESSING_DATE}` / `${EXTRACT_DATE}` / `${ENV:NAME}` template
     * substitution (reference: silver_layer.py:118, bronze_layer.py:168-171)
-    * as a pure function.
+    * as a pure function. `${ENV:NAME}` resolves from the process
+    * environment, falling back to JVM system properties (JVMs cannot set
+    * their own env, so in-process callers/tests inject via `-D`).
     */
   def substitute(s: String, vars: Map[String, String],
-      env: String => Option[String] = sys.env.get): String = {
+      env: String => Option[String] = n => sys.env.get(n).orElse(sys.props.get(n))): String = {
     val withVars = vars.foldLeft(s) { case (acc, (k, v)) =>
       acc.replace("${" + k + "}", v)
     }

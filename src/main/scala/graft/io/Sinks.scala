@@ -24,18 +24,26 @@ object Sinks {
   * whole-row-replace semantics of the reference's merge
   * (db_utils.py:96-100, gold_layer.py:184-213).
   *
-  * The un-matched remainder is staged to a scratch path before the
-  * overwrite because Spark cannot overwrite a table that feeds the plan
-  * being written. Not concurrent-safe — matching the single-driver
-  * reference. At real scale this becomes: write a new version directory
-  * + atomic catalog pointer swap (what table formats do for you), and a
-  * keyed MERGE shuffles both sides on the key columns — source side is
-  * broadcast when small.
+  * The deduped source batch is staged to a scratch path FIRST (with an
+  * `Observation` counting its rows during that one write), then the
+  * merge reads the staged copy: the anti-join and the union both
+  * consume the source, so merging against the raw plan would compute an
+  * arbitrarily expensive model query twice. The merged remainder is
+  * likewise staged before the overwrite because Spark cannot overwrite
+  * a table that feeds the plan being written. Not concurrent-safe —
+  * matching the single-driver reference. At real scale this becomes:
+  * write a new version directory + atomic catalog pointer swap (what
+  * table formats do for you), and a keyed MERGE shuffles both sides on
+  * the key columns — source side is broadcast when small.
+  *
+  * @return the number of (deduped) source-batch rows — the
+  *         "records processed" of the merge, NOT the post-merge target
+  *         cardinality (reference gold_layer.py:117-155 semantics).
   */
 object Upsert {
 
   def upsertTable(spark: SparkSession, table: String, source0: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String]): Long = {
     // Delta MERGE rejects duplicate source keys; we instead keep one
     // deterministic row per key (first over a total row order) so the
     // operation stays idempotent
@@ -45,21 +53,29 @@ object Upsert {
     val source = source0
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = source.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     if (!spark.catalog.tableExists(table)) {
-      source.write.saveAsTable(table)
-      return
+      observed.write.saveAsTable(table)
+      return obs.get("rows").asInstanceOf[Long]
     }
-    val target = spark.table(table)
-    val cond = keys.map(k => target(k) === source(k)).reduce(_ && _)
-    val merged = target.join(source, cond, "left_anti")
-      .unionByName(source.select(target.columns.map(col).toSeq: _*))
-    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__upsert_stage/" +
+    val scratchRoot = s"${spark.conf.get("spark.sql.warehouse.dir")}/__upsert_stage/" +
       table.replace('.', '_')
-    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+    observed.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/src")
+    val batch = obs.get("rows").asInstanceOf[Long]
+    val staged = spark.read.parquet(s"$scratchRoot/src")
+    val target = spark.table(table)
+    val cond = keys.map(k => target(k) === staged(k)).reduce(_ && _)
+    val merged = target.join(staged, cond, "left_anti")
+      .unionByName(staged.select(target.columns.map(col).toSeq: _*))
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/merged")
+    spark.read.parquet(s"$scratchRoot/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)
     // the overwrite leaves a stale cached file index behind the catalog
     // entry — readers would hit FILE_NOT_EXIST without this
     spark.catalog.refreshTable(table)
+    batch
   }
 }

@@ -73,7 +73,8 @@ class BronzeLayer(spark: SparkSession, config: EtlConfig,
         df = df.filter(col(c) > lit(extractDate))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${db(src.targetTable)}")
       val rows = writeCounted(df, Sinks.append(_, src.targetTable))
-      meta.updateControl(src.targetTable, layerName, runDate, rows, "SUCCESS")
+      meta.updateControl(src.targetTable, layerName, runDate, rows, "SUCCESS",
+        ConfigJson(src0))
       ((), rows)
     }
   }
@@ -104,7 +105,8 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
           m.ruleType, m.action, m.validCount, m.invalidCount, runDate,
           new java.sql.Timestamp(0)))) // stamped by the manager's clock
-      meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS")
+      meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS",
+        ConfigJson(t))
       ((), rows)
     }
 }
@@ -127,15 +129,16 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       val rows =
         if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
-          // upsert must see a materialized source row count; Observation
-          // on the staged write inside upsertTable would be invisible
-          // here, so count on the (small, aggregated) model output
+          // records_processed = this batch's deduped source rows (counted
+          // by an Observation riding the staging write inside the upsert),
+          // NOT post-merge target cardinality — no target re-scan
           Upsert.upsertTable(spark, m.targetTable, df, m.primaryKeys)
-          spark.table(m.targetTable).count()
         } else {
           writeCounted(df, Sinks.overwrite(_, m.targetTable, m.partitionBy))
         }
-      meta.updateControl(m.targetTable, layerName, runDate, rows, "SUCCESS")
+      meta.updateControl(m.targetTable, layerName, runDate, rows, "SUCCESS",
+        ConfigJson(m))
+      meta.updateDictionary(m.targetTable, m.modelId)
       ((), rows)
     }
 }

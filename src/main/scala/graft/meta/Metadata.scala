@@ -28,6 +28,14 @@ final case class DqMetricRow(
     rule_type: String, action: String, valid_count: Long,
     invalid_count: Long, run_date: String, recorded_at: Timestamp)
 
+/** One column's documentation row (reference gold_schemas.py:63-72;
+  * created by init_metadata_tables.py:95-114, population intended by
+  * gold_layer.py:215-245 but disabled there — we do both).
+  */
+final case class DataDictRow(
+    table_name: String, column_name: String, data_type: String,
+    description: String, model_id: String, updated_timestamp: Timestamp)
+
 final case class AuditEvent(
     log_id: String, event_timestamp: Timestamp, layer: String,
     operation: String, component: String, source_id: String,
@@ -52,6 +60,7 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
   val controlTable = s"$db.etl_control_table"
   val auditTable = s"$db.etl_audit_log"
   val dqMetricsTable = s"$db.data_quality_metrics"
+  val dictionaryTable = s"$db.data_dictionary"
 
   def init(): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -61,6 +70,23 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
       spark.emptyDataset[AuditEvent].write.saveAsTable(auditTable)
     if (!spark.catalog.tableExists(dqMetricsTable))
       spark.emptyDataset[DqMetricRow].write.saveAsTable(dqMetricsTable)
+    if (!spark.catalog.tableExists(dictionaryTable))
+      spark.emptyDataset[DataDictRow].write.saveAsTable(dictionaryTable)
+  }
+
+  /** Refresh the data dictionary for one table from its live catalog
+    * schema, keyed upsert on (table_name, column_name) so re-runs
+    * update rather than duplicate.
+    */
+  def updateDictionary(tableName: String, modelId: String,
+      description: String = ""): Unit = {
+    val now = clock.now()
+    val rows = spark.catalog.listColumns(tableName).collect().toSeq
+      .map(c => DataDictRow(tableName, c.name, c.dataType, description,
+        modelId, now))
+    if (rows.nonEmpty)
+      Upsert.upsertTable(spark, dictionaryTable, rows.toDS().toDF(),
+        Seq("table_name", "column_name"))
   }
 
   /** Stamps `recorded_at` here with the manager's (injectable) clock so

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CLI end-to-end: the checked-in `configs/` trio driven through
+  * `Main.run` against the sf0.001 testdata, asserting the control-table
+  * contents the summary is built from.
+  */
+class MainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseArgs: defaults and full flag set") {
+    val d = Main.parseArgs(Array.empty)
+    assert(d.layers == Seq("bronze", "silver", "gold") && d.configDir == "configs")
+    val a = Main.parseArgs(Array("--date", "2031-05-05", "--layers",
+      "Bronze, gold", "--config-dir", "/tmp/cfg", "--warehouse", "/tmp/wh"))
+    assert(a == Main.Args("2031-05-05", Seq("bronze", "gold"), "/tmp/cfg",
+      Some("/tmp/wh")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--bogus", "x")))
+  }
+
+  test("checked-in configs run bronze->silver->gold via Main.run") {
+    sys.props("GRAFT_DATA_DIR") = "/root/testdata/sf0.001"
+    try {
+      val exit = Main.run(spark,
+        Main.Args("2031-05-05", Seq("bronze", "silver", "gold"),
+          "/root/repo/configs", None))
+      assert(exit == 0)
+
+      // bronze ingested the four sources with audit columns
+      assert(spark.table("bronze.customer").count() ==
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count())
+      assert(spark.table("bronze.orders").columns.contains("ingestion_timestamp"))
+
+      // silver: filter rules keep only valid rows; tag rule adds the flag
+      val silverCust = spark.table("silver.customer")
+      assert(silverCust.columns.contains("dq_segment_format_flag"))
+      assert(silverCust.count() > 0)
+      val silverOrders = spark.table("silver.orders")
+      assert(silverOrders.groupBy("o_orderkey").count()
+        .filter($"count" > 1).count() == 0)
+
+      // gold models materialized
+      assert(spark.table("gold.daily_orders").count() > 0)
+      assert(spark.table("gold.customer_segments").count() > 0)
+
+      // control table: one SUCCESS row per target, real snapshots
+      val control = spark.table("metadata.etl_control_table")
+        .filter($"last_run_date" === "2031-05-05" && $"status" === "SUCCESS")
+      val byTable = control.select("table_name", "layer", "records_processed")
+        .as[(String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byTable.keySet == Set(
+        "bronze.customer", "bronze.orders", "bronze.lineitem", "bronze.nation",
+        "silver.customer", "silver.orders",
+        "gold.daily_orders", "gold.customer_segments"))
+      assert(byTable("silver.orders")._2 == spark.table("silver.orders").count())
+      assert(control.filter($"config_snapshot" === "{}").count() == 0)
+    } finally sys.props.remove("GRAFT_DATA_DIR")
+  }
+}
