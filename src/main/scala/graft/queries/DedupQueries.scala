@@ -56,12 +56,37 @@ object DedupQueries extends QuerySet {
         "doc_id", "text", N, H, B, Md5Hash))
       .orderBy("doc_id")
 
+  /** Cluster-level MinHash signatures: merge every member's signature
+    * element-wise-min with [[Dedup.MinhashUnionAggregator]] (the
+    * signature of a union of shingle sets) — the engine's one custom
+    * typed aggregate, oracle-checked per element against DuckDB
+    * computing MIN over the same per-doc minhash values.
+    */
+  def d7ClusterSignatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = Dedup.withMinhashSignature(
+      docs.select("doc_id", "text"), "text", N, H, Md5Hash)
+      .select("doc_id", "sig")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text", N, H, B, Md5Hash))
+    val mhUnion = org.apache.spark.sql.functions.udaf(
+      new Dedup.MinhashUnionAggregator(H),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    clusters.join(sigs, "doc_id")
+      .groupBy("cluster_id")
+      .agg(mhUnion(col("sig")).as("csig"))
+      .select(col("cluster_id") +:
+        (0 until H).map(j => col("csig").getItem(j).as(s"sig_$j")): _*)
+      .orderBy("cluster_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
     "d4_simhash_chunks" -> d4SimhashChunks _,
     "d5_simhash_candidates" -> d5SimhashCandidates _,
     "d6_dedup_clusters" -> d6DedupClusters _,
+    "d7_cluster_signatures" -> d7ClusterSignatures _,
   )
 
   // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
@@ -136,6 +161,31 @@ object DedupQueries extends QuerySet {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d7_cluster_signatures" ->
+      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+         |cpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sigs AS (
+         |  SELECT doc_id,
+         |  ${(0 until H).map(j => s"${minhashSql(j, "sh")} AS mh_$j").mkString(",\n  ")}
+         |  FROM base)
+         |SELECT c.cluster_id,
+         | ${(0 until H).map(j => s"MIN(s.mh_$j) AS sig_$j").mkString(",\n ")}
+         |FROM clusters c JOIN sigs s USING (doc_id)
+         |GROUP BY c.cluster_id ORDER BY cluster_id""".stripMargin,
     "d4_simhash_chunks" ->
       s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
          |FROM ($simhashBaseCte) ORDER BY doc_id""".stripMargin,

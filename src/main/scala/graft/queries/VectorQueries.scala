@@ -62,11 +62,27 @@ object VectorQueries extends QuerySet {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Batched IVF with probe width 2: five query vectors rank the
+    * centroids, probe their two best cells, and rank candidates from
+    * both — the multi-query scale path ([[Similarity.ivfTopKBatch]]).
+    */
+  def v5IvfBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+    val assigned = Similarity.assignCells(e, centroids).persist()
+    Similarity.ivfTopKBatch(assigned, centroids,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 105), K, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val entries: Map[String, Q] = Map(
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
     "v3_ivf_topk" -> v3IvfTopK _,
     "v4_neardup_cosine" -> v4NearDupCosine _,
+    "v5_ivf_batch" -> v5IvfBatch _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----
@@ -137,5 +153,31 @@ object VectorQueries extends QuerySet {
          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE ROUND(${dotDSql("a.uv", "b.uv")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "v5_ivf_batch" ->
+      s"""WITH unit AS ($unitCte),
+         |assigned AS ($assignedCte),
+         |cent AS (SELECT vec_id AS centroid_id, uv AS centv
+         |         FROM unit WHERE vec_id < $NumCentroids),
+         |q AS (SELECT vec_id AS query_id, uv AS qv FROM unit
+         |      WHERE vec_id >= 100 AND vec_id < 105),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotDSql("q.qv", "c.centv")} DESC, c.centroid_id) AS crank
+         |    FROM q, cent c)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${dotDSql("p.qv", "a.uv")} AS score
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
   )
 }

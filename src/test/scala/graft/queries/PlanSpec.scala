@@ -64,6 +64,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("j4_semi_join").contains("LeftSemi"))
   }
 
+  test("v5: batched IVF windows are per-query — no single-task global sort") {
+    // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.executedPlan)
+      }.flatten
+    val ws = windows(graft.SparkEntry.queries("v5_ivf_batch")(spark, dir)
+      .queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected centroid + candidate ranking windows")
+    ws.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
   test("v3: every ranking window is partitioned — no single-task global sort") {
     val sp = graft.SparkEntry.queries("v3_ivf_topk")(spark, dir)
       .queryExecution.sparkPlan
