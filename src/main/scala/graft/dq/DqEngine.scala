@@ -64,11 +64,22 @@ object DqEngine {
 
   /** Add one boolean `__dq_<rule>_valid` column per rule. Join-based and
     * window-based rules extend the plan; pure rules are a projection.
+    *
+    * Sequential semantics: a uniqueness rule ranks only rows that
+    * survive every preceding filter-action rule — otherwise a filtered
+    * rank-1 row would silently doom its whole duplicate group (the
+    * survivors would all rank ≥ 2). Implemented as a running count of
+    * surviving rows over the same deterministic total order, so the
+    * first SURVIVOR of each group is the keeper. Row-local rules
+    * (not_null/regex/expression/ referential_integrity) don't depend on
+    * other rows, so earlier filters cannot change their verdict — they
+    * need no such conditioning.
     */
   def withFlags(spark: SparkSession, df: DataFrame,
-      rules: Seq[DqRuleConfig]): DataFrame =
+      rules: Seq[DqRuleConfig]): DataFrame = {
+    var survival: Column = lit(true)
     rules.foldLeft(df) { (acc, rule) =>
-      rule.ruleType match {
+      val flagged = rule.ruleType match {
         case "referential_integrity" =>
           require(rule.columns.size == 1,
             s"referential_integrity rule '${rule.ruleName}' needs exactly one column")
@@ -81,21 +92,26 @@ object DqEngine {
             .withColumn(flagCol(rule.ruleName), col(marker).isNotNull)
             .drop(marker)
         case "uniqueness" =>
-          // keep-first semantics; ordering by all ORDERABLE columns
-          // makes the surviving duplicate deterministic (the key
-          // columns alone tie within the partition by construction;
+          // keep-first-survivor semantics; ordering by all ORDERABLE
+          // columns makes the surviving duplicate deterministic (the
+          // key columns alone tie within the partition by construction;
           // map-typed columns cannot appear in ORDER BY)
           val parts = rule.columns.map(col)
           val orderable = acc.schema.fields.filter(f =>
             org.apache.spark.sql.catalyst.expressions.RowOrdering
               .isOrderable(f.dataType)).map(f => col(f.name)).toSeq
           val w = Window.partitionBy(parts: _*).orderBy(orderable: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           acc.withColumn(flagCol(rule.ruleName),
-            row_number().over(w) === 1)
+            sum(when(survival, 1L).otherwise(0L)).over(w) === 1 && survival)
         case _ =>
           acc.withColumn(flagCol(rule.ruleName), predicate(rule))
       }
+      if (rule.actionOnFailure == "filter")
+        survival = survival && col(flagCol(rule.ruleName))
+      flagged
     }
+  }
 
   /** Apply rules: flag columns → one metrics aggregation → actions.
     *

@@ -40,15 +40,28 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // a null ELEMENT nulls the whole dot (exactly like the HOF
+  // aggregate(zip_with(...)) formulation, where null * x poisons the
+  // fold) — so the expression is nullable whenever an input array may
+  // hold null elements, not only when the arrays themselves are nullable
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val checkL = elemNullable(left)
+    val checkR = elemNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if ((checkL && x.isNullAt(i)) || (checkR && y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -68,10 +81,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("dpN")
       val sum = ctx.freshName("dpSum")
       val i = ctx.freshName("dpI")
+      // element null checks only when the array type admits null
+      // elements — the unit-vector hot path (containsNull=false) pays
+      // nothing; `ev.isNull` is only assignable when nullable is true,
+      // which the element-nullability override above guarantees here
+      val nullChecks = Seq(
+        if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+        if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val guard =
+        if (nullChecks.isEmpty) ""
+        else s"""if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"""
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $sum += ${get(a, left, i)} * ${get(b, right, i)};
          |}
          |${ev.value} = $sum;

@@ -32,6 +32,37 @@ object Dedup {
   case object XxHash extends HashMode
   case object Md5Hash extends HashMode
 
+  /** Session-scoped registry of frames the pipeline functions cache
+    * (persisted LSH/SimHash signature bases, the final checkpointed CC
+    * labels). The cached blocks are what make each pipeline single-scan,
+    * and they survive the caller's action on purpose — the SAME lazy
+    * result may be consumed more than once. Caller contract for
+    * long-running processes: call [[releaseCaches]] once the results of
+    * a dedup batch are consumed; one-shot sessions can skip it (session
+    * teardown / `catalog.clearCache` covers persists, and checkpoint
+    * blocks die with the executors).
+    */
+  private val cacheRegistry =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.Queue[org.apache.spark.sql.Dataset[_]]]()
+
+  private def track[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    cacheRegistry.computeIfAbsent(ds.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]())
+      .add(ds)
+    ds
+  }
+
+  /** Free every frame the dedup pipelines cached in this session —
+    * persisted bases AND localCheckpoint block storage (which
+    * `unpersist` alone does not release).
+    */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = cacheRegistry.remove(spark)
+    if (q != null)
+      q.forEach(ds => org.apache.spark.sql.GraftColumnBridge.freeStorage(ds))
+  }
+
   /** Distinct word n-gram shingles; texts shorter than n tokens get one
     * whole-text shingle. Native one-pass expression — the composable
     * HOF form is kept below for reference/tests and is set-equal.
@@ -142,9 +173,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.0, mode: HashMode = XxHash): DataFrame = {
-    val base = withMinhashBands(docs.select(col(idCol), col(textCol)),
+    val base = track(withMinhashBands(docs.select(col(idCol), col(textCol)),
       textCol, shingleN, numHashes, bands, mode)
-      .drop(textCol).persist()
+      .drop(textCol).persist())
     val pairs = candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
     val left = base.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val right = base.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
@@ -247,10 +278,10 @@ object Dedup {
           }
           val next = ufPass(stars.repartition(p, col("_1")))
             .localCheckpoint(true)
-          stars.unpersist()
+          org.apache.spark.sql.GraftColumnBridge.freeStorage(stars)
           stars = next
         }
-        restoreIdType(stars.toDF("doc_id", "cluster_id"), idType)
+        restoreIdType(track(stars).toDF("doc_id", "cluster_id"), idType)
       case _ =>
         labelPropagation(pairs, maxIter)
     }
@@ -336,12 +367,14 @@ object Dedup {
         .select("id", "label")
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist() // drop the previous round's checkpoint blocks
+      // drop the previous round's checkpoint blocks (RDD-level — the
+      // cache manager does not track localCheckpoint storage)
+      org.apache.spark.sql.GraftColumnBridge.freeStorage(labels)
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("id", "doc_id")
+    track(labels).withColumnRenamed("id", "doc_id")
       .withColumnRenamed("label", "cluster_id")
   }
 
@@ -357,6 +390,7 @@ object Dedup {
       textCol, shingleN, numHashes, bands, mode)
       .drop(textCol, "sh")
       .persist() // self-joined in candidatePairs: hash the corpus once
+    track(base)
     candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
   }
 
@@ -393,8 +427,8 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       mode: HashMode = XxHash): DataFrame = {
-    val base = withSimhashChunks(docs.select(col(idCol), col(textCol)), textCol, mode)
-      .drop(textCol).persist()
+    val base = track(withSimhashChunks(docs.select(col(idCol), col(textCol)), textCol, mode)
+      .drop(textCol).persist())
     candidatePairs(base, idCol, (0 until 4).map(c => col(s"sim_chunk_$c")))
   }
 }

@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * salting remains the tool when a handful of hot keys dominate a
   * shuffled join and you know it up front).
   *
-  * Fact rows get a deterministic salt in [0, S) derived from the whole
-  * row, splitting each hot key across S reducers; the (small) build
-  * side replicates ×S. Results are identical to the unsalted join —
-  * only the partitioning changes.
+  * Fact rows get a salt in [0, S) from their position
+  * (`monotonically_increasing_id` mod S — round-robin within each input
+  * partition), splitting each hot key across S reducers EVEN when the
+  * hot rows are full duplicates (a content hash would send identical
+  * rows to one bucket, re-creating the skew it was meant to break). The
+  * (small) build side replicates ×S. Results are identical to the
+  * unsalted join — the salt only affects partitioning, and Spark
+  * recomputes whole stages on retry for indeterminate maps, so the
+  * position-derived salt cannot split a row's fate across attempts.
   */
 object Skew {
 
@@ -26,7 +31,7 @@ object Skew {
       case _ => false
     }, s"saltedJoin supports fact-preserving join types only, got $joinType")
     val factSalted = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val dimReplicated = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     factSalted.join(dimReplicated,

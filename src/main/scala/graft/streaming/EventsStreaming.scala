@@ -36,14 +36,28 @@ object EventsStreaming {
   /** Streaming reader for an events parquet directory. The files carry
     * TIMESTAMP(NANOS); read nanos as long and truncate to micros (same
     * normalization as graft.Tables.loadEvents).
+    *
+    * The `nanosAsLong` conf is session-level BY NECESSITY: a streaming
+    * source re-plans file reads every micro-batch for the stream's whole
+    * lifetime, so a save/restore scope would break the second batch. It
+    * only affects parquet columns that actually carry TIMESTAMP(NANOS)
+    * (other reads are untouched); callers wanting isolation should pass
+    * a dedicated session (`spark.newSession()` shares the catalog but
+    * not the conf).
+    *
+    * @param stageDir scratch directory for staging the single events
+    *   file (the file source needs a directory to watch); defaults to
+    *   a deterministic path under `java.io.tmpdir`.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      stageDir: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source needs a directory (basePath); testdata keeps all
     // tables in one dir, so stage events.parquet alone into scratch
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val stage = java.nio.file.Paths.get(
-      s"/root/repo/target/stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val stage = java.nio.file.Paths.get(stageDir.getOrElse(
+      sys.props("java.io.tmpdir") +
+        s"/graft_stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
     java.nio.file.Files.createDirectories(stage)
     val staged = stage.resolve("events.parquet")
     // size check: a silently-stale copy would make streaming diverge

@@ -106,6 +106,33 @@ class DqEngineSpec extends SparkSpec {
     assert(m.invalidCount == 2) // ids 2 and 4 (qty=1); id 3 excluded
   }
 
+  test("uniqueness ranks only filter survivors: filtered rank-1 row " +
+    "does not doom its duplicate group") {
+    // row 1 is the deterministic keeper of the (email=a@x.com) group but
+    // fails the amount rule; sequential semantics must then keep row 5
+    val rules = Seq(
+      rule("amount_cap", "expression", Nil,
+        expression = Some("amount IS NULL OR amount < 10.0")),
+      rule("email_unique", "uniqueness", Seq("email")))
+    val res = DqEngine(spark, fixture, rules)
+    try {
+      // amount_cap filters rows 1, 2, 5? no: 10.0 < 10.0 false -> rows
+      // 1 and 5 (10.0) and 2 (20.0) fail; 3 (null) and 4 (-5) pass
+      assert(res.data.select("id").as[Int].collect().toSet == Set(3, 4))
+      // now invert: cap lets the group through minus its rank-1 row
+      val res2 = DqEngine(spark, fixture, Seq(
+        rule("not_row1", "expression", Nil, expression = Some("id <> 1")),
+        rule("email_unique", "uniqueness", Seq("email"))))
+      try {
+        val ids = res2.data.select("id").as[Int].collect().toSet
+        assert(ids.contains(5), "row 5 must become the group's keeper once row 1 is filtered")
+        assert(ids == Set(2, 3, 4, 5))
+        val uniq = res2.metrics.find(_.rule == "email_unique").get
+        assert(uniq.invalidCount == 0, "no surviving duplicates")
+      } finally res2.cleanup()
+    } finally res.cleanup()
+  }
+
   test("filter + tag compose; flags partition the input exactly") {
     val res = DqEngine(spark, fixture, Seq(
       rule("amount_nn", "not_null", Seq("amount")),

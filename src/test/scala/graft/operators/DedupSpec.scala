@@ -106,6 +106,24 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 6)
   }
 
+  test("releaseCaches frees every pipeline cache and checkpoint block") {
+    Dedup.releaseCaches(spark) // drain leftovers from earlier tests
+    System.gc() // let the context cleaner catch up on dead RDD refs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, mode = Dedup.XxHash)
+    assert(pairs.count() > 0)
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text"))
+    assert(clusters.count() > 0)
+    assert(Dedup.simhashCandidates(docs, "doc_id", "text").count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "pipelines are expected to cache while live")
+    Dedup.releaseCaches(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -45,4 +45,22 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.dotD($"uv", $"uv")).as[Double].collect()
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
   }
+
+  test("dot product propagates null elements like the HOF formulation") {
+    val withNulls = Seq(
+      (0L, Seq[Option[Float]](Some(1.0f), None, Some(2.0f)), Seq(1.0f, 1.0f, 1.0f)),
+      (1L, Seq[Option[Float]](Some(1.0f), Some(2.0f), Some(3.0f)), Seq(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val native = withNulls
+      .select($"id", Similarity.dot($"a", $"b").as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    val hof = withNulls
+      .select($"id", aggregate(zip_with($"a", $"b",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native(0L).isEmpty, "null element must null the dot")
+    assert(native(1L).contains(6.0))
+    assert(native == hof, "native and HOF must agree on null semantics")
+  }
 }
