@@ -142,6 +142,26 @@ object Dedup {
       .withColumn("sig", array(sigCols(numHashes): _*))
       .drop("_hp")
 
+  /** Adds BOTH `sig` and the `band_0..` LSH keys from ONE shingle+hash
+    * pass — band key = md5 of its `sig` slice, so a pipeline that needs
+    * candidate pairs AND raw signatures (e.g. cluster-signature
+    * merging) scans and hashes the corpus text once, not twice. The
+    * `sig` projection is separate from the band projection so the
+    * 16-element array is computed once per row (CollapseProject leaves
+    * multi-referenced non-trivial aliases alone).
+    */
+  def withMinhashSignatureAndBands(df: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      mode: HashMode = XxHash): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r =>
+        col("sig").getItem(b * rows + r).cast("string")): _*)).as(s"band_$b")
+    }
+    val signed = withMinhashSignature(df, textCol, shingleN, numHashes, mode)
+    signed.select(signed.columns.map(col) ++ bandCols: _*)
+  }
+
   /** Jaccard similarity of two distinct-element arrays (exact int/int
     * division — deterministic).
     */

@@ -64,15 +64,19 @@ object DedupQueries extends QuerySet {
     */
   def d7ClusterSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val sigs = Dedup.withMinhashSignature(
-      docs.select("doc_id", "text"), "text", N, H, Md5Hash)
-      .select("doc_id", "sig")
-    val clusters = Dedup.connectedComponents(
-      Dedup.minhashCandidates(docs, "doc_id", "text", N, H, B, Md5Hash))
+    // one shingle+hash pass yields both the LSH band keys (candidate
+    // generation) and the raw signatures (cluster merge) — the corpus
+    // text is scanned and hashed exactly once
+    val base = Dedup.withMinhashSignatureAndBands(
+      docs.select("doc_id", "text"), "text", N, H, B, Md5Hash)
+      .drop("text").persist()
+    val pairs = Dedup.candidatePairs(base, "doc_id",
+      (0 until B).map(b => col(s"band_$b")))
+    val clusters = Dedup.connectedComponents(pairs)
     val mhUnion = org.apache.spark.sql.functions.udaf(
       new Dedup.MinhashUnionAggregator(H),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    clusters.join(sigs, "doc_id")
+    clusters.join(base.select(col("doc_id"), col("sig")), "doc_id")
       .groupBy("cluster_id")
       .agg(mhUnion(col("sig")).as("csig"))
       .select(col("cluster_id") +:

@@ -106,6 +106,17 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 6)
   }
 
+  test("withMinhashSignatureAndBands derives the same band keys as withMinhashBands") {
+    val combined = Dedup.withMinhashSignatureAndBands(docs, "text")
+      .select("doc_id", "band_0", "band_1", "band_2", "band_3")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._1)
+    val direct = Dedup.withMinhashBands(docs, "text")
+      .select("doc_id", "band_0", "band_1", "band_2", "band_3")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._1)
+    assert(combined.sameElements(direct),
+      "single-hash-pass band keys must equal the bands-only formulation")
+  }
+
   test("releaseCaches frees every pipeline cache and checkpoint block") {
     Dedup.releaseCaches(spark) // drain leftovers from earlier tests
     System.gc() // let the context cleaner catch up on dead RDD refs
