@@ -398,21 +398,36 @@ object Dedup {
       .withColumnRenamed("label", "cluster_id")
   }
 
+  /** LSH candidate pairs plus the per-doc raw signatures, from ONE
+    * corpus scan-and-hash: the persisted base carries (id, sig, bands),
+    * pairs come from the band-key equi-join, and the returned signature
+    * frame reads the same cache — consumers needing clusters AND
+    * cluster-level signatures ([[MinhashUnionAggregator]]) never hash
+    * the text twice.
+    */
+  def minhashCandidatesWithSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, mode: HashMode = XxHash): (DataFrame, DataFrame) = {
+    val base = track(withMinhashSignatureAndBands(
+      docs.select(col(idCol), col(textCol)),
+      textCol, shingleN, numHashes, bands, mode)
+      .drop(textCol)
+      .persist()) // self-joined in candidatePairs: hash the corpus once
+    (candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b"))),
+      base.select(col(idCol), col("sig")))
+  }
+
   /** LSH candidate pairs straight from the text — [[minhashNearDups]]
     * minus the exact-Jaccard verification joins, for consumers (e.g.
     * clustering) that only need the pair list. One corpus scan, one
-    * band-key equi-join shuffle.
+    * band-key equi-join shuffle. Shares its base plan (and thus its
+    * generated code) with [[minhashCandidatesWithSignatures]].
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      mode: HashMode = XxHash): DataFrame = {
-    val base = withMinhashBands(docs.select(col(idCol), col(textCol)),
-      textCol, shingleN, numHashes, bands, mode)
-      .drop(textCol, "sh")
-      .persist() // self-joined in candidatePairs: hash the corpus once
-    track(base)
-    candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
-  }
+      mode: HashMode = XxHash): DataFrame =
+    minhashCandidatesWithSignatures(docs, idCol, textCol,
+      shingleN, numHashes, bands, mode)._1
 
   /** Typed aggregator merging MinHash signatures by element-wise min —
     * the signature of a UNION of shingle sets is the element-wise min

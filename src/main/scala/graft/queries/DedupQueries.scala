@@ -67,16 +67,13 @@ object DedupQueries extends QuerySet {
     // one shingle+hash pass yields both the LSH band keys (candidate
     // generation) and the raw signatures (cluster merge) — the corpus
     // text is scanned and hashed exactly once
-    val base = Dedup.withMinhashSignatureAndBands(
-      docs.select("doc_id", "text"), "text", N, H, B, Md5Hash)
-      .drop("text").persist()
-    val pairs = Dedup.candidatePairs(base, "doc_id",
-      (0 until B).map(b => col(s"band_$b")))
+    val (pairs, sigs) = Dedup.minhashCandidatesWithSignatures(
+      docs, "doc_id", "text", N, H, B, Md5Hash)
     val clusters = Dedup.connectedComponents(pairs)
     val mhUnion = org.apache.spark.sql.functions.udaf(
       new Dedup.MinhashUnionAggregator(H),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    clusters.join(base.select(col("doc_id"), col("sig")), "doc_id")
+    clusters.join(sigs, "doc_id")
       .groupBy("cluster_id")
       .agg(mhUnion(col("sig")).as("csig"))
       .select(col("cluster_id") +:
