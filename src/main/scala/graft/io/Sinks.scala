@@ -63,9 +63,18 @@ object Upsert {
     }
     val scratchRoot = s"${spark.conf.get("spark.sql.warehouse.dir")}/__upsert_stage/" +
       table.replace('.', '_')
-    observed.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/src")
-    val batch = obs.get("rows").asInstanceOf[Long]
-    val staged = spark.read.parquet(s"$scratchRoot/src")
+    // driver-local sources (literal rows — e.g. the 1-row control-table
+    // updates) are free to evaluate twice; skip the staging write that
+    // exists to keep an EXPENSIVE model plan from computing once per
+    // merge consumer
+    val isDriverLocal = source.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val (staged, batch) =
+      if (isDriverLocal) (source, source.count())
+      else {
+        observed.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/src")
+        (spark.read.parquet(s"$scratchRoot/src"), obs.get("rows").asInstanceOf[Long])
+      }
     val target = spark.table(table)
     val cond = keys.map(k => target(k) === staged(k)).reduce(_ && _)
     val merged = target.join(staged, cond, "left_anti")
