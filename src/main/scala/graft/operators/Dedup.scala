@@ -268,7 +268,8 @@ object Dedup {
     * Non-integral id types take the label-propagation path directly.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      maxEdgesPerTask: Long = 200000000L): DataFrame = {
+      maxEdgesPerTask: Long = 200000000L,
+      funnelTargetPerTask: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = pairs.schema("doc_a").dataType
     idType match {
@@ -279,8 +280,8 @@ object Dedup {
           .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
           .as[(Long, Long)].persist()
         val n = e0.count() // materializes; also sizes the funnel
-        val targetPerTask = 2000000L
-        var p = math.max(1L, (n + targetPerTask - 1) / targetPerTask).toInt
+        var p = math.max(1L,
+          (n + funnelTargetPerTask - 1) / funnelTargetPerTask).toInt
         // first pass: coalesce (reads cached blocks, no shuffle) — any
         // edge grouping is a valid sub-graph; later passes must
         // hash-partition by node so stars sharing a src merge

@@ -117,6 +117,39 @@ class DedupSpec extends SparkSpec {
       "single-hash-pass band keys must equal the bands-only formulation")
   }
 
+  test("multi-pass union-find funnel merges stars across partitions") {
+    // chain of 60 nodes + a separate triangle; tiny funnel width forces
+    // several contraction passes (the 100 TB path that p=1 never
+    // exercises locally), including root-chain resolution at the final
+    // global pass
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, funnelTargetPerTask = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 60L).forall(labels(_) == 1L))
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
+    assert(labels.size == 63)
+  }
+
+  test("funnel falls back to label propagation when stars exceed one task") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val labels = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+      funnelTargetPerTask = 4, maxEdgesPerTask = 1)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 40L).forall(labels(_) == 1L))
+    assert(labels.size == 40)
+  }
+
+  test("non-integral ids take the label-propagation path") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c").forall(labels(_) == "a"))
+    assert(labels("x") == "x" && labels("y") == "x")
+  }
+
   test("releaseCaches frees every pipeline cache and checkpoint block") {
     Dedup.releaseCaches(spark) // drain leftovers from earlier tests
     System.gc() // let the context cleaner catch up on dead RDD refs
