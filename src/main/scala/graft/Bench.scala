@@ -24,6 +24,7 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // persisted intermediates: no cross-query skew
+      graft.operators.Dedup.releaseCaches(spark) // incl. checkpoint blocks
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -24,6 +24,7 @@ object Verify {
       // operators may persist intermediates (LSH signatures, IVF cells);
       // don't let one query's cache skew the next's memory
       spark.catalog.clearCache()
+      graft.operators.Dedup.releaseCaches(spark) // incl. checkpoint blocks
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
