@@ -71,6 +71,18 @@ object EventsStreaming {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Streaming exact dedup on a key — the training-pipeline staple
+    * (keep the first occurrence of each id as data arrives) expressed
+    * with Spark's state-store `dropDuplicates`; the watermark bounds
+    * state: duplicates arriving more than `horizon` after the original
+    * may pass, which is the standard accuracy/state trade at unbounded
+    * scale.
+    */
+  def dedupEvents(events: DataFrame, keyCol: String = "event_id",
+      horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Tumbling hourly rollup with a 1-hour watermark — identical
     * aggregation expressions to the batch `e1_hourly_rollup`.
     */

@@ -29,6 +29,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    val q = EventsStreaming.dedupEvents(
+      // planted duplicates: each event id appears twice via union
+      EventsStreaming.readEvents(spark, dir)
+        .unionByName(EventsStreaming.readEvents(spark, dir)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val out = spark.table("dedup_out")
+    val n = Tables.load(spark, dir, "events").count()
+    assert(out.count() == n, "every id exactly once despite the doubled input")
+    assert(out.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("stateful sessionization closes sessions on gap > 30min") {
     val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
       .writeStream.outputMode("append")
