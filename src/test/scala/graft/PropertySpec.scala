@@ -82,4 +82,37 @@ class PropertySpec extends SparkSpec {
       assert(res.data.count() == n, s"seed $seed")
     }
   }
+
+  test("connected components match a driver-side union-find on random graphs") {
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val nNodes = rnd.nextInt(150) + 20
+      val nEdges = rnd.nextInt(2 * nNodes) + 1
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a + 1) // avoid self-loops, keep a<b
+      }.distinct
+      // oracle: plain driver-side union-find with min roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      // random funnel width exercises single- and multi-pass paths
+      val width = rnd.nextInt(12) + 1
+      val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"),
+        funnelTargetPerTask = width)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect,
+        s"seed $seed width $width: ${got.toSet.diff(expect.toSet).take(5)}")
+    }
+  }
 }
