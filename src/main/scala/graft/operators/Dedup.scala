@@ -266,6 +266,12 @@ object Dedup {
     * already collapsed chains into depth-1 stars.
     *
     * Non-integral id types take the label-propagation path directly.
+    *
+    * Self-loop pairs (doc_a == doc_b) are legal on every path and label
+    * the node as its own singleton cluster — union-find, the funnel's
+    * label-propagation fallback, and the non-integral path all agree
+    * (candidatePairs never emits them; this matters only for direct
+    * callers).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       maxEdgesPerTask: Long = 200000000L,
@@ -291,10 +297,16 @@ object Dedup {
           p = math.max(1, p / 32)
           if (p == 1 && stars.count() > maxEdgesPerTask) {
             // contracted graph still too big for one task: finish with
-            // label propagation over the (depth-1) stars — few rounds
-            val res = labelPropagation(
-              stars.toDF("doc_a", "doc_b").filter(col("doc_a") =!= col("doc_b")),
-              maxIter)
+            // label propagation over the (depth-1) stars — few rounds.
+            // Self-star rows (root, root) pass through unfiltered:
+            // labelPropagation labels them as their own singleton
+            // cluster, exactly as the union-find path does, so both
+            // strategies cover the same node set for the same input.
+            val res = labelPropagation(stars.toDF("doc_a", "doc_b"), maxIter)
+            // res is materialized (checkpointed) by now — the stars
+            // checkpoint blocks it consumed are droppable, and must be
+            // dropped here: this frame never reaches the registry track()
+            org.apache.spark.sql.GraftColumnBridge.freeStorage(stars)
             return restoreIdType(res, idType)
           }
           val next = ufPass(stars.repartition(p, col("_1")))
