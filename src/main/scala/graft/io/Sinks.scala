@@ -36,29 +36,35 @@ object Sinks {
   * table formats do for you), and a keyed MERGE shuffles both sides on
   * the key columns — source side is broadcast when small.
   *
-  * @return the number of (deduped) source-batch rows — the
+  * @return the number of RAW source-batch rows (pre-dedup) — the
   *         "records processed" of the merge, NOT the post-merge target
-  *         cardinality (reference gold_layer.py:117-155 semantics).
+  *         cardinality. Matches the reference, which records the model
+  *         output's row count before any key handling
+  *         (gold_layer.py:130), so a source batch carrying duplicate
+  *         primary keys still reports every row it delivered even
+  *         though only one row per key survives the merge.
   */
 object Upsert {
 
   def upsertTable(spark: SparkSession, table: String, source0: DataFrame,
       keys: Seq[String]): Long = {
+    // the raw-count observation sits UNDER the dedup window, so the one
+    // staged write both dedupes and counts the pre-dedup batch
+    val obs = new org.apache.spark.sql.Observation()
+    val observed0 = source0.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     // Delta MERGE rejects duplicate source keys; we instead keep one
     // deterministic row per key (first over a total row order) so the
     // operation stays idempotent
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(source0.columns.map(col).toSeq: _*)
-    val source = source0
+    val source = observed0
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    val obs = new org.apache.spark.sql.Observation()
-    val observed = source.observe(obs,
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
     if (!spark.catalog.tableExists(table)) {
-      observed.write.saveAsTable(table)
+      source.write.saveAsTable(table)
       return obs.get("rows").asInstanceOf[Long]
     }
     val scratchRoot = s"${spark.conf.get("spark.sql.warehouse.dir")}/__upsert_stage/" +
@@ -70,9 +76,9 @@ object Upsert {
     val isDriverLocal = source.queryExecution.optimizedPlan.collectLeaves()
       .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
     val (staged, batch) =
-      if (isDriverLocal) (source, source.count())
+      if (isDriverLocal) (source, source0.count())
       else {
-        observed.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/src")
+        source.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/src")
         (spark.read.parquet(s"$scratchRoot/src"), obs.get("rows").asInstanceOf[Long])
       }
     val target = spark.table(table)

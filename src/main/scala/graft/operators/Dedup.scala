@@ -32,36 +32,16 @@ object Dedup {
   case object XxHash extends HashMode
   case object Md5Hash extends HashMode
 
-  /** Session-scoped registry of frames the pipeline functions cache
-    * (persisted LSH/SimHash signature bases, the final checkpointed CC
-    * labels). The cached blocks are what make each pipeline single-scan,
-    * and they survive the caller's action on purpose — the SAME lazy
-    * result may be consumed more than once. Caller contract for
-    * long-running processes: call [[releaseCaches]] once the results of
-    * a dedup batch are consumed; one-shot sessions can skip it (session
-    * teardown / `catalog.clearCache` covers persists, and checkpoint
-    * blocks die with the executors).
-    */
-  private val cacheRegistry =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      java.util.Queue[org.apache.spark.sql.Dataset[_]]]()
+  private def track[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    FrameCaches.track(ds)
 
-  private def track[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-    cacheRegistry.computeIfAbsent(ds.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]())
-      .add(ds)
-    ds
-  }
-
-  /** Free every frame the dedup pipelines cached in this session —
+  /** Free every frame the operator pipelines cached in this session —
     * persisted bases AND localCheckpoint block storage (which
-    * `unpersist` alone does not release).
+    * `unpersist` alone does not release). Delegates to the shared
+    * [[FrameCaches]] registry (also used by [[Skew.saltedJoin]]).
     */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val q = cacheRegistry.remove(spark)
-    if (q != null)
-      q.forEach(ds => org.apache.spark.sql.GraftColumnBridge.freeStorage(ds))
-  }
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    FrameCaches.release(spark)
 
   /** Distinct word n-gram shingles; texts shorter than n tokens get one
     * whole-text shingle. Native one-pass expression — the composable

@@ -57,10 +57,14 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
 
   /** Cluster-level MinHash signatures: merge every member's signature
-    * element-wise-min with [[Dedup.MinhashUnionAggregator]] (the
-    * signature of a union of shingle sets) — the engine's one custom
-    * typed aggregate, oracle-checked per element against DuckDB
-    * computing MIN over the same per-doc minhash values.
+    * element-wise-min (the signature of a union of shingle sets).
+    * Expressed as 16 built-in `min(sig[j])` aggregates — whole-stage
+    * codegen'd, map-side partial-aggregated, zero encoder round-trips.
+    * The equivalent typed [[Dedup.MinhashUnionAggregator]] (SURVEY §7.6's
+    * custom-aggregate showcase, ScalaTest-covered) computes the same
+    * merge but pays ExpressionEncoder ser/de per input row via
+    * ObjectHashAggregate — measurably slower and far more GC-sensitive
+    * under load, so the hot query uses the built-in formulation.
     */
   def d7ClusterSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -70,14 +74,10 @@ object DedupQueries extends QuerySet {
     val (pairs, sigs) = Dedup.minhashCandidatesWithSignatures(
       docs, "doc_id", "text", N, H, B, Md5Hash)
     val clusters = Dedup.connectedComponents(pairs)
-    val mhUnion = org.apache.spark.sql.functions.udaf(
-      new Dedup.MinhashUnionAggregator(H),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val mins = (0 until H).map(j => min(col("sig").getItem(j)).as(s"sig_$j"))
     clusters.join(sigs, "doc_id")
       .groupBy("cluster_id")
-      .agg(mhUnion(col("sig")).as("csig"))
-      .select(col("cluster_id") +:
-        (0 until H).map(j => col("csig").getItem(j).as(s"sig_$j")): _*)
+      .agg(mins.head, mins.tail: _*)
       .orderBy("cluster_id")
   }
 

@@ -35,6 +35,28 @@ class UpsertSpec extends SparkSpec {
     assert(spark.table(t).as[(Int, String)].collect().toSet == once)
   }
 
+  test("duplicate-key source: raw count returned, one survivor per key") {
+    val t = table("t_dupkeys")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // reference parity (gold_layer.py:130): records_processed = the raw
+    // model-output row count, BEFORE key dedup — 4 here, not 2
+    val dup = Seq((1, "a1"), (1, "a2"), (2, "b"), (2, "b")).toDF("k", "v")
+    assert(Upsert.upsertTable(spark, t, dup, Seq("k")) == 4)
+    assert(spark.table(t).count() == 2)
+    // deterministic survivor: first over the total row order
+    assert(spark.table(t).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a1", 2 -> "b"))
+    // merge path (table now exists) reports the raw count too — through
+    // a parquet-backed source, so the staged write + Observation path
+    // (not the driver-local shortcut) produces the count
+    val p = java.nio.file.Files.createTempDirectory("upsert-dup").toString
+    Seq((2, "B2"), (2, "B9"), (3, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(p)
+    assert(Upsert.upsertTable(spark, t, spark.read.parquet(p), Seq("k")) == 3)
+    assert(spark.table(t).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a1", 2 -> "B2", 3 -> "c"))
+  }
+
   test("composite keys match on the full conjunction") {
     val t = table("t_comp")
     spark.sql(s"DROP TABLE IF EXISTS $t")

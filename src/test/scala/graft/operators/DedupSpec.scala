@@ -141,6 +141,30 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 40)
   }
 
+  test("self-loop pairs label singleton clusters on every CC path") {
+    // documented contract (Dedup.connectedComponents): a (x, x) pair is
+    // legal and labels x as its own singleton cluster — on the
+    // union-find path, the funnel's label-propagation fallback, and the
+    // non-integral direct label-propagation path alike
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // union-find path (single pass locally)
+    val uf = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(uf == Map(7L -> 7L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // funnel bottoming out into the label-propagation fallback: tiny
+    // funnel width + maxEdgesPerTask=1 forces the fallback, and the
+    // self-loop singleton star must still be covered in the output
+    val fb = Dedup.connectedComponents(pairs,
+        funnelTargetPerTask = 1, maxEdgesPerTask = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fb == uf, "fallback path must cover the same node set")
+    // non-integral ids: direct label propagation
+    val lp = Dedup.connectedComponents(
+        Seq(("s", "s"), ("a", "b")).toDF("doc_a", "doc_b"))
+      .as[(String, String)].collect().toMap
+    assert(lp == Map("s" -> "s", "a" -> "a", "b" -> "a"))
+  }
+
   test("non-integral ids take the label-propagation path") {
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
       .toDF("doc_a", "doc_b")

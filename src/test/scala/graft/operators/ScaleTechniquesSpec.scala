@@ -21,6 +21,36 @@ class ScaleTechniquesSpec extends SparkSpec {
       .select("o_orderkey", "c_name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    FrameCaches.release(spark)
+  }
+
+  test("salted join checkpoints the salt assignment (retry determinism)") {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    // default path: the salted fact side is an eagerly materialized
+    // localCheckpoint — its lineage (and thus any chance of re-deriving
+    // a DIFFERENT salt on task retry) is cut, so the join plan reads the
+    // fact from checkpointed blocks, not from the parquet scan
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", 8)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"),
+      s"salted fact side must be a lineage-cut checkpoint:\n$plan")
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "checkpointed salt blocks must be registered")
+    FrameCaches.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "FrameCaches.release must drop the checkpointed salt blocks")
+    // opt-out path (deterministic scan input): no checkpoint, identical rows
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_name")
+    val unchk = Skew.saltedJoin(orders, customer, "o_custkey", 8,
+        checkpointSalt = false)
+      .select("o_orderkey", "c_name")
+    assert(!unchk.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+    assert(unchk.exceptAll(plain).isEmpty && plain.exceptAll(unchk).isEmpty)
   }
 
   test("bucketed tables join without any exchange") {

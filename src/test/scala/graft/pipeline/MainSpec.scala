@@ -59,4 +59,24 @@ class MainSpec extends SparkSpec {
       assert(control.filter($"config_snapshot" === "{}").count() == 0)
     } finally sys.props.remove("GRAFT_DATA_DIR")
   }
+
+  test("Demo.run propagates a layer failure instead of masking it in previews") {
+    // a gold-only config whose model reads a table that does not exist:
+    // the layer fails, and Demo.run must return that nonzero exit code
+    // rather than die in the gold previews with an AnalysisException
+    val cfgDir = java.nio.file.Files.createTempDirectory("demo-broken-cfg")
+    java.nio.file.Files.write(cfgDir.resolve("gold_config.yaml"),
+      """models:
+        |  - model_id: "broken"
+        |    model_type: "sql"
+        |    sql_query: "SELECT * FROM silver.this_table_does_not_exist"
+        |    target_table: "gold.broken_model"
+        |    refresh_type: "full"
+        |    enabled: true
+        |""".stripMargin.getBytes)
+    val out = java.nio.file.Files.createTempDirectory("demo-broken-out").toString
+    val exit = Demo.run(spark, "2031-06-06", out, cfgDir.toString)
+    assert(exit == 1, "failing layer's exit code must propagate")
+    assert(sys.props.get("GRAFT_DEMO_DIR").isEmpty)
+  }
 }
