@@ -142,6 +142,96 @@ case class SimhashChunksExpr(child: Expression, useMd5: Boolean)
     copy(child = newChild)
 }
 
+/** Native one-pass MinHash signature over a shingle array.
+  *
+  * The composable form walks 17 interpreted higher-order functions per
+  * row (`transform(sh, hashPair)` plus 16 `array_min(transform(...))`)
+  * and allocates the intermediate hash-pair struct array; this
+  * expression digests each shingle ONCE and folds all `numHashes`
+  * Kirsch-Mitzenmacher minima (h1 + j·h2) in a single tight loop.
+  *
+  * Hash families are bit-identical to the composable spec (and, for
+  * md5, to the DuckDB oracle):
+  *  - md5: h1 = first 14 hex nibbles of md5(s) (= digest bytes 0–6
+  *    big-endian), h2 = nibbles 15–28 (= bytes 7–13) — exactly
+  *    `('0x'||substr(md5(s),1,14))::BIGINT` / `substr(...,15,14)`.
+  *  - xx: h1 = pmod(xxhash64(1L, s), 2^56), h2 = pmod(xxhash64(2L, s),
+  *    2^56): Spark's multi-arg xxhash64 seeds with 42, hashes the long
+  *    prefix, then the string with the result as seed; pmod by a power
+  *    of two is a mask.
+  *
+  * An empty shingle array yields all-null elements, mirroring
+  * `array_min` over an empty transform. CodegenFallback is deliberate
+  * (see [[WordShingles]]): one virtual call per ROW, plain-JVM loop
+  * inside — versus per-ELEMENT interpreted lambda dispatch in the HOF
+  * form.
+  */
+case class MinhashSignatureExpr(child: Expression, numHashes: Int, useMd5: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1)
+  // h1 + (numHashes-1)·h2 over 56-bit halves must stay under 2^63
+  require(numHashes <= 64, s"numHashes=$numHashes would overflow h1 + j*h2")
+
+  override def prettyName: String = "minhash_signature"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs array<string>, got ${other.simpleString}")
+  }
+
+  // MessageDigest is stateful and not thread-safe; expression instances
+  // are shared across local-mode task threads
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val Mask56 = (1L << 56) - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = if (useMd5) md5Local.get() else null
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var h1 = 0L
+      var h2 = 0L
+      if (useMd5) {
+        val d = md.digest(s.getBytes)
+        var k = 0
+        while (k < 7) { h1 = (h1 << 8) | (d(k) & 0xFFL); k += 1 }
+        while (k < 14) { h2 = (h2 << 8) | (d(k) & 0xFFL); k += 1 }
+      } else {
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        // the composable spec writes xxhash64(lit(1), s): lit(1) is an
+        // INT, which Spark hashes via hashInt before chaining the string
+        val s1 = XXH64.hashInt(1, 42L)
+        val s2 = XXH64.hashInt(2, 42L)
+        h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s1) & Mask56
+        h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s2) & Mask56
+      }
+      var j = 0
+      var v = h1
+      while (j < numHashes) {
+        if (v < mins(j)) mins(j) = v
+        v += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
   * every character k-gram with a polynomial rolling hash, then keep the
   * minimum of each w-window of consecutive k-gram hashes — the standard
@@ -216,4 +306,8 @@ object TextExpressions {
   def simhashChunks(c: Column, useMd5: Boolean): Column =
     GraftColumnBridge.column(
       SimhashChunksExpr(GraftColumnBridge.expression(c), useMd5))
+
+  def minhashSignature(c: Column, numHashes: Int, useMd5: Boolean): Column =
+    GraftColumnBridge.column(
+      MinhashSignatureExpr(GraftColumnBridge.expression(c), numHashes, useMd5))
 }

@@ -85,31 +85,54 @@ object Dedup {
     case Md5Hash => hex2long(md5(s), 1, 15)
   }
 
-  /** Signature element j over the `_hp` hash-pair column: min over
-    * shingles of h1 + j·h2 (Kirsch-Mitzenmacher) — the single source
-    * both the band keys and raw signatures derive from.
+  /** The raw MinHash signature over a shingle-array column — native
+    * one-pass expression ([[graft.functions.MinhashSignatureExpr]]):
+    * one digest per shingle, all Kirsch-Mitzenmacher minima folded in a
+    * tight loop. The composable-HOF formulation is kept in
+    * [[sigColsHof]] as the executable spec it is tested against.
     */
-  private def sigCols(numHashes: Int): Seq[Column] =
+  private def sigArray(sh: Column, numHashes: Int, mode: HashMode): Column =
+    graft.functions.TextExpressions.minhashSignature(
+      sh, numHashes, mode == Md5Hash)
+
+  /** Composable-HOF spec of [[sigArray]]: signature element j over the
+    * `_hp` hash-pair column = min over shingles of h1 + j·h2 — 17
+    * interpreted higher-order functions per row (retained for tests).
+    */
+  private[operators] def sigColsHof(numHashes: Int): Seq[Column] =
     (0 until numHashes).map(j =>
       array_min(transform(col("_hp"), p =>
         p.getField("h1") + lit(j) * p.getField("h2"))))
 
+  /** HOF-spec twin of [[withMinhashSignature]] (tests only). */
+  private[operators] def withMinhashSignatureHof(df: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16,
+      mode: HashMode = XxHash): DataFrame =
+    df.withColumn("_hp",
+        transform(shingles(col(textCol), shingleN), s => hashPair(s, mode)))
+      .withColumn("sig", array(sigColsHof(numHashes): _*))
+      .drop("_hp")
+
+  private def bandCols(sig: Column, numHashes: Int, bands: Int): Seq[Column] = {
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r =>
+        sig.getItem(b * rows + r).cast("string")): _*)).as(s"band_$b")
+    }
+  }
+
   /** Adds `sh` (shingle set) and `band_0..band_{bands-1}` LSH key
-    * columns; band key = md5 of its signature slice.
+    * columns; band key = md5 of its signature slice. The signature is
+    * materialized once per row by the native expression; the band keys
+    * are codegen'd builtins (md5/concat_ws/getItem) over it.
     */
   def withMinhashBands(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      mode: HashMode = XxHash): DataFrame = {
-    val rows = numHashes / bands
-    val sig = sigCols(numHashes)
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rows).map(r =>
-        sig(b * rows + r).cast("string")): _*)).as(s"band_$b")
-    }
+      mode: HashMode = XxHash): DataFrame =
     df.withColumn("sh", shingles(col(textCol), shingleN))
-      .withColumn("_hp", transform(col("sh"), s => hashPair(s, mode)))
-      .select(df.columns.map(col) ++ Seq(col("sh")) ++ bandCols: _*)
-  }
+      .withColumn("_sig", sigArray(col("sh"), numHashes, mode))
+      .select(df.columns.map(col) ++ Seq(col("sh")) ++
+        bandCols(col("_sig"), numHashes, bands): _*)
 
   /** Adds `sig`: the raw MinHash signature as an array column (input
     * for cluster-level signature merging via [[MinhashUnionAggregator]]).
@@ -117,29 +140,23 @@ object Dedup {
   def withMinhashSignature(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
       mode: HashMode = XxHash): DataFrame =
-    df.withColumn("_hp",
-        transform(shingles(col(textCol), shingleN), s => hashPair(s, mode)))
-      .withColumn("sig", array(sigCols(numHashes): _*))
-      .drop("_hp")
+    df.withColumn("sig",
+      sigArray(shingles(col(textCol), shingleN), numHashes, mode))
 
   /** Adds BOTH `sig` and the `band_0..` LSH keys from ONE shingle+hash
     * pass — band key = md5 of its `sig` slice, so a pipeline that needs
     * candidate pairs AND raw signatures (e.g. cluster-signature
     * merging) scans and hashes the corpus text once, not twice. The
-    * `sig` projection is separate from the band projection so the
-    * 16-element array is computed once per row (CollapseProject leaves
-    * multi-referenced non-trivial aliases alone).
+    * `sig` column sits in its own projection so the native expression
+    * runs once per row; the band keys derive from the materialized
+    * array.
     */
   def withMinhashSignatureAndBands(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       mode: HashMode = XxHash): DataFrame = {
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rows).map(r =>
-        col("sig").getItem(b * rows + r).cast("string")): _*)).as(s"band_$b")
-    }
     val signed = withMinhashSignature(df, textCol, shingleN, numHashes, mode)
-    signed.select(signed.columns.map(col) ++ bandCols: _*)
+    signed.select(signed.columns.map(col) ++
+      bandCols(col("sig"), numHashes, bands): _*)
   }
 
   /** Jaccard similarity of two distinct-element arrays (exact int/int

@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native MinhashSignature equals the HOF formulation, both hash modes") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val nat = Dedup.withMinhashSignature(real, "text", 3, 16, mode)
+        .select("doc_id", "sig")
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val hof = Dedup.withMinhashSignatureHof(real, "text", 3, 16, mode)
+        .select("doc_id", "sig")
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(nat.nonEmpty && nat.sameElements(hof), s"mode $mode diverged")
+    }
+  }
+
   test("jaccard is exact on known sets") {
     val j = spark.range(1)
       .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))

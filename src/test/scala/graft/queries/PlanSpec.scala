@@ -91,6 +91,30 @@ class PlanSpec extends SparkSpec {
       assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
   }
 
+  test("minhash/simhash plan native expressions — no interpreted HOFs, both families") {
+    // the oracle queries pin the md5 family (DuckDB-rederivable); the
+    // production path is xx — this keeps BOTH honest: the signature /
+    // sketch per-row work must plan the one-call-per-row native
+    // expressions, with zero interpreted higher-order functions
+    // (lambdafunction = per-ELEMENT interpreted dispatch, the pipeline's
+    // old hot-path cost) left in the plan
+    import graft.operators.Dedup
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val bands = Dedup.withMinhashBands(docs, "text", 3, 16, 4, mode)
+        .queryExecution.optimizedPlan.toString
+      assert(bands.contains("minhash_signature") && bands.contains("wordshingles"),
+        s"minhash must plan the native expressions:\n${bands.take(800)}")
+      assert(!bands.contains("lambdafunction"),
+        s"no interpreted HOFs on the minhash hot path:\n${bands.take(800)}")
+      val sim = Dedup.withSimhashChunks(docs, "text", mode)
+        .queryExecution.optimizedPlan.toString
+      assert(sim.contains("simhashchunksexpr") && !sim.contains("lambdafunction"),
+        s"simhash must plan the native expression:\n${sim.take(800)}")
+    }
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
