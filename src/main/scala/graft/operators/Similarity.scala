@@ -151,4 +151,67 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("score"), col("rank"))
   }
+
+  /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
+    * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
+    * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —
+    * including inside the DuckDB oracle SQL, which embeds these values
+    * as literals.
+    */
+  def rpSigns(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, k) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$k".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Adds `rp_band_0..{bands-1}`: the vector's sign-random-projection
+    * sketch packed into `bits/bands`-bit band keys. bit j = sign of
+    * ⟨vec, hyperplane_j⟩, where the hyperplanes are ±1 rows of
+    * [[rpSigns]] folded by the codegen'd [[dot]] against a broadcast
+    * literal — pure map work fused into the scan, no shuffle, no
+    * per-element lambda. Vectors with cosine ≈ 1 agree on almost all
+    * sign bits, so near-dups collide in at least one band
+    * (P[bit differs] = angle/π per hyperplane).
+    */
+  def withRpBands(df: DataFrame, vecCol: String,
+      bits: Int = 32, bands: Int = 4, dim: Int = 64): DataFrame = {
+    require(bits % bands == 0, "bits must split evenly into bands")
+    val signs = rpSigns(bits, dim)
+    val rows = bits / bands
+    val bandCols = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val j = b * rows + r
+        when(dot(col(vecCol), typedLit(signs(j).toSeq)) > 0, 1 << r)
+          .otherwise(0)
+      }.reduce(_ + _).as(s"rp_band_$b")
+    }
+    df.select(df.columns.map(col) ++ bandCols: _*)
+  }
+
+  /** Embedding near-dup pairs via RP-LSH banding — the LSH-bucketed
+    * alternative to the IVF-cell blocking of the `v4` path: band keys
+    * are computed in one scan (map-only), candidates come from the
+    * banded equi-join ([[Dedup.candidatePairs]] — never all-pairs), and
+    * only candidates pay the exact unit-cosine verification. 100 TB
+    * shape: one persist of (id, uv, band keys), one explode+equi-join
+    * shuffle on (band_idx, band_key), quadratic work confined to hash
+    * buckets.
+    */
+  def rpLshNearDups(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = 32, bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val base = FrameCaches.track(
+      withRpBands(withUnitVector(corpus.select(col(idCol), col(vecCol)), vecCol),
+        vecCol, bits, bands, dim)
+        .drop(vecCol).persist())
+    val pairs = Dedup.candidatePairs(base, idCol,
+        (0 until bands).map(b => col(s"rp_band_$b")))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val a = base.select(col(idCol).as("vec_a"), col("uv").as("va"))
+    val b = base.select(col(idCol).as("vec_b"), col("uv").as("vb"))
+    pairs.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        dotD(col("va"), col("vb")).as("score"))
+  }
 }

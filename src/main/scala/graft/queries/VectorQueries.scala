@@ -77,12 +77,31 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding near-dup pairs via sign-random-projection LSH banding —
+    * the LSH-bucketed scale path next to v4's IVF-cell blocking. The
+    * ±1 hyperplanes ([[Similarity.rpSigns]]) are deterministic from md5,
+    * so the oracle rebuilds the identical sketch from literal sign
+    * arrays and the whole pipeline (bits, band keys, candidate pairs,
+    * verified cosine) hash-matches DuckDB.
+    */
+  def v6RpLshNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpLshNearDups(emb(s, dir), "vec_id", "embedding",
+        RpBits, RpBands, Dim)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+      .filter(col("score") >= 0.25)
+      .orderBy("vec_a", "vec_b")
+
+  private val RpBits = 32
+  private val RpBands = 4
+  private val Dim = 64
+
   val entries: Map[String, Q] = Map(
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
     "v3_ivf_topk" -> v3IvfTopK _,
     "v4_neardup_cosine" -> v4NearDupCosine _,
     "v5_ivf_batch" -> v5IvfBatch _,
+    "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----
@@ -110,6 +129,27 @@ object VectorQueries extends QuerySet {
        |  FROM unit u, (SELECT vec_id AS centroid_id, uv AS centv
        |                FROM unit WHERE vec_id < $NumCentroids) c
        |) WHERE crank = 1""".stripMargin
+
+  // RP-LSH sketch rebuilt from the SAME deterministic ±1 hyperplanes,
+  // embedded as SQL literals; the float→double cast per element mirrors
+  // DotProduct's widening, so the sign folds are bit-identical
+  private def rpBandSql(b: Int): String = {
+    val signs = Similarity.rpSigns(RpBits, Dim)
+    val rows = RpBits / RpBands
+    (0 until rows).map { r =>
+      val j = b * rows + r
+      val lit = signs(j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum([CAST(p[1] AS DOUBLE) * p[2]
+         | for p in list_zip(embedding, $lit)]) > 0
+         | THEN ${1 << r} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+  }
+
+  private def rpBaseCte: String =
+    s"""SELECT vec_id,
+       | ${(0 until RpBands).map(b => s"${rpBandSql(b)} AS rp_band_$b").mkString(",\n ")}
+       |FROM embeddings""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "v1_vector_norms" ->
@@ -179,5 +219,20 @@ object VectorQueries extends QuerySet {
          |  FROM scored)
          |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "v6_rp_lsh_neardup" ->
+      s"""WITH unit AS ($unitCte),
+         |rpbase AS ($rpBaseCte),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM rpbase a JOIN rpbase b ON a.vec_id < b.vec_id AND
+         |   (${(0 until RpBands).map(b => s"a.rp_band_$b = b.rp_band_$b")
+               .mkString(" OR ")}))
+         |SELECT p.vec_a, p.vec_b,
+         |  ROUND(${dotDSql("ua.uv", "ub.uv")}, 6) AS score
+         |FROM pairs p
+         |JOIN unit ua ON p.vec_a = ua.vec_id
+         |JOIN unit ub ON p.vec_b = ub.vec_id
+         |WHERE ROUND(${dotDSql("ua.uv", "ub.uv")}, 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -63,4 +63,36 @@ class SimilaritySpec extends SparkSpec {
     assert(native(1L).contains(6.0))
     assert(native == hof, "native and HOF must agree on null semantics")
   }
+
+  test("RP-LSH: duplicates collide in every band; candidates stay equi-joined") {
+    val dim = 8
+    // planted exact duplicate (0,1), a scaled copy (0,2 — same direction,
+    // so identical sign bits), and an antipodal vector (3: all bits flip)
+    val base = Seq(
+      (0L, Array.tabulate(dim)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(dim)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(dim)(i => 2f * (i + 1))),
+      (3L, Array.tabulate(dim)(i => -(i + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.rpLshNearDups(base, "vec_id", "embedding",
+      bits = 16, bands = 4, dim = dim)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = pairs.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0L, 1L)) - 1.0) < 1e-12, "exact dup must score 1")
+    assert(math.abs(got((0L, 2L)) - 1.0) < 1e-12, "same-direction dup collides")
+    assert(!got.contains((0L, 3L)), "antipodal vector shares no sign band")
+    FrameCaches.release(spark)
+  }
+
+  test("rpSigns is deterministic and balanced-ish") {
+    val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
+    val b: Array[Double] = Similarity.rpSigns(32, 64).flatten
+    assert(a.sameElements(b))
+    assert(a.forall(v => v == 1.0 || v == -1.0))
+    val pos = a.count(_ == 1.0)
+    assert(pos > 32 * 64 / 4 && pos < 32 * 64 * 3 / 4, s"degenerate sign balance: $pos")
+  }
 }
