@@ -105,7 +105,7 @@ object Dedup {
         p.getField("h1") + lit(j) * p.getField("h2"))))
 
   /** HOF-spec twin of [[withMinhashSignature]] (tests only). */
-  private[operators] def withMinhashSignatureHof(df: DataFrame, textCol: String,
+  private[graft] def withMinhashSignatureHof(df: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
       mode: HashMode = XxHash): DataFrame =
     df.withColumn("_hp",

@@ -81,6 +81,35 @@ object DedupQueries extends QuerySet {
       .orderBy("cluster_id")
   }
 
+  /** End-to-end training-data dedup pipeline — the composition a real
+    * corpus cleanup runs, oracle-checked as ONE query: quality gate
+    * (composite score ≥ 0.6) → language gate (en) → exact dedup (keep
+    * smallest doc_id per content fingerprint) → MinHash-LSH clustering →
+    * keep each cluster's canonical (smallest) member. Scale shape: two
+    * narrow filters fused into the scan, one window shuffle on the
+    * content hash, the banded LSH join, the CC funnel, and a final
+    * broadcast-able anti-join — nothing quadratic, nothing driver-side.
+    */
+  def d8DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val gated = Tables.load(s, dir, "documents")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+        TextFunctions.langId(col("text")) === "en")
+    val exact = gated
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "text")
+    val clustered = Dedup.connectedComponents(
+      Dedup.minhashCandidates(exact, "doc_id", "text", N, H, B, Md5Hash))
+    exact.join(clustered.filter(col("doc_id") =!= col("cluster_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
@@ -88,6 +117,7 @@ object DedupQueries extends QuerySet {
     "d5_simhash_candidates" -> d5SimhashCandidates _,
     "d6_dedup_clusters" -> d6DedupClusters _,
     "d7_cluster_signatures" -> d7ClusterSignatures _,
+    "d8_dedup_pipeline" -> d8DedupPipeline _,
   )
 
   // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
@@ -116,10 +146,12 @@ object DedupQueries extends QuerySet {
   private val jaccardSql =
     "len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh)))"
 
-  private val minhashBaseCte =
+  private def minhashBaseFrom(src: String): String =
     s"""SELECT doc_id, $shSql AS sh,
        | ${(0 until B).map(b => s"${bandSql(b, shSql)} AS band_$b").mkString(",\n ")}
-       |FROM documents""".stripMargin
+       |FROM $src""".stripMargin
+
+  private val minhashBaseCte = minhashBaseFrom("documents")
 
   // bit i = parity of bit i of the single 60-bit token hash
   private def bitSql(i: Int): String =
@@ -187,6 +219,36 @@ object DedupQueries extends QuerySet {
          | ${(0 until H).map(j => s"MIN(s.mh_$j) AS sig_$j").mkString(",\n ")}
          |FROM clusters c JOIN sigs s USING (doc_id)
          |GROUP BY c.cluster_id ORDER BY cluster_id""".stripMargin,
+    "d8_dedup_pipeline" ->
+      s"""WITH RECURSIVE gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${TextQueries.qualitySql}) >= 0.6
+         |    AND (${TextQueries.langCaseSql}) = 'en'),
+         |ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, ROW_NUMBER() OVER (
+         |      PARTITION BY ${TextQueries.fpSql} ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |base AS (${minhashBaseFrom("ex")}),
+         |cpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT e.doc_id FROM ex e
+         |WHERE e.doc_id NOT IN
+         |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d4_simhash_chunks" ->
       s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
          |FROM ($simhashBaseCte) ORDER BY doc_id""".stripMargin,

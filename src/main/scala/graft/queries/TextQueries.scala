@@ -76,22 +76,26 @@ object TextQueries extends QuerySet {
     "d1_dedup_exact" -> d1DedupExact _,
   )
 
-  private val toksSql =
+  private[queries] val toksSql =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)"""
-  private val toksLowerSql =
+  private[queries] val toksLowerSql =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter($toksLowerSql, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"""
-  private val fpSql =
+  private[queries] val fpSql =
     """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
-  private val stopRatioSql =
+  private[queries] val stopRatioSql =
     s"${hitsSql(langStopwords.head._2)} * 1.0 / len($toksLowerSql)"
-  private val alphaSql = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)"
-  private val digitSql = "len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)"
+  private[queries] val alphaSql = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)"
+  private[queries] val digitSql = "len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text)"
+
+  private[queries] val qualitySql =
+    s"($alphaSql) * 0.5 + least(($stopRatioSql) * 5.0, 1.0) * 0.3" +
+      s" + (1.0 - ($digitSql)) * 0.2"
 
   // ordered CASE chain == Spark's greatest(struct(score, lang)) tie-break
   // (highest score wins; ties go to the lexicographically-greatest lang)
-  private val langCaseSql: String = {
+  private[queries] val langCaseSql: String = {
     val scores = langStopwords.map { case (l, ws) => l -> hitsSql(ws) }.toMap
     val order = langStopwords.map(_._1).sortBy(identity).reverse // zh,fr,es,en,de
     val arms = order.init.zipWithIndex.map { case (l, i) =>
@@ -114,8 +118,7 @@ object TextQueries extends QuerySet {
          | $alphaSql AS alpha_ratio,
          | $digitSql AS digit_ratio,
          | $stopRatioSql AS stop_ratio,
-         | ($alphaSql) * 0.5 + least(($stopRatioSql) * 5.0, 1.0) * 0.3
-         |   + (1.0 - ($digitSql)) * 0.2 AS quality
+         | $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_lang_id" ->
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents ORDER BY doc_id",

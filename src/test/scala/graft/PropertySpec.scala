@@ -115,4 +115,29 @@ class PropertySpec extends SparkSpec {
         s"seed $seed width $width: ${got.toSet.diff(expect.toSet).take(5)}")
     }
   }
+
+  test("native minhash signature equals the HOF spec on random unicode text") {
+    // random texts spanning whitespace runs, empty strings, short texts
+    // (whole-text shingle fallback), repeats, and multi-byte codepoints —
+    // the edge cases real-corpus equivalence tests can miss
+    val alphabet = "ab cd\t e\n αβγ 字符 x y z 0 1 ,.!"
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val texts = (0 until 60).map { i =>
+        val len = rnd.nextInt(80)
+        (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString)
+      }
+      val df = texts.toDF("doc_id", "text")
+      for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+        val nat = Dedup.withMinhashSignature(df, "text", 3, 16, mode)
+          .select("doc_id", "sig")
+          .as[(Long, Seq[Option[Long]])].collect().sortBy(_._1)
+        val hof = Dedup.withMinhashSignatureHof(df, "text", 3, 16, mode)
+          .select("doc_id", "sig")
+          .as[(Long, Seq[Option[Long]])].collect().sortBy(_._1)
+        assert(nat.sameElements(hof), s"seed $seed mode $mode diverged")
+      }
+    }
+  }
 }
