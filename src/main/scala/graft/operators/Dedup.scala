@@ -167,10 +167,31 @@ object Dedup {
 
   /** Candidate pairs via banded LSH: explode band keys, equi-join on
     * (band position, key), dedupe. `id < id` keeps one direction.
+    *
+    * `maxBucketSize` (off by default — the oracle-checked queries use
+    * the exact join) drops buckets with more members than the cap
+    * BEFORE the self-join: a degenerate band key (e.g. millions of
+    * near-empty docs hashing to one bucket at corpus scale) makes the
+    * bucket quadratic — n² pairs from a single reducer — and one hot
+    * key can sink the whole job. Standard LSH practice treats oversized
+    * buckets as junk keys (they carry no near-dup signal precisely
+    * because they match everything). Cost of the guard: one map-side-
+    * combined count over the exploded (band, key) frame, then a
+    * broadcast anti-join of the (few, by construction) hot keys — no
+    * extra sort, no second full shuffle.
     */
-  def candidatePairs(base: DataFrame, idCol: String, bandCols: Seq[Column]): DataFrame = {
-    val exploded = base
+  def candidatePairs(base: DataFrame, idCol: String, bandCols: Seq[Column],
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val exploded0 = base
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val exploded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = exploded0.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
+          .select("band_idx", "band_key")
+        exploded0.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+      case None => exploded0
+    }
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -189,11 +210,13 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.0, mode: HashMode = XxHash): DataFrame = {
+      threshold: Double = 0.0, mode: HashMode = XxHash,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val base = track(withMinhashBands(docs.select(col(idCol), col(textCol)),
       textCol, shingleN, numHashes, bands, mode)
       .drop(textCol).persist())
-    val pairs = candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b")))
+    val pairs = candidatePairs(base, idCol,
+      (0 until bands).map(b => col(s"band_$b")), maxBucketSize)
     val left = base.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val right = base.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     pairs.join(left, "doc_a").join(right, "doc_b")
@@ -417,13 +440,15 @@ object Dedup {
     */
   def minhashCandidatesWithSignatures(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, mode: HashMode = XxHash): (DataFrame, DataFrame) = {
+      bands: Int = 4, mode: HashMode = XxHash,
+      maxBucketSize: Option[Long] = None): (DataFrame, DataFrame) = {
     val base = track(withMinhashSignatureAndBands(
       docs.select(col(idCol), col(textCol)),
       textCol, shingleN, numHashes, bands, mode)
       .drop(textCol)
       .persist()) // self-joined in candidatePairs: hash the corpus once
-    (candidatePairs(base, idCol, (0 until bands).map(b => col(s"band_$b"))),
+    (candidatePairs(base, idCol,
+        (0 until bands).map(b => col(s"band_$b")), maxBucketSize),
       base.select(col(idCol), col("sig")))
   }
 
@@ -435,9 +460,10 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      mode: HashMode = XxHash): DataFrame =
+      mode: HashMode = XxHash,
+      maxBucketSize: Option[Long] = None): DataFrame =
     minhashCandidatesWithSignatures(docs, idCol, textCol,
-      shingleN, numHashes, bands, mode)._1
+      shingleN, numHashes, bands, mode, maxBucketSize)._1
 
   /** Typed aggregator merging MinHash signatures by element-wise min —
     * the signature of a UNION of shingle sets is the element-wise min
@@ -471,9 +497,11 @@ object Dedup {
     * standard pigeonhole blocking for Hamming distance ≤ bands-1.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      mode: HashMode = XxHash): DataFrame = {
+      mode: HashMode = XxHash,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val base = track(withSimhashChunks(docs.select(col(idCol), col(textCol)), textCol, mode)
       .drop(textCol).persist())
-    candidatePairs(base, idCol, (0 until 4).map(c => col(s"sim_chunk_$c")))
+    candidatePairs(base, idCol,
+      (0 until 4).map(c => col(s"sim_chunk_$c")), maxBucketSize)
   }
 }

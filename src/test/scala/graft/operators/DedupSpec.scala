@@ -155,6 +155,25 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 40)
   }
 
+  test("candidatePairs drops oversized buckets when capped (hot-key guard)") {
+    // band_a: one hot bucket of 5 ids (10 pairs) + band_b: a clean pair.
+    // cap=3 must drop ONLY the hot bucket's contribution.
+    val base = Seq(
+      (1L, "HOT", "x1"), (2L, "HOT", "x2"), (3L, "HOT", "x3"),
+      (4L, "HOT", "x4"), (5L, "HOT", "nb"), (6L, "cold", "nb")
+    ).toDF("doc_id", "band_a", "band_b")
+    val uncapped = Dedup.candidatePairs(base, "doc_id",
+      Seq(col("band_a"), col("band_b")))
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((5L, 6L)))
+    assert(uncapped.size == 11) // C(5,2) hot + (5,6) via band_b
+    val capped = Dedup.candidatePairs(base, "doc_id",
+      Seq(col("band_a"), col("band_b")), maxBucketSize = Some(3))
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((5L, 6L)),
+      s"cap must drop the hot bucket, keep clean bands: $capped")
+  }
+
   test("self-loop pairs label singleton clusters on every CC path") {
     // documented contract (Dedup.connectedComponents): a (x, x) pair is
     // legal and labels x as its own singleton cluster — on the
