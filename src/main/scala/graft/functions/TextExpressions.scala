@@ -295,6 +295,92 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Intersection size of two arrays that are SORTED ascending (what
+  * `array_sort` produces) — a linear two-pointer merge instead of
+  * `size(array_intersect(a, b))`'s per-call hash-set build. Supports
+  * array<string> (binary UTF8 order) and array<long>.
+  *
+  * This is the verify kernel of the exact similarity join
+  * ([[graft.operators.Dedup.ngramJaccardPairs]]): every surviving
+  * candidate pair pays one intersection over ~|doc| shingle hashes, and
+  * at corpus scale the per-pair hash-set allocation + rehash dominates
+  * the whole query. The merge does zero allocation and stays inside
+  * whole-stage codegen. Inputs MUST be sorted and duplicate-free;
+  * unsorted input silently undercounts, so the operator sorts at
+  * set-build time, never per pair.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_size needs two array<string> or two array<long> " +
+          s"inputs, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val strings = elemType == StringType
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val c =
+        if (strings) x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        else java.lang.Long.compare(x.getLong(i), y.getLong(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("siNx")
+      val ny = ctx.freshName("siNy")
+      val i = ctx.freshName("siI")
+      val j = ctx.freshName("siJ")
+      val n = ctx.freshName("siN")
+      val c = ctx.freshName("siC")
+      val cmp =
+        if (elemType == StringType)
+          s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $c = $cmp;
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
@@ -310,4 +396,8 @@ object TextExpressions {
   def minhashSignature(c: Column, numHashes: Int, useMd5: Boolean): Column =
     GraftColumnBridge.column(
       MinhashSignatureExpr(GraftColumnBridge.expression(c), numHashes, useMd5))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -110,6 +110,18 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs at t=0.5 — the non-probabilistic
+    * member of the dedup family (MinHash trades exactness for blocking;
+    * this trades nothing and relies on AllPairs-style prefix filtering
+    * for scale). The oracle is the definitionally-quadratic DuckDB join
+    * over identically-hashed shingle sets, so the hash-match proves the
+    * prefix index is lossless on real data.
+    */
+  def d9NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+      "doc_id", "text", N, threshold = 0.5, mode = Md5Hash)
+      .orderBy("doc_a", "doc_b")
+
   val entries: Map[String, Q] = Map(
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
@@ -118,6 +130,7 @@ object DedupQueries extends QuerySet {
     "d6_dedup_clusters" -> d6DedupClusters _,
     "d7_cluster_signatures" -> d7ClusterSignatures _,
     "d8_dedup_pipeline" -> d8DedupPipeline _,
+    "d9_ngram_jaccard" -> d9NgramJaccard _,
   )
 
   // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
@@ -249,6 +262,18 @@ object DedupQueries extends QuerySet {
          |WHERE e.doc_id NOT IN
          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // definitionally quadratic (the point: the Spark side must NOT be);
+    // shingle sets hashed exactly like the Spark side (60-bit md5
+    // slice), and the length filter (J >= t forces t*|b| <= |a| when
+    // |a| <= |b|) is exact and keeps the 500x500 oracle join cheap
+    "d9_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
+         |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | AND len(a.sh) >= 0.5 * len(b.sh) AND len(b.sh) >= 0.5 * len(a.sh)
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash_chunks" ->
       s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
          |FROM ($simhashBaseCte) ORDER BY doc_id""".stripMargin,

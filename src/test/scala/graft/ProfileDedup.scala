@@ -35,6 +35,55 @@ object ProfileDedup {
     time("simhash chunks")(sim.count())
     time("simhash candidates")(
       Dedup.simhashCandidates(docs, "doc_id", "text", Dedup.Md5Hash).count())
+    // the ≥-threshold filter consumes the exact jaccard, so count()
+    // cannot prune the verify stage
+    time("ngram jaccard t=0.5 exact")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    Dedup.releaseCaches(spark)
+    // staged breakdown of the prefix-filtered join
+    locally {
+      val t = 0.5
+      val shf = docs.select(col("doc_id"),
+          Dedup.hashedShingles(col("text"), 3, Dedup.Md5Hash).as("sh"))
+        .withColumn("sz", size(col("sh"))).persist()
+      time("  d9 stage: sh persist")(shf.count())
+      val posting = shf.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      val dfreq = posting.groupBy("s").agg(count(lit(1)).as("_df"))
+      time("  d9 stage: df")(dfreq.count())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("_df"), col("s"))
+      val prefix = posting.join(dfreq, "s")
+        .withColumn("_p", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_p") <= col("sz") - ceil(col("sz") * t - 1e-9) + lit(1))
+        .select(col("doc_id"), col("sz"), col("s"), col("_p")).persist()
+      time("  d9 stage: prefix index")(prefix.count())
+      val ub = least(col("a._p"), col("b._p")) - lit(1) +
+        least(col("a.sz") - col("a._p"), col("b.sz") - col("b._p")) + lit(1)
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+            && col("a.sz") >= col("b.sz") * t - 1e-9
+            && col("b.sz") >= col("a.sz") * t - 1e-9)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        .agg(max(ub).as("_ub"))
+        .filter(col("_ub") >=
+          ceil((col("sz_a") + col("sz_b")) * lit(t / (1 + t)) - 1e-9))
+        .persist()
+      time("  d9 stage: candidates")(cands.count())
+      val left = shf.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val right = shf.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      time("  d9 stage: verify joins only")(
+        cands.join(left, "doc_a").join(right, "doc_b").count())
+      time("  d9 stage: verify")(cands.join(left, "doc_a").join(right, "doc_b")
+        .withColumn("_i", graft.functions.TextExpressions
+          .sortedIntersectSize(col("sh_a"), col("sh_b")))
+        .filter(col("_i") / (col("sz_a") + col("sz_b") - col("_i")) >= t).count())
+      time("  d9 stage: verify (array_intersect)")(
+        cands.join(left, "doc_a").join(right, "doc_b")
+          .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .filter(col("_i") / (col("sz_a") + col("sz_b") - col("_i")) >= t).count())
+      shf.unpersist(); prefix.unpersist(); cands.unpersist()
+    }
     spark.stop()
   }
 }

@@ -116,6 +116,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted-merge intersect size equals array_intersect on random string sets") {
+    import graft.functions.TextExpressions
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      def randSet(): Seq[String] = {
+        val n = rnd.nextInt(40)
+        // overlapping alphabet (small token space) + unicode + empties
+        Seq.fill(n)(rnd.nextInt(4) match {
+          case 0 => s"tok${rnd.nextInt(30)}"
+          case 1 => s"日本${rnd.nextInt(10)}"
+          case 2 => ""
+          case _ => s"${rnd.nextInt(10)} with spaces"
+        }).distinct
+      }
+      val rows = Seq.fill(60)((randSet(), randSet())).toDF("a", "b")
+      val both = rows.select(
+        TextExpressions.sortedIntersectSize(
+          array_sort(col("a")), array_sort(col("b"))).as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+        .as[(Int, Int)].collect()
+      both.foreach { case (m, r) => assert(m == r, s"seed $seed: $m != $r") }
+    }
+  }
+
   test("native minhash signature equals the HOF spec on random unicode text") {
     // random texts spanning whitespace runs, empty strings, short texts
     // (whole-text shingle fallback), repeats, and multi-byte codepoints —

@@ -174,6 +174,36 @@ class DedupSpec extends SparkSpec {
       s"cap must drop the hot bucket, keep clean bands: $capped")
   }
 
+  test("ngramJaccardPairs: prefix filter is lossless vs brute force, both hash families") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash); t <- Seq(0.3, 0.5, 0.8)) {
+      val sh = real.select($"doc_id",
+        Dedup.hashedShingles($"text", 3, mode).as("sh"))
+      val fast = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, t, mode)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter($"j" >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute,
+        s"mode=$mode t=$t: prefix-filtered join diverged from brute force")
+    }
+    Dedup.releaseCaches(spark)
+  }
+
+  test("ngramJaccardPairs: exact dups score 1.0; unrelated docs excluded") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((1L, 4L, 1.0)))
+    assert(pairs.exists { case (a, b, _) => (a, b) == (1L, 2L) }) // one word changed
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+    }
+    Dedup.releaseCaches(spark)
+  }
+
   test("self-loop pairs label singleton clusters on every CC path") {
     // documented contract (Dedup.connectedComponents): a (x, x) pair is
     // legal and labels x as its own singleton cluster — on the

@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d9: prefix-index similarity join is equi-join shaped, windows partitioned") {
+    val p = plan("d9_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc prefix ranking must not collapse to a global sort
+    val sp = graft.SparkEntry.queries("d9_ngram_jaccard")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("dedup-exact aggregates partially before the shuffle") {
     val p = plan("d1_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
