@@ -544,9 +544,20 @@ object Dedup {
     array_sort(array_distinct(
       transform(shingles(text, n), s => hash60(s, mode))))
 
+  /** `maxPostingSize` (off by default — exactness is d9's point): drop
+    * prefix-index shingles whose posting list exceeds the cap before the
+    * self-join. The prefix index is rarest-first, so a hot entry means a
+    * boilerplate-dominated doc population (headers, licence blocks) —
+    * one such shingle shared by 100k docs is a 10-billion-pair reducer.
+    * UNLIKE the LSH guard this trades exactness: pairs whose ONLY shared
+    * prefix shingle was dropped are lost (their Jaccard is necessarily
+    * dominated by boilerplate). The capped run remains a strict subset
+    * of the exact answer with every returned score exact.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      mode: HashMode = XxHash): DataFrame = {
+      mode: HashMode = XxHash,
+      maxPostingSize: Option[Long] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold (t=0 degenerates to the full inverted-index join)")
     val t = threshold
@@ -564,9 +575,13 @@ object Dedup {
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("_df"), col("s"))
+    // the optional hot-shingle cap rides the df value already joined in
+    // (df >= the shingle's prefix-posting size, so capping on df is
+    // conservative) — zero extra shuffles or counts
     val prefix = posting.join(dfreq, "s")
       .withColumn("_p", row_number().over(w))
       .filter(col("_p") <= col("sz") - ceil(col("sz") * t - eps) + lit(1))
+      .filter(maxPostingSize.map(cap => col("_df") <= cap).getOrElse(lit(true)))
       .select(col(idCol), col("sz"), col("s"), col("_p"))
     val a = prefix.as("a")
     val b = prefix.as("b")

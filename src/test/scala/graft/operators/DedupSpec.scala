@@ -192,6 +192,28 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches(spark)
   }
 
+  test("ngramJaccardPairs: posting cap drops boilerplate-only pairs, keeps rare ones") {
+    // docs 3-6 are identical boilerplate (ONE shingle, df=4); docs 1-2
+    // share only rare shingles (df=2). cap=3 must erase the boilerplate
+    // clique and keep the rare-shingle pair with its exact score.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "common boiler plate"), (4L, "common boiler plate"),
+      (5L, "common boiler plate"), (6L, "common boiler plate")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (3L, 4L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), (5L, 6L)))
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.9,
+      Dedup.XxHash, maxPostingSize = Some(3L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 2L, 1.0)),
+      s"cap must keep only the rare-shingle pair: $capped")
+    Dedup.releaseCaches(spark)
+  }
+
   test("ngramJaccardPairs: exact dups score 1.0; unrelated docs excluded") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet
