@@ -95,6 +95,33 @@ object VectorQueries extends QuerySet {
   private val RpBands = 4
   private val Dim = 64
 
+  /** Semantic dedup clusters: connected components over the v4
+    * cell-blocked cosine near-dup pairs, labeling each clustered vector
+    * with its component's smallest vec_id — the embedding-side analog of
+    * the text pipeline's `d6_dedup_clusters` (same union-find funnel,
+    * same recursive-CTE oracle shape). This is the "keep one per
+    * semantic duplicate group" primitive of an embedding-based corpus
+    * cleanup: pairs stay cell-local (never all-pairs), and the CC
+    * engine adds only narrow-task label merging on top.
+    */
+  def v7EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Similarity.assignCells(e, e.filter(col("vec_id") < NumCentroids))
+      .persist()
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
+      col("uv").as("va"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+      col("uv").as("vb"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.dotD(col("va"), col("vb")), 6).as("score"))
+      .filter(col("score") >= 0.25)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
@@ -102,6 +129,7 @@ object VectorQueries extends QuerySet {
     "v4_neardup_cosine" -> v4NearDupCosine _,
     "v5_ivf_batch" -> v5IvfBatch _,
     "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
+    "v7_embedding_clusters" -> v7EmbeddingClusters _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----
@@ -219,6 +247,23 @@ object VectorQueries extends QuerySet {
          |  FROM scored)
          |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "v7_embedding_clusters" ->
+      s"""WITH RECURSIVE unit AS ($unitCte),
+         |assigned AS ($assignedCte),
+         |cpairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${dotDSql("a.uv", "b.uv")}, 6) >= 0.25),
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM cpairs
+         |  UNION SELECT vb, va FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     "v6_rp_lsh_neardup" ->
       s"""WITH unit AS ($unitCte),
          |rpbase AS ($rpBaseCte),
