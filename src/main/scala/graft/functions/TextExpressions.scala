@@ -295,6 +295,82 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Shingle array → sorted distinct 60-bit hash set, one pass.
+  *
+  * The composable form (`array_sort(array_distinct(transform(sh, s ->
+  * hash60(s))))`) pays interpreted lambda dispatch per ELEMENT plus two
+  * more array walks; this digests each shingle once in a plain-JVM
+  * loop, sorts, and dedupes in place. Hash families are bit-identical
+  * to the composable spec (and, for md5, to the DuckDB oracle's
+  * `('0x'||substr(md5(s),1,15))::BIGINT`): md5 = first 15 hex nibbles
+  * of a real MD5; xx = pmod(xxhash64(s), 2^60) with Spark's default
+  * seed. This is the set-build stage of the exact similarity join —
+  * the output feeds [[SortedIntersectSize]] directly.
+  */
+case class HashedShingleSet(child: Expression, useMd5: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "hashed_shingle_set"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingle_set needs array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    val md = if (useMd5) md5Local.get() else null
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      hs(i) =
+        if (useMd5) {
+          val d = md.digest(s.getBytes)
+          // first 15 hex nibbles == ('0x'||substr(md5(s),1,15))::BIGINT
+          var v = 0L
+          var k = 0
+          while (k < 15) {
+            v = (v << 4) | (if (k % 2 == 0) (d(k / 2) >> 4) & 0xFL
+                            else d(k / 2) & 0xFL)
+            k += 1
+          }
+          v
+        } else {
+          import org.apache.spark.sql.catalyst.expressions.XXH64
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)
+          val m = 1L << 60
+          ((h % m) + m) % m // pmod, same as the composable xx path
+        }
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted): only differs from n on a 60-bit collision
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    val out = new Array[Any](w)
+    var k = 0
+    while (k < w) { out(k) = hs(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection size of two arrays that are SORTED ascending (what
   * `array_sort` produces) — a linear two-pointer merge instead of
   * `size(array_intersect(a, b))`'s per-call hash-set build. Supports
@@ -400,4 +476,8 @@ object TextExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hashedShingleSet(sh: Column, useMd5: Boolean): Column =
+    GraftColumnBridge.column(
+      HashedShingleSet(GraftColumnBridge.expression(sh), useMd5))
 }

@@ -538,9 +538,17 @@ object Dedup {
     * a long, and sorting once here lets the per-pair verify be a linear
     * merge. A 60-bit collision can merge two shingles (p < 2⁻⁴⁵ for a
     * million-shingle corpus); the md5 family re-derives bit-identically
-    * in DuckDB, so the oracle sees the same sets.
+    * in DuckDB, so the oracle sees the same sets. Native one-pass
+    * expression; [[hashedShinglesHof]] is the executable spec.
     */
   def hashedShingles(text: Column, n: Int, mode: HashMode): Column =
+    graft.functions.TextExpressions.hashedShingleSet(
+      shingles(text, n), mode == Md5Hash)
+
+  /** Composable-HOF spec of [[hashedShingles]] (interpreted per-element
+    * lambda dispatch — retained for tests).
+    */
+  private[graft] def hashedShinglesHof(text: Column, n: Int, mode: HashMode): Column =
     array_sort(array_distinct(
       transform(shingles(text, n), s => hash60(s, mode))))
 

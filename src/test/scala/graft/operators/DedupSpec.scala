@@ -174,6 +174,19 @@ class DedupSpec extends SparkSpec {
       s"cap must drop the hot bucket, keep clean bands: $capped")
   }
 
+  test("native HashedShingleSet equals the HOF formulation, both hash families") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val both = real.select(
+        Dedup.hashedShingles($"text", 3, mode).as("nat"),
+        Dedup.hashedShinglesHof($"text", 3, mode).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (n, h) => assert(n == h, s"mode $mode diverged") }
+    }
+  }
+
   test("ngramJaccardPairs: prefix filter is lossless vs brute force, both hash families") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash); t <- Seq(0.3, 0.5, 0.8)) {
