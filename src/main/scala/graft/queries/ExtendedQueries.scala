@@ -59,6 +59,33 @@ object ExtendedQueries extends QuerySet {
       .orderBy(col("n").desc, col("word"))
       .limit(20)
 
+  /** Per-doc top-3 distinctive terms by TF-IDF — the keyword-extraction
+    * shape (tf from one doc-term groupBy, df from a second map-side-
+    * combined aggregate over it, corpus size broadcast as a 1-row
+    * scalar, ranking window partitioned per doc). Ranking uses the
+    * ROUNDED score: raw `ln` can differ by 1 ULP across engines, and a
+    * rank flip between two near-equal scores would break the
+    * hash-match; at 6 decimals near-equal scores tie and the term
+    * breaks the tie identically in both engines.
+    */
+  def tw2TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val tf = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** HLL approximate distinct — rows-only check (sketches differ across
     * engines); the spec asserts the estimate lands near the exact count.
     */
@@ -87,6 +114,7 @@ object ExtendedQueries extends QuerySet {
     "u3_except" -> u3Except _,
     "r1_rollup" -> r1Rollup _,
     "tw1_top_words" -> tw1TopWords _,
+    "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "hll1_approx_distinct" -> hll1ApproxDistinct _,
   )
 
@@ -121,5 +149,22 @@ object ExtendedQueries extends QuerySet {
       s"""SELECT word, COUNT(*) AS n FROM (
          |  SELECT unnest($toksLowerSql) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "tw2_tfidf_top_terms" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |  SELECT doc_id, unnest($toksLowerSql) AS term FROM d)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM d),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS rnk FROM scored)
+         |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
   )
 }

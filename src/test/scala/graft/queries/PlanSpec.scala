@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("d9 set build plans native expressions — no interpreted HOFs, both families") {
+    import graft.operators.Dedup
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val base = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.hashedShingles(
+          org.apache.spark.sql.functions.col("text"), 3, mode).as("sh"))
+        .queryExecution.optimizedPlan.toString
+      assert(base.contains("hashed_shingle_set") && base.contains("wordshingles"),
+        s"d9 base must plan the native expressions:\n${base.take(800)}")
+      assert(!base.contains("lambdafunction"),
+        s"no interpreted HOFs in the d9 set build:\n${base.take(800)}")
+    }
+  }
+
   test("dedup-exact aggregates partially before the shuffle") {
     val p = plan("d1_dedup_exact")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
