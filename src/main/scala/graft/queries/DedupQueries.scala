@@ -122,6 +122,31 @@ object DedupQueries extends QuerySet {
       "doc_id", "text", N, threshold = 0.5, mode = Md5Hash)
       .orderBy("doc_a", "doc_b")
 
+  /** Quality-aware keeper selection: for each MinHash dedup cluster,
+    * keep the member with the HIGHEST quality score (ties → smallest
+    * doc_id) — the curation policy a real corpus cleanup wants instead
+    * of "smallest id wins". Safe to rank on the raw quality double:
+    * it is pure per-row arithmetic proven bit-identical cross-engine
+    * by t2's unrounded hash-match. One window over clusters (grouped
+    * by cluster_id), nothing corpus-wide.
+    */
+  def d10ClusterKeepers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(s, dir, "documents")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text", N, H, B, Md5Hash))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters
+      .join(docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality")), "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("quality"))
+      .orderBy("cluster_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
@@ -131,6 +156,7 @@ object DedupQueries extends QuerySet {
     "d7_cluster_signatures" -> d7ClusterSignatures _,
     "d8_dedup_pipeline" -> d8DedupPipeline _,
     "d9_ngram_jaccard" -> d9NgramJaccard _,
+    "d10_cluster_keepers" -> d10ClusterKeepers _,
   )
 
   // ---- oracle SQL builders (mirror Dedup's expressions in DuckDB) ----
@@ -232,6 +258,32 @@ object DedupQueries extends QuerySet {
          | ${(0 until H).map(j => s"MIN(s.mh_$j) AS sig_$j").mkString(",\n ")}
          |FROM clusters c JOIN sigs s USING (doc_id)
          |GROUP BY c.cluster_id ORDER BY cluster_id""".stripMargin,
+    "d10_cluster_keepers" ->
+      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+         |cpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id, quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "d8_dedup_pipeline" ->
       s"""WITH RECURSIVE gated AS (
          |  SELECT doc_id, text FROM documents
