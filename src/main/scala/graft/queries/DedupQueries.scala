@@ -92,16 +92,18 @@ object DedupQueries extends QuerySet {
     */
   def d8DedupPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("fp").orderBy("doc_id")
     val gated = Tables.load(s, dir, "documents")
       .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
         TextFunctions.langId(col("text")) === "en")
+    // keep-smallest-doc_id per content hash as a min_by hash aggregate:
+    // same answer as the rank-1 window (doc_id is unique, so min_by is
+    // deterministic) but map-side partial-combined and sort-free — at
+    // corpus scale the window's per-partition sort is pure waste when
+    // only the minimum survives
     val exact = gated
-      .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select("doc_id", "text")
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_keep"))
+      .select(col("_keep.doc_id").as("doc_id"), col("_keep.text").as("text"))
     val clustered = Dedup.connectedComponents(
       Dedup.minhashCandidates(exact, "doc_id", "text", N, H, B, Md5Hash))
     exact.join(clustered.filter(col("doc_id") =!= col("cluster_id")),
