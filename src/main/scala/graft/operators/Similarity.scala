@@ -152,6 +152,57 @@ object Similarity {
         col("score"), col("rank"))
   }
 
+  /** Spherical k-means (Lloyd's) over unit vectors — trains the IVF
+    * centroids instead of taking the first k corpus rows. Per round:
+    * assignment is the zero-shuffle broadcast-fold argmax of
+    * [[assignCells]]; the centroid update explodes members to
+    * (cell, dim, value) and averages per dimension — one
+    * map-side-combined aggregation, the idiomatic scalable form (no
+    * collect, no driver-side vectors). The mean is re-normalized by the
+    * NEXT round's assignment ([[withUnitVector]] inside assignCells),
+    * which is exactly the spherical-k-means centroid. Each round
+    * localCheckpoints the k-row centroid frame (registered with
+    * [[FrameCaches]]) so plan lineage stays constant across rounds —
+    * the d6 lesson: iterative DataFrame loops must cut lineage or the
+    * driver, not the data, becomes the bottleneck.
+    *
+    * Returns (idCol, embedding) — drop-in wherever first-k-rows
+    * centroids were used. Deterministic: seeds are the k lowest-id
+    * vectors, assignment ties break to the lowest centroid id, and a
+    * cell that loses all members carries its previous centroid
+    * forward. Not oracle-expressible
+    * (per-partition summation order makes the means differ in final
+    * ULPs across engines), so correctness is pinned by
+    * `SimilaritySpec`'s monotone-objective and determinism tests.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    // centroid frames keep the corpus idCol name so they drop straight
+    // into assignCells / ivfTopKBatch (both key centroids by idCol)
+    val unit = withUnitVector(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col("uv").as("embedding"))
+    var cents = FrameCaches.track(
+      unit.orderBy(idCol).limit(k).localCheckpoint())
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(unit, cents, idCol, "embedding")
+      val means = assigned
+        .select(col("cell"), posexplode(col("uv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell")
+        // array_sort on structs orders by the first field (pos), so the
+        // collected per-dimension means reassemble in dimension order
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+      cents = FrameCaches.track(
+        cents.join(means.withColumnRenamed("cell", idCol), Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("mean"), col("embedding")).as("embedding"))
+          .localCheckpoint())
+    }
+    cents
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

@@ -122,6 +122,25 @@ object VectorQueries extends QuerySet {
       .orderBy("vec_id")
   }
 
+  /** Batched IVF over k-means-TRAINED centroids (Lloyd's, 3 rounds) —
+    * the production IVF build, vs v3/v5's first-k-rows centroids.
+    * Driver checks rows-only: the per-partition summation order inside
+    * the centroid means is not re-derivable in SQL, so there is no
+    * oracle; the k-means invariants (monotone objective, determinism,
+    * empty-cell carry-forward) are pinned in SimilaritySpec.
+    */
+  def v8IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = Similarity.kmeansCentroids(e, NumCentroids, iters = 3)
+    val assigned = Similarity.assignCells(e, cents, vecCol = "embedding")
+      .persist()
+    Similarity.ivfTopKBatch(assigned, cents,
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 105), K, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val entries: Map[String, Q] = Map(
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
@@ -130,6 +149,7 @@ object VectorQueries extends QuerySet {
     "v5_ivf_batch" -> v5IvfBatch _,
     "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
     "v7_embedding_clusters" -> v7EmbeddingClusters _,
+    "v8_ivf_kmeans" -> v8IvfKmeans _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----

@@ -87,6 +87,46 @@ class SimilaritySpec extends SparkSpec {
     FrameCaches.release(spark)
   }
 
+  test("kmeans: objective is monotone over rounds on real embeddings") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def objective(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(e, 8, iters)
+      val cu = Similarity.withUnitVector(cents, "embedding")
+        .select(col("vec_id").as("cell"), col("uv").as("cuv"))
+      Similarity.assignCells(e, cents).join(cu, "cell")
+        .agg(avg(Similarity.dotD(col("uv"), col("cuv")))).head().getDouble(0)
+    }
+    val o1 = objective(1)
+    val o3 = objective(3)
+    assert(o3 >= o1 - 1e-9, s"Lloyd objective decreased: $o1 -> $o3")
+    // training must separate better than (or as well as) first-k-rows
+    // centroids — the whole point of the trained build
+    val naiveCu = Similarity.withUnitVector(
+        e.filter($"vec_id" < 8), "embedding")
+      .select(col("vec_id").as("cell"), col("uv").as("cuv"))
+    val naive = Similarity.assignCells(e, e.filter($"vec_id" < 8))
+      .join(naiveCu, "cell")
+      .agg(avg(Similarity.dotD(col("uv"), col("cuv")))).head().getDouble(0)
+    assert(o3 >= naive - 1e-9, s"trained worse than first-k: $naive -> $o3")
+    FrameCaches.release(spark)
+  }
+
+  test("kmeans: deterministic on one partition; empty cells carry forward") {
+    // 3 identical vectors, k=2: everything assigns to centroid 1 (ties
+    // break low), so centroid 2 loses all members and must carry its
+    // seed forward instead of vanishing or going null
+    val tiny = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(3.0f, 0.0f)), (3L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding").coalesce(1)
+    def run() = Similarity.kmeansCentroids(tiny, 2, 2).orderBy("vec_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val a = run()
+    assert(a.map(_._1) == Seq(1L, 2L))
+    assert(a.forall(_._2 == Seq(1.0, 0.0))) // unit-normalized everywhere
+    assert(a == run(), "same input, same plan: result must be identical")
+    FrameCaches.release(spark)
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten
