@@ -36,9 +36,14 @@ object ProfileDedup {
     time("simhash candidates")(
       Dedup.simhashCandidates(docs, "doc_id", "text", Dedup.Md5Hash).count())
     // the ≥-threshold filter consumes the exact jaccard, so count()
-    // cannot prune the verify stage
+    // cannot prune the verify stage; both hash families timed so the
+    // production (xx) path stays measured alongside the oracle (md5) one
     time("ngram jaccard t=0.5 exact")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    Dedup.releaseCaches(spark)
+    time("ngram jaccard t=0.5 (md5 family)")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        Dedup.Md5Hash).count())
     Dedup.releaseCaches(spark)
     // staged breakdown of the prefix-filtered join
     locally {
