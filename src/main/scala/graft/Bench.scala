@@ -10,12 +10,26 @@ import org.apache.spark.sql.SparkSession
   * single-shot timing cannot distinguish a regression from a load
   * spike. Caches are drained between repeats so every run re-executes
   * the full pipeline (no warm-cache flattering).
+  *
+  * Failed repeats are EXCLUDED from the median: a time-to-exception is
+  * not a timing, and including it would let a query that starts failing
+  * fast report as a speedup. A query whose repeats all fail is omitted
+  * from `queries` and the suite total entirely — it only appears in
+  * `failed`, so a breakage can never masquerade as a number.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Median over the successful repeats only; None when every repeat
+    * failed (the query is then reported only in `failed`).
+    */
+  private[graft] def successfulMedian(runs: Seq[(Double, Boolean)]): Option[Double] = {
+    val ok = runs.collect { case (t, true) => t }
+    if (ok.nonEmpty) Some(median(ok)) else None
   }
 
   def main(args: Array[String]): Unit = {
@@ -35,20 +49,22 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     var failures = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          if (!failures.contains(name)) failures ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!failures.contains(name)) failures ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // persisted intermediates: no cross-query skew
         graft.operators.Dedup.releaseCaches(spark) // incl. checkpoint blocks
-        elapsed
+        (elapsed, ok)
       }
-      name -> median(times)
+      successfulMedian(runs).map(name -> _)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -161,10 +161,12 @@ case class SimhashChunksExpr(child: Expression, useMd5: Boolean)
   *    of two is a mask.
   *
   * An empty shingle array yields all-null elements, mirroring
-  * `array_min` over an empty transform. CodegenFallback is deliberate
-  * (see [[WordShingles]]): one virtual call per ROW, plain-JVM loop
-  * inside — versus per-ELEMENT interpreted lambda dispatch in the HOF
-  * form.
+  * `array_min` over an empty transform; NULL elements are skipped,
+  * mirroring `array_min` skipping the null the HOF's `transform` maps
+  * them to (an all-null input thus also yields all-null elements).
+  * CodegenFallback is deliberate (see [[WordShingles]]): one virtual
+  * call per ROW, plain-JVM loop inside — versus per-ELEMENT interpreted
+  * lambda dispatch in the HOF form.
   */
 case class MinhashSignatureExpr(child: Expression, numHashes: Int, useMd5: Boolean)
   extends UnaryExpression with CodegenFallback {
@@ -194,37 +196,43 @@ case class MinhashSignatureExpr(child: Expression, numHashes: Int, useMd5: Boole
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var seen = false
     val md = if (useMd5) md5Local.get() else null
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var h1 = 0L
-      var h2 = 0L
-      if (useMd5) {
-        val d = md.digest(s.getBytes)
-        var k = 0
-        while (k < 7) { h1 = (h1 << 8) | (d(k) & 0xFFL); k += 1 }
-        while (k < 14) { h2 = (h2 << 8) | (d(k) & 0xFFL); k += 1 }
-      } else {
-        import org.apache.spark.sql.catalyst.expressions.XXH64
-        // the composable spec writes xxhash64(lit(1), s): lit(1) is an
-        // INT, which Spark hashes via hashInt before chaining the string
-        val s1 = XXH64.hashInt(1, 42L)
-        val s2 = XXH64.hashInt(2, 42L)
-        h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s1) & Mask56
-        h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s2) & Mask56
-      }
-      var j = 0
-      var v = h1
-      while (j < numHashes) {
-        if (v < mins(j)) mins(j) = v
-        v += h2
-        j += 1
+      if (!arr.isNullAt(i)) { // skip null elements, like array_min
+        seen = true
+        val s = arr.getUTF8String(i)
+        var h1 = 0L
+        var h2 = 0L
+        if (useMd5) {
+          val d = md.digest(s.getBytes)
+          var k = 0
+          while (k < 7) { h1 = (h1 << 8) | (d(k) & 0xFFL); k += 1 }
+          while (k < 14) { h2 = (h2 << 8) | (d(k) & 0xFFL); k += 1 }
+        } else {
+          import org.apache.spark.sql.catalyst.expressions.XXH64
+          // the composable spec writes xxhash64(lit(1), s): lit(1) is an
+          // INT, which Spark hashes via hashInt before chaining the string
+          val s1 = XXH64.hashInt(1, 42L)
+          val s2 = XXH64.hashInt(2, 42L)
+          h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s1) & Mask56
+          h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, s2) & Mask56
+        }
+        var j = 0
+        var v = h1
+        while (j < numHashes) {
+          if (v < mins(j)) mins(j) = v
+          v += h2
+          j += 1
+        }
       }
       i += 1
     }
+    // no non-null shingles → all-null signature, mirroring array_min
+    // over an empty/all-null transform
+    if (!seen) return new GenericArrayData(new Array[Any](numHashes))
     new GenericArrayData(mins)
   }
 
@@ -305,7 +313,10 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * `('0x'||substr(md5(s),1,15))::BIGINT`): md5 = first 15 hex nibbles
   * of a real MD5; xx = pmod(xxhash64(s), 2^60) with Spark's default
   * seed. This is the set-build stage of the exact similarity join —
-  * the output feeds [[SortedIntersectSize]] directly.
+  * the output feeds [[SortedIntersectSize]] directly. Null elements
+  * carry no shingle and are skipped (the output is a set of real
+  * shingle hashes, never null — `containsNull = false` holds for any
+  * input).
   */
 case class HashedShingleSet(child: Expression, useMd5: Boolean)
   extends UnaryExpression with CodegenFallback {
@@ -330,34 +341,38 @@ case class HashedShingleSet(child: Expression, useMd5: Boolean)
     val hs = new Array[Long](n)
     val md = if (useMd5) md5Local.get() else null
     var i = 0
+    var m = 0 // null elements carry no shingle — skipped, not hashed
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      hs(i) =
-        if (useMd5) {
-          val d = md.digest(s.getBytes)
-          // first 15 hex nibbles == ('0x'||substr(md5(s),1,15))::BIGINT
-          var v = 0L
-          var k = 0
-          while (k < 15) {
-            v = (v << 4) | (if (k % 2 == 0) (d(k / 2) >> 4) & 0xFL
-                            else d(k / 2) & 0xFL)
-            k += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        hs(m) =
+          if (useMd5) {
+            val d = md.digest(s.getBytes)
+            // first 15 hex nibbles == ('0x'||substr(md5(s),1,15))::BIGINT
+            var v = 0L
+            var k = 0
+            while (k < 15) {
+              v = (v << 4) | (if (k % 2 == 0) (d(k / 2) >> 4) & 0xFL
+                              else d(k / 2) & 0xFL)
+              k += 1
+            }
+            v
+          } else {
+            import org.apache.spark.sql.catalyst.expressions.XXH64
+            val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+              s.numBytes, 42L)
+            val mod = 1L << 60
+            ((h % mod) + mod) % mod // pmod, same as the composable xx path
           }
-          v
-        } else {
-          import org.apache.spark.sql.catalyst.expressions.XXH64
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-            s.numBytes, 42L)
-          val m = 1L << 60
-          ((h % m) + m) % m // pmod, same as the composable xx path
-        }
+        m += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(hs)
-    // dedupe in place (sorted): only differs from n on a 60-bit collision
+    java.util.Arrays.sort(hs, 0, m)
+    // dedupe in place (sorted): only differs from m on a 60-bit collision
     var w = 0
     var r = 0
-    while (r < n) {
+    while (r < m) {
       if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
       r += 1
     }

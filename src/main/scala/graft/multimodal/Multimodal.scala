@@ -63,18 +63,31 @@ object Multimodal {
     */
   val BatchSize = 64
 
-  /** Deterministic synthetic media corpus (payload bytes from a seeded
-    * per-row generator) — the test fixture standing in for real files.
+  /** Deterministic synthetic media corpus — the test fixture standing in
+    * for real files. Payload byte 16k+j is byte j of
+    * `md5("media:<id>:<k>")`, NOT a JVM-seeded PRNG stream: md5 is
+    * re-derivable in any engine (`('0x'||substr(md5(...),2j+1,2))::INT`
+    * in DuckDB), so features computed from these payloads (mean
+    * luminance etc.) get full value-level oracle rows instead of
+    * rows-only checks — the same trick that made the v6 RP hyperplanes
+    * oracle-expressible.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val rnd = new scala.util.Random(i)
       val (w, h) = (16 + (i % 8).toInt * 4, 16 + (i % 5).toInt * 4)
       val kind = if (i % 3 == 2) "video" else "image"
       val frames = if (kind == "video") 8 else 1
-      val bytes = new Array[Byte](w * h * frames)
-      rnd.nextBytes(bytes)
+      val len = w * h * frames
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = new Array[Byte](len)
+      var k = 0
+      while (k * 16 < len) {
+        val d = md.digest(s"media:$i:$k".getBytes("UTF-8"))
+        var j = 0
+        while (j < 16 && k * 16 + j < len) { bytes(k * 16 + j) = d(j); j += 1 }
+        k += 1
+      }
       MediaFile(i, kind, if (kind == "video") "video/fake" else "image/fake",
         bytes, w, h, frames)
     }

@@ -165,6 +165,15 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b))
 
+  /** Oversized-bucket keys above this count take a shuffled anti-join
+    * instead of a broadcast one: "hot keys are few" is an assumption,
+    * not a law — a small cap on a heavily templated corpus can flag
+    * millions of keys, and broadcasting those would fail the job the
+    * guard exists to save. ~100k keys ≈ 5 MB broadcast, safely under
+    * every default limit.
+    */
+  private val HotKeyBroadcastLimit = 100000L
+
   /** Candidate pairs via banded LSH: explode band keys, equi-join on
     * (band position, key), dedupe. `id < id` keeps one direction.
     *
@@ -176,9 +185,13 @@ object Dedup {
     * key can sink the whole job. Standard LSH practice treats oversized
     * buckets as junk keys (they carry no near-dup signal precisely
     * because they match everything). Cost of the guard: one map-side-
-    * combined count over the exploded (band, key) frame, then a
-    * broadcast anti-join of the (few, by construction) hot keys — no
-    * extra sort, no second full shuffle.
+    * combined count over the exploded (band, key) frame (whose tiny
+    * result is persisted and counted — zero hot keys skips the
+    * anti-join entirely), then an anti-join of the hot keys — broadcast
+    * when they are few (the by-construction case), degrading to a
+    * shuffled anti-join above [[HotKeyBroadcastLimit]] so a
+    * pathological cap/corpus combination cannot blow the broadcast
+    * limit.
     */
   def candidatePairs(base: DataFrame, idCol: String, bandCols: Seq[Column],
       maxBucketSize: Option[Long] = None): DataFrame = {
@@ -186,10 +199,16 @@ object Dedup {
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     val exploded = maxBucketSize match {
       case Some(cap) =>
-        val hot = exploded0.groupBy("band_idx", "band_key")
+        val hot = track(exploded0.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
           .select("band_idx", "band_key")
-        exploded0.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+          .persist())
+        val nHot = hot.count()
+        if (nHot == 0) exploded0
+        else {
+          val hotSide = if (nHot <= HotKeyBroadcastLimit) broadcast(hot) else hot
+          exploded0.join(hotSide, Seq("band_idx", "band_key"), "left_anti")
+        }
       case None => exploded0
     }
     val a = exploded.as("a")

@@ -40,6 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted fact-dim join (see object doc for the full rationale).
+    *
+    * COST CONTRACT of the default `checkpointSalt = true`: the ENTIRE
+    * fact frame — every column it carries — is materialized to executor
+    * block storage (memory-and-disk) at plan-build time, its lineage
+    * cut, and the blocks pinned until [[FrameCaches.release]] (or
+    * [[Dedup.releaseCaches]]) is called. A long-running process that
+    * never releases accumulates one checkpointed fact per salted join.
+    * The checkpoint also stops predicate/projection pushdown into the
+    * fact scan, so `.select(...)` / `.filter(...)` the fact frame down
+    * to the columns and rows the join actually needs BEFORE calling —
+    * the operator returns all fact columns and cannot prune for you.
+    * Pass `checkpointSalt = false` only when the fact frame's row order
+    * is retry-deterministic end to end (bare file scan, no upstream
+    * shuffle); it skips the materialization and the cleanup obligation.
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner",
       checkpointSalt: Boolean = true): DataFrame = {

@@ -112,6 +112,44 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** d8 with d10's curation policy composed in: the same gates → exact
+    * dedup → LSH+CC pipeline, but each near-dup cluster keeps its
+    * HIGHEST-quality member (ties → smallest doc_id) instead of the
+    * smallest id — what a real corpus cleanup wants when duplicates
+    * differ in quality (truncation, boilerplate). Exact dups have
+    * identical text and therefore identical quality, so the exact stage
+    * keeps its sort-free `min_by` shape; only the final keeper choice
+    * changes: one window per cluster ranks members by quality and the
+    * non-keepers are anti-joined away. Same scale shape as d8 plus one
+    * cluster-local window — nothing corpus-wide.
+    */
+  def d8bDedupPipelineQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val gated = Tables.load(s, dir, "documents")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+        TextFunctions.langId(col("text")) === "en")
+    val exact = gated
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_keep"))
+      .select(col("_keep.doc_id").as("doc_id"), col("_keep.text").as("text"))
+    val clustered = Dedup.connectedComponents(
+      Dedup.minhashCandidates(exact, "doc_id", "text", N, H, B, Md5Hash))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    // docs never seen in a candidate pair have no cluster row and are
+    // kept implicitly by the anti-join against the losers
+    val losers = clustered
+      .join(exact.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality")), "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select("doc_id")
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** EXACT n-gram Jaccard near-dup pairs at t=0.5 — the non-probabilistic
     * member of the dedup family (MinHash trades exactness for blocking;
     * this trades nothing and relies on AllPairs-style prefix filtering
@@ -157,6 +195,7 @@ object DedupQueries extends QuerySet {
     "d6_dedup_clusters" -> d6DedupClusters _,
     "d7_cluster_signatures" -> d7ClusterSignatures _,
     "d8_dedup_pipeline" -> d8DedupPipeline _,
+    "d8b_dedup_quality" -> d8bDedupPipelineQuality _,
     "d9_ngram_jaccard" -> d9NgramJaccard _,
     "d10_cluster_keepers" -> d10ClusterKeepers _,
   )
@@ -315,6 +354,41 @@ object DedupQueries extends QuerySet {
          |SELECT e.doc_id FROM ex e
          |WHERE e.doc_id NOT IN
          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d8b_dedup_quality" ->
+      s"""WITH RECURSIVE gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${TextQueries.qualitySql}) >= 0.6
+         |    AND (${TextQueries.langCaseSql}) = 'en'),
+         |ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, ROW_NUMBER() OVER (
+         |      PARTITION BY ${TextQueries.fpSql} ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |base AS (${minhashBaseFrom("ex")}),
+         |cpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality FROM ex),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q USING (doc_id))
+         |SELECT e.doc_id FROM ex e
+         |WHERE e.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
          |ORDER BY doc_id""".stripMargin,
     // definitionally quadratic (the point: the Spark side must NOT be);
     // shingle sets hashed exactly like the Spark side (60-bit md5

@@ -95,9 +95,13 @@ object ExtendedQueries extends QuerySet {
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
   /** Multimodal feature extraction over the deterministic synthetic
-    * binary corpus (rows-only driver check — the stub codec's fake
-    * pixels are JVM-seeded and not re-derivable in SQL; see
-    * `graft.multimodal` and its spec for the full contract).
+    * binary corpus — a FULL oracle row: the synthetic payload bytes are
+    * md5-derived (`Multimodal.syntheticMedia` — byte 16k+j = byte j of
+    * md5("media:<id>:<k>")), so the mean luminance the stub codec
+    * computes is re-derivable in DuckDB byte by byte. The decode →
+    * feature-extract plumbing (mapPartitions batches, schema,
+    * map-side-only plan) is the real product; see `graft.multimodal`
+    * and its spec for the full contract.
     */
   def m1ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
@@ -149,6 +153,26 @@ object ExtendedQueries extends QuerySet {
       s"""SELECT word, COUNT(*) AS n FROM (
          |  SELECT unnest($toksLowerSql) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // mirrors StubCodecs.decodeImage over Multimodal.syntheticMedia(200):
+    // images are i % 3 <> 2; payload byte p = byte p%16 of
+    // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the
+    // w*h plane, rounded via the same FLOOR formula as QuerySet.round
+    "m1_image_features" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         16 + (i % 8) * 4 AS width,
+        |         16 + (i % 5) * 4 AS height
+        |  FROM generate_series(0, 199) t(i)
+        |  WHERE i % 3 <> 2),
+        |px AS (
+        |  SELECT media_id, width, height,
+        |    ('0x' || substr(md5('media:' || media_id || ':' || (p // 16)),
+        |       (p % 16) * 2 + 1, 2))::INT AS b
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, width * height - 1)) AS p) g)
+        |SELECT media_id, width, height,
+        |  FLOOR((SUM(b) / (width * height)) * 10000 + 0.5) / 10000 AS mean_luma
+        |FROM px GROUP BY media_id, width, height
+        |ORDER BY media_id""".stripMargin,
     "tw2_tfidf_top_terms" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's failed-repeat semantics: a time-to-exception is not a
+  * timing, so failed repeats never contribute to the median and an
+  * all-failed query reports no number at all (only a `failed` entry).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median of odd and even run counts") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
+
+  test("failed repeats are excluded from the median") {
+    // the failure is fast (0.1s) — including it would report a speedup
+    val runs = Seq((5.0, true), (0.1, false), (7.0, true))
+    assert(Bench.successfulMedian(runs).contains(6.0))
+  }
+
+  test("a query whose repeats all fail reports no median") {
+    assert(Bench.successfulMedian(Seq((0.1, false), (0.2, false))).isEmpty)
+  }
+}

@@ -71,6 +71,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("MinhashSignature and HashedShingleSet skip null array elements") {
+    import graft.functions.TextExpressions
+    // shingles() never emits nulls, but both expressions are public and
+    // accept array<string> containsNull=true — a null element must be
+    // skipped (array_min semantics), not NPE
+    val withNull = array(lit("a b c"), lit(null).cast("string"), lit("d e f"))
+    val without = array(lit("a b c"), lit("d e f"))
+    for (md5 <- Seq(true, false)) {
+      val row = spark.range(1).select(
+        TextExpressions.minhashSignature(withNull, 16, md5).as("sn"),
+        TextExpressions.minhashSignature(without, 16, md5).as("s"),
+        TextExpressions.hashedShingleSet(withNull, md5).as("hn"),
+        TextExpressions.hashedShingleSet(without, md5).as("h"))
+        .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].head()
+      assert(row._1 == row._2, s"minhash md5=$md5 diverged on null element")
+      assert(row._3 == row._4, s"shingle set md5=$md5 diverged on null element")
+    }
+    // all-null input: signature mirrors array_min over all-null
+    // (all-null elements); the hash set is empty
+    val allNull = array(lit(null).cast("string"))
+    val nulls = spark.range(1).select(
+      TextExpressions.minhashSignature(allNull, 4, true).as("s"),
+      TextExpressions.hashedShingleSet(allNull, true).as("h"))
+      .select(col("s"), col("h"))
+      .collect().head
+    assert(nulls.getSeq[Any](0) == Seq(null, null, null, null))
+    assert(nulls.getSeq[Long](1).isEmpty)
+  }
+
   test("jaccard is exact on known sets") {
     val j = spark.range(1)
       .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))
@@ -225,6 +254,29 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1.0)),
       s"cap must keep only the rare-shingle pair: $capped")
     Dedup.releaseCaches(spark)
+  }
+
+  test("capped d9 is a subset of the exact answer with exact scores (real corpus)") {
+    // the documented maxPostingSize contract: capping may LOSE pairs
+    // whose only shared prefix shingle was hot, but every pair it does
+    // return must carry the identical exact Jaccard score — never an
+    // approximated one
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    Dedup.releaseCaches(spark)
+    // cap low enough to actually drop postings on this corpus
+    val capped = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.3,
+        Dedup.XxHash, maxPostingSize = Some(3L))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    Dedup.releaseCaches(spark)
+    assert(exact.nonEmpty)
+    capped.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"capped invented pair $pair")
+      assert(exact(pair) == score, s"capped changed the score of $pair")
+    }
   }
 
   test("ngramJaccardPairs: exact dups score 1.0; unrelated docs excluded") {

@@ -127,6 +127,46 @@ class SimilaritySpec extends SparkSpec {
     FrameCaches.release(spark)
   }
 
+  test("measured recall@10: IVF probe-1 / nprobe-2 / k-means-trained vs brute force") {
+    // the ANN quality gate: every IVF variant's top-10 is scored against
+    // the exact brute-force top-10 on the real embeddings (the v2 ground
+    // truth), with pinned floors — "approximate by construction" is a
+    // recall NUMBER, not a shrug. Queries mirror v5/v8 (vec_id 100-104).
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" >= 100 && $"vec_id" < 105)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(e, queries, k))
+    assert(truth.size == 5 && truth.values.forall(_.size == k))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df)
+      truth.map { case (q, t) =>
+        (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val firstK = e.filter($"vec_id" < 8)
+    val assignedF = Similarity.assignCells(e, firstK).persist()
+    val rProbe1 = recall(Similarity.ivfTopKBatch(assignedF, firstK, queries, k, nprobe = 1))
+    val rProbe2 = recall(Similarity.ivfTopKBatch(assignedF, firstK, queries, k, nprobe = 2))
+    val trained = Similarity.kmeansCentroids(e, 8, iters = 3)
+    val assignedT = Similarity.assignCells(e, trained, vecCol = "embedding").persist()
+    val rTrained = recall(Similarity.ivfTopKBatch(assignedT, trained, queries, k, nprobe = 2))
+    info(f"recall@10 probe1=$rProbe1%.2f firstK-nprobe2=$rProbe2%.2f trained-nprobe2=$rTrained%.2f")
+    // deterministic pipeline ⇒ exact measured values (0.10 / 0.26 / 0.48,
+    // recorded in BASELINE.md); floors sit just below so an algorithmic
+    // regression trips them but a benign re-measure does not
+    assert(rProbe1 >= 0.08, s"probe-1 recall collapsed: $rProbe1")
+    assert(rProbe2 >= rProbe1 - 1e-9, s"widening the probe cannot lose recall: $rProbe1 -> $rProbe2")
+    assert(rProbe2 >= 0.20, s"nprobe-2 recall collapsed: $rProbe2")
+    assert(rTrained >= 0.40, s"trained-centroid recall collapsed: $rTrained")
+    assert(rTrained >= rProbe2 - 1e-9,
+      s"k-means-trained centroids must not trail first-k rows: $rProbe2 -> $rTrained")
+    assignedF.unpersist(); assignedT.unpersist()
+    FrameCaches.release(spark)
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten
