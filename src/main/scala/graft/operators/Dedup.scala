@@ -484,6 +484,53 @@ object Dedup {
     minhashCandidatesWithSignatures(docs, idCol, textCol,
       shingleN, numHashes, bands, mode, maxBucketSize)._1
 
+  /** Cross-corpus near-dup detection — the INCREMENTAL dedup shape:
+    * find batch docs that near-duplicate any reference-corpus doc,
+    * WITHOUT ever self-joining the reference. This is how crawl N+1
+    * dedupes against crawls 1..N at scale: the reference side is
+    * scanned and hashed once (its band keys can be precomputed and
+    * stored), candidates come from the batch×ref banded equi-join
+    * only — cost tracks the BATCH size, not the (much larger)
+    * accumulated corpus squared. Returns (batch_id, ref_id, jaccard)
+    * for every colliding pair with exact Jaccard ≥ `threshold`;
+    * consumers typically anti-join the batch against the distinct
+    * batch_ids. `maxBucketSize` caps degenerate REF buckets exactly
+    * like [[candidatePairs]] (a boilerplate bucket on the reference
+    * side would otherwise multiply every colliding batch doc).
+    */
+  def crossCorpusNearDups(batch: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.0, mode: HashMode = XxHash,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val b = track(withMinhashBands(batch.select(col(idCol), col(textCol)),
+      textCol, shingleN, numHashes, bands, mode).drop(textCol).persist())
+    val r = track(withMinhashBands(ref.select(col(idCol), col(textCol)),
+      textCol, shingleN, numHashes, bands, mode).drop(textCol).persist())
+    def exploded(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(array((0 until bands).map(i => col(s"band_$i")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val re0 = exploded(r, "ref_id")
+    val re = maxBucketSize match {
+      case Some(cap) =>
+        val hot = track(re0.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
+          .select("band_idx", "band_key").persist())
+        if (hot.count() == 0) re0
+        else re0.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+      case None => re0
+    }
+    val cands = exploded(b, "batch_id")
+      .join(re, Seq("band_idx", "band_key"))
+      .select("batch_id", "ref_id").distinct()
+    cands
+      .join(b.select(col(idCol).as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(r.select(col(idCol).as("ref_id"), col("sh").as("sh_r")), "ref_id")
+      .select(col("batch_id"), col("ref_id"),
+        jaccard(col("sh_b"), col("sh_r")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Typed aggregator merging MinHash signatures by element-wise min —
     * the signature of a UNION of shingle sets is the element-wise min
     * of the members' signatures, so cluster-level signatures come from

@@ -187,7 +187,24 @@ object DedupQueries extends QuerySet {
       .orderBy("cluster_id")
   }
 
+  /** Incremental cross-corpus dedup: the new "crawl" (odd doc ids)
+    * dedupes against the accumulated reference corpus (even ids)
+    * without the reference ever self-joining — the shape that keeps
+    * recurring-crawl dedup linear in the BATCH at 100 TB (the
+    * reference's band keys are compute-once/store-forever state). The
+    * deterministic parity split keeps the query scale-proportional at
+    * any sf.
+    */
+  def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    Dedup.crossCorpusNearDups(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", N, H, B, threshold = 0.5, Md5Hash)
+      .orderBy("batch_id", "ref_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "d11_incremental_dedup" -> d11IncrementalDedup _,
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
     "d4_simhash_chunks" -> d4SimhashChunks _,
@@ -248,6 +265,17 @@ object DedupQueries extends QuerySet {
        |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d11_incremental_dedup" ->
+      s"""WITH a AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
+         |b AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")})
+         |SELECT a.doc_id AS batch_id, b.doc_id AS ref_id, $jaccardSql AS jaccard
+         |FROM a JOIN b ON
+         | (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY batch_id, ref_id""".stripMargin,
     "d2_minhash_bands" ->
       s"""SELECT doc_id, band_0, band_1, band_2, band_3
          |FROM ($minhashBaseCte) ORDER BY doc_id""".stripMargin,

@@ -67,12 +67,56 @@ object TextQueries extends QuerySet {
           .winnowFingerprints(col("text"), 8, 4)).as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** Benchmark decontamination check: flag corpus docs sharing any word
+    * 5-gram with a probe set (here the fifty lowest-id docs stand in
+    * for an eval benchmark). 100 TB shape: the probe n-gram set is tiny
+    * and BROADCAST; the corpus side is one scan with a map-side shingle
+    * explode and a broadcast join — contamination scoring never
+    * shuffles the corpus. n-gram identity uses the same 60-bit md5
+    * hash family as the dedup operators, so the oracle re-derives it.
+    */
+  def t6Contamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val probes = d.filter(col("doc_id") < 50)
+      .select(explode(Dedup.hashedShingles(col("text"), 5, Dedup.Md5Hash)).as("s"))
+      .distinct()
+    d.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        explode(Dedup.hashedShingles(col("text"), 5, Dedup.Md5Hash)).as("s"))
+      .join(broadcast(probes), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling — the training-mix primitive:
+    * downsample each language stratum at its own rate with a
+    * HASH-derived keep decision (md5(doc_id) mod 1000 < rate·1000), so
+    * the sample is reproducible run-to-run and engine-to-engine — no
+    * RNG, no seed plumbing, fully oracle-checkable. Pure map work fused
+    * into the scan: at 100 TB sampling is free (no shuffle, no state);
+    * rates here downweight English 2× and keep other strata whole.
+    */
+  def t7SampleMix(s: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.VectorExpressions
+      .hexSliceToLong(md5(col("doc_id").cast("string")), 1, 14) % 1000
+    docs(s, dir)
+      .select(col("doc_id"), langId(col("text")).as("lang"),
+        bucket.as("bucket"))
+      .withColumn("rate", when(col("lang") === "en", 0.5).otherwise(1.0))
+      .filter(col("bucket") < col("rate") * 1000)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_scores" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
     "t4_fingerprint" -> t4Fingerprint _,
     "t5_winnow_fingerprints" -> t5Winnow _,
+    "t6_contamination" -> t6Contamination _,
+    "t7_sample_mix" -> t7SampleMix _,
     "d1_dedup_exact" -> d1DedupExact _,
   )
 
@@ -106,7 +150,33 @@ object TextQueries extends QuerySet {
     s"CASE ${arms.mkString(" ")} ELSE '${order.last}' END"
   }
 
+  // word 5-grams, distinct, whole-text fallback — then the same 60-bit
+  // md5 slice the Spark-side hashedShingles uses
+  private val sh5HashedSql =
+    s"""list_distinct(list_transform(
+       | CASE WHEN len($toksSql) >= 5
+       |  THEN list_distinct(list_transform(generate_series(1, len($toksSql) - 4),
+       |    i -> array_to_string(($toksSql)[i:i+4], ' ')))
+       |  ELSE [array_to_string($toksSql, ' ')] END,
+       | x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t6_contamination" ->
+      s"""WITH probes AS (
+         |  SELECT DISTINCT unnest($sh5HashedSql) AS s
+         |  FROM documents WHERE doc_id < 50),
+         |corpus AS (
+         |  SELECT doc_id, unnest($sh5HashedSql) AS s
+         |  FROM documents WHERE doc_id >= 50)
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM corpus JOIN probes USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t7_sample_mix" ->
+      s"""SELECT doc_id, $langCaseSql AS lang
+         |FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000
+         |  < (CASE WHEN ($langCaseSql) = 'en' THEN 0.5 ELSE 1.0 END) * 1000
+         |ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          | len($toksSql) AS n_tokens,

@@ -33,6 +33,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("crossCorpusNearDups matches batch against ref only — never ref-vs-ref") {
+    // ref = docs 1,2 (near-dups of each other); batch = 3 (unrelated), 4
+    // (exact copy of ref doc 1). The ref-internal near-dup pair (1,2)
+    // must NOT appear: incremental dedup never self-joins the reference.
+    val ref = docs.filter($"doc_id" <= 2)
+    val batch = docs.filter($"doc_id" >= 3)
+    val pairs = Dedup.crossCorpusNearDups(batch, ref, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 4L && p._2 == 1L && p._3 == 1.0),
+      s"exact batch copy of a ref doc must surface: ${pairs.toSeq}")
+    assert(pairs.forall(p => p._1 >= 3L && p._2 <= 2L),
+      s"only batch-vs-ref direction allowed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L), "unrelated batch doc matched")
+    Dedup.releaseCaches(spark)
+  }
+
   test("native WordShingles is set-equal to the HOF formulation on real docs") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val both = real.select(

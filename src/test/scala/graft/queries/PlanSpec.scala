@@ -144,6 +144,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t6: probe n-gram set broadcasts; contamination join is never cartesian") {
+    val p = plan("t6_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t7: deterministic sampling is scan-fused — no shuffle before the sort") {
+    // the keep decision is per-row hash arithmetic; the only exchange
+    // allowed is the final presentation ORDER BY
+    val sp = graft.SparkEntry.queries("t7_sample_mix")(spark, dir)
+      .queryExecution.sparkPlan
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"sampling must not shuffle (beyond the final sort):\n$sp")
+  }
+
+  test("d11: cross-corpus candidates are equi-joined, never cartesian") {
+    val p = plan("d11_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
