@@ -86,6 +86,20 @@ object ExtendedQueries extends QuerySet {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Training-mix report: per (source, lang) stratum — doc count, total
+    * tokens, mean quality. The dashboard every data pipeline publishes
+    * before a training run (and the input to `t7_sample_mix`'s rates).
+    * One map-side-combined aggregation over scan-fused per-row
+    * token/quality arithmetic.
+    */
+  def g4SourceMix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+        round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
+      .orderBy("source", "lang")
+
   /** HLL approximate distinct — rows-only check (sketches differ across
     * engines); the spec asserts the estimate lands near the exact count.
     */
@@ -112,6 +126,7 @@ object ExtendedQueries extends QuerySet {
   }
 
   val entries: Map[String, Q] = Map(
+    "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
@@ -126,6 +141,12 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "g4_source_mix" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         | SUM(len(${TextQueries.toksSql})) AS n_tokens,
+         | ROUND(AVG(${TextQueries.qualitySql}), 4) AS avg_quality
+         |FROM documents GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
     "u1_union_all" ->
       """SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 300000
         |UNION ALL

@@ -109,7 +109,46 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** Within-doc repetition ratio — the Gopher-family quality signal:
+    * 1 − distinct-trigrams / trigram-positions. Repetitive docs
+    * (boilerplate, template spam, generation loops) score high and get
+    * filtered before training. Map-only work (the same native shingle
+    * expression the dedup family uses), scan-fused, no shuffle.
+    */
+  def t8Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = graft.operators.Dedup.shingles(col("text"), 3)
+    docs(s, dir).select(col("doc_id"),
+        when(size(toks) >= 3,
+          round(lit(1.0) - size(sh).cast("double") / (size(toks) - 2), 6))
+          .otherwise(0.0).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Offset-based sequence packing — the concat-and-chunk shape that
+    * turns documents into fixed-token-budget training sequences: within
+    * each source shard, docs concatenate in doc_id order and each doc
+    * is assigned the sequence where its first token lands (budget 2048
+    * tokens). One window per SHARD (partitioned, never a global
+    * single-task sort), cumulative token sum, pure arithmetic after —
+    * at 100 TB packing parallelizes across shards.
+    */
+  def t9SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tok"))
+      .withColumn("_start", sum("n_tok").over(w) - col("n_tok"))
+      .select(col("doc_id"), col("source"),
+        floor(col("_start") / 2048).as("seq_id"),
+        (col("_start") % 2048).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "t8_repetition" -> t8Repetition _,
+    "t9_seq_packing" -> t9SeqPacking _,
     "t1_token_stats" -> t1TokenStats _,
     "t2_quality_scores" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
@@ -160,7 +199,25 @@ object TextQueries extends QuerySet {
        |  ELSE [array_to_string($toksSql, ' ')] END,
        | x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))""".stripMargin
 
+  // distinct word trigrams (len>=3 path only — callers guard the else)
+  private val sh3Sql =
+    s"""list_distinct(list_transform(generate_series(1, len($toksSql) - 2),
+       | i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t8_repetition" ->
+      s"""SELECT doc_id,
+         | CASE WHEN len($toksSql) >= 3
+         |  THEN ROUND(1.0 - len($sh3Sql) * 1.0 / (len($toksSql) - 2), 6)
+         |  ELSE 0.0 END AS rep_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_seq_packing" ->
+      s"""SELECT doc_id, source,
+         |  FLOOR((SUM(n_tok) OVER w - n_tok) / 2048) AS seq_id,
+         |  (SUM(n_tok) OVER w - n_tok) % 2048 AS seq_offset
+         |FROM (SELECT doc_id, source, len($toksSql) AS n_tok FROM documents)
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t6_contamination" ->
       s"""WITH probes AS (
          |  SELECT DISTINCT unnest($sh5HashedSql) AS s

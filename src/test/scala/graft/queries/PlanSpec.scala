@@ -168,6 +168,21 @@ class PlanSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches(spark)
   }
 
+  test("t9: packing windows are per-shard — no global single-task sort") {
+    val sp = graft.SparkEntry.queries("t9_seq_packing")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-source cumulative-sum window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
+  test("g4: mix report aggregates partially before the shuffle") {
+    assert("HashAggregate".r.findAllIn(plan("g4_source_mix")).size >= 2)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
