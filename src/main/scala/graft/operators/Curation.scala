@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination and deterministic stratified sampling. Both are
+  * deliberately shuffle-light — at 100 TB, curation passes run over
+  * every document, so anything beyond scan-fused map work plus a
+  * broadcast or a final aggregation is cost you pay per pass.
+  */
+object Curation {
+
+  /** Per-doc contamination score against a probe set (an eval
+    * benchmark): the number of distinct word n-grams the doc shares
+    * with ANY probe document. Docs with `n_overlap > 0` are candidates
+    * for exclusion before training.
+    *
+    * Scale shape: the probe side collapses to a distinct n-gram-hash
+    * set and is BROADCAST (benchmarks are tiny next to a corpus); the
+    * corpus side is one scan with a map-side shingle explode, the
+    * broadcast join, and one map-side-combined count — the corpus
+    * rows never shuffle. N-gram identity is the same 60-bit hash
+    * family as the dedup operators ([[Dedup.hashedShingles]]), so the
+    * md5 mode re-derives bit-identically in SQL oracles.
+    */
+  def contaminationScores(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    val p = probes
+      .select(explode(Dedup.hashedShingles(col(textCol), n, mode)).as("s"))
+      .distinct()
+    corpus
+      .select(col(idCol),
+        explode(Dedup.hashedShingles(col(textCol), n, mode)).as("s"))
+      .join(broadcast(p), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Deterministic stratified sampling — the training-mix primitive:
+    * keep a row iff `hash(id) mod 1000 < rate(stratum) * 1000`, with a
+    * per-stratum rate map and a default. No RNG and no seed plumbing:
+    * the same row makes the same keep decision on every run, every
+    * engine, and every retry (a resampled task CANNOT silently change
+    * the training set — the property `sample()` does not give you).
+    * Pure map work fused into the scan; sampling at 100 TB costs one
+    * hash per row.
+    *
+    * `Md5Hash` mode uses the md5-slice bucket (re-derivable in SQL
+    * oracles); `XxHash` is the cheaper production family.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0, 1]")
+    val bucket = mode match {
+      case Dedup.Md5Hash =>
+        graft.functions.VectorExpressions
+          .hexSliceToLong(md5(idCol.cast("string")), 1, 14) % 1000
+      case Dedup.XxHash => pmod(xxhash64(idCol.cast("string")), lit(1000L))
+    }
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate * 1000)
+  }
+}

@@ -76,16 +76,11 @@ object TextQueries extends QuerySet {
     * hash family as the dedup operators, so the oracle re-derives it.
     */
   def t6Contamination(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Dedup
+    import graft.operators.{Curation, Dedup}
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val probes = d.filter(col("doc_id") < 50)
-      .select(explode(Dedup.hashedShingles(col("text"), 5, Dedup.Md5Hash)).as("s"))
-      .distinct()
-    d.filter(col("doc_id") >= 50)
-      .select(col("doc_id"),
-        explode(Dedup.hashedShingles(col("text"), 5, Dedup.Md5Hash)).as("s"))
-      .join(broadcast(probes), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    Curation.contaminationScores(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", 5, Dedup.Md5Hash)
       .orderBy("doc_id")
   }
 
@@ -98,13 +93,10 @@ object TextQueries extends QuerySet {
     * rates here downweight English 2× and keep other strata whole.
     */
   def t7SampleMix(s: SparkSession, dir: String): DataFrame = {
-    val bucket = graft.functions.VectorExpressions
-      .hexSliceToLong(md5(col("doc_id").cast("string")), 1, 14) % 1000
-    docs(s, dir)
-      .select(col("doc_id"), langId(col("text")).as("lang"),
-        bucket.as("bucket"))
-      .withColumn("rate", when(col("lang") === "en", 0.5).otherwise(1.0))
-      .filter(col("bucket") < col("rate") * 1000)
+    import graft.operators.{Curation, Dedup}
+    Curation.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang")),
+        col("lang"), col("doc_id"), Map("en" -> 0.5), 1.0, Dedup.Md5Hash)
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationScores counts shared n-grams; clean docs are absent") {
+    val probes = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains a probe 5-gram verbatim (plagiarized fragment)
+      (10L, "intro words then the quick brown fox jumps and more filler here"),
+      // clean — no 5-gram overlap
+      (11L, "completely different content about spark query engines and shuffles"),
+      // full copy — every probe 5-gram overlaps
+      (12L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    for (mode <- Seq(Dedup.XxHash, Dedup.Md5Hash)) {
+      val scores = Curation.contaminationScores(corpus, probes,
+          "doc_id", "text", 5, mode)
+        .as[(Long, Long)].collect().toMap
+      assert(scores(10L) == 1L, s"one shared 5-gram expected: $scores")
+      assert(scores(12L) == 8L, s"full copy shares all 8 probe 5-grams: $scores")
+      assert(!scores.contains(11L), "clean doc must not appear")
+    }
+  }
+
+  test("stratifiedSample is deterministic, rate-respecting, and exact per bucket") {
+    val rows = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 4 === 0, "rare").otherwise("common").as("stratum"))
+    val rates = Map("common" -> 0.25)
+    val once = Curation.stratifiedSample(rows, col("stratum"), col("doc_id"), rates)
+      .as[(Long, String)].collect().toSet
+    val again = Curation.stratifiedSample(rows, col("stratum"), col("doc_id"), rates)
+      .as[(Long, String)].collect().toSet
+    assert(once == again, "same input must make identical keep decisions")
+    // default rate 1.0: every rare row survives
+    assert(once.count(_._2 == "rare") == 500)
+    // hash buckets are uniform-ish: 25% ± a generous margin of 1500 commons
+    val kept = once.count(_._2 == "common")
+    assert(kept > 1500 * 0.15 && kept < 1500 * 0.35, s"kept $kept of 1500")
+    // the keep decision is exactly the documented bucket predicate
+    val buckets = rows.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(1000L)).as("b"),
+        col("stratum"))
+      .as[(Long, Long, String)].collect()
+    buckets.foreach { case (id, b, st) =>
+      val expected = if (st == "rare") true else b < 250
+      assert(once.contains((id, st)) == expected,
+        s"doc $id bucket $b stratum $st: keep decision diverged")
+    }
+  }
+
+  test("stratifiedSample rejects out-of-range rates") {
+    val df = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(df, col("lang"), col("doc_id"), Map("en" -> 1.5))
+    }
+  }
+}
