@@ -203,6 +203,68 @@ object Similarity {
     cents
   }
 
+  /** Global |v|max of a vector column as ONE broadcastable row
+    * (`amax`) — the calibration scale for SYMMETRIC int8 quantization.
+    * Symmetric (scale-only, zero-centered) is the only scalar scheme
+    * whose code dot is proportional to the true dot: an affine
+    * per-dimension (min/max) quantizer introduces offsets whose cross
+    * terms vary per vector and destroy inner-product rankings (recall
+    * craters to near-random — measured before this was rewritten).
+    * max(abs) is order-independent, so the stat is bit-deterministic.
+    */
+  def quantStats(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(explode(col(vecCol)).as("v"))
+      .agg(max(abs(col("v").cast("double"))).as("amax"))
+
+  /** Adds `qv`: the vector symmetrically quantized to int8 codes
+    * −127..127 against the broadcast [[quantStats]] scale — code =
+    * ⌊v·127/amax + 0.5⌋ clamped. The memory-bandwidth play of
+    * production vector search: 4-8× fewer bytes through cache/shuffle
+    * on the quadratic scoring stage, scored by the EXACT integer
+    * [[graft.functions.IntDotProduct]] — code dots ≈ (127/amax)²·v·w,
+    * rank-preserving up to rounding, and carry zero FP noise so they
+    * re-derive bit-identically in SQL. (Codes are `array<int>` here; a
+    * production build would pack them to bytes — arithmetic and
+    * results identical.) Quantization is one map pass per row; its HOF
+    * lambda never runs on the quadratic stage.
+    */
+  def withQuantized(df: DataFrame, stats: DataFrame,
+      vecCol: String = "embedding", out: String = "qv"): DataFrame =
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, transform(col(vecCol), x =>
+        when(col("amax") > 0,
+          least(greatest(floor(x.cast("double") / col("amax") * 127 + 0.5),
+            lit(-127L)), lit(127L)))
+          .otherwise(lit(0L)).cast("int")))
+      .drop("amax")
+
+  /** Approximate top-k by quantized dot over UNIT vectors (so the
+    * integer score tracks cosine): normalize once, calibrate stats on
+    * the unit corpus, quantize both sides, score with the codegen'd
+    * integer dot. Queries broadcast; the corpus never shuffles; ranking
+    * windows are per-query. Recall vs the exact float path is pinned in
+    * SimilaritySpec.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cu = withUnitVector(corpus, vecCol).select(col(idCol), col("uv"))
+    val stats = quantStats(cu, "uv")
+    val c = withQuantized(cu, stats, "uv")
+      .select(col(idCol).as("neighbor_id"), col("qv").as("cq"))
+    val q = withQuantized(
+        withUnitVector(queries, vecCol).select(col(idCol), col("uv")),
+        stats, "uv")
+      .select(col(idCol).as("query_id"), col("qv").as("qq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore",
+        graft.functions.VectorExpressions.intDotProduct(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qscore", "rank")
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

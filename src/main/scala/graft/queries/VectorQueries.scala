@@ -141,7 +141,26 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  /** Scalar-quantized (int8) approximate top-k — the memory-bandwidth
+    * scale path: unit vectors quantize to 0..255 codes against
+    * per-dimension corpus min/max, and ranking runs on the EXACT
+    * integer dot ([[graft.functions.IntDotProduct]]) — no FP noise
+    * anywhere, so scores, ties, and ranks re-derive bit-identically in
+    * DuckDB and this is a FULL oracle row (unlike float ANN scores that
+    * need rounding). Recall vs the exact float path is pinned in
+    * SimilaritySpec.
+    */
+  def v9QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.quantizedTopK(e,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 105), K)
+      .select(col("query_id"), col("neighbor_id"), col("qscore"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val entries: Map[String, Q] = Map(
+    "v9_quantized_topk" -> v9QuantizedTopK _,
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
     "v3_ivf_topk" -> v3IvfTopK _,
@@ -200,6 +219,34 @@ object VectorQueries extends QuerySet {
        |FROM embeddings""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // quantization mirrors Similarity.withQuantized exactly: unit
+    // vectors, one global |v|max scale, symmetric code =
+    // floor(v*127/amax + 0.5) clamped to [-127, 127]; scoring is
+    // integer arithmetic — exact
+    "v9_quantized_topk" ->
+      s"""WITH unit AS ($unitCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM unit)),
+         |codes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |q AS (SELECT vec_id AS query_id, qv AS qq FROM codes
+         |      WHERE vec_id >= 100 AND vec_id < 105),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(generate_series(1, len(qq)),
+         |      i -> qq[i] * c.qv[i])) AS qscore
+         |  FROM codes c JOIN q ON query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, qscore,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qscore DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, qscore, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "v1_vector_norms" ->
       s"""SELECT vec_id, ROUND(${normSql("embedding")}, 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,

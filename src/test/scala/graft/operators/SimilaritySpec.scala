@@ -167,6 +167,24 @@ class SimilaritySpec extends SparkSpec {
     FrameCaches.release(spark)
   }
 
+  test("quantized top-10 tracks the exact float ranking (measured recall)") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" >= 100 && $"vec_id" < 105)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(e, queries, 10))
+    val got = topSets(Similarity.quantizedTopK(e, queries, 10))
+    val recall = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"int8-quantized recall@10 = $recall%.2f")
+    // symmetric int8 on 64 dims measured 1.00 here (BASELINE.md); an
+    // affine (per-dim min/max) quantizer measured 0.10 — this floor is
+    // the tripwire for that class of regression
+    assert(recall >= 0.95, s"quantized recall collapsed: $recall")
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten
