@@ -265,6 +265,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "qscore", "rank")
   }
 
+  /** IVF-SQ8: the production ANN composition — IVF cell blocking to
+    * prune candidates, symmetric int8 codes to shrink the bytes each
+    * candidate costs. Queries rank centroids in FLOAT (k centroids —
+    * negligible) and probe their `nprobe` best cells; candidate scoring
+    * inside the probed cells runs entirely on quantized codes via the
+    * codegen'd integer dot. Scale shape: one corpus pass to assign +
+    * quantize (map work against two broadcasts), candidates from the
+    * broadcast (query × probe-cell) equi-join, per-query ranking
+    * windows — the corpus shuffles once on cell id, ever.
+    */
+  def ivfQuantizedTopKBatch(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val stats = quantStats(assigned, "uv")
+    val c = withQuantized(assigned, stats, "uv")
+      .select(col(idCol), col("cell"), col("qv"))
+    val cent = withUnitVector(centroids, vecCol)
+      .select(col(idCol).as("centroid_id"), col("uv").as("centv"))
+    val q = withQuantized(
+        withUnitVector(queries, vecCol)
+          .select(col(idCol).as("query_id"), col("uv")),
+        stats, "uv")
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("cscore", dotD(col("uv"), col("centv")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv").as("qq"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col(idCol))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("qscore",
+        graft.functions.VectorExpressions.intDotProduct(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("qscore"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

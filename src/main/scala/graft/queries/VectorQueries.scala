@@ -159,7 +159,24 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-SQ8 batch top-k — [[Similarity.ivfQuantizedTopKBatch]]: v5's
+    * cell blocking composed with v9's int8 scoring, the faiss-style
+    * production ANN shape. Centroid ranking stays float (tiny, exact
+    * per v5's proof); candidate scores are integers — full oracle row.
+    */
+  def v10IvfQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+    val assigned = Similarity.assignCells(e, centroids).persist()
+    Similarity.ivfQuantizedTopKBatch(assigned, centroids,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 105), K, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("qscore"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val entries: Map[String, Q] = Map(
+    "v10_ivf_quantized" -> v10IvfQuantized _,
     "v9_quantized_topk" -> v9QuantizedTopK _,
     "v1_vector_norms" -> v1Norms _,
     "v2_cosine_topk" -> v2CosineTopK _,
@@ -250,6 +267,45 @@ object VectorQueries extends QuerySet {
     "v1_vector_norms" ->
       s"""SELECT vec_id, ROUND(${normSql("embedding")}, 6) AS l2_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // v5's float centroid ranking + v9's integer candidate scoring;
+    // query codes equal their corpus-row codes (queries are corpus rows
+    // quantized against the same global scale)
+    "v10_ivf_quantized" ->
+      s"""WITH unit AS ($unitCte),
+         |assigned AS ($assignedCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM assigned)),
+         |codes AS (
+         |  SELECT vec_id, cell, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM assigned CROSS JOIN st),
+         |cent AS (SELECT vec_id AS centroid_id, uv AS centv
+         |         FROM unit WHERE vec_id < $NumCentroids),
+         |q AS (SELECT u.vec_id AS query_id, u.uv AS quv, c.qv AS qq
+         |      FROM unit u JOIN codes c ON u.vec_id = c.vec_id
+         |      WHERE u.vec_id >= 100 AND u.vec_id < 105),
+         |probes AS (
+         |  SELECT query_id, qq, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qq, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotDSql("q.quv", "c.centv")} DESC, c.centroid_id) AS crank
+         |    FROM q, cent c)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(generate_series(1, len(p.qq)),
+         |      i -> p.qq[i] * c.qv[i])) AS qscore
+         |  FROM codes c JOIN probes p ON c.cell = p.cell
+         |  WHERE c.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, qscore,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qscore DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, qscore, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "v2_cosine_topk" ->
       s"""WITH unit AS ($unitCte),
          |q AS (SELECT vec_id AS query_id, uv AS qv FROM unit WHERE vec_id < 5),

@@ -45,6 +45,37 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("stratified sampling is stream/batch identical (stateless + deterministic)") {
+    // the curation primitive must compose into streaming ingest: the
+    // hash-bucket keep decision is a stateless per-row filter, so the
+    // SAME rows survive whether the corpus arrives as a batch or a
+    // stream — no RNG/state to drift between the two modes
+    import graft.operators.Curation
+    val src = s"$dir/documents.parquet"
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir") + "/graft_stream_docs_sf0001")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      stage.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    val q = Curation.stratifiedSample(
+        stream.select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), Map("en" -> 0.5))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sample_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sample_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Curation.stratifiedSample(
+        spark.read.parquet(src).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), Map("en" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, "stream and batch must keep identical rows")
+    assert(batch.nonEmpty && batch.size < 500)
+  }
+
   test("stateful sessionization closes sessions on gap > 30min") {
     val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
       .writeStream.outputMode("append")
