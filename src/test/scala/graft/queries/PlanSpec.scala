@@ -183,6 +183,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan("g4_source_mix")).size >= 2)
   }
 
+  test("v9/v10: quantized ranking windows are per-query; v10 joins on cell") {
+    // v9 is deliberately brute-force (queries broadcast against every
+    // corpus row, like v2) — but its ranking must stay per-query
+    val v9 = graft.SparkEntry.queries("v9_quantized_topk")(spark, dir)
+      .queryExecution.sparkPlan
+    v9.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    // v10 prunes candidates by cell: an equi-join, never a cartesian
+    val v10 = plan("v10_ivf_quantized")
+    assert(!v10.contains("CartesianProduct"), v10)
+    val v10sp = graft.SparkEntry.queries("v10_ivf_quantized")(spark, dir)
+      .queryExecution.sparkPlan
+    v10sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
