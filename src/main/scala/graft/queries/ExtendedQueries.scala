@@ -125,9 +125,34 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id")
   }
 
+  /** Video frame sampling as a FULL oracle row — the other multimodal
+    * stub path (m1 covers images): every 2nd frame of each synthetic
+    * video becomes (media_id, frame_idx, n_bytes, mean_byte), computed
+    * through the real typed pipeline (`Multimodal.sampleFrames`'s
+    * row-explosion then per-frame stats) and re-derived byte-by-byte in
+    * DuckDB from the md5 payload scheme. Proves the frame-span
+    * arithmetic (`StubCodecs.frameBytes`) and the explosion shape, not
+    * just row counts.
+    */
+  def m2FrameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
+    graft.multimodal.Multimodal.sampleFrames(media, stride = 2)
+      .map { f =>
+        val n = f.payload.length
+        val mean = f.payload.iterator
+          .map(java.lang.Byte.toUnsignedInt).sum.toDouble / n
+        (f.media_id, f.frame_idx, n.toLong,
+          math.floor(mean * 10000 + 0.5) / 10000)
+      }
+      .toDF("media_id", "frame_idx", "n_bytes", "mean_byte")
+      .orderBy("media_id", "frame_idx")
+  }
+
   val entries: Map[String, Q] = Map(
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
+    "m2_frame_stats" -> m2FrameStats _,
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
@@ -194,6 +219,27 @@ object ExtendedQueries extends QuerySet {
         |  FLOOR((SUM(b) / (width * height)) * 10000 + 0.5) / 10000 AS mean_luma
         |FROM px GROUP BY media_id, width, height
         |ORDER BY media_id""".stripMargin,
+    // videos are i % 3 = 2 with 8 frames; frame span = w*h bytes;
+    // stride-2 sampling keeps frames 0,2,4,6; bytes re-derive from the
+    // same md5('media:<id>:<block>') scheme as m1
+    "m2_frame_stats" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         (16 + (i % 8) * 4) * (16 + (i % 5) * 4) AS span
+        |  FROM generate_series(0, 199) t(i) WHERE i % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, span, k AS frame_idx
+        |  FROM m, (SELECT unnest([0, 2, 4, 6]) AS k) g),
+        |px AS (
+        |  SELECT media_id, frame_idx, span,
+        |    ('0x' || substr(md5('media:' || media_id || ':' || (p // 16)),
+        |       (p % 16) * 2 + 1, 2))::INT AS b
+        |  FROM fr, LATERAL (SELECT unnest(generate_series(frame_idx * span,
+        |    (frame_idx + 1) * span - 1)) AS p) g)
+        |SELECT media_id, frame_idx, span AS n_bytes,
+        |  FLOOR((SUM(b) * 1.0 / span) * 10000 + 0.5) / 10000 AS mean_byte
+        |FROM px GROUP BY media_id, frame_idx, span
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "tw2_tfidf_top_terms" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
