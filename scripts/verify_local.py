@@ -21,6 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows):
+    # Strict: ints and floats canonicalize to DIFFERENT tags. The driver's
+    # hash is type-sensitive (round 7 regression: DuckDB HUGEINT/DOUBLE vs
+    # Spark BIGINT hashed differently despite equal values), so the local
+    # gate must not coerce int<->float.
     out = []
     for row in rows:
         vals = []
@@ -33,11 +37,34 @@ def canon(rows):
                 else:
                     vals.append(("f", repr(v)))
             elif isinstance(v, int):
-                vals.append(("f", repr(float(v))) if abs(v) < 2**52 else ("i", v))
+                vals.append(("i", v))
             else:
                 vals.append(("s", str(v)))
         out.append(tuple(vals))
     return out
+
+
+# DuckDB type -> comparison family. BIGINT-and-narrower ints are one
+# family (the driver reads both sides through the same integer path);
+# HUGEINT, DECIMAL, and the float types are each distinct so e.g. a
+# DuckDB list_sum (HUGEINT) against a Spark LONG fails loudly here,
+# exactly like the driver's hash does.
+def type_family(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    return t
+
+
+def column_types(con, sql):
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 
 def main():
@@ -84,6 +111,21 @@ def main():
             failures.append(
                 (name, f"schema mismatch: {sorted(spark_cols)} vs "
                        f"{sorted(oracle_cols)}"))
+            continue
+        try:
+            spark_types = column_types(con, f"SELECT * FROM '{res_glob}'")
+            oracle_types = column_types(con, f"({oracle[name]})")
+        except Exception as e:
+            failures.append((name, f"DESCRIBE failed: {e}"))
+            continue
+        type_bad = [
+            f"{c}: spark {spark_types[c]} vs oracle {oracle_types[c]}"
+            for c in sorted(spark_cols)
+            if type_family(spark_types[c]) != type_family(oracle_types[c])]
+        if type_bad:
+            failures.append(
+                (name, "result-type mismatch (driver hash would differ): "
+                       + "; ".join(type_bad)))
             continue
         a, b = canon(spark_rows), canon(oracle_rows)
         if len(a) != len(b):

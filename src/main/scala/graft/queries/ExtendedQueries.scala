@@ -168,7 +168,7 @@ object ExtendedQueries extends QuerySet {
   val oracles: Map[String, String] = Map(
     "g4_source_mix" ->
       s"""SELECT source, lang, COUNT(*) AS n_docs,
-         | SUM(len(${TextQueries.toksSql})) AS n_tokens,
+         | CAST(SUM(len(${TextQueries.toksSql})) AS BIGINT) AS n_tokens,
          | ROUND(AVG(${TextQueries.qualitySql}), 4) AS avg_quality
          |FROM documents GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin,

@@ -205,8 +205,8 @@ object TextQueries extends QuerySet {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t9_seq_packing" ->
       s"""SELECT doc_id, source,
-         |  FLOOR((SUM(n_tok) OVER w - n_tok) / 2048) AS seq_id,
-         |  (SUM(n_tok) OVER w - n_tok) % 2048 AS seq_offset
+         |  CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / 2048) AS BIGINT) AS seq_id,
+         |  CAST((SUM(n_tok) OVER w - n_tok) % 2048 AS BIGINT) AS seq_offset
          |FROM (SELECT doc_id, source, len($toksSql) AS n_tok FROM documents)
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
          |ORDER BY doc_id""".stripMargin,
