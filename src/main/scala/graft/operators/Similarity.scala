@@ -306,6 +306,151 @@ object Similarity {
         col("qscore"), col("rank"))
   }
 
+  /** Integer dot of a code vector against a BIGINT sum vector as a
+    * deterministic HOF fold — exact integer arithmetic (headroom:
+    * |code|≤127, |sum|≤127·n, dim 64 ⇒ |dot| ≤ 10⁶·n, safe in a LONG
+    * past 10⁹-row cells), so any partition/fold order gives the same
+    * value and it re-derives bit-identically in SQL.
+    */
+  private def qdotLong(code: Column, qsum: Column): Column =
+    aggregate(zip_with(code, qsum, (x, y) => x.cast("long") * y),
+      lit(0L), (s, v) => s + v)
+
+  /** Rational-centroid score: code·qsum / n as ONE IEEE division of two
+    * exact integers — bit-deterministic cross-engine, unlike a float
+    * mean whose per-partition summation order leaks into final ULPs.
+    */
+  private def qcellScore(code: Column, qsum: Column, n: Column): Column =
+    qdotLong(code, qsum).cast("double") / n
+
+  /** Assign int8 code vectors to their best RATIONAL centroid
+    * (qsum element-wise BIGINT member sum, n member count) — the
+    * integer-space twin of [[assignCells]], same zero-shuffle broadcast
+    * fold: k centroids collapse to one broadcast row, each corpus row
+    * picks its argmax (ties → lowest centroid id) in pure map work
+    * fused into the scan. Keeps the input's columns and adds `cell`.
+    */
+  def assignCellsQuantized(codes: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", codeCol: String = "qv"): DataFrame = {
+    val centArr = cents
+      .agg(collect_list(struct(col("centroid_id"), col("qsum"), col("n")))
+        .as("cents"))
+    codes
+      .join(broadcast(centArr))
+      .withColumn("cell", aggregate(
+        col("cents"),
+        struct(lit(Long.MaxValue).as("cid"),
+          lit(Double.NegativeInfinity).as("best")),
+        (acc, c) => {
+          val s = qcellScore(col(codeCol), c.getField("qsum"), c.getField("n"))
+          val better = (s > acc.getField("best")) ||
+            (s === acc.getField("best")
+              && c.getField("centroid_id") < acc.getField("cid"))
+          when(better, struct(c.getField("centroid_id").as("cid"), s.as("best")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cid")))
+      .drop("cents")
+  }
+
+  /** Integer-space spherical k-means (Lloyd's over int8 codes) — the
+    * ORACLE-EXPRESSIBLE trained-centroid path next to the float
+    * [[kmeansCentroids]]. Centroids are kept RATIONAL instead of being
+    * divided into float means: (qsum = element-wise BIGINT sum of the
+    * member codes, n = member count). Ranking by qsum·code / n is
+    * order-invariant because the integer sums are exact and associative
+    * — the per-partition float-summation nondeterminism that keeps
+    * [[kmeansCentroids]] rows-only never enters. Per round: assignment
+    * is the zero-shuffle broadcast fold of [[assignCellsQuantized]];
+    * the update posexplodes members to (cell, dim, code) and sums per
+    * dimension — one map-side-combined aggregation collapsing to
+    * k·dim rows. Each round localCheckpoints the k-row centroid frame
+    * (lineage cut — iterative DataFrame loops otherwise bottleneck the
+    * driver, the d6 lesson). Deterministic: seeds are the k lowest-id
+    * codes (n=1), ties break to the lowest centroid id, and an emptied
+    * cell carries its previous (qsum, n) forward.
+    *
+    * Returns (centroid_id, qsum array<long>, n long).
+    */
+  def kmeansCentroidsQuantized(codes: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", codeCol: String = "qv"): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    var cents = FrameCaches.track(
+      codes.orderBy(idCol).limit(k)
+        .select(col(idCol).as("centroid_id"),
+          transform(col(codeCol), _.cast("long")).as("qsum"),
+          lit(1L).as("n"))
+        .localCheckpoint())
+    for (_ <- 1 to iters) {
+      val assigned = assignCellsQuantized(codes, cents, idCol, codeCol)
+      val upd = assigned
+        .select(col("cell"), posexplode(col(codeCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy("cell")
+        // array_sort on structs orders by the first field (pos), so the
+        // per-dimension sums reassemble in dimension order; cnt is the
+        // member count, identical at every pos
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            f => f.getField("s")).as("qsum2"),
+          max("cnt").as("n2"))
+      cents = FrameCaches.track(
+        cents.join(upd.withColumnRenamed("cell", "centroid_id"),
+            Seq("centroid_id"), "left")
+          .select(col("centroid_id"),
+            coalesce(col("qsum2"), col("qsum")).as("qsum"),
+            coalesce(col("n2"), col("n")).as("n"))
+          .localCheckpoint())
+    }
+    cents
+  }
+
+  /** IVF-SQ8 over integer-TRAINED centroids — [[kmeansCentroidsQuantized]]
+    * composed with the quantized probe/score shape of
+    * [[ivfQuantizedTopKBatch]]: quantize once, train rational centroids,
+    * assign the corpus, rank cells per query by the exact rational score,
+    * probe `nprobe` cells, rank candidates on the codegen'd integer dot.
+    * Every stage is integer-exact or a single IEEE division, so the
+    * ENTIRE trained pipeline re-derives in SQL — the full-oracle answer
+    * to the float k-means' rows-only check. Scale shape: corpus scanned
+    * once to quantize (map vs broadcast stats), per-round assignment is
+    * map work vs a broadcast k-row frame, updates collapse map-side to
+    * k·dim rows, and the final candidate join is corpus-vs-broadcast
+    * probes — the corpus never shuffles except once on cell id.
+    */
+  def kmeansQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int, iters: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cu = withUnitVector(corpus, vecCol).select(col(idCol), col("uv"))
+    val stats = quantStats(cu, "uv")
+    val codes = FrameCaches.track(
+      withQuantized(cu, stats, "uv").select(col(idCol), col("qv")).persist())
+    val cents = kmeansCentroidsQuantized(codes, numCentroids, iters, idCol)
+    val assigned = assignCellsQuantized(codes, cents, idCol)
+    val q = withQuantized(
+        withUnitVector(queries, vecCol)
+          .select(col(idCol).as("query_id"), col("uv")),
+        stats, "uv")
+      .select(col("query_id"), col("qv").as("qq"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", qcellScore(col("qq"), col("qsum"), col("n")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col(idCol))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("qscore",
+        graft.functions.VectorExpressions.intDotProduct(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("qscore"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

@@ -142,12 +142,17 @@ object VectorQueries extends QuerySet {
   }
 
   /** Scalar-quantized (int8) approximate top-k — the memory-bandwidth
-    * scale path: unit vectors quantize to 0..255 codes against
-    * per-dimension corpus min/max, and ranking runs on the EXACT
-    * integer dot ([[graft.functions.IntDotProduct]]) — no FP noise
-    * anywhere, so scores, ties, and ranks re-derive bit-identically in
-    * DuckDB and this is a FULL oracle row (unlike float ANN scores that
-    * need rounding). Recall vs the exact float path is pinned in
+    * scale path: unit vectors quantize SYMMETRICALLY to −127..127 codes
+    * against one global scale, `code = floor(v * 127 / amax + 0.5)`
+    * clamped to [-127, 127] with `amax = max |component|` over the
+    * corpus ([[Similarity.withQuantized]]). Scale-only quantization
+    * preserves inner-product order; the affine per-dimension min/max
+    * alternative was measured and rejected (recall 0.10 vs 1.00 — see
+    * [[Similarity.quantStats]]). Ranking runs on the EXACT integer dot
+    * ([[graft.functions.IntDotProduct]]) — no FP noise anywhere, so
+    * scores, ties, and ranks re-derive bit-identically in DuckDB and
+    * this is a FULL oracle row (unlike float ANN scores that need
+    * rounding). Recall vs the exact float path is pinned in
     * SimilaritySpec.
     */
   def v9QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
@@ -175,7 +180,31 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-SQ8 over integer-TRAINED centroids — v8's Lloyd's k-means
+    * re-expressed in exact integer space
+    * ([[Similarity.kmeansCentroidsQuantized]]): centroids stay RATIONAL
+    * (element-wise BIGINT code sums + member counts, never divided into
+    * float means), assignment ranks by the exact integer dot over one
+    * IEEE division, and candidate scoring is v9's codegen'd integer
+    * dot. Because every fold is associative integer arithmetic, the
+    * whole TRAINING LOOP re-derives bit-identically in DuckDB — this is
+    * the full-oracle answer to v8's rows-only check (per-partition
+    * float summation order in its means is not SQL-re-derivable).
+    */
+  def v11KmeansQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.kmeansQuantizedTopK(e,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+        K, NumCentroids, iters = KmIters, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("qscore"),
+        col("rank").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val KmIters = 2
+
   val entries: Map[String, Q] = Map(
+    "v11_kmeans_quantized" -> v11KmeansQuantized _,
     "v10_ivf_quantized" -> v10IvfQuantized _,
     "v9_quantized_topk" -> v9QuantizedTopK _,
     "v1_vector_norms" -> v1Norms _,
@@ -235,7 +264,93 @@ object VectorQueries extends QuerySet {
        | ${(0 until RpBands).map(b => s"${rpBandSql(b)} AS rp_band_$b").mkString(",\n ")}
        |FROM embeddings""".stripMargin
 
+  // ---- integer k-means oracle plumbing (v11) ----
+
+  /** Exact integer dot of two BIGINT lists; CAST collapses DuckDB's
+    * HUGEINT list_sum back to the BIGINT Spark emits (the round-7
+    * hash-regression class).
+    */
+  private def qdotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** One Lloyd's assignment round: every code picks the centroid (from
+    * CTE `cents`) maximizing the rational score qsum·code / n — exact
+    * integers through one IEEE division, ties to the lowest id —
+    * mirroring [[Similarity.assignCellsQuantized]]'s broadcast fold.
+    */
+  private def kmAssignSql(cents: String): String =
+    s"""SELECT vec_id, qv, cell FROM (
+       |  SELECT d.vec_id, d.qv, c.centroid_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+       |      CAST(${qdotSql("d.qv", "c.qsum")} AS DOUBLE) / c.n DESC,
+       |      c.centroid_id) AS r
+       |  FROM kcodes d, $cents c) WHERE r = 1""".stripMargin
+
+  /** One centroid update: element-wise BIGINT sums + counts per cell,
+    * empty cells carrying the previous centroid forward.
+    */
+  private def kmUpdateSql(assigned: String, prev: String): String =
+    s"""SELECT c.centroid_id, COALESCE(g.qsum2, c.qsum) AS qsum,
+       |  COALESCE(g.n2, c.n) AS n
+       |FROM $prev c LEFT JOIN (
+       |  SELECT cell, list(s ORDER BY pos) AS qsum2,
+       |    CAST(MAX(cnt) AS BIGINT) AS n2
+       |  FROM (
+       |    SELECT cell, pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS cnt
+       |    FROM (
+       |      SELECT cell, unnest(generate_series(1, len(qv))) AS pos,
+       |        unnest(qv) AS v
+       |      FROM $assigned)
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell) g ON c.centroid_id = g.cell""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // integer-space Lloyd's, unrolled KmIters times: codes quantize as
+    // in v9, seeds are the first NumCentroids codes with n=1, and each
+    // round is assign (exact rational argmax) + update (exact BIGINT
+    // sums). The final assignment, probe ranking, and candidate scores
+    // reuse the same exact arithmetic — the whole trained pipeline
+    // hash-matches, no rounding anywhere
+    "v11_kmeans_quantized" ->
+      s"""WITH unit AS ($unitCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM unit)),
+         |kcodes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS qsum,
+         |       CAST(1 AS BIGINT) AS n
+         |       FROM kcodes WHERE vec_id < $NumCentroids),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1", "c0")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2", "c1")}),
+         |af AS (${kmAssignSql("c2")}),
+         |q AS (SELECT vec_id AS query_id, qv AS qq FROM kcodes
+         |      WHERE vec_id >= 100 AND vec_id < 105),
+         |probes AS (
+         |  SELECT query_id, qq, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qq, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |        CAST(${qdotSql("q.qq", "c.qsum")} AS DOUBLE) / c.n DESC,
+         |        c.centroid_id) AS crank
+         |    FROM q, c2 c)
+         |  WHERE crank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${qdotSql("p.qq", "a.qv")} AS qscore
+         |  FROM af a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, qscore,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qscore DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, qscore, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     // quantization mirrors Similarity.withQuantized exactly: unit
     // vectors, one global |v|max scale, symmetric code =
     // floor(v*127/amax + 0.5) clamped to [-127, 127]; scoring is
@@ -254,8 +369,8 @@ object VectorQueries extends QuerySet {
          |      WHERE vec_id >= 100 AND vec_id < 105),
          |scored AS (
          |  SELECT query_id, c.vec_id AS neighbor_id,
-         |    list_sum(list_transform(generate_series(1, len(qq)),
-         |      i -> qq[i] * c.qv[i])) AS qscore
+         |    CAST(list_sum(list_transform(generate_series(1, len(qq)),
+         |      i -> qq[i] * c.qv[i])) AS BIGINT) AS qscore
          |  FROM codes c JOIN q ON query_id <> c.vec_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, qscore,
@@ -295,8 +410,8 @@ object VectorQueries extends QuerySet {
          |  WHERE crank <= 2),
          |scored AS (
          |  SELECT p.query_id, c.vec_id AS neighbor_id,
-         |    list_sum(list_transform(generate_series(1, len(p.qq)),
-         |      i -> p.qq[i] * c.qv[i])) AS qscore
+         |    CAST(list_sum(list_transform(generate_series(1, len(p.qq)),
+         |      i -> p.qq[i] * c.qv[i])) AS BIGINT) AS qscore
          |  FROM codes c JOIN probes p ON c.cell = p.cell
          |  WHERE c.vec_id <> p.query_id),
          |ranked AS (

@@ -209,6 +209,44 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("integer k-means: deterministic, empty cells carry, recall holds") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" >= 100 && $"vec_id" < 105)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(e, queries, 10))
+    def run() = Similarity.kmeansQuantizedTopK(e, queries, 10, 8, iters = 2)
+    val first = run().orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // exact integer training loop: two runs must agree bit-for-bit —
+    // this is the property that makes v11 a full oracle row where the
+    // float k-means (v8) is rows-only
+    assert(first == run().orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq)
+    val got = topSets(run())
+    val recall = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"integer-kmeans IVF-SQ8 recall@10 = $recall%.2f")
+    assert(recall >= 0.30, s"integer-trained recall collapsed: $recall")
+    // empty-cell carry-forward: identical codes, k=2 → cell 2 empties
+    val tiny = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(3.0f, 0.0f)), (3L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding").coalesce(1)
+    val cu = Similarity.withUnitVector(tiny, "embedding")
+      .select(col("vec_id"), col("uv"))
+    val codes = Similarity.withQuantized(cu,
+      Similarity.quantStats(cu, "uv"), "uv").select(col("vec_id"), col("qv"))
+    val cents = Similarity.kmeansCentroidsQuantized(codes, 2, iters = 2)
+      .orderBy("centroid_id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(cents.map(_._1) == Seq(1L, 2L))
+    assert(cents.head._3 == 3L) // all three members landed on centroid 1
+    assert(cents(1)._3 == 1L && cents(1)._2 == Seq(127L, 0L),
+      "emptied cell must carry its seed forward")
+    FrameCaches.release(spark)
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten

@@ -199,6 +199,22 @@ class PlanSpec extends SparkSpec {
       .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
   }
 
+  test("v11: trained-ANN candidate stage joins on cell; windows per-query") {
+    // the k-row centroid frames ride broadcast nested-loop joins (fine:
+    // one row × corpus), but the CANDIDATE stage — the only quadratic
+    // risk — must be the cell equi-join, and every ranking window must
+    // stay per-query
+    val sp = graft.SparkEntry.queries("v11_kmeans_quantized")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate stage must equi-join assigned cells against broadcast probes")
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    graft.operators.FrameCaches.release(spark)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
