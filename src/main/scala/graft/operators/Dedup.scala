@@ -516,8 +516,16 @@ object Dedup {
         val hot = track(re0.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
           .select("band_idx", "band_key").persist())
-        if (hot.count() == 0) re0
-        else re0.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+        val nHot = hot.count()
+        if (nHot == 0) re0
+        else {
+          // same degrade rule as candidatePairs: broadcast only while
+          // the hot-key set is provably small; a small cap on a
+          // templated reference corpus can flag enough keys to blow
+          // the broadcast limit, so fall back to a shuffled anti-join
+          val hotSide = if (nHot <= HotKeyBroadcastLimit) broadcast(hot) else hot
+          re0.join(hotSide, Seq("band_idx", "band_key"), "left_anti")
+        }
       case None => re0
     }
     val cands = exploded(b, "batch_id")

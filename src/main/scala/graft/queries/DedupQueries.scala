@@ -100,10 +100,14 @@ object DedupQueries extends QuerySet {
     // deterministic) but map-side partial-combined and sort-free — at
     // corpus scale the window's per-partition sort is pure waste when
     // only the minimum survives
-    val exact = gated
+    // persisted: the exact-dedup survivors feed BOTH the LSH clustering
+    // scan and the final anti-join — without the persist the quality/
+    // lang gates and the fingerprint aggregate run twice per action
+    val exact = graft.operators.FrameCaches.track(gated
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_keep"))
       .select(col("_keep.doc_id").as("doc_id"), col("_keep.text").as("text"))
+      .persist())
     val clustered = Dedup.connectedComponents(
       Dedup.minhashCandidates(exact, "doc_id", "text", N, H, B, Md5Hash))
     exact.join(clustered.filter(col("doc_id") =!= col("cluster_id")),
@@ -128,10 +132,12 @@ object DedupQueries extends QuerySet {
     val gated = Tables.load(s, dir, "documents")
       .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
         TextFunctions.langId(col("text")) === "en")
-    val exact = gated
+    // persisted: three consumers (LSH scan, quality lookup, anti-join)
+    val exact = graft.operators.FrameCaches.track(gated
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_keep"))
       .select(col("_keep.doc_id").as("doc_id"), col("_keep.text").as("text"))
+      .persist())
     val clustered = Dedup.connectedComponents(
       Dedup.minhashCandidates(exact, "doc_id", "text", N, H, B, Md5Hash))
     val w = org.apache.spark.sql.expressions.Window
