@@ -160,4 +160,35 @@ class AuditLogger(spark: SparkSession, meta: MetadataManager,
       .filter(col("run_id") === runId)
       .orderBy(col("event_timestamp").desc, col("log_id"))
       .limit(n)
+
+  /** Failures-only view of this run's audit trail (reference
+    * `audit_logger.py:259-285`'s log views, which have no error filter —
+    * operators there grep the full dump). Column-expression filter, not
+    * interpolated SQL, per SURVEY §2.12's injection fix.
+    */
+  def failedEvents(n: Int = 100): DataFrame =
+    spark.table(meta.auditTable)
+      .filter(col("run_id") === runId && col("status") === "ERROR")
+      .orderBy(col("event_timestamp").desc, col("log_id"))
+      .limit(n)
+
+  /** Slowest-N completed units of work in this run — the "where did the
+    * wall time go" triage view. Only terminal events carry a duration
+    * (STARTED rows are zero), so those are excluded.
+    */
+  def slowestEvents(n: Int = 10): DataFrame =
+    spark.table(meta.auditTable)
+      .filter(col("run_id") === runId && col("status") =!= "STARTED")
+      .orderBy(col("execution_time_seconds").desc, col("log_id"))
+      .limit(n)
+
+  /** All audit events ever recorded against one target table, newest
+    * first (reference `audit_logger.py:266-285` `get_logs_for_table`,
+    * minus its f-string SQL injection).
+    */
+  def eventsForTable(table: String, n: Int = 100): DataFrame =
+    spark.table(meta.auditTable)
+      .filter(col("target_table") === table)
+      .orderBy(col("event_timestamp").desc, col("log_id"))
+      .limit(n)
 }

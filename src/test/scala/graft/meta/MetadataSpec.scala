@@ -3,12 +3,16 @@ package graft.meta
 import java.sql.Timestamp
 import graft.SparkSpec
 
-/** Deterministic clock for reproducible metadata rows. */
+/** Deterministic clock for reproducible metadata rows. The uuid embeds
+  * `start` so two FixedClock instances with different epochs never
+  * collide on run_id (the audit table persists across tests).
+  */
 class FixedClock(start: Long = 1700000000000L) extends IdClock {
   private var t = start
   private var n = 0
   def now(): Timestamp = { t += 1000; new Timestamp(t) }
-  def uuid(): String = { n += 1; f"00000000-0000-0000-0000-${n}%012d" }
+  def uuid(): String =
+    { n += 1; f"00000000-0000-0000-${(start / 100000000L) % 10000}%04d-${n}%012d" }
 }
 
 class MetadataSpec extends SparkSpec {
@@ -63,5 +67,52 @@ class MetadataSpec extends SparkSpec {
     }
     val statuses = audit.recentEvents().collect().map(_.getAs[String]("status"))
     assert(statuses.contains("ERROR"))
+  }
+
+  test("failedEvents returns only this run's ERROR rows") {
+    meta.init()
+    val audit = new AuditLogger(spark, meta, new FixedClock(2000000000000L))
+    audit.bracket("silver", "transform", "Test", "ok1", "silver.ok") {
+      ("fine", 1L)
+    }
+    intercept[RuntimeException] {
+      audit.bracket("silver", "transform", "Test", "bad1", "silver.bad") {
+        throw new RuntimeException("boom"); (("x", 0L))
+      }
+    }
+    val failed = audit.failedEvents().collect()
+    assert(failed.nonEmpty)
+    assert(failed.forall(_.getAs[String]("status") == "ERROR"))
+    assert(failed.forall(_.getAs[String]("run_id") == audit.runId))
+    assert(failed.map(_.getAs[String]("source_id")).toSet == Set("bad1"))
+  }
+
+  test("slowestEvents ranks terminal events by duration, excludes STARTED") {
+    meta.init()
+    val audit = new AuditLogger(spark, meta, new FixedClock(2100000000000L))
+    audit.event("silver", "transform", "Test", "fast", "silver.a",
+      "SUCCESS", rows = 1, seconds = 0.5)
+    audit.event("silver", "transform", "Test", "slow", "silver.b",
+      "SUCCESS", rows = 1, seconds = 9.5)
+    audit.event("silver", "transform", "Test", "mid", "silver.c",
+      "ERROR", error = "x", seconds = 3.0)
+    audit.event("silver", "transform", "Test", "pending", "silver.d",
+      "STARTED")
+    val slow = audit.slowestEvents(2).collect()
+    assert(slow.map(_.getAs[String]("source_id")).toSeq == Seq("slow", "mid"))
+    assert(slow.forall(_.getAs[String]("status") != "STARTED"))
+  }
+
+  test("eventsForTable scopes across runs to one target table") {
+    meta.init()
+    val a1 = new AuditLogger(spark, meta, new FixedClock(2200000000000L))
+    val a2 = new AuditLogger(spark, meta, new FixedClock(2300000000000L))
+    a1.event("bronze", "ingest", "Test", "s1", "bronze.shared", "SUCCESS")
+    a2.event("bronze", "ingest", "Test", "s2", "bronze.shared", "SUCCESS")
+    a2.event("bronze", "ingest", "Test", "s3", "bronze.other", "SUCCESS")
+    val rows = a2.eventsForTable("bronze.shared").collect()
+    assert(rows.map(_.getAs[String]("run_id")).toSet ==
+      Set(a1.runId, a2.runId))
+    assert(rows.forall(_.getAs[String]("target_table") == "bronze.shared"))
   }
 }
