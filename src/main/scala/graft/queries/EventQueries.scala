@@ -66,11 +66,74 @@ object EventQueries extends QuerySet {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Exact interpolating percentiles of `value` per event type — the
+    * latency/size-distribution report every event pipeline runs. Exact
+    * `percentile` (sort-based) is the ORACLE-CHECKED form; at 100 TB the
+    * same report runs `percentile_approx` (mergeable sketch, no global
+    * sort) — the approx twin's error bound is pinned in a ScalaTest
+    * next to this query rather than an oracle row.
+    */
+  def e5Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("ps"))
+      .select(col("event_type"),
+        round(col("ps").getItem(0), 6).as("p50"),
+        round(col("ps").getItem(1), 6).as("p95"),
+        round(col("ps").getItem(2), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Fixed-width histogram of `value` (bin width 10) per event type —
+    * pure integer binning, one map-side-combined aggregation, no
+    * min/max pre-pass (fixed bounds are the streaming-friendly shape).
+    */
+  def e6Histogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), floor(col("value") / 10).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+
+  /** Day-over-day event-count deltas per type: daily rollup, then a
+    * lag window PER TYPE (30 rows each — never a global sort). First
+    * day's delta is 0 by the coalesce-to-self convention.
+    */
+  def e7DailyDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("delta",
+        col("n_events") - coalesce(lag("n_events", 1).over(w), col("n_events")))
+      .orderBy("event_type", "day")
+  }
+
+  /** Daily event-mix pivot: one row per day, one count column per event
+    * type — the `.pivot` API surface with an EXPLICIT value list (never
+    * the distinct-scan form, which adds a blocking extra job at scale).
+    * Missing (day, type) combos coalesce to 0 like the SQL FILTER form.
+    */
+  def e8PivotDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("day"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy("day")
+
   val entries: Map[String, Q] = Map(
     "e1_hourly_rollup" -> e1HourlyRollup _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_tumbling_window" -> e3TumblingWindow _,
     "e4_json_extract" -> e4JsonExtract _,
+    "e5_percentiles" -> e5Percentiles _,
+    "e6_histogram" -> e6Histogram _,
+    "e7_daily_deltas" -> e7DailyDeltas _,
+    "e8_pivot_daily" -> e8PivotDaily _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +169,35 @@ object EventQueries extends QuerySet {
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // quantile_cont is the same p*(n-1) linear interpolation as Spark's
+    // exact percentile; FLOOR-rounding to 6dp absorbs the last-ULP
+    // difference in the two engines' interpolation arithmetic
+    "e5_percentiles" ->
+      """SELECT event_type,
+        | FLOOR(quantile_cont(value, 0.5)  * 1e6 + 0.5) / 1e6 AS p50,
+        | FLOOR(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95,
+        | FLOOR(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e6_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "e7_daily_deltas" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  n_events - COALESCE(LAG(n_events, 1) OVER w, n_events) AS delta
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
+    "e8_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        | COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }
