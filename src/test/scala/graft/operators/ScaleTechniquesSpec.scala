@@ -81,4 +81,80 @@ class ScaleTechniquesSpec extends SparkSpec {
           col("l_orderkey") === col("o_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions") {
+    // the 100 TB join shape: a fact laid out by partition key joined to
+    // a filtered dimension must only READ the partitions the dim
+    // survivors name — Catalyst's DPP injects the dim's broadcast result
+    // into the fact scan's PartitionFilters at runtime
+    import spark.implicits._
+    val factDir = s"/root/repo/target/dpp-fact-${System.nanoTime()}"
+    Tables.load(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    // the dim must be a REAL relation: an in-memory Seq gets its filter
+    // constant-folded into a LocalTableScan, and with no surviving
+    // selective-predicate node DPP never considers the join
+    val dimDir = s"/root/repo/target/dpp-dim-${System.nanoTime()}"
+    Seq(("purchase", 1), ("error", 2), ("click", 3),
+      ("signup", 4), ("view", 5)).toDF("event_type", "type_id")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // at test scale the pruning-benefit estimate (pruned bytes vs dim
+    // subquery cost) rounds to "not worth it" — force the benefit
+    // heuristic open so the INSERTION path itself is what's pinned
+    val prevStats = spark.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val prevRatio = spark.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000000")
+    try {
+      val joined = fact.join(dim.filter(col("type_id") === 1), Seq("event_type"))
+        .select("event_id", "type_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"fact scan must carry a runtime partition filter:\n$plan")
+      assert(joined.count() ==
+        Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "purchase").count())
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", prevRatio)
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // when neither side broadcasts (the 100 TB case), Spark can still
+    // semi-prune the fact scan with a bloom filter built from the
+    // filtered dim — pin that the injection actually fires so a conf or
+    // plan-shape regression can't silently drop it
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val fact = Tables.load(spark, dir, "lineitem")
+      val dimF = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val joined = fact.join(dimF, Seq("l_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter must be injected on the fact scan:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }

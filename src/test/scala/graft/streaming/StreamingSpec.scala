@@ -76,6 +76,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < 500)
   }
 
+  test("streaming histogram converges to the batch e6 answer") {
+    // e6's fixed-bound integer binning needs no min/max pre-pass, which
+    // is exactly what makes it streaming-composable: the same groupBy
+    // runs incrementally in complete mode and lands on the batch result
+    val q = EventsStreaming.readEvents(spark, dir)
+      .groupBy(col("event_type"), floor(col("value") / 10).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hist_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("e6_histogram")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization closes sessions on gap > 30min") {
     val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
       .writeStream.outputMode("append")
