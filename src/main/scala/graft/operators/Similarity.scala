@@ -451,6 +451,59 @@ object Similarity {
         col("qscore"), col("rank"))
   }
 
+  /** Cross-corpus embedding near-dup detection — the INCREMENTAL
+    * vector-dedup shape (the embedding twin of
+    * [[Dedup.crossCorpusNearDups]]): find batch vectors whose cosine
+    * against ANY reference vector clears a threshold, WITHOUT ever
+    * self-joining the reference. The reference is quantized and
+    * cell-assigned once (both precomputable and storable across
+    * batches); each batch vector probes its `nprobe` best cells and
+    * scores candidates on the codegen'd integer dot — cost tracks the
+    * BATCH size times cell fan-in, never the accumulated corpus
+    * squared. Calibration (`amax`) comes from the REFERENCE corpus so
+    * stored ref codes stay valid across batches; centroid ranking is
+    * the same integer dot (exact, no FP anywhere), making the whole
+    * operator oracle-expressible. Returns (batch_id, ref_id, qscore ≥
+    * minScore); consumers anti-join the batch against the distinct
+    * batch_ids.
+    */
+  def crossCorpusQuantizedMatches(ref: DataFrame, batch: DataFrame,
+      minScore: Long, numCentroids: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ru = withUnitVector(ref, vecCol).select(col(idCol), col("uv"))
+    val stats = quantStats(ru, "uv")
+    val rcodes = withQuantized(ru, stats, "uv").select(col(idCol), col("qv"))
+    val cents = rcodes.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("centroid_id"), col("qv").as("cv"))
+    // ref side: assign by integer dot vs the k centroid codes (ties →
+    // lowest id) — one map pass against a broadcast k-row frame
+    def assign(codes: DataFrame, asId: String): DataFrame = {
+      val wc = Window.partitionBy(asId).orderBy(col("cscore").desc,
+        col("centroid_id"))
+      codes.crossJoin(broadcast(cents))
+        .withColumn("cscore",
+          graft.functions.VectorExpressions.intDotProduct(col("qv"), col("cv")))
+        .withColumn("crank", row_number().over(wc))
+        .select(col(asId), col("qv"), col("centroid_id").as("cell"),
+          col("crank"))
+    }
+    val refCells = assign(rcodes.withColumnRenamed(idCol, "ref_id"), "ref_id")
+      .filter(col("crank") === 1).select(col("ref_id"),
+        col("qv").as("rq"), col("cell"))
+    val bu = withUnitVector(batch, vecCol)
+      .select(col(idCol).as("batch_id"), col("uv"))
+    val probes = assign(
+        withQuantized(bu, stats, "uv").select(col("batch_id"), col("qv")),
+        "batch_id")
+      .filter(col("crank") <= nprobe)
+      .select(col("batch_id"), col("qv").as("bq"), col("cell"))
+    refCells.join(broadcast(probes), Seq("cell"))
+      .withColumn("qscore",
+        graft.functions.VectorExpressions.intDotProduct(col("bq"), col("rq")))
+      .filter(col("qscore") >= minScore)
+      .select("batch_id", "ref_id", "qscore")
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

@@ -149,7 +149,40 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Cross-source duplication report — which source pairs share content:
+    * distinct (fingerprint, source) pairs self-joined on the fingerprint
+    * with source_a < source_b, counted per pair. The corpus-health view
+    * a crawl operator reads before deciding which source to dedup
+    * against which. One shuffle on the md5 fingerprint (the exact-dedup
+    * join key), then a tiny per-pair aggregate.
+    */
+  def g6SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val fps = t(s, dir, "documents")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"), col("source"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Z-order (Morton) layout key — [[graft.functions.ZOrder]] over
+    * (l_partkey, l_suppkey): the multi-column data-skipping sort key,
+    * oracle-checked bit-for-bit (pure integer shift/mask cascade). The
+    * layout win itself (tighter per-file min/max boxes in BOTH columns
+    * after `sortWithinPartitions(z)`) is pinned in ZOrderSpec.
+    */
+  def z1Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrder.z2(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+
   val entries: Map[String, Q] = Map(
+    "g6_source_overlap" -> g6SourceOverlap _,
+    "z1_zorder" -> z1Zorder _,
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
@@ -166,6 +199,17 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "g6_source_overlap" ->
+      s"""WITH fps AS (
+         |  SELECT DISTINCT ${TextQueries.fpSql} AS fp, source FROM documents)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "z1_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${graft.functions.ZOrder.z2Sql("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem ORDER BY z, l_orderkey, l_linenumber""".stripMargin,
     "g4_source_mix" ->
       s"""SELECT source, lang, COUNT(*) AS n_docs,
          | CAST(SUM(len(${TextQueries.toksSql})) AS BIGINT) AS n_tokens,

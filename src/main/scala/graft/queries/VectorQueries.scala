@@ -203,7 +203,27 @@ object VectorQueries extends QuerySet {
 
   private val KmIters = 2
 
+  /** Incremental cross-corpus embedding dedup — the vector twin of
+    * `d11_incremental_dedup` ([[Similarity.crossCorpusQuantizedMatches]]):
+    * batch vectors (vec_id ≥ 400) matched against a reference corpus
+    * (vec_id < 400) by int8 cosine, the reference NEVER self-joined.
+    * Calibration and cell assignment come from the reference side only
+    * (storable across batches — crawl N+1 probes crawls 1..N's stored
+    * codes). Entirely integer scoring ⇒ full oracle row.
+    */
+  def v12CrossCorpusAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.crossCorpusQuantizedMatches(
+        e.filter(col("vec_id") < RefSplit), e.filter(col("vec_id") >= RefSplit),
+        minScore = MatchScore, numCentroids = NumCentroids, nprobe = 2)
+      .orderBy("batch_id", "ref_id")
+  }
+
+  private val RefSplit = 400L
+  private val MatchScore = 24000L
+
   val entries: Map[String, Q] = Map(
+    "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
     "v11_kmeans_quantized" -> v11KmeansQuantized _,
     "v10_ivf_quantized" -> v10IvfQuantized _,
     "v9_quantized_topk" -> v9QuantizedTopK _,
@@ -305,6 +325,40 @@ object VectorQueries extends QuerySet {
        |  GROUP BY cell) g ON c.centroid_id = g.cell""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ref-only calibration (amax over the unit REFERENCE), first-k ref
+    // centroids, integer centroid ranking, integer candidate scores —
+    // the whole incremental matcher is exact arithmetic
+    "v12_cross_corpus_ann" ->
+      s"""WITH unit AS ($unitCte),
+         |ru AS (SELECT vec_id, uv FROM unit WHERE vec_id < $RefSplit),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM ru)),
+         |xcodes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM xcodes
+         |          WHERE vec_id < $NumCentroids),
+         |refcells AS (
+         |  SELECT ref_id, qv AS rq, cell FROM (
+         |    SELECT r.vec_id AS ref_id, r.qv, c.centroid_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${qdotSql("r.qv", "c.cv")} DESC, c.centroid_id) AS crank
+         |    FROM xcodes r, cents c WHERE r.vec_id < $RefSplit)
+         |  WHERE crank = 1),
+         |probes AS (
+         |  SELECT batch_id, qv AS bq, cell FROM (
+         |    SELECT b.vec_id AS batch_id, b.qv, c.centroid_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${qdotSql("b.qv", "c.cv")} DESC, c.centroid_id) AS crank
+         |    FROM xcodes b, cents c WHERE b.vec_id >= $RefSplit)
+         |  WHERE crank <= 2)
+         |SELECT p.batch_id, r.ref_id, ${qdotSql("p.bq", "r.rq")} AS qscore
+         |FROM refcells r JOIN probes p ON r.cell = p.cell
+         |WHERE ${qdotSql("p.bq", "r.rq")} >= $MatchScore
+         |ORDER BY batch_id, ref_id""".stripMargin,
     // integer-space Lloyd's, unrolled KmIters times: codes quantize as
     // in v9, seeds are the first NumCentroids codes with n=1, and each
     // round is assign (exact rational argmax) + update (exact BIGINT

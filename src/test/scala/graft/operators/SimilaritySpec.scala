@@ -247,6 +247,26 @@ class SimilaritySpec extends SparkSpec {
     FrameCaches.release(spark)
   }
 
+  test("cross-corpus ANN matches a planted duplicate; ref never self-matches") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ref = e.filter($"vec_id" < 400)
+    // batch = copies of two ref vectors under new ids + the real tail
+    val planted = ref.filter($"vec_id".isin(42L, 99L))
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    val batch = e.filter($"vec_id" >= 400).unionByName(planted)
+    val out = Similarity.crossCorpusQuantizedMatches(ref, batch,
+        minScore = 24000L, numCentroids = 8, nprobe = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // only batch ids on the left — the reference is never self-joined
+    assert(out.forall(_._1 >= 400L))
+    // an exact copy lands in its original's cell and scores ~the code
+    // self-dot — it MUST be found
+    val hits = out.filter(r => r._1 == 1042L || r._1 == 1099L).map(r => (r._1, r._2))
+    assert(hits.contains((1042L, 42L)) && hits.contains((1099L, 99L)),
+      s"planted duplicates must match their originals, got ${hits.toSeq}")
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten
