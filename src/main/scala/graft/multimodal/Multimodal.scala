@@ -30,6 +30,9 @@ final case class ImageFeatures(media_id: Long, width: Int, height: Int,
 
 final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
+final case class AudioChunk(media_id: Long, chunk_idx: Int, n_samples: Long,
+    energy: Long, peak: Long)
+
 /** Deterministic stand-ins for real codecs. Replace `decodeImage` with
   * an actual decoder (e.g. TwelveMonkeys/javax.imageio) in production —
   * the call sites and shapes stay identical.
@@ -53,6 +56,12 @@ object StubCodecs {
     val span = math.max(1, payload.length / n)
     payload.slice(i * span, math.min((i + 1) * span, payload.length))
   }
+
+  /** STUB — payload bytes as unsigned 8-bit PCM samples. Replace with a
+    * real decoder (javax.sound / ffmpeg bindings) in production.
+    */
+  def decodeAudio(payload: Array[Byte]): Array[Int] =
+    payload.map(java.lang.Byte.toUnsignedInt)
 }
 
 object Multimodal {
@@ -90,6 +99,54 @@ object Multimodal {
       }
       MediaFile(i, kind, if (kind == "video") "video/fake" else "image/fake",
         bytes, w, h, frames)
+    }
+  }
+
+  /** Deterministic synthetic AUDIO corpus — same md5 payload scheme as
+    * [[syntheticMedia]] (byte 16k+j of clip i is byte j of
+    * `md5("audio:<i>:<k>")`), so sample-level features re-derive in a
+    * SQL oracle. Clip length is 2048 + (i % 4) · 512 samples.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val len = 2048 + (i % 4).toInt * 512
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = new Array[Byte](len)
+      var k = 0
+      while (k * 16 < len) {
+        val d = md.digest(s"audio:$i:$k".getBytes("UTF-8"))
+        var j = 0
+        while (j < 16 && k * 16 + j < len) { bytes(k * 16 + j) = d(j); j += 1 }
+        k += 1
+      }
+      MediaFile(i, "audio", "audio/fake", bytes, 0, 0, 1)
+    }
+  }
+
+  /** Per-chunk audio stats, batched per partition: each `chunk`-sample
+    * window of the (stub-decoded) unsigned-8-bit PCM stream emits its
+    * signal energy Σ(s−128)² and peak |s−128| — the VAD/loudness
+    * pre-filter shape of audio curation. ALL-INTEGER outputs: unlike
+    * m1/m2's rounded double means, energy and peak carry zero FP noise,
+    * so the feature extraction oracle-checks without any rounding.
+    */
+  def audioChunkStats(media: Dataset[MediaFile], chunk: Int): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { m =>
+        StubCodecs.decodeAudio(m.payload).grouped(chunk).zipWithIndex.map {
+          case (c, idx) =>
+            var e = 0L
+            var p = 0
+            c.foreach { s =>
+              val d = s - 128
+              e += d.toLong * d
+              if (math.abs(d) > p) p = math.abs(d)
+            }
+            AudioChunk(m.media_id, idx, c.length.toLong, e, p.toLong)
+        }
+      })
     }
   }
 

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/membership sketches as plain DataFrames.
+  *
+  * Both sketches here answer questions a 100 TB pipeline cannot afford
+  * to answer exactly in one pass:
+  *
+  *  - [[cmsBuild]]/[[cmsEstimate]] — Count-Min (Cormode & Muthukrishnan
+  *    2005): heavy hitters / point frequency estimates in `depth×width`
+  *    counters instead of a counter per distinct key. The sketch IS a
+  *    tiny DataFrame of (row, bucket, cnt), so it merges across
+  *    partitions/batches by summing per cell — Spark's map-side combine
+  *    does the partial-sketch merge for free, and a streaming job can
+  *    keep it as running state.
+  *  - [[bloomBuild]]/[[bloomProbe]] — Bloom membership over 63-bit
+  *    words: a broadcastable pre-filter that drops most non-matching
+  *    rows BEFORE an expensive shuffle join (the manual analog of the
+  *    runtime bloom injection pinned in ScaleTechniquesSpec, but
+  *    buildable once and reusable across queries/batches).
+  *
+  * Hash family mirrors [[Dedup]]: `Md5Hash` derives every hash from an
+  * md5 slice (`('0x'||substr(md5(r||':'||x),1,14))::BIGINT`), so the
+  * whole sketch — build, merge, estimate — re-derives bit-identically
+  * in a SQL oracle; `XxHash` is the cheaper production family with the
+  * same shape. Reference scope: the reference engine has no sketches
+  * (SURVEY.md §2.13) — this is part of the beyond-reference
+  * training-data surface.
+  */
+object Sketches {
+
+  import Dedup.{HashMode, Md5Hash, XxHash}
+
+  /** Row-`r` hash of an item, in [0, width). */
+  private def bucketOf(item: Column, r: Column, width: Int,
+      mode: HashMode): Column = mode match {
+    case Md5Hash =>
+      graft.functions.VectorExpressions
+        .hexSliceToLong(md5(concat_ws(":", r, item)), 1, 14) % width
+    case XxHash => pmod(xxhash64(r, item), lit(width.toLong))
+  }
+
+  /** Build a Count-Min sketch over one item per input row: `depth×width`
+    * cells `(r, bucket, cnt)`. Cost is `depth` hashes per row folded by
+    * one partially-aggregated groupBy; the result has at most
+    * `depth·width` rows regardless of input size (broadcast it).
+    * Sketches over different slices of a corpus merge by
+    * `union.groupBy(r, bucket).sum(cnt)`.
+    */
+  def cmsBuild(items: DataFrame, itemCol: Column, depth: Int, width: Int,
+      mode: HashMode = XxHash): DataFrame =
+    items.select(itemCol.cast("string").as("item"))
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), bucketOf(col("item"), col("r"), width, mode).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each distinct probe item:
+    * `min over r of sketch(r, hash_r(item))`, the classic CMS upper
+    * bound (`estimate ≥ true count`, within `εN` w.h.p.). The sketch
+    * side is ≤ depth·width rows — broadcast — so this is map work plus
+    * one tiny per-item min.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: Column,
+      depth: Int, width: Int, mode: HashMode = XxHash): DataFrame =
+    probes.select(itemCol.cast("string").as("item")).distinct()
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("item"), col("r"), width, mode))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Number of 63-bit words backing a Bloom filter of `bits` positions.
+    * 63 (not 64) bits per word keeps every mask positive in a signed
+    * BIGINT — the same arithmetic in any SQL engine, no unsigned types.
+    */
+  private def words(bits: Int): Int = (bits + 62) / 63
+
+  /** Build a Bloom filter over a key column: `k` hash positions per
+    * key, OR-folded into `ceil(bits/63)` BIGINT words `(word_idx,
+    * bits)`. The filter is a ≤`words(bits)`-row DataFrame — broadcast
+    * it, persist it, or union+`bit_or` it with another batch's filter.
+    */
+  def bloomBuild(keys: DataFrame, keyCol: Column, bits: Int, k: Int,
+      mode: HashMode = XxHash): DataFrame = {
+    keys.select(keyCol.cast("string").as("key"))
+      .select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .withColumn("pos", bucketOf(col("key"), col("r"), bits, mode))
+      .groupBy(expr("CAST(pos DIV 63 AS INT)").as("word_idx"))
+      // shiftleft's column-shift form only exists in SQL, hence expr
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
+        .as("bits"))
+  }
+
+  /** Probe: keep the rows of `df` whose `keyCol` has ALL `k` bits set in
+    * the filter (i.e. possible members — false positives at the usual
+    * Bloom rate, never false negatives). The word frame folds into ONE
+    * broadcast row holding a word_idx→bits map, so the probe is
+    * scan-fused map work — no explode, no shuffle, no row
+    * multiplication: this is the shape that turns "join 100 TB of rows
+    * against 10 M keys" into "drop ~99% of rows before the shuffle".
+    */
+  def bloomProbe(df: DataFrame, keyCol: Column, filter: DataFrame, bits: Int,
+      k: Int, mode: HashMode = XxHash): DataFrame = {
+    val m = filter.groupBy().agg(map_from_entries(
+      collect_list(struct(col("word_idx"), col("bits")))).as("_bp_map"))
+    val posCols = (0 until k).map(r => s"_bp_pos_$r")
+    val withPos = (0 until k).foldLeft(df.crossJoin(broadcast(m))) { (d, r) =>
+      d.withColumn(posCols(r),
+        bucketOf(keyCol.cast("string"), lit(r), bits, mode))
+    }
+    val allSet = posCols.map { p =>
+      expr(s"""(shiftright(
+        coalesce(element_at(_bp_map, CAST($p DIV 63 AS INT)), CAST(0 AS BIGINT)),
+        CAST($p % 63 AS INT)) & 1) = 1""")
+    }.reduce(_ && _)
+    withPos.filter(allSet).drop("_bp_map" +: posCols: _*)
+  }
+
+  // ---- SQL mirrors (DuckDB oracle fragments) ----
+
+  /** The md5-mode bucket as SQL text: `('0x'||substr(md5(r||':'||x),1,14))
+    * ::BIGINT % width` — bit-identical to [[bucketOf]]'s Md5Hash path.
+    */
+  def bucketSql(item: String, r: String, width: Int): String =
+    s"(('0x' || substr(md5($r || ':' || $item), 1, 14))::BIGINT % $width)"
+}

@@ -125,7 +125,50 @@ object EventQueries extends QuerySet {
         coalesce(col("view"), lit(0L)).as("n_view"))
       .orderBy("day")
 
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * a stage only via a STRICTLY LATER event than the previous stage
+    * (first view, then first click after that view, then first purchase
+    * after that click — the standard ordered-funnel semantics, not mere
+    * set membership). One shuffle on user_id: the three stage
+    * timestamps are chained conditional-min windows over the same
+    * partitioning, then a tiny global count. Integer micros end to end.
+    */
+  def e9Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events(s, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("v_us", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us", min(when(col("event_type") === "click" &&
+        col("us") > col("v_us"), col("us"))).over(w))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        col("us") > col("c_us"), col("us"))).over(w))
+      .groupBy()
+      .agg(
+        count_distinct(when(col("v_us").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("c_us").isNotNull, col("user_id"))).as("n_view_click"),
+        count_distinct(when(col("p_us").isNotNull, col("user_id"))).as("n_view_click_purchase"))
+  }
+
+  /** Cohort retention matrix: users grouped by FIRST-EVENT day, then
+    * distinct active users per (cohort_day, day_offset). The classic
+    * "day-N retention" report. Two aggregations on user-keyed shuffles
+    * plus one small rollup — never a self-join of events against
+    * events. All-integer output.
+    */
+  def e10Retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cohort_day", min("day").over(w))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val entries: Map[String, Q] = Map(
+    "e9_funnel" -> e9Funnel _,
+    "e10_retention" -> e10Retention _,
     "e1_hourly_rollup" -> e1HourlyRollup _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_tumbling_window" -> e3TumblingWindow _,
@@ -137,6 +180,37 @@ object EventQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_funnel" ->
+      """WITH staged AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS v_us,
+        |    epoch_us(ts) AS us, event_type
+        |  FROM events
+        |), staged2 AS (
+        |  SELECT user_id, v_us,
+        |    MIN(CASE WHEN event_type = 'click' AND us > v_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS c_us, us, event_type
+        |  FROM staged
+        |), staged3 AS (
+        |  SELECT user_id, v_us, c_us,
+        |    MIN(CASE WHEN event_type = 'purchase' AND us > c_us THEN us END)
+        |      OVER (PARTITION BY user_id) AS p_us
+        |  FROM staged2
+        |)
+        |SELECT
+        |  COUNT(DISTINCT CASE WHEN v_us IS NOT NULL THEN user_id END) AS n_view,
+        |  COUNT(DISTINCT CASE WHEN c_us IS NOT NULL THEN user_id END) AS n_view_click,
+        |  COUNT(DISTINCT CASE WHEN p_us IS NOT NULL THEN user_id END) AS n_view_click_purchase
+        |FROM staged3""".stripMargin,
+    "e10_retention" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM events)
+        |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM marked GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "e1_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | COUNT(*) AS n_events,

@@ -149,6 +149,19 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Audio chunk energy/peak as the third multimodal oracle row (m1 =
+    * image, m2 = video): 512-sample windows over the stub-decoded PCM
+    * stream via [[graft.multimodal.Multimodal.audioChunkStats]]'s
+    * batched mapPartitions, re-derived sample-by-sample in DuckDB from
+    * the md5 payload scheme. All-integer features — the only multimodal
+    * row with NO rounding anywhere.
+    */
+  def m3AudioChunks(s: SparkSession, dir: String): DataFrame = {
+    val audio = graft.multimodal.Multimodal.syntheticAudio(s, 200)
+    graft.multimodal.Multimodal.audioChunkStats(audio, chunk = 512).toDF()
+      .orderBy("media_id", "chunk_idx")
+  }
+
   /** Cross-source duplication report — which source pairs share content:
     * distinct (fingerprint, source) pairs self-joined on the fingerprint
     * with source_a < source_b, counted per pair. The corpus-health view
@@ -186,6 +199,7 @@ object ExtendedQueries extends QuerySet {
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
+    "m3_audio_chunks" -> m3AudioChunks _,
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
@@ -284,6 +298,22 @@ object ExtendedQueries extends QuerySet {
         |  FLOOR((SUM(b) * 1.0 / span) * 10000 + 0.5) / 10000 AS mean_byte
         |FROM px GROUP BY media_id, frame_idx, span
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // audio clips are 2048 + (i%4)*512 samples; sample p of clip i is
+    // byte (p%16) of md5('audio:<i>:<p//16>'), unsigned, centered at 128
+    "m3_audio_chunks" ->
+      """WITH m AS (
+        |  SELECT i AS media_id, 2048 + (i % 4) * 512 AS len
+        |  FROM generate_series(0, 199) t(i)),
+        |px AS (
+        |  SELECT media_id, p // 512 AS chunk_idx,
+        |    ('0x' || substr(md5('audio:' || media_id || ':' || (p // 16)),
+        |       (p % 16) * 2 + 1, 2))::INT - 128 AS d
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, len - 1)) AS p) g)
+        |SELECT media_id, chunk_idx, COUNT(*) AS n_samples,
+        |  CAST(SUM(d * d) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(d)) AS BIGINT) AS peak
+        |FROM px GROUP BY 1, 2
+        |ORDER BY media_id, chunk_idx""".stripMargin,
     "tw2_tfidf_top_terms" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (

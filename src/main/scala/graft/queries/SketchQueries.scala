@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Sketches}
+import graft.functions.TextFunctions
+
+/** Sketch-backed approximations ([[graft.operators.Sketches]]) as
+  * driver-checkable queries. Unlike HLL (`hll1`, rows-only — Spark's
+  * sketch internals aren't SQL-re-derivable), CMS and Bloom built on the
+  * md5 hash family are DETERMINISTIC data structures: every counter and
+  * every bit re-derives in DuckDB, so the approximation itself gets a
+  * full oracle row — the estimates, the false positives, everything.
+  */
+object SketchQueries extends QuerySet {
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** CMS heavy hitters over the corpus token stream: build a 4×64
+    * sketch (256 counters standing in for the whole vocabulary), then
+    * report every token whose ESTIMATE clears total/50 alongside its
+    * exact count — est ≥ exact row-by-row is the CMS guarantee made
+    * visible (and oracle-checked). At 100 TB the exact branch drops
+    * out and the 256-cell sketch is all that ships to the driver.
+    */
+  def sk1CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val sketch = Sketches.cmsBuild(toks, col("tok"), CmsDepth, CmsWidth,
+      Dedup.Md5Hash)
+    val est = Sketches.cmsEstimate(sketch, toks, col("tok"), CmsDepth,
+      CmsWidth, Dedup.Md5Hash)
+    val exact = toks.groupBy(col("tok").as("item"))
+      .agg(count(lit(1)).as("exact"))
+    val total = toks.groupBy().agg(count(lit(1)).as("n_total"))
+    est.join(exact, Seq("item"))
+      .crossJoin(broadcast(total))
+      .filter(col("est") >= expr("n_total DIV 50"))
+      .select(col("item"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(desc("est"), col("item"))
+  }
+
+  private val BloomBits = 4032 // 64 words × 63 usable bits
+  private val BloomK = 3
+
+  /** Bloom pre-join audit: build a 4 KB filter over BUILDING-segment
+    * customer keys, probe every order through it, and report candidate
+    * / true-member / false-positive counts. The false positives are
+    * DETERMINISTIC here (md5 bits), so even the filter's error is an
+    * oracle-checked quantity. Production shape: `bloomProbe` drops
+    * non-member orders scan-side before the customer join shuffles.
+    */
+  def sk2BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bloom = Sketches.bloomBuild(members, col("c_custkey"), BloomBits,
+      BloomK, Dedup.Md5Hash)
+    val cand = Sketches.bloomProbe(Tables.load(s, dir, "orders"),
+      col("o_custkey"), bloom, BloomBits, BloomK, Dedup.Md5Hash)
+    cand.join(broadcast(members), cand("o_custkey") === members("c_custkey"),
+        "left")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("c_custkey")).as("n_members"),
+        count(when(col("c_custkey").isNull, lit(1))).as("n_false_pos"))
+  }
+
+  val entries: Map[String, Q] = Map(
+    "sk1_cms_heavy_hitters" -> sk1CmsHeavyHitters _,
+    "sk2_bloom_prefilter" -> sk2BloomPrefilter _,
+  )
+
+  private def gridSql(src: String, item: String, depth: Int): String =
+    s"SELECT $item AS item, r FROM $src CROSS JOIN (SELECT unnest(range(0, $depth)) AS r) _r"
+
+  val oracles: Map[String, String] = Map(
+    "sk1_cms_heavy_hitters" -> {
+      val toks = TextQueries.toksSql
+      s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+         |grid AS (${gridSql("tk", "tok", CmsDepth)}),
+         |sk AS (
+         |  SELECT r, ${Sketches.bucketSql("item", "r", CmsWidth)} AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM grid GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT tok FROM tk),
+         |pg AS (${gridSql("probes", "tok", CmsDepth)}),
+         |est AS (
+         |  SELECT item, MIN(COALESCE(cnt, 0)) AS est
+         |  FROM (SELECT item, r,
+         |          ${Sketches.bucketSql("item", "r", CmsWidth)} AS bucket
+         |        FROM pg) p
+         |  LEFT JOIN sk USING (r, bucket) GROUP BY item),
+         |exact AS (SELECT tok AS item, COUNT(*) AS exact FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tk)
+         |SELECT e.item, e.est, x.exact, e.est - x.exact AS overcount
+         |FROM est e JOIN exact x USING (item) CROSS JOIN tot
+         |WHERE e.est >= n_total // 50
+         |ORDER BY e.est DESC, e.item""".stripMargin
+    },
+    "sk2_bloom_prefilter" -> {
+      def posSql(i: Int) =
+        Sketches.bucketSql("CAST(o_custkey AS VARCHAR)", i.toString, BloomBits)
+      val hitConds = (0 until BloomK).map { i =>
+        s"((COALESCE(w$i.bits, 0) >> CAST(p$i % 63 AS INT)) & 1) = 1"
+      }.mkString(" AND ")
+      val wordJoins = (0 until BloomK).map { i =>
+        s"LEFT JOIN words w$i ON w$i.word_idx = p.p$i // 63"
+      }.mkString("\n")
+      s"""WITH members AS (
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |mg AS (${gridSql("members", "CAST(c_custkey AS VARCHAR)", BloomK)}),
+         |words AS (
+         |  SELECT pos // 63 AS word_idx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM (SELECT ${Sketches.bucketSql("item", "r", BloomBits)} AS pos
+         |        FROM mg) _p
+         |  GROUP BY 1),
+         |probe AS (
+         |  SELECT o_custkey, ${(0 until BloomK).map(i => s"${posSql(i)} AS p$i").mkString(", ")}
+         |  FROM orders),
+         |hits AS (
+         |  SELECT p.o_custkey FROM probe p
+         |  $wordJoins
+         |  WHERE $hitConds)
+         |SELECT COUNT(*) AS n_candidates,
+         |  COUNT(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM members))
+         |    AS n_members,
+         |  COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM members))
+         |    AS n_false_pos
+         |FROM hits""".stripMargin
+    },
+  )
+}

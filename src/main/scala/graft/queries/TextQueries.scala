@@ -138,7 +138,53 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** Text normalization + stopword removal — the canonical pre-tokenizer
+    * cleanup pass: lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace, then drop English stopwords from the token stream.
+    * Emits the normalized text, its token count, and the content-token
+    * count (stopwords removed) — pure scan-fused map work, no shuffle.
+    */
+  def t10Normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = tokens(norm)
+    val stop = langStopwords.head._2
+    val content = filter(toks, t => !t.isin(stop: _*))
+    docs(s, dir).select(col("doc_id"), norm.as("norm_text"),
+        size(toks).as("n_tokens"), size(content).as("n_content_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style document quality GATE (Rae et al. 2021 §A1.1) — the
+    * filtering counterpart to t2's scoring: per-doc word count, mean
+    * word length, alphabetic-word ratio, and stopword hits, each
+    * compared against the published bounds, plus the conjunction
+    * `keep`. Emitted as flags rather than a filter so the report shows
+    * WHY a document failed — the shape a curation dashboard wants. All
+    * per-row arithmetic (one IEEE division per ratio), scan-fused, no
+    * shuffle.
+    */
+  def t11GopherGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWords
+    val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = graft.functions.TextFunctions
+      .stopwordHits(tokens(lower(col("text"))), langStopwords.head._2)
+      .cast("long")
+    docs(s, dir).select(col("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("n_stop_hits"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          alphaRatio >= 0.8 && stopHits >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "t11_gopher_gate" -> t11GopherGate _,
+    "t10_normalize" -> t10Normalize _,
     "t8_repetition" -> t8Repetition _,
     "t9_seq_packing" -> t9SeqPacking _,
     "t1_token_stats" -> t1TokenStats _,
@@ -197,6 +243,32 @@ object TextQueries extends QuerySet {
        | i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t11_gopher_gate" -> {
+      val nWords = s"len($toksSql)"
+      val meanLen = s"(CAST(CAST(list_sum(list_transform($toksSql, t -> len(t))) AS BIGINT) AS DOUBLE) / $nWords)"
+      val alphaRatio = s"(CAST(len(list_filter($toksSql, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / $nWords)"
+      val stopHits = hitsSql(graft.functions.TextFunctions.langStopwords.head._2)
+      s"""SELECT doc_id,
+         | CAST($nWords AS BIGINT) AS n_words,
+         | $meanLen AS mean_word_len,
+         | $alphaRatio AS alpha_ratio,
+         | CAST($stopHits AS BIGINT) AS n_stop_hits,
+         | ($nWords BETWEEN 50 AND 100000 AND $meanLen BETWEEN 3.0 AND 10.0
+         |  AND $alphaRatio >= 0.8 AND $stopHits >= 2) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "t10_normalize" -> {
+      val normSql = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      val normToks = s"list_filter(regexp_split_to_array($normSql, ' '), t -> len(t) > 0)"
+      val stopLit = graft.functions.TextFunctions.langStopwords.head._2
+        .map("'" + _ + "'").mkString("[", ",", "]")
+      s"""SELECT doc_id, $normSql AS norm_text,
+         | len($normToks) AS n_tokens,
+         | len(list_filter($normToks, t -> NOT list_contains($stopLit, t)))
+         |   AS n_content_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "t8_repetition" ->
       s"""SELECT doc_id,
          | CASE WHEN len($toksSql) >= 3

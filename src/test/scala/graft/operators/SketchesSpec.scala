@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties the oracle rows can't express: the CMS one-sided error
+  * guarantee on EVERY key (not just heavy hitters), Bloom's
+  * no-false-negative guarantee, sketch mergeability (the 100 TB /
+  * streaming property: partial sketches sum into the global one), and
+  * that the probe plan stays broadcast-only (no shuffle added to the
+  * probed side).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def toks = graft.Tables.load(spark, dir, "documents")
+    .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+
+  test("CMS estimate >= exact count for every key; equal when width is ample") {
+    val sk = Sketches.cmsBuild(toks, $"tok", 4, 64, Dedup.Md5Hash)
+    assert(sk.count() <= 4 * 64)
+    val est = Sketches.cmsEstimate(sk, toks, $"tok", 4, 64, Dedup.Md5Hash)
+    val exact = toks.groupBy($"tok".as("item")).agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, "item")
+      .select($"item", $"est", $"exact").as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (item, e, x) =>
+      assert(e >= x, s"CMS underestimated '$item': $e < $x")
+    }
+    // a sketch much wider than the vocabulary should be collision-free
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(toks, $"tok", 4, 4096, Dedup.Md5Hash),
+      toks, $"tok", 4, 4096, Dedup.Md5Hash)
+    val drift = wide.join(exact, "item").filter($"est" =!= $"exact").count()
+    assert(drift == 0, s"$drift keys drifted in a 4x4096 sketch")
+  }
+
+  test("CMS partial sketches merge into the global sketch (mergeability)") {
+    val half1 = toks.filter(xxhash64($"tok") % 2 === 0)
+    val half2 = toks.filter(xxhash64($"tok") % 2 =!= 0)
+    val merged = Sketches.cmsBuild(half1, $"tok", 4, 64, Dedup.Md5Hash)
+      .unionByName(Sketches.cmsBuild(half2, $"tok", 4, 64, Dedup.Md5Hash))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsBuild(toks, $"tok", 4, 64, Dedup.Md5Hash)
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      whole.as[(Int, Long, Long)].collect().toSet)
+  }
+
+  test("Bloom probe has no false negatives; false-positive rate is sane") {
+    val cust = graft.Tables.load(spark, dir, "customer")
+    val members = cust.filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val bloom = Sketches.bloomBuild(members, $"c_custkey", 4032, 3, Dedup.Md5Hash)
+    assert(bloom.count() <= 64)
+    val probed = Sketches.bloomProbe(cust, $"c_custkey", bloom, 4032, 3,
+      Dedup.Md5Hash).select("c_custkey")
+    // every true member must survive the filter
+    assert(members.join(probed, Seq("c_custkey"), "left_anti").count() == 0)
+    // and the pass-through set must not balloon: with m/n ≈ 13 bits/key
+    // and k=3 the theoretical fp rate is ~1.5%; allow generous slack
+    val nonMembers = cust.join(members, Seq("c_custkey"), "left_anti").count()
+    val fp = probed.join(members, Seq("c_custkey"), "left_anti").count()
+    assert(fp.toDouble / nonMembers.max(1) < 0.10,
+      s"fp rate ${fp.toDouble / nonMembers} too high")
+  }
+
+  test("Bloom probe plan adds no shuffle to the probed side") {
+    val members = graft.Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val bloom = Sketches.bloomBuild(members, $"c_custkey", 4032, 3, Dedup.Md5Hash)
+    val plan = Sketches.bloomProbe(graft.Tables.load(spark, dir, "orders"),
+      $"o_custkey", bloom, 4032, 3, Dedup.Md5Hash)
+      .queryExecution.executedPlan.toString
+    // the single-row word map arrives broadcast; the STREAMED side (the
+    // orders scan, printed directly under the join, before the build
+    // side's BroadcastExchange) must reach the filter without any
+    // exchange — building the tiny word map itself may shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val streamed = plan.split("BroadcastNestedLoopJoin")(1)
+      .split("BroadcastExchange")(0)
+    assert(streamed.contains("FileScan parquet"), plan)
+    assert(!streamed.contains("Exchange"),
+      s"probe side picked up a shuffle:\n$plan")
+  }
+
+  test("funnel stages are monotonically non-increasing and retention day-0 covers all users") {
+    val f = graft.SparkEntry.queries("e9_funnel")(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert(f._1 >= f._2 && f._2 >= f._3, s"funnel must narrow: $f")
+    assert(f._1 > 0)
+    val ret = graft.SparkEntry.queries("e10_retention")(spark, dir)
+    val day0 = ret.filter($"day_offset" === 0)
+      .agg(sum("n_active")).as[Long].collect().head
+    val users = graft.Tables.load(spark, dir, "events")
+      .select(countDistinct("user_id")).as[Long].collect().head
+    assert(day0 == users, s"every user is active on their cohort day: $day0 != $users")
+  }
+}

@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming CMS sketch converges to the batch sketch cell-for-cell") {
+    // cmsBuild is one partially-aggregated groupBy over fixed hash
+    // cells — the mergeable-sketch property means the SAME operator
+    // runs incrementally in complete mode and lands on the exact batch
+    // counters (the running-heavy-hitters shape: keep the 4x64 frame
+    // as streaming state, estimate from it at any time)
+    import graft.operators.{Dedup, Sketches}
+    val q = Sketches.cmsBuild(EventsStreaming.readEvents(spark, dir),
+        col("event_type"), 4, 64, Dedup.Md5Hash)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("cms_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.cmsBuild(Tables.load(spark, dir, "events"),
+        col("event_type"), 4, 64, Dedup.Md5Hash)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization closes sessions on gap > 30min") {
     val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
       .writeStream.outputMode("append")
