@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training on-engine (Sennrich et al. 2016 —
+  * the standard subword-tokenizer induction): repeatedly count adjacent
+  * symbol pairs over the corpus' WORD-FREQUENCY table, pick the most
+  * frequent pair, and fuse it everywhere.
+  *
+  * Scale shape: the corpus is touched ONCE (the word-count aggregation,
+  * map-side combined); every training round then runs over the distinct
+  * VOCABULARY only — pair extraction is an explode over symbol
+  * sequences, the merge rewrite is a scan-fused `aggregate` fold, and
+  * the only driver-side step is the 1-row argmax per round (the same
+  * metadata-plane class as the k-means centroid pull). All counts are
+  * exact integers and ties break lexicographically, so the whole
+  * training loop re-derives bit-identically in a SQL oracle (the same
+  * design that made v11's integer k-means a full oracle row).
+  */
+object Bpe {
+
+  /** Learn `rounds` merges; returns (merge_round, pair_left, pair_right,
+    * n_pairs) — one row per learned merge, in training order. Stops
+    * early if no pair remains (every word fused to one symbol).
+    */
+  def learnMerges(docs: DataFrame, textCol: Column, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    // initial symbol sequence = the word's characters
+    var seqs = words.select(col("n"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("seq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = seqs
+        .select(col("n"), explode(zip_with(
+          slice(col("seq"), lit(1), size(col("seq")) - 1),
+          slice(col("seq"), lit(2), size(col("seq")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        val fused = a + b
+        // left-to-right greedy fuse: fold the tail onto [head], replacing
+        // a trailing `a` by `fused` whenever `b` arrives next
+        seqs = seqs.withColumn("seq", aggregate(
+            slice(col("seq"), lit(2), size(col("seq")) - 1),
+            slice(col("seq"), lit(1), lit(1)),
+            (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+              .otherwise(concat(acc, array(x)))))
+          // keep the per-round plan flat (lineage would nest folds)
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "pair_left", "pair_right", "n_pairs")
+  }
+}

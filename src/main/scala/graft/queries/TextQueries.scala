@@ -182,7 +182,19 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** On-engine BPE tokenizer training ([[graft.operators.Bpe]]): the
+    * first 3 learned merges over the corpus vocabulary, with exact pair
+    * counts. The oracle unrolls the same 3 rounds in SQL (pair argmax +
+    * `list_reduce` fuse), so the whole training loop is hash-checked.
+    */
+  def bpe1Merges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(docs(s, dir), col("text"), BpeRounds)
+      .orderBy("merge_round")
+
+  private val BpeRounds = 3
+
   val entries: Map[String, Q] = Map(
+    "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
     "t8_repetition" -> t8Repetition _,
@@ -243,6 +255,43 @@ object TextQueries extends QuerySet {
        | i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "bpe1_merges" -> {
+      // one round = pair counts over the vocab seqs → 1-row argmax →
+      // greedy left-to-right fuse via list_reduce (acc type must equal
+      // element type in DuckDB, hence the [x] wrapping)
+      def pairsCte(s: String): String =
+        s"""SELECT t.seq[g.i] AS a, t.seq[g.i + 1] AS b, t.n
+           |FROM $s t, LATERAL (SELECT unnest(generate_series(1,
+           |  len(t.seq) - 1)) AS i) g""".stripMargin
+      def bestCte(p: String): String =
+        s"""SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM $p
+           |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin
+      def fuseCte(s: String, best: String): String =
+        s"""SELECT t.n, list_reduce(list_transform(t.seq, x -> [x]),
+           |  (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+           |    THEN acc[1:len(acc) - 1] || [m.a || m.b]
+           |    ELSE acc || x END) AS seq
+           |FROM $s t CROSS JOIN $best m""".stripMargin
+      s"""WITH wc AS (
+         |  SELECT w, COUNT(*) AS n
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+         |s0 AS (SELECT n, list_transform(generate_series(1, len(w)),
+         |         i -> w[i:i]) AS seq FROM wc),
+         |p1 AS (${pairsCte("s0")}),
+         |b1 AS (${bestCte("p1")}),
+         |s1 AS (${fuseCte("s0", "b1")}),
+         |p2 AS (${pairsCte("s1")}),
+         |b2 AS (${bestCte("p2")}),
+         |s2 AS (${fuseCte("s1", "b2")}),
+         |p3 AS (${pairsCte("s2")}),
+         |b3 AS (${bestCte("p3")})
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS merge_round, a AS pair_left,
+         |         b AS pair_right, cnt AS n_pairs FROM b1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3)
+         |ORDER BY merge_round""".stripMargin
+    },
     "t11_gopher_gate" -> {
       val nWords = s"len($toksSql)"
       val meanLen = s"(CAST(CAST(list_sum(list_transform($toksSql, t -> len(t))) AS BIGINT) AS DOUBLE) / $nWords)"
