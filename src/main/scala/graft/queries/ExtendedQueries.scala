@@ -149,6 +149,39 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Statistical aggregates per group — corr / covar_samp / stddev_samp
+    * over lineitem (quantity vs extended price) per return flag. The
+    * engine-completeness row for the analyst surface beyond plain
+    * SUM/AVG. Aggregated doubles round to 6dp: both engines fold
+    * co-moments in different orders, rounding absorbs the ULP tail.
+    */
+  def a10StatsAggregates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"),
+        round(stddev_samp("l_extendedprice"), 4).as("stddev_price"))
+      .orderBy("l_returnflag")
+
+  /** NTILE quantile bucketing — quartiles of order value per priority
+    * (total order: price then key, so bucket edges are deterministic),
+    * then per-bucket count and bounds. Windows partition by priority —
+    * never a global single-task sort.
+    */
+  def w5NtileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Audio chunk energy/peak as the third multimodal oracle row (m1 =
     * image, m2 = video): 512-sample windows over the stub-decoded PCM
     * stream via [[graft.multimodal.Multimodal.audioChunkStats]]'s
@@ -196,6 +229,8 @@ object ExtendedQueries extends QuerySet {
   val entries: Map[String, Q] = Map(
     "g6_source_overlap" -> g6SourceOverlap _,
     "z1_zorder" -> z1Zorder _,
+    "a10_stats_aggregates" -> a10StatsAggregates _,
+    "w5_ntile_buckets" -> w5NtileBuckets _,
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
@@ -298,6 +333,26 @@ object ExtendedQueries extends QuerySet {
         |  FLOOR((SUM(b) * 1.0 / span) * 10000 + 0.5) / 10000 AS mean_byte
         |FROM px GROUP BY media_id, frame_idx, span
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // FLOOR rounding spelled out (not ROUND): corr/covar can be
+    // negative, where DuckDB ROUND and the Spark-side shadow disagree
+    "a10_stats_aggregates" ->
+      """SELECT l_returnflag,
+        | FLOOR(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6
+        |   AS corr_qty_price,
+        | FLOOR(covar_samp(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4
+        |   AS covar_qty_price,
+        | FLOOR(stddev_samp(l_extendedprice) * 1e4 + 0.5) / 1e4
+        |   AS stddev_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "w5_ntile_buckets" ->
+      """SELECT o_orderpriority, quartile, COUNT(*) AS n,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    NTILE(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin,
     // audio clips are 2048 + (i%4)*512 samples; sample p of clip i is
     // byte (p%16) of md5('audio:<i>:<p//16>'), unsigned, centered at 128
     "m3_audio_chunks" ->
