@@ -215,6 +215,33 @@ class PlanSpec extends SparkSpec {
     graft.operators.FrameCaches.release(spark)
   }
 
+  test("sk1: CMS sketch build and BPE pair counting partial-aggregate before the shuffle") {
+    // corpus-wide counts folded into tiny frames — losing the map-side
+    // combine would shuffle one row per token occurrence. (bpe1's final
+    // frame is the collected merge list, so its pair-count stage is
+    // pinned on the operator's input shape instead.)
+    assert("partial_count|partial_sum".r
+      .findAllIn(plan("sk1_cms_heavy_hitters")).nonEmpty,
+      "CMS cells must combine map-side")
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val cells = graft.operators.Sketches.cmsBuild(toks, col("tok"), 4, 64,
+      graft.operators.Dedup.Md5Hash)
+    assert("partial_count".r
+      .findAllIn(cells.queryExecution.executedPlan.toString).nonEmpty)
+  }
+
+  test("e9: funnel's chained windows share ONE user_id shuffle") {
+    val p = plan("e9_funnel")
+    // one exchange partitions by user_id for all three stage windows
+    // (the chained conditional-mins reuse the same partitioning); the
+    // only other exchanges feed the final single-row global aggregate
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles == 1,
+      s"stage windows must reuse one user_id exchange, saw $userShuffles:\n$p")
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
