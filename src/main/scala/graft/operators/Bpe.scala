@@ -54,6 +54,7 @@ object Bpe {
         val fused = a + b
         // left-to-right greedy fuse: fold the tail onto [head], replacing
         // a trailing `a` by `fused` whenever `b` arrives next
+        val prev = seqs
         seqs = seqs.withColumn("seq", aggregate(
             slice(col("seq"), lit(2), size(col("seq")) - 1),
             slice(col("seq"), lit(1), lit(1)),
@@ -62,9 +63,17 @@ object Bpe {
               .otherwise(concat(acc, array(x)))))
           // keep the per-round plan flat (lineage would nest folds)
           .localCheckpoint()
+        // the eager checkpoint above materialized the new generation —
+        // the previous round's blocks are dead; free them now so the
+        // loop holds ONE generation, not `rounds`
+        if (r > 1) org.apache.spark.sql.GraftColumnBridge.freeStorage(prev)
         r += 1
       }
     }
+    // the last generation's checkpoint blocks are no longer needed
+    // either — the learned merges are already on the driver
+    if (merges.nonEmpty)
+      org.apache.spark.sql.GraftColumnBridge.freeStorage(seqs)
     import spark.implicits._
     merges.toSeq.toDF("merge_round", "pair_left", "pair_right", "n_pairs")
   }

@@ -453,53 +453,67 @@ object Similarity {
 
   /** Cross-corpus embedding near-dup detection — the INCREMENTAL
     * vector-dedup shape (the embedding twin of
-    * [[Dedup.crossCorpusNearDups]]): find batch vectors whose cosine
-    * against ANY reference vector clears a threshold, WITHOUT ever
-    * self-joining the reference. The reference is quantized and
-    * cell-assigned once (both precomputable and storable across
-    * batches); each batch vector probes its `nprobe` best cells and
-    * scores candidates on the codegen'd integer dot — cost tracks the
-    * BATCH size times cell fan-in, never the accumulated corpus
-    * squared. Calibration (`amax`) comes from the REFERENCE corpus so
-    * stored ref codes stay valid across batches; centroid ranking is
-    * the same integer dot (exact, no FP anywhere), making the whole
-    * operator oracle-expressible. Returns (batch_id, ref_id, qscore ≥
-    * minScore); consumers anti-join the batch against the distinct
-    * batch_ids.
+    * [[Dedup.crossCorpusNearDups]], same (batch, ref) parameter order):
+    * find batch vectors whose cosine against ANY reference vector
+    * clears a threshold, WITHOUT ever self-joining the reference.
+    *
+    * Scale shape: the reference side is quantized and cell-assigned by
+    * a ZERO-SHUFFLE broadcast fold (the [[assignCellsQuantized]] shape
+    * on the integer dot — precomputable and storable across batches);
+    * the batch side ranks the broadcast k centroids per vector in one
+    * batch_id-partitioned window (cost tracks the BATCH × k, never the
+    * accumulated corpus); the final cell join carries no broadcast hint
+    * so a small batch broadcasts and a crawl-sized one shuffle-joins.
+    * Calibration (`amax`) and the k LOWEST-ID seed centroids come from
+    * the REFERENCE corpus (never `filter(id < k)` — ids need not span
+    * [0, k)), so stored ref codes stay valid across batches; all
+    * scoring is the exact integer dot, making the whole operator
+    * oracle-expressible. Returns (batch_id, ref_id, qscore ≥ minScore);
+    * consumers anti-join the batch against the distinct batch_ids.
     */
-  def crossCorpusQuantizedMatches(ref: DataFrame, batch: DataFrame,
+  def crossCorpusQuantizedMatches(batch: DataFrame, ref: DataFrame,
       minScore: Long, numCentroids: Int = 8, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val intDot = graft.functions.VectorExpressions.intDotProduct _
     val ru = withUnitVector(ref, vecCol).select(col(idCol), col("uv"))
     val stats = quantStats(ru, "uv")
     val rcodes = withQuantized(ru, stats, "uv").select(col(idCol), col("qv"))
-    val cents = rcodes.filter(col(idCol) < numCentroids)
+    val cents = rcodes.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col("qv").as("cv"))
-    // ref side: assign by integer dot vs the k centroid codes (ties →
-    // lowest id) — one map pass against a broadcast k-row frame
-    def assign(codes: DataFrame, asId: String): DataFrame = {
-      val wc = Window.partitionBy(asId).orderBy(col("cscore").desc,
-        col("centroid_id"))
-      codes.crossJoin(broadcast(cents))
-        .withColumn("cscore",
-          graft.functions.VectorExpressions.intDotProduct(col("qv"), col("cv")))
-        .withColumn("crank", row_number().over(wc))
-        .select(col(asId), col("qv"), col("centroid_id").as("cell"),
-          col("crank"))
-    }
-    val refCells = assign(rcodes.withColumnRenamed(idCol, "ref_id"), "ref_id")
-      .filter(col("crank") === 1).select(col("ref_id"),
-        col("qv").as("rq"), col("cell"))
+    // ref side: argmax cell (ties → lowest id) as a broadcast fold —
+    // pure map work fused into the reference scan, no shuffle
+    val centArr = cents
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
+    val refCells = rcodes
+      .join(broadcast(centArr))
+      .withColumn("cell", aggregate(
+        col("cents"),
+        struct(lit(Long.MaxValue).as("cid"), lit(Long.MinValue).as("best")),
+        (acc, c) => {
+          val s = intDot(col("qv"), c.getField("cv"))
+          val better = (s > acc.getField("best")) ||
+            (s === acc.getField("best") &&
+              c.getField("centroid_id") < acc.getField("cid"))
+          when(better, struct(c.getField("centroid_id").as("cid"), s.as("best")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cid")))
+      .select(col(idCol).as("ref_id"), col("qv").as("rq"), col("cell"))
+    // batch side: quantize with the REFERENCE calibration, rank the k
+    // broadcast centroids per vector, keep the nprobe best
+    val wc = Window.partitionBy("batch_id")
+      .orderBy(col("cscore").desc, col("centroid_id"))
     val bu = withUnitVector(batch, vecCol)
       .select(col(idCol).as("batch_id"), col("uv"))
-    val probes = assign(
-        withQuantized(bu, stats, "uv").select(col("batch_id"), col("qv")),
-        "batch_id")
+    val probes = withQuantized(bu, stats, "uv").select(col("batch_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", intDot(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
-      .select(col("batch_id"), col("qv").as("bq"), col("cell"))
-    refCells.join(broadcast(probes), Seq("cell"))
-      .withColumn("qscore",
-        graft.functions.VectorExpressions.intDotProduct(col("bq"), col("rq")))
+      .select(col("batch_id"), col("qv").as("bq"),
+        col("centroid_id").as("cell"))
+    refCells.join(probes, Seq("cell"))
+      .withColumn("qscore", intDot(col("bq"), col("rq")))
       .filter(col("qscore") >= minScore)
       .select("batch_id", "ref_id", "qscore")
   }

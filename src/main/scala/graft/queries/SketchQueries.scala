@@ -26,15 +26,19 @@ object SketchQueries extends QuerySet {
     * out and the 256-cell sketch is all that ships to the driver.
     */
   def sk1CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(s, dir, "documents")
+    // persisted: the token stream feeds the sketch build, the estimate
+    // probes, and the exact counts — one scan+tokenize, three consumers
+    val toks = graft.operators.FrameCaches.track(Tables.load(s, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .persist())
     val sketch = Sketches.cmsBuild(toks, col("tok"), CmsDepth, CmsWidth,
       Dedup.Md5Hash)
     val est = Sketches.cmsEstimate(sketch, toks, col("tok"), CmsDepth,
       CmsWidth, Dedup.Md5Hash)
     val exact = toks.groupBy(col("tok").as("item"))
       .agg(count(lit(1)).as("exact"))
-    val total = toks.groupBy().agg(count(lit(1)).as("n_total"))
+    // total token count folds out of the exact frame — no fourth pass
+    val total = exact.agg(sum("exact").as("n_total"))
     est.join(exact, Seq("item"))
       .crossJoin(broadcast(total))
       .filter(col("est") >= expr("n_total DIV 50"))

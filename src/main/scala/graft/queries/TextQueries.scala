@@ -150,7 +150,10 @@ object TextQueries extends QuerySet {
     val toks = tokens(norm)
     val stop = langStopwords.head._2
     val content = filter(toks, t => !t.isin(stop: _*))
-    docs(s, dir).select(col("doc_id"), norm.as("norm_text"),
+    // NULL-text guard on BOTH sides (tw2 precedent): Spark's size(NULL)
+    // is -1 where DuckDB len(NULL) is NULL — exclude rather than diverge
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), norm.as("norm_text"),
         size(toks).as("n_tokens"), size(content).as("n_content_tokens"))
       .orderBy("doc_id")
   }
@@ -174,7 +177,9 @@ object TextQueries extends QuerySet {
     val stopHits = graft.functions.TextFunctions
       .stopwordHits(tokens(lower(col("text"))), langStopwords.head._2)
       .cast("long")
-    docs(s, dir).select(col("doc_id"), nWords.as("n_words"),
+    // same NULL-text guard as t10 — size/len semantics diverge on NULL
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"),
         meanLen.as("mean_word_len"), alphaRatio.as("alpha_ratio"),
         stopHits.as("n_stop_hits"),
         (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
@@ -304,7 +309,7 @@ object TextQueries extends QuerySet {
          | CAST($stopHits AS BIGINT) AS n_stop_hits,
          | ($nWords BETWEEN 50 AND 100000 AND $meanLen BETWEEN 3.0 AND 10.0
          |  AND $alphaRatio >= 0.8 AND $stopHits >= 2) AS keep
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
     },
     "t10_normalize" -> {
       val normSql = "trim(regexp_replace(regexp_replace(lower(text), " +
@@ -316,7 +321,7 @@ object TextQueries extends QuerySet {
          | len($normToks) AS n_tokens,
          | len(list_filter($normToks, t -> NOT list_contains($stopLit, t)))
          |   AS n_content_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
     },
     "t8_repetition" ->
       s"""SELECT doc_id,

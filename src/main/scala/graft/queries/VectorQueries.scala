@@ -214,7 +214,7 @@ object VectorQueries extends QuerySet {
   def v12CrossCorpusAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.crossCorpusQuantizedMatches(
-        e.filter(col("vec_id") < RefSplit), e.filter(col("vec_id") >= RefSplit),
+        e.filter(col("vec_id") >= RefSplit), e.filter(col("vec_id") < RefSplit),
         minScore = MatchScore, numCentroids = NumCentroids, nprobe = 2)
       .orderBy("batch_id", "ref_id")
   }

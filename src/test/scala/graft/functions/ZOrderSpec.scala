@@ -21,7 +21,14 @@ class ZOrderSpec extends SparkSpec {
     // area — what parquet min/max pruning sees — between the natural
     // write order and the z-sorted order. Z-order must shrink it; a
     // single-column sort tightens one side only.
-    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    // sort through the LIBRARY's z2 (not a private re-implementation,
+    // which could silently drift from the code under test)
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = base.select("l_partkey", "l_suppkey")
+      .as[(Long, Long)].collect()
+    val zrows = base
+      .orderBy(ZOrder.z2(col("l_partkey"), col("l_suppkey")),
+        col("l_orderkey"), col("l_linenumber"))
       .select("l_partkey", "l_suppkey")
       .as[(Long, Long)].collect()
     def area(rs: Seq[(Long, Long)], chunk: Int): Double =
@@ -29,18 +36,8 @@ class ZOrderSpec extends SparkSpec {
         val xs = g.map(_._1); val ys = g.map(_._2)
         (xs.max - xs.min + 1).toDouble * (ys.max - ys.min + 1)
       }.sum
-    def z(p: (Long, Long)): Long = {
-      def spread(v: Long): Long = {
-        var x = v & 0xFFFFL
-        x = (x | (x << 8)) & 0x00FF00FFL
-        x = (x | (x << 4)) & 0x0F0F0F0FL
-        x = (x | (x << 2)) & 0x33333333L
-        (x | (x << 1)) & 0x55555555L
-      }
-      spread(p._1) | (spread(p._2) << 1)
-    }
     val natural = area(rows.toSeq, 512)
-    val zsorted = area(rows.sortBy(z).toSeq, 512)
+    val zsorted = area(zrows.toSeq, 512)
     info(f"total box area: natural=$natural%.3g z-sorted=$zsorted%.3g")
     assert(zsorted < natural,
       s"z-order must tighten chunk boxes: $natural -> $zsorted")

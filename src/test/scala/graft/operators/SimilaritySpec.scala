@@ -254,7 +254,7 @@ class SimilaritySpec extends SparkSpec {
     val planted = ref.filter($"vec_id".isin(42L, 99L))
       .withColumn("vec_id", $"vec_id" + 1000L)
     val batch = e.filter($"vec_id" >= 400).unionByName(planted)
-    val out = Similarity.crossCorpusQuantizedMatches(ref, batch,
+    val out = Similarity.crossCorpusQuantizedMatches(batch, ref,
         minScore = 24000L, numCentroids = 8, nprobe = 2)
       .as[(Long, Long, Long)].collect()
     assert(out.nonEmpty)
