@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** One greedy left-to-right fuse pass of the pair (a, b) over a
+    * symbol-sequence column: fold the tail onto [head], replacing a
+    * trailing `a` by `ab` whenever `b` arrives next. Shared by training
+    * (one pass per learned round) and encoding (replay all passes).
+    */
+  private def fuseOnce(seq: Column, a: String, b: String): Column = {
+    val fused = a + b
+    aggregate(
+      slice(seq, lit(2), size(seq) - 1),
+      slice(seq, lit(1), lit(1)),
+      (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Character-split a word column into its initial symbol sequence. */
+  private def charSeq(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
   /** Learn `rounds` merges; returns (merge_round, pair_left, pair_right,
     * n_pairs) — one row per learned merge, in training order. Stops
     * early if no pair remains (every word fused to one symbol).
@@ -30,9 +49,7 @@ object Bpe {
       .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
     // initial symbol sequence = the word's characters
-    var seqs = words.select(col("n"),
-      transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))).as("seq"))
+    var seqs = words.select(col("n"), charSeq(col("w")).as("seq"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -51,16 +68,8 @@ object Bpe {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, a, b, cnt))
-        val fused = a + b
-        // left-to-right greedy fuse: fold the tail onto [head], replacing
-        // a trailing `a` by `fused` whenever `b` arrives next
         val prev = seqs
-        seqs = seqs.withColumn("seq", aggregate(
-            slice(col("seq"), lit(2), size(col("seq")) - 1),
-            slice(col("seq"), lit(1), lit(1)),
-            (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
-              .otherwise(concat(acc, array(x)))))
+        seqs = seqs.withColumn("seq", fuseOnce(col("seq"), a, b))
           // keep the per-round plan flat (lineage would nest folds)
           .localCheckpoint()
         // the eager checkpoint above materialized the new generation —
@@ -76,5 +85,24 @@ object Bpe {
       org.apache.spark.sql.GraftColumnBridge.freeStorage(seqs)
     import spark.implicits._
     merges.toSeq.toDF("merge_round", "pair_left", "pair_right", "n_pairs")
+  }
+
+  /** Tokenizer APPLICATION: encode a vocabulary with already-learned
+    * merges — replay each merge's greedy fuse pass in training order
+    * over the character-split word, returning `(w, n_sym)` (the word's
+    * BPE token count). This is the deploy-time half of BPE: merges are
+    * a tiny driver-side list (metadata-plane, like broadcast-ing a
+    * tokenizer file), the vocabulary is the only frame touched, and the
+    * corpus then joins to `(w, n_sym)` instead of re-running any fuse —
+    * at 100 TB the encode cost is one vocabulary pass plus a token
+    * join, never corpus × merges. The replayed fold is lazy (no
+    * per-round action), so the merges nest into ONE scan-fused plan.
+    */
+  def encodeVocab(vocab: DataFrame, wordCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seq = merges.foldLeft(charSeq(wordCol)) {
+      case (s, (a, b)) => fuseOnce(s, a, b)
+    }
+    vocab.select(wordCol.as("w"), size(seq).cast("long").as("n_sym"))
   }
 }

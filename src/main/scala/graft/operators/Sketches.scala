@@ -118,6 +118,72 @@ object Sketches {
     withPos.filter(allSet).drop("_bp_map" +: posCols: _*)
   }
 
+  /** HyperLogLog register table (Flajolet et al. 2007): one row per
+    * occupied register `(bucket, rho)` where `bucket = hash_b(x) mod m`
+    * and `rho` is the 1-based position of the leftmost 1-bit in an
+    * independent 40-bit hash (`w = 0` → 41). No distinct pass is needed
+    * — duplicates of an item produce the identical (bucket, rho), and
+    * the `max` absorbs them — so the build is ONE map-side-combined
+    * groupBy over the raw stream: the 100 TB cardinality shape.
+    * Registers from different corpus slices merge by
+    * `union.groupBy(bucket).max(rho)` (same law CMS uses with `sum`).
+    *
+    * Md5Hash mode derives both hashes from md5 slices (`'b:'||x` for
+    * the bucket, `'r:'||x` for the rank word), so the register table —
+    * and everything downstream of it — re-derives bit-identically in a
+    * SQL oracle. `rho = 41 - length(bin(w))` works because both Spark
+    * and DuckDB print `bin()` without leading zeros.
+    */
+  def hllRegisters(items: DataFrame, itemCol: Column, m: Int,
+      mode: HashMode = XxHash): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val x = itemCol.cast("string")
+    val (bucket, w) = mode match {
+      case Md5Hash => (
+        graft.functions.VectorExpressions
+          .hexSliceToLong(md5(concat(lit("b:"), x)), 1, 14) % m,
+        graft.functions.VectorExpressions
+          .hexSliceToLong(md5(concat(lit("r:"), x)), 1, 10))
+      case XxHash => (pmod(xxhash64(lit("b"), x), lit(m.toLong)),
+        pmod(xxhash64(lit("r"), x), lit(1L << 40)))
+    }
+    items.select(bucket.as("bucket"),
+        when(w === 0, lit(41)).otherwise(lit(41) - length(bin(w)))
+          .cast("long").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Scaled-integer alpha numerators: `round(alpha_m * 1000)` for the
+    * published constants (m=16: 0.673, m=32: 0.697, m=64: 0.709).
+    * Larger m would overflow the exact-integer estimate below.
+    */
+  private val HllAlpha1000 = Map(16 -> 673L, 32 -> 697L, 64 -> 709L)
+
+  /** Raw HLL estimate from a register table, in EXACT integer
+    * arithmetic: `E = alpha_m * m^2 / sum(2^-rho)` becomes
+    * `(alpha1000 * m^2 * 2^41) DIV (1000 * S)` with
+    * `S = sum(2^(41-rho))` (absent registers contribute `2^41`). Every
+    * intermediate fits a signed 64-bit integer for m ≤ 64, so the
+    * estimate is bit-identical in any engine — no floating point
+    * anywhere. Returns one row `(m, n_empty, est)`; this is the RAW
+    * estimator (no small/large-range correction — callers see
+    * `n_empty` and can apply linear counting themselves).
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val alpha = HllAlpha1000.getOrElse(m,
+      throw new IllegalArgumentException(s"m must be one of ${HllAlpha1000.keys.toSeq.sorted}, got $m"))
+    registers
+      .agg(count(lit(1)).as("_n_present"),
+        coalesce(sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(41 - rho AS INT))")), lit(0L))
+          .as("_s_present"))
+      .select(lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("_n_present")).as("n_empty"),
+        expr(s"(${alpha}L * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), 41))" +
+          s" DIV (1000 * (_s_present + (${m.toLong} - _n_present)" +
+          " * shiftleft(CAST(1 AS BIGINT), 41)))").as("est"))
+  }
+
   // ---- SQL mirrors (DuckDB oracle fragments) ----
 
   /** The md5-mode bucket as SQL text: `('0x'||substr(md5(r||':'||x),1,14))

@@ -166,7 +166,36 @@ object EventQueries extends QuerySet {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** View→click attribution pairs: every (view, click) of the same
+    * user where the click lands within one day of the view — the batch
+    * twin of the stream-stream interval join
+    * ([[graft.streaming.EventsStreaming.attributionJoin]], pinned
+    * stream==batch in StreamingSpec). Shape: both sides shuffle once on
+    * the user key (equi-join) and the interval predicate filters inside
+    * the join — never a cartesian; at 100 TB this is the standard
+    * co-partitioned self-join, and the streaming form bounds its state
+    * by watermark + time constraint instead of materializing history.
+    * Lag is integer seconds (micros DIV 1e6) — no float time math.
+    */
+  def e11Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 DAY"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(unix_micros(c_ts) - unix_micros(v_ts)) DIV 1000000")
+          .as("lag_sec"))
+      .orderBy("click_id", "view_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "e11_attribution" -> e11Attribution _,
     "e9_funnel" -> e9Funnel _,
     "e10_retention" -> e10Retention _,
     "e1_hourly_rollup" -> e1HourlyRollup _,
@@ -180,6 +209,13 @@ object EventQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    "e11_attribution" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 DAY
+        |ORDER BY click_id, view_id""".stripMargin,
     "e9_funnel" ->
       """WITH staged AS (
         |  SELECT user_id,

@@ -49,6 +49,67 @@ object ExtendedQueries extends QuerySet {
         col("n_orders"), col("total_sales"))
       .orderBy("status", "priority")
 
+  /** CUBE over (status, priority) — r1's rollup plus the
+    * priority-marginal slices in one pass: Spark expands the grouping
+    * sets BEFORE the shuffle, so all four aggregation levels share one
+    * map-side-combined exchange instead of four scans. NULL grouping
+    * markers are coalesced to 'ALL' (testdata keys are non-null).
+    */
+  def r2Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_sales"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_sales"))
+      .orderBy("status", "priority")
+
+  /** Full outer join — the one outer-join shape the j-series lacked:
+    * per-customer URGENT-order counts against the BUILDING segment,
+    * keeping segment customers with no urgent orders (left-null-extended)
+    * AND urgent-order customers outside the segment (right-null-extended)
+    * — the priority filter guarantees BOTH null sides are non-empty at
+    * every test SF (an unfiltered count matched every segment customer,
+    * silently degenerating to a left join). Both sides key-unique, so
+    * the output is row-per-custkey with a total order.
+    */
+  def j6FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val seg = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    counts.join(seg, counts("o_custkey") === seg("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("c_acctbal").isNotNull.as("in_segment"))
+      .orderBy("custkey")
+  }
+
+  /** Salted fact-dim join as an ORACLE row: [[graft.operators.Skew
+    * .saltedJoin]] splits every fact key across 8 salt buckets (the
+    * hot-key defense when one supplier dominates the fact table) and
+    * the oracle is the PLAIN join SQL — proving the salt changes the
+    * partitioning and nothing else. `checkpointSalt = false` is sound
+    * here per the operator contract: the fact side is a bare file scan
+    * with no upstream shuffle. Skew RESILIENCE (flat runtime under an
+    * adversarial key) is pinned separately in ScaleTechniquesSpec; this
+    * row pins result EQUIVALENCE.
+    */
+  def sj1SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"))
+    val dim = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(fact, dim, "l_suppkey", 8,
+        checkpointSalt = false)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum("qty").as("total_qty"))
+      .orderBy("s_nationkey")
+  }
+
   /** Corpus token frequency: the explode→count→top-k shape every text
     * pipeline needs (stopword mining, vocabulary builds).
     */
@@ -235,6 +296,9 @@ object ExtendedQueries extends QuerySet {
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
+    "r2_cube" -> r2Cube _,
+    "j6_full_outer" -> j6FullOuter _,
+    "sj1_salted_join" -> sj1SaltedJoin _,
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
@@ -281,6 +345,29 @@ object ExtendedQueries extends QuerySet {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
+    "r2_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 2) AS total_sales
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "j6_full_outer" ->
+      """SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+        | COALESCE(o.n_orders, 0) AS n_orders,
+        | c.c_custkey IS NOT NULL AS in_segment
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders
+        |      FROM orders WHERE o_orderpriority = '1-URGENT'
+        |      GROUP BY o_custkey) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |                 WHERE c_mktsegment = 'BUILDING') c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "sj1_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "r1_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority,

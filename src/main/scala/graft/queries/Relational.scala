@@ -24,6 +24,51 @@ object Relational extends QuerySet {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** TPC-H Q3-style shipping priority: segment customers × pending
+    * orders × late-shipped lines → top-10 orders by discounted revenue.
+    * The classic fact-to-fact profile: customer (dim) broadcasts into
+    * orders, the orders→lineitem join shuffles once on the order key,
+    * and the top-10 plans as TakeOrderedAndProject (per-partition heaps,
+    * never a global sort). Sort key (revenue DESC, date, orderkey) is a
+    * TOTAL order — the LIMIT boundary cannot tie-break differently
+    * cross-engine.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1997-01-01"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style local-supplier revenue: six-table join (customer ×
+    * orders × lineitem × supplier × nation × region) with the
+    * same-nation constraint, revenue per nation in one region-year
+    * slice. The join-order showcase: supplier/nation/region are
+    * broadcast dims, the only real shuffle is orders⋈lineitem, and the
+    * region filter prunes before anything widens.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -350,6 +395,8 @@ object Relational extends QuerySet {
 
   val entries: Map[String, Q] = Map(
     "q1_pricing_summary" -> pricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_region_revenue" -> q5RegionRevenue _,
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
     "s3_json_scan" -> s3Json _,
@@ -386,6 +433,29 @@ object Relational extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(l_quantity) AS sum_qty,

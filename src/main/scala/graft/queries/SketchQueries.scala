@@ -7,11 +7,13 @@ import graft.operators.{Dedup, Sketches}
 import graft.functions.TextFunctions
 
 /** Sketch-backed approximations ([[graft.operators.Sketches]]) as
-  * driver-checkable queries. Unlike HLL (`hll1`, rows-only — Spark's
-  * sketch internals aren't SQL-re-derivable), CMS and Bloom built on the
-  * md5 hash family are DETERMINISTIC data structures: every counter and
-  * every bit re-derives in DuckDB, so the approximation itself gets a
-  * full oracle row — the estimates, the false positives, everything.
+  * driver-checkable queries. Unlike built-in `approx_count_distinct`
+  * (`hll1`, rows-only — Spark's sketch internals aren't
+  * SQL-re-derivable), the CMS, Bloom, and register-level HLL built on
+  * the md5 hash family are DETERMINISTIC data structures: every
+  * counter, bit, and register re-derives in DuckDB, so the
+  * approximation itself gets a full oracle row — the estimates, the
+  * false positives, even HLL's integer raw estimator.
   */
 object SketchQueries extends QuerySet {
 
@@ -71,9 +73,36 @@ object SketchQueries extends QuerySet {
         count(when(col("c_custkey").isNull, lit(1))).as("n_false_pos"))
   }
 
+  private val HllM = 64
+
+  /** HLL distinct-count estimate over the fact table's order key,
+    * register-exact: the md5-derived register table and the ALL-INTEGER
+    * raw estimator ([[Sketches.hllRegisters]]/[[Sketches.hllEstimate]])
+    * re-derive bit-for-bit in SQL, so — unlike `hll1`'s opaque
+    * `approx_count_distinct` sketch (rows-only check) — the
+    * approximation ITSELF is a full oracle row. The subject (distinct
+    * `l_orderkey` in the biggest table) keeps n ≥ 2.5m at every test
+    * SF, i.e. inside the raw estimator's published validity range — the
+    * small-range regime needs linear counting's float `ln`, which is
+    * exactly the cross-engine arithmetic this family avoids. The exact
+    * distinct count rides along so the row exhibits the estimate's
+    * error; at 100 TB the exact branch drops out and the 64-register
+    * sketch is all that ships (and merges across corpus slices by max).
+    */
+  def sk3HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    // NULL keys would register as a NULL bucket in both engines —
+    // exclude them outright (countDistinct skips them anyway)
+    val keys = Tables.load(s, dir, "lineitem").select(col("l_orderkey"))
+      .filter(col("l_orderkey").isNotNull)
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(keys, col("l_orderkey"), HllM, Dedup.Md5Hash), HllM)
+    est.crossJoin(keys.agg(countDistinct("l_orderkey").as("exact")))
+  }
+
   val entries: Map[String, Q] = Map(
     "sk1_cms_heavy_hitters" -> sk1CmsHeavyHitters _,
     "sk2_bloom_prefilter" -> sk2BloomPrefilter _,
+    "sk3_hll_distinct" -> sk3HllDistinct _,
   )
 
   private def gridSql(src: String, item: String, depth: Int): String =
@@ -134,6 +163,29 @@ object SketchQueries extends QuerySet {
          |  COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM members))
          |    AS n_false_pos
          |FROM hits""".stripMargin
+    },
+    "sk3_hll_distinct" -> {
+      // same two md5 slices as hllRegisters: bucket from 'b:'||x (56-bit
+      // slice mod m), rank word from 'r:'||x (40-bit slice); rho counts
+      // leading zeros via bin() — no leading zeros in either engine
+      s"""WITH hr AS (
+         |  SELECT ('0x' || substr(md5('b:' || CAST(l_orderkey AS VARCHAR)), 1, 14))::BIGINT % $HllM AS bucket,
+         |    ('0x' || substr(md5('r:' || CAST(l_orderkey AS VARCHAR)), 1, 10))::BIGINT AS w
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |regs AS (
+         |  SELECT bucket,
+         |    MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS rho
+         |  FROM hr GROUP BY bucket),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_present,
+         |    COALESCE(CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - rho AS INT)) AS BIGINT), 0) AS s_present
+         |  FROM regs)
+         |SELECT CAST($HllM AS BIGINT) AS m,
+         |  CAST($HllM - n_present AS BIGINT) AS n_empty,
+         |  CAST((709 * ${HllM * HllM} * (CAST(1 AS BIGINT) << 41))
+         |    // (1000 * (s_present + ($HllM - n_present) * (CAST(1 AS BIGINT) << 41))) AS BIGINT) AS est,
+         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey IS NOT NULL) AS exact
+         |FROM agg""".stripMargin
     },
   )
 }

@@ -187,6 +187,67 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  private val ChunkLen = 64   // tokens per training chunk
+  private val ChunkStride = 48 // overlap = ChunkLen - ChunkStride = 16
+
+  /** Sliding-window document chunking — the context-window splitter
+    * that turns long documents into fixed-size training chunks with a
+    * 16-token overlap (chunk i covers tokens [i·48+1, i·48+64]; a doc
+    * of ≤64 tokens is one chunk; the last chunk may run short). Emits
+    * one row per chunk with its token count and an md5 content hash, so
+    * downstream chunk-level dedup can run on the hash alone. Pure
+    * scan-fused map work — the explode multiplies rows ~len/48× but
+    * never shuffles; at 100 TB chunking rides the scan for free.
+    * Chunk-count arithmetic stays in positive integers (`(n-17) DIV
+    * 48`) so Spark's truncating DIV and DuckDB's flooring `//` agree.
+    */
+  def t12Chunking(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_chunks", when(col("n_tok") <= ChunkLen, lit(1L))
+        .otherwise(expr(s"CAST(1 + (n_tok - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride AS BIGINT)")))
+    base
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkLen)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
+
+  /** Cross-document n-gram novelty — the boilerplate detector: for each
+    * doc, the fraction of its distinct word trigrams that occur in
+    * `NoveltyDf`-or-more documents corpus-wide (headers, licence
+    * blocks, and template text score high; novel prose scores low).
+    * The complement of t8's WITHIN-doc repetition. Shape is the
+    * inverted-index classic: one map-side-combined groupBy computes
+    * per-shingle document frequency (shingles are distinct per doc, so
+    * `count(1)` IS the df), a co-partitioned join carries it back, and
+    * a per-doc aggregate scores. The ratio is emitted as an integer
+    * permille — no floating point in the result.
+    */
+  def t13NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, FrameCaches}
+    val sh = FrameCaches.track(docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(Dedup.hashedShingles(col("text"), 3, Dedup.Md5Hash)).as("s"))
+      .persist())
+    val df3 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df3, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= NoveltyDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        expr("n_common * 1000 DIV n_shingles").as("common_permille"))
+      .orderBy("doc_id")
+  }
+
   /** On-engine BPE tokenizer training ([[graft.operators.Bpe]]): the
     * first 3 learned merges over the corpus vocabulary, with exact pair
     * counts. The oracle unrolls the same 3 rounds in SQL (pair argmax +
@@ -196,9 +257,36 @@ object TextQueries extends QuerySet {
     graft.operators.Bpe.learnMerges(docs(s, dir), col("text"), BpeRounds)
       .orderBy("merge_round")
 
+  /** BPE tokenizer APPLICATION ([[graft.operators.Bpe.encodeVocab]]):
+    * train the 3 merges, replay them over the distinct vocabulary, and
+    * report each doc's word count and post-merge BPE token count — the
+    * deploy-time "tokenize the corpus with the learned vocab" pass. The
+    * 3-row merge list rides the driver (metadata-plane, like shipping a
+    * tokenizer file); the corpus cost is one token-to-vocab equi-join,
+    * never corpus × merges. The oracle re-trains AND re-encodes in SQL,
+    * so training and application hash-check together.
+    */
+  def bpe2Encode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val d = docs(s, dir)
+    val merges = Bpe.learnMerges(d, col("text"), BpeRounds)
+      .orderBy("merge_round").select("pair_left", "pair_right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val vocab = d.select(explode(tokens(col("text"))).as("w")).distinct()
+    val enc = Bpe.encodeVocab(vocab, col("w"), merges)
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   private val BpeRounds = 3
 
   val entries: Map[String, Q] = Map(
+    "bpe2_encode" -> bpe2Encode _,
+    "t12_chunking" -> t12Chunking _,
+    "t13_ngram_novelty" -> t13NgramNovelty _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -259,7 +347,82 @@ object TextQueries extends QuerySet {
     s"""list_distinct(list_transform(generate_series(1, len($toksSql) - 2),
        | i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
 
+  // distinct word trigrams hashed with the dedup family's 60-bit md5
+  // slice, whole-text fallback below 3 tokens — sh5HashedSql's n=3 twin
+  private val sh3HashedSql =
+    s"""list_distinct(list_transform(
+       | CASE WHEN len($toksSql) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len($toksSql) - 2),
+       |    i -> array_to_string(($toksSql)[i:i+2], ' ')))
+       |  ELSE [array_to_string($toksSql, ' ')] END,
+       | x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe2_encode" -> {
+      // bpe1's unrolled training rounds, with the WORD carried through
+      // each fuse so the final sequences encode the vocabulary; the
+      // corpus then joins tokens to per-word symbol counts
+      def pairsCte(s: String): String =
+        s"""SELECT t.seq[g.i] AS a, t.seq[g.i + 1] AS b, t.n
+           |FROM $s t, LATERAL (SELECT unnest(generate_series(1,
+           |  len(t.seq) - 1)) AS i) g""".stripMargin
+      def bestCte(p: String): String =
+        s"""SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM $p
+           |GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin
+      def fuseCte(s: String, best: String): String =
+        s"""SELECT t.w, t.n, list_reduce(list_transform(t.seq, x -> [x]),
+           |  (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+           |    THEN acc[1:len(acc) - 1] || [m.a || m.b]
+           |    ELSE acc || x END) AS seq
+           |FROM $s t CROSS JOIN $best m""".stripMargin
+      s"""WITH wc AS (
+         |  SELECT w, COUNT(*) AS n
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+         |s0 AS (SELECT w, n, list_transform(generate_series(1, len(w)),
+         |         i -> w[i:i]) AS seq FROM wc),
+         |p1 AS (${pairsCte("s0")}),
+         |b1 AS (${bestCte("p1")}),
+         |s1 AS (${fuseCte("s0", "b1")}),
+         |p2 AS (${pairsCte("s1")}),
+         |b2 AS (${bestCte("p2")}),
+         |s2 AS (${fuseCte("s1", "b2")}),
+         |p3 AS (${pairsCte("s2")}),
+         |b3 AS (${bestCte("p3")}),
+         |s3 AS (${fuseCte("s2", "b3")}),
+         |enc AS (SELECT w, len(seq) AS n_sym FROM s3),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM tk JOIN enc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "t12_chunking" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n_tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |b2 AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN n_tok <= $ChunkLen THEN 1
+         |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
+         |  FROM base)
+         |SELECT doc_id, g.i AS chunk_id,
+         |  CAST(len(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)], ' '))
+         |    AS chunk_hash
+         |FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t13_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sh3HashedSql) AS s
+         |  FROM documents WHERE text IS NOT NULL),
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df >= $NoveltyDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  (CAST(SUM(CASE WHEN df >= $NoveltyDf THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+         |    // COUNT(*) AS common_permille
+         |FROM sh JOIN dfreq USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe1_merges" -> {
       // one round = pair counts over the vocab seqs → 1-row argmax →
       // greedy left-to-right fuse via list_reduce (acc type must equal

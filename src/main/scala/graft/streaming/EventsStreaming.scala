@@ -94,6 +94,33 @@ object EventsStreaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — view→click attribution as data
+    * arrives: clicks join views of the same user within
+    * `attributionWindow`, both sides watermarked so Spark can expire
+    * join state (a view older than watermark + window can never match a
+    * future click and is dropped from the state store). This is the
+    * shape that replaces "re-join today's clicks against all history"
+    * with bounded per-key state at unbounded input. Identical output
+    * expressions to the batch `e11_attribution` (parity pinned in
+    * StreamingSpec).
+    */
+  def attributionJoin(events: DataFrame, attributionWindow: String = "1 day",
+      horizon: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", horizon)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", horizon)
+    clicks.join(views, expr(s"v_user = user_id AND v_ts <= c_ts" +
+        s" AND v_ts >= c_ts - INTERVAL $attributionWindow"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(unix_micros(c_ts) - unix_micros(v_ts)) DIV 1000000")
+          .as("lag_sec"))
+  }
+
   /** Stateful sessionization: a session closes after `gapMinutes` of
     * user inactivity (processing continues across micro-batches through
     * the state store; event-time timeout flushes idle sessions).

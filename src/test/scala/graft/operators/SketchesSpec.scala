@@ -83,6 +83,34 @@ class SketchesSpec extends SparkSpec {
       s"probe side picked up a shuffle:\n$plan")
   }
 
+  test("HLL registers merge by max, ignore duplicates, and the raw estimate lands in the published error band") {
+    val keys = graft.Tables.load(spark, dir, "lineitem").select($"l_orderkey")
+    val whole = Sketches.hllRegisters(keys, $"l_orderkey", 64, Dedup.Md5Hash)
+    // mergeability: per-slice register tables max-merge into the global
+    val merged = Sketches
+      .hllRegisters(keys.filter(xxhash64($"l_orderkey") % 2 === 0),
+        $"l_orderkey", 64, Dedup.Md5Hash)
+      .unionByName(Sketches.hllRegisters(
+        keys.filter(xxhash64($"l_orderkey") % 2 =!= 0),
+        $"l_orderkey", 64, Dedup.Md5Hash))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      whole.as[(Long, Long)].collect().toSet)
+    // duplicate-insensitivity: the multiset of line items (each order
+    // key appears ~4x) registers identically to the distinct key set
+    val distinctRegs = Sketches.hllRegisters(keys.distinct(),
+      $"l_orderkey", 64, Dedup.Md5Hash)
+    assert(distinctRegs.as[(Long, Long)].collect().toSet ==
+      whole.as[(Long, Long)].collect().toSet)
+    // raw-regime accuracy: n/m ≈ 23 here, well above the 2.5m cutover;
+    // the standard error for m=64 is 1.04/sqrt(64) ≈ 13% — allow 3σ
+    val est = Sketches.hllEstimate(whole, 64)
+      .select($"est").as[Long].collect().head
+    val exact = keys.distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.39,
+      s"raw HLL estimate $est vs exact $exact drifts past 3σ")
+  }
+
   test("funnel stages are monotonically non-increasing and retention day-0 covers all users") {
     val f = graft.SparkEntry.queries("e9_funnel")(spark, dir)
       .as[(Long, Long, Long)].collect().head

@@ -179,6 +179,41 @@ class PlanSpec extends SparkSpec {
       assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
   }
 
+  test("q3/q5: top-k plans as TakeOrdered; the 6-table join broadcasts dims") {
+    val p3 = plan("q3_shipping_priority")
+    assert(p3.contains("TakeOrderedAndProject"),
+      s"top-10 must be per-partition heaps, not a global sort:\n$p3")
+    val p5 = plan("q5_region_revenue")
+    assert(!p5.contains("CartesianProduct"), p5)
+    assert(!p5.contains("BroadcastNestedLoopJoin"), p5)
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2,
+      s"supplier/nation/region should broadcast:\n$p5")
+  }
+
+  test("t12: chunk explode is scan-fused — no shuffle before the sort") {
+    // the chunk blow-up is per-row generator work; the only exchange
+    // allowed is the final presentation ORDER BY
+    val sp = graft.SparkEntry.queries("t12_chunking")(spark, dir)
+      .queryExecution.sparkPlan
+    val shuffles = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1,
+      s"chunking must not shuffle (beyond the final sort):\n$sp")
+    assert(sp.toString.contains("Generate"), s"expected the chunk explode:\n$sp")
+  }
+
+  test("t13: df carry-back is an equi-join; shingle agg partial-aggregates") {
+    val sp = graft.SparkEntry.queries("t13_ngram_novelty")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // per-shingle df: partial + final hash aggregate around its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("g4: mix report aggregates partially before the shuffle") {
     assert("HashAggregate".r.findAllIn(plan("g4_source_mix")).size >= 2)
   }

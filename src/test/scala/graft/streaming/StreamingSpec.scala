@@ -45,6 +45,24 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream attribution join is stream/batch identical") {
+    val q = EventsStreaming.attributionJoin(
+        EventsStreaming.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("attr_out")
+      .select("click_id", "view_id", "user_id", "lag_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = graft.queries.EventQueries.e11Attribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("stratified sampling is stream/batch identical (stateless + deterministic)") {
     // the curation primitive must compose into streaming ingest: the
     // hash-bucket keep decision is a stateless per-row filter, so the
