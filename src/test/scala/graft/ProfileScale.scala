@@ -60,6 +60,24 @@ object ProfileScale {
     val t19 = time("1x  exact d9 t=0.5")(d9(docs0))
     val tN9 = time(s"${mult}x exact d9 t=0.5")(d9(big))
     println(f"[scale] d9 exponent: ${math.log(tN9 / t19) / math.log(mult)}%.2f")
+
+    // t13's inverted-index shape: shingle df groupBy + co-partitioned
+    // carry-back join + per-doc score. The replicated corpus fattens
+    // every posting list N× (each shingle now appears in N replicas) —
+    // the worst case for a df join — yet both shuffles stay key-hashed,
+    // so the expected exponent is ~1.0.
+    def novelty(df: org.apache.spark.sql.DataFrame): Long = {
+      val sh = df.select(col("doc_id"), explode(
+        Dedup.hashedShingles(col("text"), 3, Dedup.XxHash)).as("s"))
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("s")).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_common"))
+        .count()
+    }
+    val t1n = time("1x  t13 ngram-novelty")(novelty(docs0))
+    val tNn = time(s"${mult}x t13 ngram-novelty")(novelty(big))
+    println(f"[scale] novelty exponent: ${math.log(tNn / t1n) / math.log(mult)}%.2f")
     spark.stop()
   }
 }

@@ -131,6 +131,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL registers converge to the batch registers") {
+    // hllRegisters is one partially-aggregated max-groupBy over fixed
+    // buckets — the same mergeable-sketch property as CMS: run it in
+    // complete mode as running state and it lands on the exact batch
+    // register table (estimate derivable from it at any time)
+    import graft.operators.{Dedup, Sketches}
+    val q = Sketches.hllRegisters(EventsStreaming.readEvents(spark, dir),
+        col("user_id"), 64, Dedup.Md5Hash)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hll_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Sketches.hllRegisters(Tables.load(spark, dir, "events"),
+        col("user_id"), 64, Dedup.Md5Hash)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization closes sessions on gap > 30min") {
     val q = EventsStreaming.sessionize(EventsStreaming.readEvents(spark, dir))
       .writeStream.outputMode("append")
