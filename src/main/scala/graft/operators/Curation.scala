@@ -65,4 +65,40 @@ object Curation {
     }
     df.filter(bucket < rate * 1000)
   }
+
+  /** Default PII patterns, most-specific first (an SSN would otherwise
+    * be eaten by the looser phone pattern): email, SSN-shaped, IPv4,
+    * phone-shaped digit runs. The usual public-pipeline scrub list
+    * (C4/Dolma-style); callers append domain-specific patterns.
+    */
+  val DefaultPiiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      // SSN-shaped
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",                // IPv4
+    "\\+?\\d[\\d\\s().-]{7,}\\d")                      // phone-shaped
+
+  /** PII redaction — the scrub pass every published training-data
+    * pipeline runs before anything else sees the text: replace every
+    * match of each pattern with `replacement` and report the per-doc
+    * count of replacements ACTUALLY performed (each pattern is counted
+    * on the text as the previous patterns left it, so an SSN redacted
+    * by its own pattern is not double-counted by the looser phone
+    * pattern behind it). Pure scan-fused map work — a fold of
+    * `regexp_replace`s with a running `regexp_count`; no shuffle, no
+    * state — at 100 TB redaction rides the ingest scan for free.
+    * Patterns apply in order; keep specific before general (see
+    * [[DefaultPiiPatterns]]). The replacement token must not itself
+    * match any pattern (the default cannot).
+    */
+  def redactPii(df: DataFrame, textCol: String,
+      replacement: String = "[REDACTED]",
+      patterns: Seq[String] = DefaultPiiPatterns): DataFrame = {
+    val (redacted, nRedactions) =
+      patterns.foldLeft((col(textCol), lit(0L))) { case ((c, n), p) =>
+        (regexp_replace(c, p, replacement),
+          n + regexp_count(c, lit(p)).cast("long"))
+      }
+    df.withColumn("_pii_redactions", nRedactions)
+      .withColumn(textCol, redacted)
+  }
 }

@@ -186,6 +186,31 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id")
   }
 
+  /** Image RESIZE as a FULL oracle row — the last of the multimodal
+    * quartet (decode = all, feature-extract = m1, frame-sample = m2,
+    * resize = here): every image thumbnails to 8×8 through the batched
+    * [[graft.multimodal.Multimodal.thumbnails]] path (stub decode →
+    * nearest-neighbor resize → re-encode), and the row carries two
+    * ALL-INTEGER checksums of the resized payload — the plain byte sum
+    * and a position-weighted sum (which catches pixel permutations the
+    * plain sum can't). The oracle re-derives every selected source
+    * pixel from the md5 payload scheme: out(y,x) = payload[(y·h DIV 8)
+    * ·w + (x·w DIV 8)] — integer index arithmetic, identical DIV
+    * semantics on positive operands in both engines.
+    */
+  def m4Thumbnails(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Multimodal
+      .thumbnails(graft.multimodal.Multimodal.syntheticMedia(s, 200), 8, 8)
+      .map { m =>
+        val px = m.payload.map(java.lang.Byte.toUnsignedInt)
+        (m.media_id, m.width, m.height, px.map(_.toLong).sum,
+          px.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+      }
+      .toDF("media_id", "thumb_w", "thumb_h", "pix_sum", "pix_wsum")
+      .orderBy("media_id")
+  }
+
   /** Video frame sampling as a FULL oracle row — the other multimodal
     * stub path (m1 covers images): every 2nd frame of each synthetic
     * video becomes (media_id, frame_idx, n_bytes, mean_byte), computed
@@ -296,6 +321,7 @@ object ExtendedQueries extends QuerySet {
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
+    "m4_thumbnails" -> m4Thumbnails _,
     "r2_cube" -> r2Cube _,
     "j6_full_outer" -> j6FullOuter _,
     "sj1_salted_join" -> sj1SaltedJoin _,
@@ -383,6 +409,24 @@ object ExtendedQueries extends QuerySet {
     // images are i % 3 <> 2; payload byte p = byte p%16 of
     // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the
     // w*h plane, rounded via the same FLOOR formula as QuerySet.round
+    "m4_thumbnails" ->
+      """WITH m AS (
+        |  SELECT i AS media_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
+        |pix AS (
+        |  SELECT media_id, ((y * h // 8) * w + (x * w // 8)) AS p,
+        |    (y * 8 + x + 1) AS pos
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS x) gx),
+        |vals AS (
+        |  SELECT media_id, pos,
+        |    ('0x' || substr(md5('media:' || media_id || ':' || (p // 16)),
+        |       (p % 16) * 2 + 1, 2))::INT AS v
+        |  FROM pix)
+        |SELECT media_id, CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+        |  CAST(SUM(v) AS BIGINT) AS pix_sum,
+        |  CAST(SUM(v * pos) AS BIGINT) AS pix_wsum
+        |FROM vals GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m1_image_features" ->
       """WITH m AS (
         |  SELECT i AS media_id,

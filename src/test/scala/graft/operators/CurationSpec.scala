@@ -55,6 +55,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("redactPii scrubs emails/SSNs/IPs/phones, counts each once, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "contact alice.smith+work@example.co.uk for details"),
+      (2L, "ssn 123-45-6789 on file"), // SSN must count ONCE, not again as a phone
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "call +1 (555) 867-5309 today"),
+      (5L, "no sensitive content in this row at all"),
+      (6L, "two hits: bob@corp.io and 10.0.0.7 together")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "text")
+      .select("doc_id", "text", "_pii_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("contact [REDACTED] for details", 1L))
+    assert(out(2L) == ("ssn [REDACTED] on file", 1L))
+    assert(out(3L) == ("server at [REDACTED] responded", 1L))
+    assert(out(4L) == ("call [REDACTED] today", 1L))
+    assert(out(5L) == ("no sensitive content in this row at all", 0L))
+    assert(out(6L) == ("two hits: [REDACTED] and [REDACTED] together", 2L))
+    // scan-fused: pure per-row regex work adds no exchange to the plan
+    val sp = Curation.redactPii(docs, "text").queryExecution.sparkPlan
+    assert(sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"redaction must not shuffle:\n$sp")
+  }
+
   test("stratifiedSample rejects out-of-range rates") {
     val df = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {
