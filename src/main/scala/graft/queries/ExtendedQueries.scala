@@ -268,6 +268,24 @@ object ExtendedQueries extends QuerySet {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Rank-metric windows — percent_rank and cume_dist per priority
+    * stratum (the last analytic-window family the w-series lacked).
+    * The strict total order (price, then key) makes ranks unique, so
+    * both metrics are single IEEE divisions of exact integers —
+    * bit-identical cross-engine with no rounding. Windows partition by
+    * priority — never a global single-task sort.
+    */
+  def w6RankMetrics(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   /** Audio chunk energy/peak as the third multimodal oracle row (m1 =
     * image, m2 = video): 512-sample windows over the stub-decoded PCM
     * stream via [[graft.multimodal.Multimodal.audioChunkStats]]'s
@@ -317,6 +335,7 @@ object ExtendedQueries extends QuerySet {
     "z1_zorder" -> z1Zorder _,
     "a10_stats_aggregates" -> a10StatsAggregates _,
     "w5_ntile_buckets" -> w5NtileBuckets _,
+    "w6_rank_metrics" -> w6RankMetrics _,
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "m2_frame_stats" -> m2FrameStats _,
@@ -475,6 +494,14 @@ object ExtendedQueries extends QuerySet {
         | FLOOR(stddev_samp(l_extendedprice) * 1e4 + 0.5) / 1e4
         |   AS stddev_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "w6_rank_metrics" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "w5_ntile_buckets" ->
       """SELECT o_orderpriority, quartile, COUNT(*) AS n,
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price

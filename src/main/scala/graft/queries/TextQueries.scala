@@ -219,6 +219,39 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Chunk-level exact dedup — d1's shape at t12's granularity (the
+    * dedup unit modern pipelines actually train on): group the sliding
+    * 64-token chunks by content hash, keep the lowest (doc_id,
+    * chunk_id) as the canonical copy, and report the copy count per
+    * distinct chunk. The keeper is encoded as ONE integer min
+    * (`doc_id·100000 + chunk_id` — chunk ids are bounded far below
+    * 100000) so the argmin needs no struct/min_by cross-engine
+    * agreement, then decoded by DIV/%. One map-side-combined shuffle on
+    * the hash — the same 100 TB cost as d1, paid at chunk grain.
+    */
+  def t14ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_chunks", when(col("n_tok") <= ChunkLen, lit(1L))
+        .otherwise(expr(s"CAST(1 + (n_tok - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride AS BIGINT)")))
+    base
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkLen)))
+          .cast("binary")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(min(col("doc_id") * 100000 + col("chunk_id")).as("_key"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_hash"),
+        expr("_key DIV 100000").as("keep_doc"),
+        expr("_key % 100000").as("keep_chunk"),
+        col("n_copies"))
+      .orderBy("chunk_hash")
+  }
+
   private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
 
   /** Cross-document n-gram novelty — the boilerplate detector: for each
@@ -287,6 +320,7 @@ object TextQueries extends QuerySet {
     "bpe2_encode" -> bpe2Encode _,
     "t12_chunking" -> t12Chunking _,
     "t13_ngram_novelty" -> t13NgramNovelty _,
+    "t14_chunk_dedup" -> t14ChunkDedup _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -412,6 +446,25 @@ object TextQueries extends QuerySet {
          |    AS chunk_hash
          |FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t14_chunk_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n_tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |b2 AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN n_tok <= $ChunkLen THEN 1
+         |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
+         |  FROM base),
+         |ch AS (
+         |  SELECT doc_id, g.i AS chunk_id,
+         |    md5(array_to_string(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)], ' '))
+         |      AS chunk_hash
+         |  FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)
+         |SELECT chunk_hash,
+         |  CAST(MIN(doc_id * 100000 + chunk_id) // 100000 AS BIGINT) AS keep_doc,
+         |  CAST(MIN(doc_id * 100000 + chunk_id) % 100000 AS BIGINT) AS keep_chunk,
+         |  COUNT(*) AS n_copies
+         |FROM ch GROUP BY chunk_hash ORDER BY chunk_hash""".stripMargin,
     "t13_ngram_novelty" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($sh3HashedSql) AS s

@@ -131,6 +131,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("native session_window agrees with the hand-rolled batch sessionizer") {
+    // Spark's built-in session_window is the declarative twin of the
+    // flatMapGroupsWithState sessionizer — same 30-min gap semantics.
+    // Comparable keys: (user_id, session_start, n_events); the built-in
+    // window's END is last_ts + gap by definition, so duration is
+    // compared via max(ts) instead.
+    val q = EventsStreaming.readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"),
+        expr("CAST((unix_micros(last_ts) - unix_micros(session_window.start))" +
+          " / 1000000 AS BIGINT)").as("duration_sec"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sesswin_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // e2 columns: user_id, session_id, n_events, session_start, duration_sec
+    val batch = EventQueries.e2Sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3), r.getLong(2),
+        r.getLong(4))).toSet
+    // append mode only emits a session once the watermark passes its
+    // window end (last_ts + gap): the stream's final ~90 min of
+    // sessions legitimately stay pending in state. So: everything
+    // emitted matches batch exactly, and every session the watermark
+    // must have flushed was emitted.
+    assert(streamed.subsetOf(batch),
+      s"emitted sessions must all match batch: ${(streamed -- batch).take(3)}")
+    val maxMs = Tables.load(spark, dir, "events")
+      .agg(max("ts")).collect().head.getTimestamp(0).getTime
+    // cutoff = maxTs - watermark(1h) - gap(30min), minus 2s slack for
+    // duration_sec truncation and ms rounding
+    val cutoffMs = maxMs - (3600L + 1800L) * 1000 - 2000
+    val mustEmit = batch.filter { case (_, start, _, dur) =>
+      start.getTime + dur * 1000 < cutoffMs }
+    assert(mustEmit.subsetOf(streamed),
+      s"watermark-flushed sessions missing: ${(mustEmit -- streamed).take(3)}")
+    assert(streamed.nonEmpty && (batch.size - streamed.size) <= 5,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("streaming HLL registers converge to the batch registers") {
     // hllRegisters is one partially-aggregated max-groupBy over fixed
     // buckets — the same mergeable-sketch property as CMS: run it in
