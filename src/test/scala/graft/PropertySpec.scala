@@ -116,6 +116,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking tiles every token with the declared stride and overlap") {
+    // the t12/t14 chunk grid: chunk i covers [i*48+1, i*48+64]. On
+    // random doc lengths: full coverage (last chunk reaches the last
+    // token), stride-48 starts, len-64 chunks except a short last.
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val lens = Seq.fill(50)(1 + rnd.nextInt(500))
+      val rows = lens.zipWithIndex.map { case (n, id) =>
+        (id.toLong, (1 to n).map(i => s"w$i").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = rows
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_chunks", when(col("n_tok") <= 64, lit(1L))
+          .otherwise(expr("CAST(1 + (n_tok - 17) DIV 48 AS BIGINT)")))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .withColumn("start", col("chunk_id") * 48 + 1)
+        .withColumn("len", least(lit(64L), col("n_tok") - col("start") + 1))
+        .as[(Long, Int, Long, Long, Long)].collect()
+      for ((doc, n) <- lens.indices.map(_.toLong).zip(lens)) {
+        val cs = chunks.filter(_._1 == doc).sortBy(_._3)
+        assert(cs.head._4 == 1, "first chunk starts at token 1")
+        assert(cs.last._4 + cs.last._5 - 1 == n,
+          s"last chunk must reach token $n (doc $doc): ${cs.last}")
+        cs.init.foreach(c => assert(c._5 == 64, s"non-last chunk short: $c"))
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._4 - a._4 == 48, s"stride: $a -> $b")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("HLL registers are bounded and estimate is monotone-insensitive to duplication") {
+    import graft.operators.{Dedup => D, Sketches}
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val n = 200 + rnd.nextInt(2000)
+      val items = Seq.fill(n)(rnd.nextLong()).toDF("x")
+      val regs = Sketches.hllRegisters(items, col("x"), 64, D.Md5Hash)
+        .as[(Long, Long)].collect()
+      assert(regs.length <= 64)
+      regs.foreach { case (b, r) =>
+        assert(b >= 0 && b < 64, s"bucket out of range: $b")
+        assert(r >= 1 && r <= 41, s"rho out of range: $r")
+      }
+      // feeding the stream twice must not move a single register
+      val doubled = Sketches.hllRegisters(items.unionAll(items), col("x"),
+        64, D.Md5Hash).as[(Long, Long)].collect()
+      assert(doubled.toSet == regs.toSet)
+    }
+  }
+
   test("sorted-merge intersect size equals array_intersect on random string sets") {
     import graft.functions.TextExpressions
     for (seed <- seeds) {
