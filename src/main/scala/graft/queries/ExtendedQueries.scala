@@ -161,8 +161,12 @@ object ExtendedQueries extends QuerySet {
         round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
       .orderBy("source", "lang")
 
-  /** HLL approximate distinct — rows-only check (sketches differ across
-    * engines); the spec asserts the estimate lands near the exact count.
+  /** HLL approximate distinct via Spark's built-in
+    * `approx_count_distinct` — rows-only check (the built-in sketch's
+    * internals aren't SQL-re-derivable by construction). The FULL
+    * oracle-checked HLL is `sk3_hll_distinct`
+    * ([[SketchQueries.sk3HllDistinct]]): register-level md5 hashes and
+    * an all-integer estimator that hash-matches DuckDB exactly.
     */
   def hll1ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
