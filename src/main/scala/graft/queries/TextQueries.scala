@@ -84,6 +84,27 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** End-to-end decontamination — t6's score turned into the ACTION a
+    * pipeline takes: drop every corpus doc sharing ANY word 5-gram
+    * with the probe set (zero-tolerance, the common eval-hygiene
+    * policy) and emit the surviving doc ids. Scale shape: the flagged
+    * set is at most the corpus row count and typically tiny, so the
+    * final anti-join broadcasts it against the corpus scan — the
+    * corpus itself still never shuffles.
+    */
+  def t15Decontaminated(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val flagged = Curation.contaminationScores(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", 5, Dedup.Md5Hash)
+      .select("doc_id")
+    d.filter(col("doc_id") >= 50)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling — the training-mix primitive:
     * downsample each language stratum at its own rate with a
     * HASH-derived keep decision (md5(doc_id) mod 1000 < rate·1000), so
@@ -321,6 +342,7 @@ object TextQueries extends QuerySet {
     "t12_chunking" -> t12Chunking _,
     "t13_ngram_novelty" -> t13NgramNovelty _,
     "t14_chunk_dedup" -> t14ChunkDedup _,
+    "t15_decontaminated" -> t15Decontaminated _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -551,6 +573,17 @@ object TextQueries extends QuerySet {
          |  CAST((SUM(n_tok) OVER w - n_tok) % 2048 AS BIGINT) AS seq_offset
          |FROM (SELECT doc_id, source, len($toksSql) AS n_tok FROM documents)
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t15_decontaminated" ->
+      s"""WITH probes AS (
+         |  SELECT DISTINCT unnest($sh5HashedSql) AS s
+         |  FROM documents WHERE doc_id < 50),
+         |corpus AS (
+         |  SELECT doc_id, unnest($sh5HashedSql) AS s
+         |  FROM documents WHERE doc_id >= 50),
+         |flagged AS (SELECT DISTINCT doc_id FROM corpus JOIN probes USING (s))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
     "t6_contamination" ->
       s"""WITH probes AS (
