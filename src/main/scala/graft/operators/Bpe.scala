@@ -39,11 +39,29 @@ object Bpe {
   private def charSeq(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
 
+  /** Hard cap on [[learnMerges]] rounds — see the pacing note there. */
+  val MaxLearnRounds = 64
+
   /** Learn `rounds` merges; returns (merge_round, pair_left, pair_right,
     * n_pairs) — one row per learned merge, in training order. Stops
     * early if no pair remains (every word fused to one symbol).
+    *
+    * PACING BOUND: each round is one Spark job ending in a 1-row
+    * argmax `collect()` — training is inherently DRIVER-PACED at
+    * O(rounds) sequential jobs (greedy BPE's argmax is a global
+    * decision; the next round's counts depend on it). That is the
+    * right shape for the few-round oracle-checked demo, but a
+    * production ~30k-merge vocabulary would mean ~30k sequential jobs —
+    * train large vocabularies offline (or batch non-overlapping top-N
+    * pairs per round, which changes greedy semantics) rather than
+    * lifting the cap. `rounds` is require-guarded at [[MaxLearnRounds]]
+    * so nobody drifts into that pathology by accident.
     */
   def learnMerges(docs: DataFrame, textCol: Column, rounds: Int): DataFrame = {
+    require(rounds <= MaxLearnRounds,
+      s"learnMerges is driver-paced at one job per round (see scaladoc); " +
+        s"rounds=$rounds exceeds MaxLearnRounds=$MaxLearnRounds — train " +
+        "large vocabularies offline")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("w"))
@@ -87,6 +105,12 @@ object Bpe {
     merges.toSeq.toDF("merge_round", "pair_left", "pair_right", "n_pairs")
   }
 
+  /** Merges folded into one expression per [[encodeVocab]] plan segment
+    * before the replay checkpoints — bounds expression-tree depth so a
+    * realistic merge list cannot break analysis/codegen.
+    */
+  val EncodeFuseChunk = 16
+
   /** Tokenizer APPLICATION: encode a vocabulary with already-learned
     * merges — replay each merge's greedy fuse pass in training order
     * over the character-split word, returning `(w, n_sym)` (the word's
@@ -95,14 +119,37 @@ object Bpe {
     * tokenizer file), the vocabulary is the only frame touched, and the
     * corpus then joins to `(w, n_sym)` instead of re-running any fuse —
     * at 100 TB the encode cost is one vocabulary pass plus a token
-    * join, never corpus × merges. The replayed fold is lazy (no
-    * per-round action), so the merges nest into ONE scan-fused plan.
+    * join, never corpus × merges.
+    *
+    * Each merge is applied as its OWN lazy projection over the `seq`
+    * attribute — never folded into one nested expression. [[fuseOnce]]
+    * references its input three times, so an expression-level fold
+    * (the previous design) expanded to ~3^merges nodes at analysis and
+    * broke past a dozen merges; per-merge projections stay linear, and
+    * Catalyst's CollapseProject keeps them separate because the
+    * producer is a non-cheap HOF referenced more than once. Every
+    * [[EncodeFuseChunk]] projections the vocabulary frame is
+    * `localCheckpoint`ed to bound PLAN depth too (analyzer/optimizer
+    * cost on thousands-deep Project chains); short lists (≤ one chunk)
+    * never checkpoint, so the oracle-checked 3-merge path keeps its
+    * original lazy single-plan shape. Each checkpointed generation's
+    * blocks are freed as the next lands, mirroring [[learnMerges]].
     */
   def encodeVocab(vocab: DataFrame, wordCol: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val seq = merges.foldLeft(charSeq(wordCol)) {
-      case (s, (a, b)) => fuseOnce(s, a, b)
+    var cur = vocab.select(wordCol.as("w"), charSeq(wordCol).as("seq"))
+    var prevCp: Option[DataFrame] = None
+    val chunks = merges.grouped(EncodeFuseChunk).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { case (a, b) =>
+        cur = cur.select(col("w"), fuseOnce(col("seq"), a, b).as("seq"))
+      }
+      if (i < chunks.size - 1) {
+        cur = cur.localCheckpoint() // eager: materializes this generation
+        prevCp.foreach(org.apache.spark.sql.GraftColumnBridge.freeStorage)
+        prevCp = Some(cur)
+      }
     }
-    vocab.select(wordCol.as("w"), size(seq).cast("long").as("n_sym"))
+    cur.select(col("w"), size(col("seq")).cast("long").as("n_sym"))
   }
 }

@@ -68,14 +68,23 @@ object Curation {
 
   /** Default PII patterns, most-specific first (an SSN would otherwise
     * be eaten by the looser phone pattern): email, SSN-shaped, IPv4,
-    * phone-shaped digit runs. The usual public-pipeline scrub list
+    * phone-shaped. The usual public-pipeline scrub list
     * (C4/Dolma-style); callers append domain-specific patterns.
+    *
+    * The phone pattern is ANCHORED to the 3-3-4 grouped shape with an
+    * optional +country prefix — an earlier `\+?\d[\d\s().-]{7,}\d` form
+    * matched ANY 9+-char digit run, destructively redacting ISO dates
+    * (2026-08-13), version strings, and numeric IDs. The anchored form
+    * requires explicit group separators, so bare 10-digit runs are NOT
+    * redacted (documented trade-off: fewer false positives on the
+    * overwhelmingly-more-common id/date runs; add a bare-run pattern
+    * per-corpus if needed).
     */
   val DefaultPiiPatterns: Seq[String] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
     "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      // SSN-shaped
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",                // IPv4
-    "\\+?\\d[\\d\\s().-]{7,}\\d")                      // phone-shaped
+    "(?:\\+\\d{1,3}[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b") // phone
 
   /** PII redaction — the scrub pass every published training-data
     * pipeline runs before anything else sees the text: replace every
@@ -89,16 +98,30 @@ object Curation {
     * Patterns apply in order; keep specific before general (see
     * [[DefaultPiiPatterns]]). The replacement token must not itself
     * match any pattern (the default cannot).
+    *
+    * When `countCols` is non-empty (one name per pattern) the per-
+    * pattern replacement counts are emitted as columns too — the audit
+    * grain a scrub report needs ("how many emails vs SSNs did we
+    * burn"), at zero extra passes: each count rides the same staged
+    * expression the replacement fold already builds.
     */
   def redactPii(df: DataFrame, textCol: String,
       replacement: String = "[REDACTED]",
-      patterns: Seq[String] = DefaultPiiPatterns): DataFrame = {
-    val (redacted, nRedactions) =
-      patterns.foldLeft((col(textCol), lit(0L))) { case ((c, n), p) =>
+      patterns: Seq[String] = DefaultPiiPatterns,
+      countCols: Seq[String] = Nil): DataFrame = {
+    require(countCols.isEmpty || countCols.length == patterns.length,
+      "countCols must be empty or align 1:1 with patterns")
+    val (redacted, counts) =
+      patterns.foldLeft((col(textCol), Seq.empty[Column])) { case ((c, ns), p) =>
         (regexp_replace(c, p, replacement),
-          n + regexp_count(c, lit(p)).cast("long"))
+          ns :+ regexp_count(c, lit(p)).cast("long"))
       }
-    df.withColumn("_pii_redactions", nRedactions)
-      .withColumn(textCol, redacted)
+    // counts/redacted reference the ORIGINAL textCol attribute — add all
+    // derived columns before overwriting it
+    val withCounts = countCols.zip(counts).foldLeft(
+      df.withColumn("_pii_redactions", counts.reduce(_ + _))) {
+      case (d, (name, cnt)) => d.withColumn(name, cnt)
+    }
+    withCounts.withColumn(textCol, redacted)
   }
 }

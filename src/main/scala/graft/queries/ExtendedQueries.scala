@@ -304,19 +304,27 @@ object ExtendedQueries extends QuerySet {
   }
 
   /** Cross-source duplication report — which source pairs share content:
-    * distinct (fingerprint, source) pairs self-joined on the fingerprint
-    * with source_a < source_b, counted per pair. The corpus-health view
-    * a crawl operator reads before deciding which source to dedup
-    * against which. One shuffle on the md5 fingerprint (the exact-dedup
-    * join key), then a tiny per-pair aggregate.
+    * distinct (chunk_hash, source) pairs self-joined on the hash with
+    * source_a < source_b, counted per pair. The corpus-health view a
+    * crawl operator reads before deciding which source to dedup against
+    * which. Re-grained in round 9 from whole-document fingerprints to
+    * t12/t14's 64-token chunk hashes: whole-doc fingerprints never
+    * collide across sources in the corpus (the report was hash-green on
+    * 0 rows — it had never displayed a row of health data), while
+    * chunk-grain content provably does (13 / 9 source pairs at
+    * sf0.001 / sf0.01, recorded in BASELINE.md). Scale shape: the
+    * chunking is scan-fused ([[TextQueries.chunkHashFrame]]), the
+    * distinct + self-join shuffle on the content hash — the same key
+    * and cost class as chunk dedup (t14) — and the per-pair aggregate
+    * output is at most |sources|², metadata-sized.
     */
   def g6SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val fps = t(s, dir, "documents")
-      .select(TextFunctions.fingerprint(col("text")).as("fp"), col("source"))
+    val fps = TextQueries.chunkHashFrame(s, dir)
+      .select(col("chunk_hash"), col("source"))
       .distinct()
     fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        col("a.chunk_hash") === col("b.chunk_hash")
+          && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
@@ -362,11 +370,12 @@ object ExtendedQueries extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "g6_source_overlap" ->
-      s"""WITH fps AS (
-         |  SELECT DISTINCT ${TextQueries.fpSql} AS fp, source FROM documents)
+      s"""WITH ${TextQueries.chunkCteSql},
+         |fps AS (SELECT DISTINCT chunk_hash, source FROM ch)
          |SELECT a.source AS source_a, b.source AS source_b,
          |  COUNT(*) AS n_shared
-         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         |FROM fps a JOIN fps b
+         |  ON a.chunk_hash = b.chunk_hash AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "z1_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -69,6 +69,37 @@ object Relational extends QuerySet {
         .as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
 
+  /** TPC-H Q18-style large-volume customers: orders whose TOTAL lineitem
+    * quantity exceeds 250, via an IN subquery with HAVING over an
+    * aggregate — deliberately written as SQL so Catalyst's subquery
+    * DECORRELATION does the work (SURVEY §4.2): the optimizer rewrites
+    * the IN into a left-semi join against the aggregated subquery (no
+    * correlated per-row re-execution, no cartesian — pinned in
+    * PlanSpec). Quantities are integral doubles, so the sums are cast
+    * to BIGINT and carry zero FP noise; threshold 250 keeps the result
+    * non-empty at every SF (25 / 204 / 2285 qualifying orders at
+    * sf0.001 / 0.01 / 0.1). Scale shape: one map-side-combined
+    * aggregate over lineitem, a semi join on the order key, the
+    * customer dim broadcast, and the top-100 plans as
+    * TakeOrderedAndProject.
+    */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("customer", "orders", "lineitem"))
+    s.sql(q18Sql)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -228,13 +259,20 @@ object Relational extends QuerySet {
       .orderBy("c_custkey", "order_key")
   }
 
-  // ---- J3: anti join (referential-integrity violations) ----
+  /** J3: anti join — parts that never ship at quantity ≥ 45, the exact
+    * complement of j4's semi join (together they partition `part`).
+    * Re-subjected in round 9: the original customers-without-orders form
+    * returned 0 rows at every test SF (every customer has orders), a
+    * hash-green-on-empty check that verified nothing. This subject is
+    * provably non-empty AND scales with the data: 6 / 53 / 537 rows at
+    * sf0.001 / 0.01 / 0.1 (counts recorded in BASELINE.md).
+    */
   def j3Anti(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+    val p = t(s, dir, "part")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
   }
 
   // ---- J4: semi join (referential-integrity passers) ----
@@ -397,6 +435,7 @@ object Relational extends QuerySet {
     "q1_pricing_summary" -> pricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_region_revenue" -> q5RegionRevenue _,
+    "q18_big_orders" -> q18BigOrders _,
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
     "s3_json_scan" -> s3Json _,
@@ -456,6 +495,17 @@ object Relational extends QuerySet {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(l_quantity) AS sum_qty,
@@ -535,9 +585,10 @@ object Relational extends QuerySet {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, order_key""".stripMargin,
     "j3_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        |ORDER BY p_partkey""".stripMargin,
     "j4_semi_join" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -222,55 +222,96 @@ object TextQueries extends QuerySet {
     * Chunk-count arithmetic stays in positive integers (`(n-17) DIV
     * 48`) so Spark's truncating DIV and DuckDB's flooring `//` agree.
     */
-  def t12Chunking(s: SparkSession, dir: String): DataFrame = {
+  def t12Chunking(s: SparkSession, dir: String): DataFrame =
+    chunkHashFrame(s, dir)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Shared sliding-window chunk frame — ONE row per (doc, chunk) with
+    * the md5 content hash, the grain t12 / t14 / g6 all operate on:
+    * 64-token windows at stride 48, scan-fused explode, no shuffle.
+    * Carries `source` so the cross-source overlap report (g6) can
+    * group by it; single-column consumers prune it at the scan.
+    */
+  private[queries] def chunkHashFrame(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")))
       .withColumn("n_chunks", when(col("n_tok") <= ChunkLen, lit(1L))
         .otherwise(expr(s"CAST(1 + (n_tok - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride AS BIGINT)")))
     base
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("source"), col("toks"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
       .withColumn("chunk",
         slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
           lit(ChunkLen)))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("source"), col("chunk_id"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Chunk-level exact dedup — d1's shape at t12's granularity (the
     * dedup unit modern pipelines actually train on): group the sliding
     * 64-token chunks by content hash, keep the lowest (doc_id,
     * chunk_id) as the canonical copy, and report the copy count per
-    * distinct chunk. The keeper is encoded as ONE integer min
-    * (`doc_id·100000 + chunk_id` — chunk ids are bounded far below
-    * 100000) so the argmin needs no struct/min_by cross-engine
-    * agreement, then decoded by DIV/%. One map-side-combined shuffle on
-    * the hash — the same 100 TB cost as d1, paid at chunk grain.
+    * distinct chunk. The keeper argmin is `min(struct(doc_id,
+    * chunk_id))` — lexicographic struct ordering, identical in Spark
+    * and DuckDB — so it is overflow-free at ANY doc_id/chunk_id range
+    * (the previous `doc_id·100000 + chunk_id` integer encoding silently
+    * corrupted the keeper once a doc exceeded ~4.8M tokens). One
+    * map-side-combined shuffle on the hash — the same 100 TB cost as
+    * d1, paid at chunk grain.
     */
-  def t14ChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("n_chunks", when(col("n_tok") <= ChunkLen, lit(1L))
-        .otherwise(expr(s"CAST(1 + (n_tok - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride AS BIGINT)")))
-    base
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        md5(concat_ws(" ", slice(col("toks"),
-          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkLen)))
-          .cast("binary")).as("chunk_hash"))
+  def t14ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkHashFrame(s, dir)
       .groupBy("chunk_hash")
-      .agg(min(col("doc_id") * 100000 + col("chunk_id")).as("_key"),
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_k"),
         count(lit(1)).as("n_copies"))
       .select(col("chunk_hash"),
-        expr("_key DIV 100000").as("keep_doc"),
-        expr("_key % 100000").as("keep_chunk"),
+        col("_k.doc_id").as("keep_doc"),
+        col("_k.chunk_id").as("keep_chunk"),
         col("n_copies"))
       .orderBy("chunk_hash")
+
+  /** PII redaction as a full oracle row ([[graft.operators.Curation
+    * .redactPii]]): the raw corpus contains no PII, so a vacuous scrub
+    * over it would verify nothing — instead each doc gets a
+    * deterministic md5(doc_id)-derived email / SSN / IPv4 / phone
+    * APPENDED (the repo's standard plant-then-verify determinism
+    * playbook, cf. v12's planted duplicates), guaranteeing ≥4
+    * redactions per doc. The result pins the redacted TEXT (via its
+    * md5) and the per-pattern replacement counts — the ordered-fold
+    * once-only counting (an SSN burned by its own pattern must not be
+    * recounted by the looser phone pattern behind it) is exactly what
+    * the staged DuckDB CTE chain re-derives. Pure scan-fused map work;
+    * no shuffle anywhere.
+    */
+  def t16PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val h = md5(col("doc_id").cast("string"))
+    def hx(pos: Int, len: Int) =
+      graft.functions.VectorExpressions.hexSliceToLong(h, pos, len)
+    val email = concat(lit("user"), substring(h, 1, 6), lit("@example.com"))
+    val ssn = concat((hx(7, 2) % 900 + 100).cast("string"), lit("-"),
+      (hx(9, 2) % 90 + 10).cast("string"), lit("-"),
+      (hx(11, 3) % 9000 + 1000).cast("string"))
+    val ip = concat_ws(".", (hx(14, 2) % 256).cast("string"),
+      (hx(16, 2) % 256).cast("string"), (hx(18, 2) % 256).cast("string"),
+      (hx(20, 2) % 256).cast("string"))
+    val phone = concat(lit("+1-"), (hx(22, 2) % 800 + 200).cast("string"),
+      lit("-"), (hx(24, 2) % 800 + 200).cast("string"), lit("-"),
+      (hx(26, 3) % 9000 + 1000).cast("string"))
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" Contact "), email, lit(" or "), phone,
+          lit(" (ssn "), ssn, lit(", last login from "), ip, lit(")"))
+          .as("text"))
+    Curation.redactPii(planted, "text",
+        countCols = Seq("n_email", "n_ssn", "n_ip", "n_phone"))
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_ip"),
+        col("n_phone"), col("_pii_redactions").as("n_redactions"),
+        md5(col("text").cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
   }
 
   private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
@@ -343,6 +384,7 @@ object TextQueries extends QuerySet {
     "t13_ngram_novelty" -> t13NgramNovelty _,
     "t14_chunk_dedup" -> t14ChunkDedup _,
     "t15_decontaminated" -> t15Decontaminated _,
+    "t16_pii_redaction" -> t16PiiRedaction _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -366,6 +408,27 @@ object TextQueries extends QuerySet {
     s"""len(list_filter($toksLowerSql, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"""
   private[queries] val fpSql =
     """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+
+  /** Shared chunk CTE chain (`base` → `b2` → `ch`) — the SQL twin of
+    * [[chunkHashFrame]]; t12 / t14 here and g6 in ExtendedQueries all
+    * SELECT from `ch`.
+    */
+  private[queries] val chunkCteSql: String =
+    s"""base AS (
+       |  SELECT doc_id, source, $toksSql AS toks, len($toksSql) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |b2 AS (
+       |  SELECT doc_id, source, toks,
+       |    CASE WHEN n_tok <= $ChunkLen THEN 1
+       |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
+       |  FROM base),
+       |ch AS (
+       |  SELECT doc_id, source, g.i AS chunk_id,
+       |    CAST(len(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)]) AS BIGINT)
+       |      AS n_chunk_tokens,
+       |    md5(array_to_string(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)], ' '))
+       |      AS chunk_hash
+       |  FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)""".stripMargin
   private[queries] val stopRatioSql =
     s"${hitsSql(langStopwords.head._2)} * 1.0 / len($toksLowerSql)"
   private[queries] val alphaSql = "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text)"
@@ -453,38 +516,49 @@ object TextQueries extends QuerySet {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "t12_chunking" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n_tok
+      s"""WITH $chunkCteSql
+         |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "t16_pii_redaction" -> {
+      def hxSql(pos: Int, len: Int) =
+        s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), $pos, $len))::BIGINT"
+      val emailSql =
+        "'user' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '@example.com'"
+      val ssnSql = s"(${hxSql(7, 2)} % 900 + 100)::VARCHAR || '-' || " +
+        s"(${hxSql(9, 2)} % 90 + 10)::VARCHAR || '-' || " +
+        s"(${hxSql(11, 3)} % 9000 + 1000)::VARCHAR"
+      val ipSql = Seq(14, 16, 18, 20)
+        .map(p => s"(${hxSql(p, 2)} % 256)::VARCHAR").mkString(" || '.' || ")
+      val phoneSql = s"'+1-' || (${hxSql(22, 2)} % 800 + 200)::VARCHAR || " +
+        s"'-' || (${hxSql(24, 2)} % 800 + 200)::VARCHAR || '-' || " +
+        s"(${hxSql(26, 3)} % 9000 + 1000)::VARCHAR"
+      val pats = graft.operators.Curation.DefaultPiiPatterns
+      val names = Seq("n_email", "n_ssn", "n_ip", "n_phone")
+      val stages = pats.indices.map { i =>
+        s"""s${i + 1} AS (SELECT *,
+           |  len(regexp_extract_all(t$i, '${pats(i)}')) AS ${names(i)},
+           |  regexp_replace(t$i, '${pats(i)}', '[REDACTED]', 'g') AS t${i + 1}
+           |  FROM s$i)""".stripMargin
+      }
+      s"""WITH s0 AS (
+         |  SELECT doc_id,
+         |    text || ' Contact ' || $emailSql || ' or ' || $phoneSql ||
+         |      ' (ssn ' || $ssnSql || ', last login from ' || $ipSql || ')'
+         |      AS t0
          |  FROM documents WHERE text IS NOT NULL),
-         |b2 AS (
-         |  SELECT doc_id, toks,
-         |    CASE WHEN n_tok <= $ChunkLen THEN 1
-         |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
-         |  FROM base)
-         |SELECT doc_id, g.i AS chunk_id,
-         |  CAST(len(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)]) AS BIGINT)
-         |    AS n_chunk_tokens,
-         |  md5(array_to_string(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)], ' '))
-         |    AS chunk_hash
-         |FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
-         |ORDER BY doc_id, chunk_id""".stripMargin,
+         |${stages.mkString(",\n")}
+         |SELECT doc_id, n_email, n_ssn, n_ip, n_phone,
+         |  CAST(n_email + n_ssn + n_ip + n_phone AS BIGINT) AS n_redactions,
+         |  md5(t4) AS redacted_hash
+         |FROM s4 ORDER BY doc_id""".stripMargin
+    },
     "t14_chunk_dedup" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n_tok
-         |  FROM documents WHERE text IS NOT NULL),
-         |b2 AS (
-         |  SELECT doc_id, toks,
-         |    CASE WHEN n_tok <= $ChunkLen THEN 1
-         |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
-         |  FROM base),
-         |ch AS (
-         |  SELECT doc_id, g.i AS chunk_id,
-         |    md5(array_to_string(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)], ' '))
-         |      AS chunk_hash
-         |  FROM b2, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)
+      s"""WITH $chunkCteSql
          |SELECT chunk_hash,
-         |  CAST(MIN(doc_id * 100000 + chunk_id) // 100000 AS BIGINT) AS keep_doc,
-         |  CAST(MIN(doc_id * 100000 + chunk_id) % 100000 AS BIGINT) AS keep_chunk,
+         |  (MIN(struct_pack(doc_id := doc_id, chunk_id := chunk_id))).doc_id
+         |    AS keep_doc,
+         |  (MIN(struct_pack(doc_id := doc_id, chunk_id := chunk_id))).chunk_id
+         |    AS keep_chunk,
          |  COUNT(*) AS n_copies
          |FROM ch GROUP BY chunk_hash ORDER BY chunk_hash""".stripMargin,
     "t13_ngram_novelty" ->

@@ -36,4 +36,30 @@ class BpeSpec extends SparkSpec {
     assert(enc(Seq("aaa", "aaaa"), Seq(("a", "a"))) ==
       Map("aaa" -> 2L, "aaaa" -> 2L))
   }
+
+  /** Reference implementation of the greedy fuse, driver-side. */
+  private def refEncode(w: String, merges: Seq[(String, String)]): Long =
+    merges.foldLeft(w.map(_.toString).toList) { case (seq, (a, b)) =>
+      seq.tail.foldLeft(List(seq.head)) { (acc, x) =>
+        if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    }.size.toLong
+
+  test("checkpointed chunked replay == unbounded fold past EncodeFuseChunk") {
+    // a merge list LONGER than one fuse chunk (so the localCheckpoint
+    // path actually runs), with late merges consuming earlier fusions
+    val merges = Seq(("a", "b"), ("ab", "c"), ("abc", "d")) ++
+      ('e' to 'z').sliding(2).map(p => (p(0).toString, p(1).toString)).toSeq
+    assert(merges.length > Bpe.EncodeFuseChunk)
+    val words = Seq("abcdabcd", "efghij", "abcdefghijklmnopqrstuvwxyz", "zyx")
+    assert(enc(words, merges) ==
+      words.map(w => w -> refEncode(w, merges)).toMap)
+  }
+
+  test("learnMerges refuses driver-pathological round counts") {
+    intercept[IllegalArgumentException] {
+      Bpe.learnMerges(Seq("a b").toDF("text"), col("text"),
+        Bpe.MaxLearnRounds + 1)
+    }
+  }
 }

@@ -62,7 +62,10 @@ class CurationSpec extends SparkSpec {
       (3L, "server at 192.168.0.1 responded"),
       (4L, "call +1 (555) 867-5309 today"),
       (5L, "no sensitive content in this row at all"),
-      (6L, "two hits: bob@corp.io and 10.0.0.7 together")
+      (6L, "two hits: bob@corp.io and 10.0.0.7 together"),
+      // the anchored phone pattern must NOT eat dates, versions, or ids
+      (7L, "released 2026-08-13 as version 1.2.3.4000 build 123456789"),
+      (8L, "dial 555-867-5309 or (212) 555-0100 now")
     ).toDF("doc_id", "text")
     val out = Curation.redactPii(docs, "text")
       .select("doc_id", "text", "_pii_redactions")
@@ -73,11 +76,34 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ("call [REDACTED] today", 1L))
     assert(out(5L) == ("no sensitive content in this row at all", 0L))
     assert(out(6L) == ("two hits: [REDACTED] and [REDACTED] together", 2L))
+    // the date, the version (4-digit tail fails \d{1,3}\b), and the
+    // bare digit run all survive the anchored patterns untouched
+    assert(out(7L) == ("released 2026-08-13 as version 1.2.3.4000 build 123456789", 0L))
+    assert(out(8L) == ("dial [REDACTED] or [REDACTED] now", 2L))
     // scan-fused: pure per-row regex work adds no exchange to the plan
     val sp = Curation.redactPii(docs, "text").queryExecution.sparkPlan
     assert(sp.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"redaction must not shuffle:\n$sp")
+  }
+
+  test("redactPii countCols emits once-only per-pattern counts") {
+    val docs = Seq(
+      // the SSN is burned by its own pattern; the phone pattern behind
+      // it must see [REDACTED], not recount the digits
+      (1L, "a@b.io then 123-45-6789 then 10.0.0.1 then 555-867-5309"),
+      (2L, "only an ip 172.16.254.3 here")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "text",
+        countCols = Seq("n_email", "n_ssn", "n_ip", "n_phone"))
+      .select("doc_id", "n_email", "n_ssn", "n_ip", "n_phone", "_pii_redactions")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 4L)))
+    assert(out(2L) == ((0L, 0L, 1L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Curation.redactPii(docs, "text", countCols = Seq("just_one"))
+    }
   }
 
   test("stratifiedSample rejects out-of-range rates") {

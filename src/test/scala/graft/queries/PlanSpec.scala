@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("j4_semi_join").contains("LeftSemi"))
   }
 
+  test("q18: IN-subquery with HAVING decorrelates to aggregate + semi join") {
+    val p = plan("q18_big_orders")
+    // Catalyst must rewrite the IN into a semi join against the
+    // aggregated subquery — never a correlated re-execution or cartesian
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "big-orders aggregate must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must plan as per-partition heaps, not a global sort")
+  }
+
   test("v5: batched IVF windows are per-query — no single-task global sort") {
     // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
