@@ -153,6 +153,47 @@ object Sketches {
       .groupBy("bucket").agg(max("rho").as("rho"))
   }
 
+  /** Max-merge HLL register tables into the register table of the
+    * UNION of their underlying sets — `max` per bucket is exactly what
+    * [[hllRegisters]]' own groupBy computes over the concatenated
+    * stream, so `registers(A) ⊔ registers(B) = registers(A ∪ B)`
+    * bit-for-bit (pinned in SketchesSpec). This is the set-algebra
+    * primitive: with union estimates in hand, intersections fall out
+    * of inclusion-exclusion ([[graft.queries.SketchQueries]] `sk4`)
+    * without ever joining the underlying data — the 100 TB way to ask
+    * "how much do these two corpus slices overlap?".
+    */
+  def hllMerge(regs: Seq[DataFrame]): DataFrame =
+    regs.reduce(_ unionByName _).groupBy("bucket").agg(max("rho").as("rho"))
+
+  /** CMS inner-product join-size estimate (Cormode & Muthukrishnan
+    * 2005 §4.2): for sketches of the two join inputs' key columns,
+    * `min over r of Σ_w cntA[r,w]·cntB[r,w]` estimates
+    * `|A ⋈ B| = Σ_k f_A(k)·f_B(k)`. Every true-key product lands in
+    * some shared cell and cross terms are non-negative, so the
+    * estimate NEVER undershoots (`est ≥ exact`, deterministically —
+    * the same one-sided guarantee sk1 exhibits for point counts).
+    * Absent (r, bucket) pairs contribute 0, and an r-row with no
+    * overlapping cells makes the whole estimate 0 (the left join from
+    * the full r range below — an empty intersection must not fall
+    * back to the min of the populated rows).
+    *
+    * This is the sketch-side answer to a planning question a 100 TB
+    * engine must not answer by running the join: estimate the output
+    * size first from two ≤depth·width-row sketches (built in one
+    * map-side-combined pass each, mergeable across corpus slices),
+    * then pick broadcast vs shuffle vs salted from the estimate.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val perR = a.select(col("r"), col("bucket"), col("cnt").as("_cnt_a"))
+      .join(broadcast(b.select(col("r"), col("bucket"), col("cnt").as("_cnt_b"))),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("_cnt_a") * col("_cnt_b")).as("_p"))
+    a.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(perR, Seq("r"), "left")
+      .agg(min(coalesce(col("_p"), lit(0L))).as("est"))
+  }
+
   /** Scaled-integer alpha numerators: `round(alpha_m * 1000)` for the
     * published constants (m=16: 0.673, m=32: 0.697, m=64: 0.709).
     * Larger m would overflow the exact-integer estimate below.

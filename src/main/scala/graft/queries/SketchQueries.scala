@@ -99,10 +99,86 @@ object SketchQueries extends QuerySet {
     est.crossJoin(keys.agg(countDistinct("l_orderkey").as("exact")))
   }
 
+  private val OverlapM = 16
+  private val WinA = ("1996-01-01", "1997-01-01")
+  private val WinB = ("1998-01-01", "1999-01-01")
+
+  /** HLL set algebra: estimate how many distinct customers ordered in
+    * BOTH 1996 and 1998 without ever joining the two order slices —
+    * per-window register tables ([[Sketches.hllRegisters]]) max-merge
+    * into the union's registers ([[Sketches.hllMerge]]), and the
+    * overlap falls out of inclusion-exclusion
+    * `est_a + est_b - est_union`. m=16 keeps both windows (≥116
+    * distinct customers at sf0.001) above the raw estimator's ~2.5m
+    * small-range cutover at every SF, and every register and estimate
+    * is md5-derived integer arithmetic — the merge law itself is what
+    * the oracle re-derives. Exact counts ride along to exhibit the
+    * error (exact overlap 95 / 895 / 9167 at sf0.001/0.01/0.1 —
+    * non-vacuous at every SF); at 100 TB the exact branch drops out
+    * and per-slice 16-row register tables are all that ship.
+    */
+  def sk4HllSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    def win(w: (String, String)) = orders
+      .filter(col("o_orderdate") >= lit(w._1) && col("o_orderdate") < lit(w._2))
+      .filter(col("o_custkey").isNotNull).select(col("o_custkey"))
+    val a = win(WinA)
+    val b = win(WinB)
+    val ra = Sketches.hllRegisters(a, col("o_custkey"), OverlapM, Dedup.Md5Hash)
+    val rb = Sketches.hllRegisters(b, col("o_custkey"), OverlapM, Dedup.Md5Hash)
+    def est(regs: DataFrame, name: String) =
+      Sketches.hllEstimate(regs, OverlapM).select(col("est").as(name))
+    est(ra, "est_a")
+      .crossJoin(est(rb, "est_b"))
+      .crossJoin(est(Sketches.hllMerge(Seq(ra, rb)), "est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+      .crossJoin(a.distinct().agg(count(lit(1)).as("exact_a")))
+      .crossJoin(b.distinct().agg(count(lit(1)).as("exact_b")))
+      .crossJoin(a.distinct().join(b.distinct(), "o_custkey")
+        .agg(count(lit(1)).as("exact_overlap")))
+  }
+
+  private val JsDepth = 4
+  private val JsWidth = 1024
+
+  /** CMS join-size estimation ([[Sketches.cmsInnerProduct]]): predict
+    * a join's output cardinality from two ≤4×1024-cell sketches
+    * BEFORE running it — the input to broadcast/shuffle/salt
+    * decisions at 100 TB, where running the join to size it is not an
+    * option. Two subjects: the lineitem self-join on `l_partkey`
+    * (real multiplicity both sides — Σ f(k)², the skew-detection
+    * shape) and orders ⋈ lineitem on the order key (the fact-table
+    * shape). The exact sizes ride along — computed as Σ c·c over
+    * group counts and one real join count, both of which drop out at
+    * production scale — so each row exhibits the deterministic
+    * one-sided guarantee (`overcount = est - exact ≥ 0`, collision
+    * cross-terms only ever add).
+    */
+  def sk5CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    def sk(df: DataFrame, c: String) =
+      Sketches.cmsBuild(df.select(col(c)), col(c), JsDepth, JsWidth, Dedup.Md5Hash)
+    val selfRow = Sketches.cmsInnerProduct(sk(li, "l_partkey"), sk(li, "l_partkey"), JsDepth)
+      .crossJoin(li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact")))
+      .select(lit("lineitem_self_partkey").as("join_side"), col("est"), col("exact"))
+    val crossRow = Sketches.cmsInnerProduct(sk(ord, "o_orderkey"), sk(li, "l_orderkey"), JsDepth)
+      .crossJoin(ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact")))
+      .select(lit("orders_lineitem_orderkey").as("join_side"), col("est"), col("exact"))
+    selfRow.unionByName(crossRow)
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy("join_side")
+  }
+
   val entries: Map[String, Q] = Map(
     "sk1_cms_heavy_hitters" -> sk1CmsHeavyHitters _,
     "sk2_bloom_prefilter" -> sk2BloomPrefilter _,
     "sk3_hll_distinct" -> sk3HllDistinct _,
+    "sk4_hll_set_ops" -> sk4HllSetOps _,
+    "sk5_cms_join_size" -> sk5CmsJoinSize _,
   )
 
   private def gridSql(src: String, item: String, depth: Int): String =
@@ -163,6 +239,72 @@ object SketchQueries extends QuerySet {
          |  COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM members))
          |    AS n_false_pos
          |FROM hits""".stripMargin
+    },
+    "sk4_hll_set_ops" -> {
+      // per-window register CTE (sk3's two md5 slices at m=16) and the
+      // all-integer raw estimator with alpha1000=673, m^2=256; the
+      // union regs are the MERGE (max of the two tables' maxes), not a
+      // re-sketch — re-deriving the merge law is the point
+      def regs(src: String) =
+        s"""SELECT bucket,
+           |    MAX(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS rho
+           |  FROM (SELECT ('0x' || substr(md5('b:' || CAST(o_custkey AS VARCHAR)), 1, 14))::BIGINT % $OverlapM AS bucket,
+           |          ('0x' || substr(md5('r:' || CAST(o_custkey AS VARCHAR)), 1, 10))::BIGINT AS w
+           |        FROM $src) GROUP BY bucket""".stripMargin
+      def est(regsSrc: String) =
+        s"""SELECT CAST((673 * ${OverlapM * OverlapM} * (CAST(1 AS BIGINT) << 41))
+           |    // (1000 * (sp + ($OverlapM - np) * (CAST(1 AS BIGINT) << 41))) AS BIGINT) AS est
+           |  FROM (SELECT COUNT(*) AS np,
+           |          COALESCE(CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - rho AS INT)) AS BIGINT), 0) AS sp
+           |        FROM $regsSrc)""".stripMargin
+      s"""WITH a AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '${WinA._1}' AND o_orderdate < DATE '${WinA._2}'
+         |    AND o_custkey IS NOT NULL),
+         |b AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '${WinB._1}' AND o_orderdate < DATE '${WinB._2}'
+         |    AND o_custkey IS NOT NULL),
+         |ra AS (${regs("a")}),
+         |rb AS (${regs("b")}),
+         |ru AS (SELECT bucket, MAX(rho) AS rho
+         |       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+         |ea AS (${est("ra")}), eb AS (${est("rb")}), eu AS (${est("ru")})
+         |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+         |  ea.est + eb.est - eu.est AS est_overlap,
+         |  (SELECT COUNT(DISTINCT o_custkey) FROM a) AS exact_a,
+         |  (SELECT COUNT(DISTINCT o_custkey) FROM b) AS exact_b,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a) x
+         |     JOIN (SELECT DISTINCT o_custkey FROM b) y USING (o_custkey)) AS exact_overlap
+         |FROM ea, eb, eu""".stripMargin
+    },
+    "sk5_cms_join_size" -> {
+      def sketch(table: String, key: String) =
+        s"""SELECT r, ${Sketches.bucketSql("item", "r", JsWidth)} AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM (${gridSql(table, s"CAST($key AS VARCHAR)", JsDepth)}) GROUP BY 1, 2""".stripMargin
+      def inner(sa: String, sb: String) =
+        s"""SELECT CAST(MIN(COALESCE(p, 0)) AS BIGINT) AS est
+           |  FROM rr LEFT JOIN (
+           |    SELECT r, CAST(SUM(x.cnt * y.cnt) AS BIGINT) AS p
+           |    FROM $sa x JOIN $sb y USING (r, bucket) GROUP BY r) USING (r)""".stripMargin
+      s"""WITH sl AS (${sketch("lineitem", "l_partkey")}),
+         |so AS (${sketch("orders", "o_orderkey")}),
+         |sk AS (${sketch("lineitem", "l_orderkey")}),
+         |rr AS (SELECT unnest(range(0, $JsDepth)) AS r),
+         |self_est AS (${inner("sl", "sl")}),
+         |cross_est AS (${inner("so", "sk")}),
+         |self_exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact
+         |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)),
+         |cross_exact AS (SELECT COUNT(*) AS exact
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         |SELECT * FROM (
+         |  SELECT 'lineitem_self_partkey' AS join_side, se.est, sx.exact,
+         |    se.est - sx.exact AS overcount
+         |  FROM self_est se, self_exact sx
+         |  UNION ALL
+         |  SELECT 'orders_lineitem_orderkey', ce.est, cx.exact,
+         |    ce.est - cx.exact
+         |  FROM cross_est ce, cross_exact cx)
+         |ORDER BY join_side""".stripMargin
     },
     "sk3_hll_distinct" -> {
       // same two md5 slices as hllRegisters: bucket from 'b:'||x (56-bit

@@ -111,6 +111,60 @@ class SketchesSpec extends SparkSpec {
       s"raw HLL estimate $est vs exact $exact drifts past 3σ")
   }
 
+  test("HLL merge over DIFFERENT sets equals the union's registers; inclusion-exclusion recovers a planted overlap") {
+    // 1..1000 and 501..1500: exact union 1500, exact overlap 500
+    val a = spark.range(1, 1001).toDF("k")
+    val b = spark.range(501, 1501).toDF("k")
+    val ra = Sketches.hllRegisters(a, $"k", 16, Dedup.Md5Hash)
+    val rb = Sketches.hllRegisters(b, $"k", 16, Dedup.Md5Hash)
+    val merged = Sketches.hllMerge(Seq(ra, rb))
+    val whole = Sketches.hllRegisters(a.unionByName(b), $"k", 16, Dedup.Md5Hash)
+    // the merge law on sets that genuinely differ (the existing merge
+    // test splits ONE set; sk4's contract is about two different ones)
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      whole.as[(Long, Long)].collect().toSet)
+    def est(r: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(r, 16).select($"est").as[Long].collect().head
+    val inter = est(ra) + est(rb) - est(merged)
+    // md5 registers are deterministic, so the estimate is a constant:
+    // 1052 + 1239 - 1859 = 432 vs exact 500 (13.6% error, within the
+    // ~26% 1-sigma band for m=16)
+    assert(inter == 432L, s"inclusion-exclusion estimate drifted: $inter")
+  }
+
+  test("CMS inner product never undershoots the true join size; empty side estimates zero") {
+    val sk = Sketches.cmsBuild(toks, $"tok", 4, 64, Dedup.Md5Hash)
+    val selfEst = Sketches.cmsInnerProduct(sk, sk, 4)
+      .select($"est").as[Long].collect().head
+    val selfExact = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c")).as[Long].collect().head
+    assert(selfEst >= selfExact,
+      s"inner product undershot the self-join size: $selfEst < $selfExact")
+    // cross-table: orders x lineitem on the order key
+    val ord = graft.Tables.load(spark, dir, "orders")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val crossEst = Sketches.cmsInnerProduct(
+      Sketches.cmsBuild(ord, $"o_orderkey", 4, 64, Dedup.Md5Hash),
+      Sketches.cmsBuild(li, $"l_orderkey", 4, 64, Dedup.Md5Hash), 4)
+      .select($"est").as[Long].collect().head
+    val crossExact = ord.join(li, $"o_orderkey" === $"l_orderkey").count()
+    assert(crossEst >= crossExact,
+      s"inner product undershot the join size: $crossEst < $crossExact")
+    // the sketch-vs-sketch join must stay broadcast — two ≤depth·width
+    // frames must never earn a shuffle join
+    val plan = Sketches.cmsInnerProduct(sk, sk, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"sketch join shuffled:\n$plan")
+    // an empty build side must estimate 0 through the full-r left join
+    // (not NULL, and not the min of populated rows)
+    val empty = Sketches.cmsBuild(li.filter(lit(false)), $"l_orderkey", 4, 64,
+      Dedup.Md5Hash)
+    val zero = Sketches.cmsInnerProduct(sk, empty, 4)
+      .select($"est").as[Long].collect().head
+    assert(zero == 0L, s"empty-side inner product must be 0, got $zero")
+  }
+
   test("funnel stages are monotonically non-increasing and retention day-0 covers all users") {
     val f = graft.SparkEntry.queries("e9_funnel")(spark, dir)
       .as[(Long, Long, Long)].collect().head
