@@ -66,6 +66,37 @@ object Curation {
     df.filter(bucket < rate * 1000)
   }
 
+  /** Group-atomic train/val/test split — the leakage-safe way to cut a
+    * corpus for training: the split key is a GROUP id (a dedup cluster,
+    * a duplicate-content component, a domain), not the row id, so every
+    * member of a group lands in the same split by construction. Keying
+    * on the row id instead is the classic eval-contamination bug: two
+    * near-identical documents land one in train and one in test, and
+    * the benchmark silently measures memorization (CurationSpec plants
+    * exactly that corpus and shows the naive split leaks where this one
+    * cannot).
+    *
+    * Deterministic md5 bucketing, same family as [[stratifiedSample]]:
+    * `bucket = md5('split:'||group) mod 100`, `< trainPct` → train,
+    * `< trainPct+valPct` → val, else test. No RNG: every engine, run,
+    * and retry makes the same assignment, and the split is stable under
+    * corpus growth (a new doc joining an existing group inherits the
+    * group's split rather than reshuffling anything). Pure map work —
+    * the group id is already on the row; at 100 TB the split rides any
+    * scan for free.
+    */
+  def assignSplit(df: DataFrame, groupCol: Column,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 < valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val bucket = graft.functions.VectorExpressions
+      .hexSliceToLong(md5(concat(lit("split:"), groupCol.cast("string"))), 1, 14) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Default PII patterns, most-specific first (an SSN would otherwise
     * be eaten by the looser phone pattern): email, SSN-shaped, IPv4,
     * phone-shaped. The usual public-pipeline scrub list

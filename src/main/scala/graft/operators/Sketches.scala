@@ -194,6 +194,148 @@ object Sketches {
       .agg(min(coalesce(col("_p"), lit(0L))).as("est"))
   }
 
+  // ---- KMV / theta bottom-k distinct sketch ----
+
+  /** KMV hash domain: 56 bits, so `(k-1)·space` and `|A∩B|·space` both
+    * stay inside a signed 64-bit integer for k ≤ 128 — the estimators
+    * below are EXACT integer arithmetic, bit-identical in any engine.
+    */
+  val KmvSpace: Long = 1L << 56
+
+  /** 56-bit item hash in [0, [[KmvSpace]]): md5 mode slices the hex
+    * digest exactly as the SQL oracle re-derives it
+    * (`('0x'||substr(md5('t:'||x),1,14))::BIGINT`); xxhash is the
+    * cheaper production family with the same shape.
+    */
+  private def kmvHash(itemCol: Column, mode: HashMode): Column = mode match {
+    case Md5Hash => graft.functions.VectorExpressions
+      .hexSliceToLong(md5(concat(lit("t:"), itemCol.cast("string"))), 1, 14)
+    case XxHash => pmod(xxhash64(lit("t"), itemCol.cast("string")), lit(KmvSpace))
+  }
+
+  /** Bounded bottom-k-distinct-hashes aggregator — the KMV / theta
+    * sketch kernel (Bar-Yossef et al. 2002; the basis of Apache
+    * DataSketches' theta family). The buffer is a sorted array of at
+    * most `k` DISTINCT hash values; `reduce` is a binary-search insert
+    * that drops anything above the current kth minimum, `merge` is a
+    * sorted-distinct merge truncated at `k`. Both are associative,
+    * commutative, and duplicate-insensitive, so Spark partial-aggregates
+    * map-side: 100 TB of raw rows reduce to one ≤k-long array per
+    * partition before any exchange — the raw hashes NEVER shuffle.
+    * Bottom-k of a set is order-insensitive, so the result is
+    * deterministic under any partitioning.
+    */
+  class KmvAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.empty[Long]
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // duplicate hash: sketch unchanged
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins >= k) b // above the kth minimum: unchanged
+        else {
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        }
+      }
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(k, x.length + y.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < x.length || j < y.length)) {
+        val v =
+          if (i >= x.length) { val v = y(j); j += 1; v }
+          else if (j >= y.length) { val v = x(i); i += 1; v }
+          else if (x(i) < y(j)) { val v = x(i); i += 1; v }
+          else if (x(i) > y(j)) { val v = y(j); j += 1; v }
+          else { val v = x(i); i += 1; j += 1; v }
+        out(n) = v; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Build the KMV sketch of a key column: one row per kept hash
+    * (`h`, ascending; ≤ k rows total regardless of input size). Unlike
+    * [[hllRegisters]] this sketch supports DIRECT intersection
+    * ([[kmvIntersect]]) — the theta-sketch advantage over HLL
+    * inclusion-exclusion, whose error compounds through three
+    * estimates.
+    */
+  def kmvSketch(items: DataFrame, itemCol: Column, k: Int,
+      mode: HashMode = XxHash): DataFrame = {
+    require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(kmvHash(itemCol, mode).as("h")).as[Long]
+      .select(new KmvAggregator(k).toColumn.name("hs"))
+      .toDF("hs")
+      .select(explode(col("hs")).as("h"))
+  }
+
+  /** One row `(n, theta)`: how full the sketch is and its threshold —
+    * `theta = kth-minimum hash` once saturated, else the full
+    * [[KmvSpace]] (the sketch then holds the EXACT distinct hash set).
+    */
+  private def kmvTheta(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), max(col("h")).as("_mx"))
+      .select(col("n"),
+        when(col("n") < k, lit(KmvSpace)).otherwise(col("_mx")).as("theta"))
+
+  /** Distinct-count estimate, one row `(est)`: exact `n` while the
+    * sketch is unsaturated, else the classic `(k-1)·space DIV theta`
+    * (k-1, not k: the kth minimum itself is the threshold, and using k
+    * would bias high). Exact integer arithmetic throughout.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    kmvTheta(sketch, k).select(
+      when(col("n") < k, col("n"))
+        .otherwise(expr(s"${(k - 1).toLong * KmvSpace}L DIV theta"))
+        .as("est"))
+
+  /** Union sketch: bottom-k of the merged hash sets — identical to the
+    * sketch of the concatenated inputs (pinned in SketchesSpec), since
+    * every hash below the union's kth minimum is below its own side's
+    * kth minimum too. k-row frames in, k-row frame out.
+    */
+  def kmvUnion(sketches: Seq[DataFrame], k: Int): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+
+  /** DIRECT intersection estimate, one row `(est)`: count the hashes
+    * present in BOTH sketches below `theta = min(theta_a, theta_b)`,
+    * then scale by `space/theta` — each survivor is a uniform sample of
+    * the true intersection at rate `theta/space`. When both sketches
+    * are unsaturated (`theta = space`) the estimate is EXACT. This is
+    * the query HLL fundamentally cannot answer without chaining three
+    * estimates' errors ([[graft.queries.SketchQueries]] sk4 vs sk6).
+    */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val th = kmvTheta(a, k).select(col("theta").as("_ta"))
+      .crossJoin(kmvTheta(b, k).select(col("theta").as("_tb")))
+      .select(least(col("_ta"), col("_tb")).as("_theta"))
+    a.join(b, Seq("h"))
+      .crossJoin(broadcast(th))
+      .filter(col("h") < col("_theta"))
+      .agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(th))
+      .select(expr(s"_c * ${KmvSpace}L DIV _theta").as("est"))
+  }
+
   /** Scaled-integer alpha numerators: `round(alpha_m * 1000)` for the
     * published constants (m=16: 0.673, m=32: 0.697, m=64: 0.709).
     * Larger m would overflow the exact-integer estimate below.

@@ -279,6 +279,61 @@ object ExtendedQueries extends QuerySet {
     * bit-identical cross-engine with no rounding. Windows partition by
     * priority — never a global single-task sort.
     */
+  /** Value-position windows (first_value / last_value / nth_value over
+    * an explicit full frame) plus a RANGE frame: per order line, the
+    * first / last / second extended price by ship order within the
+    * order, and the part's trailing-8-day shipped quantity
+    * (`RANGE BETWEEN 7 PRECEDING AND CURRENT ROW` over integer
+    * day-since-epoch ordering — the moving-window aggregation ROWS
+    * frames cannot express, and tie-insensitive by definition). The
+    * window order key ENDS ON THE PROJECTED VALUE, so all three value
+    * picks are deterministic even where (l_shipdate, l_linenumber)
+    * ties (it does at sf0.01+); the value columns are
+    * carried (not combined) doubles — bit-identical cross-engine — and
+    * the range sum is an exact integer. Two window shuffles (order key,
+    * part key), both partitioned — no global sort anywhere.
+    */
+  def w7ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // (l_shipdate, l_linenumber) is NOT unique at sf0.01+ (duplicate
+    // line numbers exist); ending the order key on l_extendedprice —
+    // the very value all three picks project — makes every pick
+    // deterministic: rows still tied agree on the projected value
+    val w = W.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wr = W.partitionBy("l_partkey")
+      .orderBy(datediff(col("l_shipdate"), lit("1995-01-01")).cast("long"))
+      .rangeBetween(-7, 0)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        first("l_extendedprice").over(w).as("first_price"),
+        last("l_extendedprice").over(w).as("last_price"),
+        nth_value(col("l_extendedprice"), 2).over(w).as("second_price"),
+        sum(col("l_quantity").cast("long")).over(wr).as("qty_7d"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** GROUPING SETS with NON-hierarchical sets — the marginals-only
+    * report `((status), (priority))` that neither r1's rollup nor r2's
+    * cube expresses without computing levels nobody asked for: both
+    * one-dimensional summaries in ONE pass over orders, sharing one
+    * map-side-combined shuffle (Spark's Expand feeds each row to
+    * exactly the asked-for sets). Written as SQL because the Dataset
+    * API only exposes the rollup/cube special cases.
+    */
+  def r3GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(1) AS n_orders,
+        | FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100 AS total_sales
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   def w6RankMetrics(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_orderpriority")
@@ -360,6 +415,8 @@ object ExtendedQueries extends QuerySet {
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
     "r1_rollup" -> r1Rollup _,
+    "r3_grouping_sets" -> r3GroupingSets _,
+    "w7_value_windows" -> w7ValueWindows _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "hll1_approx_distinct" -> hll1ApproxDistinct _,
@@ -426,6 +483,28 @@ object ExtendedQueries extends QuerySet {
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "r3_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n_orders,
+        | ROUND(SUM(o_totalprice), 2) AS total_sales
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "w7_value_windows" ->
+      """SELECT l_orderkey, l_linenumber,
+        | first_value(l_extendedprice) OVER w AS first_price,
+        | last_value(l_extendedprice) OVER w AS last_price,
+        | nth_value(l_extendedprice, 2) OVER w AS second_price,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |   PARTITION BY l_partkey
+        |   ORDER BY date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)
+        |   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_7d
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_shipdate, l_linenumber, l_extendedprice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "r1_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority,

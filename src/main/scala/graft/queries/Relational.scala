@@ -100,6 +100,55 @@ object Relational extends QuerySet {
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q10-style returned-item report: which customers returned the
+    * most revenue in one quarter — customer × orders (date slice) ×
+    * lineitem (`l_returnflag = 'R'`) × nation, revenue per customer,
+    * top 20. The churn-analysis join profile: BOTH fact filters reach
+    * the scans (date range on orders, returnflag on lineitem — pushed,
+    * so the join sees only the quarter's returned lines), nation
+    * broadcasts, customer broadcasts into the filtered orders slice,
+    * and the top-20 on (revenue DESC, c_custkey) plans as
+    * TakeOrderedAndProject over a total order. 40 / 364 / 3672
+    * qualifying customers at sf0.001 / 0.01 / 0.1 — never vacuous.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12-style shipment priority classes, adapted to the trimmed
+    * testdata schema (no `l_shipmode` column, so the class axis is
+    * `l_returnflag`): one shipping year, per class, how many lines
+    * belonged to high-priority orders (`1-URGENT`/`2-HIGH`) vs not.
+    * The conditional-aggregate shape: the CASE collapses inside the
+    * map-side partial aggregation, so the 3-row answer costs one
+    * shuffle of 3 keys — and every output is an INTEGER count, zero FP
+    * noise anywhere. Date filter pushed to the lineitem scan; orders
+    * joins on the order key.
+    */
+  def q12PriorityClass(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+          .otherwise(lit(0L))).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(0L))
+          .otherwise(lit(1L))).as("low_line_count"))
+      .orderBy("l_returnflag")
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -435,6 +484,8 @@ object Relational extends QuerySet {
     "q1_pricing_summary" -> pricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_region_revenue" -> q5RegionRevenue _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q12_priority_class" -> q12PriorityClass _,
     "q18_big_orders" -> q18BigOrders _,
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
@@ -483,6 +534,28 @@ object Relational extends QuerySet {
         | AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

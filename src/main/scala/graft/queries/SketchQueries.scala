@@ -139,6 +139,45 @@ object SketchQueries extends QuerySet {
         .agg(count(lit(1)).as("exact_overlap")))
   }
 
+  private val ThetaK = 64
+
+  /** KMV / theta sketch set algebra on the SAME subject as sk4: the
+    * 1996/1998 distinct-customer overlap, but via DIRECT intersection
+    * ([[Sketches.kmvIntersect]]) instead of HLL inclusion-exclusion —
+    * the two 64-hash sketches join on their surviving hashes below
+    * `min(theta_a, theta_b)` and the count scales by `space/theta`.
+    * One estimator instead of three chained ones; every number is
+    * exact integer arithmetic over md5-derived 56-bit hashes, so the
+    * whole row — sketches, thetas, all four estimates — re-derives
+    * bit-identically in the oracle. Exacts ride along (non-vacuous at
+    * every SF, same 95/895/9167 overlap as sk4); at 100 TB the exact
+    * branch drops out and two 64-row sketches are all that ship.
+    * Scale shape: each sketch build partial-aggregates map-side to
+    * ≤k-long arrays ([[Sketches.KmvAggregator]]) — raw hashes never
+    * shuffle — and everything downstream is k-row-frame algebra.
+    */
+  def sk6ThetaSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    def win(w: (String, String)) = orders
+      .filter(col("o_orderdate") >= lit(w._1) && col("o_orderdate") < lit(w._2))
+      .filter(col("o_custkey").isNotNull).select(col("o_custkey"))
+    val a = win(WinA)
+    val b = win(WinB)
+    val ka = Sketches.kmvSketch(a, col("o_custkey"), ThetaK, Dedup.Md5Hash).persist()
+    val kb = Sketches.kmvSketch(b, col("o_custkey"), ThetaK, Dedup.Md5Hash).persist()
+    def est(sk: DataFrame, name: String) =
+      Sketches.kmvEstimate(sk, ThetaK).select(col("est").as(name))
+    est(ka, "est_a")
+      .crossJoin(est(kb, "est_b"))
+      .crossJoin(est(Sketches.kmvUnion(Seq(ka, kb), ThetaK), "est_union"))
+      .crossJoin(Sketches.kmvIntersect(ka, kb, ThetaK)
+        .select(col("est").as("est_inter")))
+      .crossJoin(a.distinct().agg(count(lit(1)).as("exact_a")))
+      .crossJoin(b.distinct().agg(count(lit(1)).as("exact_b")))
+      .crossJoin(a.distinct().join(b.distinct(), "o_custkey")
+        .agg(count(lit(1)).as("exact_inter")))
+  }
+
   private val JsDepth = 4
   private val JsWidth = 1024
 
@@ -179,6 +218,7 @@ object SketchQueries extends QuerySet {
     "sk3_hll_distinct" -> sk3HllDistinct _,
     "sk4_hll_set_ops" -> sk4HllSetOps _,
     "sk5_cms_join_size" -> sk5CmsJoinSize _,
+    "sk6_theta_set_ops" -> sk6ThetaSetOps _,
   )
 
   private def gridSql(src: String, item: String, depth: Int): String =
@@ -275,6 +315,41 @@ object SketchQueries extends QuerySet {
          |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a) x
          |     JOIN (SELECT DISTINCT o_custkey FROM b) y USING (o_custkey)) AS exact_overlap
          |FROM ea, eb, eu""".stripMargin
+    },
+    "sk6_theta_set_ops" -> {
+      // 63 * 2^56 and 2^56 as literals — the same exact-integer
+      // estimator constants the Spark side plans
+      val space = Sketches.KmvSpace
+      val kNum = (ThetaK - 1).toLong * space
+      def kmv(src: String) =
+        s"""SELECT DISTINCT ('0x' || substr(md5('t:' || CAST(o_custkey AS VARCHAR)), 1, 14))::BIGINT AS h
+           |  FROM $src ORDER BY h LIMIT $ThetaK""".stripMargin
+      def theta(sk: String) =
+        s"""SELECT COUNT(*) AS n,
+           |    CASE WHEN COUNT(*) < $ThetaK THEN $space ELSE MAX(h) END AS theta
+           |  FROM $sk""".stripMargin
+      def est(st: String) =
+        s"SELECT CAST(CASE WHEN n < $ThetaK THEN n ELSE $kNum // theta END AS BIGINT) AS est FROM $st"
+      s"""WITH a AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '${WinA._1}' AND o_orderdate < DATE '${WinA._2}'
+         |    AND o_custkey IS NOT NULL),
+         |b AS (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= DATE '${WinB._1}' AND o_orderdate < DATE '${WinB._2}'
+         |    AND o_custkey IS NOT NULL),
+         |ka AS (${kmv("a")}), kb AS (${kmv("b")}),
+         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |       ORDER BY h LIMIT $ThetaK),
+         |sa AS (${theta("ka")}), sb AS (${theta("kb")}), su AS (${theta("ku")}),
+         |ti AS (SELECT LEAST(sa.theta, sb.theta) AS theta FROM sa, sb),
+         |ci AS (SELECT COUNT(*) AS c FROM ka JOIN kb USING (h), ti
+         |       WHERE h < ti.theta)
+         |SELECT (${est("sa")}) AS est_a, (${est("sb")}) AS est_b,
+         |  (${est("su")}) AS est_union,
+         |  (SELECT CAST(c * $space // theta AS BIGINT) FROM ci, ti) AS est_inter,
+         |  (SELECT COUNT(DISTINCT o_custkey) FROM a) AS exact_a,
+         |  (SELECT COUNT(DISTINCT o_custkey) FROM b) AS exact_b,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a) x
+         |     JOIN (SELECT DISTINCT o_custkey FROM b) y USING (o_custkey)) AS exact_inter""".stripMargin
     },
     "sk5_cms_join_size" -> {
       def sketch(table: String, key: String) =

@@ -314,6 +314,69 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val/test split ([[graft.operators.Curation
+    * .assignSplit]]): documents sharing ANY 64-token chunk form a
+    * duplicate-content component (chunk-hash equi-join →
+    * [[graft.operators.Dedup.connectedComponents]]), and the component
+    * — not the document — is the split key, so near-identical content
+    * can never straddle train and test (the eval-contamination bug a
+    * doc-id-keyed split commits; CurationSpec plants that corpus and
+    * shows the difference). Reports per-split doc / group counts and
+    * how many docs sit in multi-doc groups — non-vacuous at every SF
+    * (24 / 13 multi-group docs at sf0.001 / sf0.01, recorded in
+    * BASELINE.md). Scale shape: chunking is scan-fused, the edge join
+    * shuffles on the content hash (t14's cost class), the CC funnel
+    * runs over the collision pairs only (16 / 9 edges — duplicate mass,
+    * not corpus mass), and the split itself is free map work.
+    */
+  def t17LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val ch = chunkHashFrame(s, dir).select(col("doc_id"), col("chunk_hash"))
+    val pairs = ch.as("a").join(ch.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val labels = Dedup.connectedComponents(pairs)
+    val grp = docs(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+    Curation.assignSplit(grp, col("group_id"))
+      .withColumn("gsz", count(lit(1)).over(w))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("group_id").as("n_groups"),
+        sum(when(col("gsz") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_docs_in_multi"))
+      .orderBy("split")
+  }
+
+  private val QuotaCap = 20 // max docs kept per source
+
+  /** Deterministic per-source quota — the data-mixing primitive t7's
+    * rate-based sampler cannot express: keep AT MOST `QuotaCap` docs
+    * from each source (caps are how real training mixes bound a
+    * dominant crawl), chosen by md5 rank so the kept set is identical
+    * on every run/engine/retry and STABLE under corpus growth (a new
+    * doc displaces at most one ranked doc, never reshuffles the
+    * selection). Emits the kept docs with their rank — the actual
+    * sampled corpus, so the oracle checks WHICH docs survive, not just
+    * how many. One window shuffle on the source key; at 100 TB a
+    * per-source top-k (TakeOrdered-shaped, heap per partition) replaces
+    * the full sort the window implies — the selection is identical.
+    */
+  def t18SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val rk = graft.functions.VectorExpressions
+      .hexSliceToLong(md5(concat(lit("q:"), col("doc_id").cast("string"))), 1, 14)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(rk, col("doc_id"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= QuotaCap)
+      .orderBy("source", "rk")
+  }
+
   private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
 
   /** Cross-document n-gram novelty — the boilerplate detector: for each
@@ -385,6 +448,8 @@ object TextQueries extends QuerySet {
     "t14_chunk_dedup" -> t14ChunkDedup _,
     "t15_decontaminated" -> t15Decontaminated _,
     "t16_pii_redaction" -> t16PiiRedaction _,
+    "t17_leakage_split" -> t17LeakageSplit _,
+    "t18_source_quota" -> t18SourceQuota _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -552,6 +617,48 @@ object TextQueries extends QuerySet {
          |  md5(t4) AS redacted_hash
          |FROM s4 ORDER BY doc_id""".stripMargin
     },
+    "t17_leakage_split" ->
+      // chunk-grain duplicate components via the d6-style transitive
+      // closure (tiny: collision pairs only), then the md5 group-keyed
+      // split — the whole chain re-derives from the shared chunk CTE
+      s"""WITH RECURSIVE $chunkCteSql,
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION SELECT doc_b, doc_a FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |grp AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |assigned AS (
+         |  SELECT doc_id, group_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM grp)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups,
+         |  CAST(SUM(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_in_multi
+         |FROM (SELECT a.*, COUNT(*) OVER (PARTITION BY group_id) AS gsz
+         |      FROM assigned a)
+         |GROUP BY split ORDER BY split""".stripMargin,
+    "t18_source_quota" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT,
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $QuotaCap ORDER BY source, rk""".stripMargin,
     "t14_chunk_dedup" ->
       s"""WITH $chunkCteSql
          |SELECT chunk_hash,

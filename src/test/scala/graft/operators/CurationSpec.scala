@@ -112,4 +112,38 @@ class CurationSpec extends SparkSpec {
       Curation.stratifiedSample(df, col("lang"), col("doc_id"), Map("en" -> 1.5))
     }
   }
+
+  test("assignSplit is group-atomic where a doc-id split provably leaks") {
+    // 1000 docs: 900 singletons + 50 duplicate PAIRS (doc i and doc
+    // i+1000 share content group i) — the near-dup corpus shape that
+    // makes id-keyed splitting an eval-contamination bug
+    val singles = spark.range(100, 1000)
+      .select(col("id").as("doc_id"), col("id").as("group_id"))
+    val pairs = spark.range(0, 50).select(col("id").as("g"))
+      .select(explode(array(col("g"), col("g") + 1000)).as("doc_id"), col("g").as("group_id"))
+    val docs = singles.unionByName(pairs)
+    val byGroup = Curation.assignSplit(docs, col("group_id"))
+    // group-atomic: no group maps to more than one split
+    val leakedContent = byGroup.groupBy("group_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(leakedContent == 0, "group-keyed split must never divide a group")
+    // deterministic: a rerun over a different partitioning is identical
+    val again = Curation.assignSplit(docs.repartition(13), col("group_id"))
+    assert(byGroup.select("doc_id", "split").as[(Long, String)].collect().toSet ==
+      again.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    // all three splits populated at a 90/5/5 cut of 950 groups
+    val dist = byGroup.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(dist.keySet == Set("train", "val", "test"), dist.toString)
+    assert(dist("train") > 700 && dist("val") > 10 && dist("test") > 10, dist.toString)
+    // the SAME corpus split by doc_id instead: at least one duplicate
+    // pair straddles splits (md5 is fixed, so this is deterministic,
+    // not flaky — with 50 pairs the naive split essentially always
+    // leaks; that delta is the operator's whole point)
+    val naive = Curation.assignSplit(docs, col("doc_id"))
+    val leakedNaive = naive.groupBy("group_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(leakedNaive > 0,
+      "expected the id-keyed split to divide at least one duplicate pair")
+  }
 }

@@ -165,6 +165,66 @@ class SketchesSpec extends SparkSpec {
     assert(zero == 0L, s"empty-side inner product must be 0, got $zero")
   }
 
+  test("KMV sketch: bottom-k law, partition invariance, and exact small-set regime") {
+    val items = spark.range(1, 1001).toDF("k")
+    for (mode <- Seq(Dedup.Md5Hash, Dedup.XxHash)) {
+      val sk = Sketches.kmvSketch(items, $"k", 64, mode)
+      assert(sk.count() == 64, "saturated sketch holds exactly k hashes")
+      // order-insensitivity: any partitioning yields the identical sketch
+      val shuffled = Sketches.kmvSketch(
+        items.repartition(17, $"k"), $"k", 64, mode)
+      assert(sk.as[Long].collect().toSeq.sorted ==
+        shuffled.as[Long].collect().toSeq.sorted)
+      // duplicates never move the sketch (distinct semantics)
+      val dup = Sketches.kmvSketch(items.union(items).union(items), $"k", 64, mode)
+      assert(dup.as[Long].collect().toSeq.sorted ==
+        sk.as[Long].collect().toSeq.sorted)
+      // unsaturated regime: the sketch IS the distinct hash set -> exact
+      val small = spark.range(1, 51).toDF("k")
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(small.union(small), $"k", 64, mode), 64)
+        .as[Long].collect().head
+      assert(est == 50L, s"unsaturated estimate must be exact, got $est")
+    }
+  }
+
+  test("KMV union equals the sketch of the concatenation; direct intersection recovers a planted overlap") {
+    // 1..1000 and 501..1500: exact union 1500, exact overlap 500
+    val a = spark.range(1, 1001).toDF("k")
+    val b = spark.range(501, 1501).toDF("k")
+    val ka = Sketches.kmvSketch(a, $"k", 64, Dedup.Md5Hash)
+    val kb = Sketches.kmvSketch(b, $"k", 64, Dedup.Md5Hash)
+    val merged = Sketches.kmvUnion(Seq(ka, kb), 64)
+    val whole = Sketches.kmvSketch(a.unionByName(b), $"k", 64, Dedup.Md5Hash)
+    assert(merged.as[Long].collect().toSet == whole.as[Long].collect().toSet,
+      "union of sketches must equal the sketch of the union")
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvEstimate(sk, 64).as[Long].collect().head
+    // md5 hashes are deterministic, so every estimate is a constant
+    // (re-derived independently in DuckDB): union 1512 vs exact 1500,
+    // direct intersection 467 vs exact 500 — tighter than the HLL
+    // inclusion-exclusion route (432) on the same planted sets
+    assert(est(ka) == 967L, s"est_a drifted: ${est(ka)}")
+    assert(est(kb) == 1015L, s"est_b drifted: ${est(kb)}")
+    assert(est(merged) == 1512L, s"est_union drifted: ${est(merged)}")
+    val inter = Sketches.kmvIntersect(ka, kb, 64).as[Long].collect().head
+    assert(inter == 467L, s"direct intersection drifted: $inter")
+    // exact regime: two unsaturated sketches intersect EXACTLY
+    val sa = spark.range(1, 41).toDF("k")
+    val sb = spark.range(21, 61).toDF("k")
+    val exactInter = Sketches.kmvIntersect(
+      Sketches.kmvSketch(sa, $"k", 64, Dedup.Md5Hash),
+      Sketches.kmvSketch(sb, $"k", 64, Dedup.Md5Hash), 64)
+      .as[Long].collect().head
+    assert(exactInter == 20L,
+      s"unsaturated intersection must be exact, got $exactInter")
+    // disjoint sets estimate zero overlap
+    val disjoint = Sketches.kmvIntersect(ka,
+      Sketches.kmvSketch(spark.range(5000, 6001).toDF("k"), $"k", 64,
+        Dedup.Md5Hash), 64).as[Long].collect().head
+    assert(disjoint == 0L, s"disjoint intersection must be 0, got $disjoint")
+  }
+
   test("funnel stages are monotonically non-increasing and retention day-0 covers all users") {
     val f = graft.SparkEntry.queries("e9_funnel")(spark, dir)
       .as[(Long, Long, Long)].collect().head

@@ -203,6 +203,21 @@ class PlanSpec extends SparkSpec {
       s"supplier/nation/region should broadcast:\n$p5")
   }
 
+  test("q10: both fact filters push to the scans; top-20 is TakeOrdered") {
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps, not a global sort:\n$p10")
+    assert(!p10.contains("CartesianProduct"), p10)
+    // the returnflag filter must reach the lineitem parquet scan, not
+    // run post-join: at 100 TB it drops ~2/3 of the fact before the
+    // shuffle
+    assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || p10.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag filter must be pushed to the scan:\n$p10")
+    assert("BroadcastHashJoin".r.findAllIn(p10).size >= 2,
+      s"customer and nation should broadcast:\n$p10")
+  }
+
   test("t12: chunk explode is scan-fused — no shuffle before the sort") {
     // the chunk blow-up is per-row generator work; the only exchange
     // allowed is the final presentation ORDER BY
