@@ -518,6 +518,90 @@ object Similarity {
       .select("batch_id", "ref_id", "qscore")
   }
 
+  // ---- Product quantization (Jégou et al. 2011, the Faiss IVF-PQ
+  // compression stage) over int8 code vectors ----
+
+  /** PQ codebook from the corpus itself: `k` deterministic pivot rows
+    * (the k lowest `md5('pq:'||id)` — a hash-random sample, i.e. the
+    * k-means++-free init production PQ starts Lloyd's from; SURVEY
+    * documents that a trained build would run [[kmeansCentroidsQuantized]]
+    * per subspace) each contribute their `m` subvectors, giving
+    * `(s, c, cw)` — subspace, codeword id, `sub`-dim codeword. The
+    * pivot pick is `ORDER BY hash LIMIT k` (TakeOrdered heaps — never a
+    * global sort) and the result is m·k rows: broadcast it. Codeword
+    * ids are dense 0..k-1 in (hash, id) order, so the whole codebook
+    * re-derives bit-identically in SQL.
+    */
+  def pqCodebook(codes: DataFrame, m: Int, sub: Int, k: Int,
+      idCol: String = "vec_id", codeCol: String = "qv"): DataFrame = {
+    val h = graft.functions.VectorExpressions
+      .hexSliceToLong(md5(concat(lit("pq:"), col(idCol).cast("string"))), 1, 14)
+    val pivots = codes.select(col(idCol), col(codeCol), h.as("_h"))
+      .orderBy(col("_h"), col(idCol)).limit(k)
+      .withColumn("c", row_number().over(
+        Window.orderBy(col("_h"), col(idCol))) - 1)
+    pivots.select(col("c"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col(codeCol))
+      .select(col("s"), col("c"),
+        slice(col(codeCol), col("s") * sub + 1, lit(sub)).as("cw"))
+  }
+
+  /** Encode each int8 code vector as `m` codeword ids: per subspace,
+    * the codeword minimizing exact integer squared L2 distance (ties →
+    * lowest id, via `min(struct(dist, c))`). 64 dims become m 6-bit
+    * codes — the ~20× compression that lets a 100 TB vector corpus'
+    * candidate set live in memory. Cost: the corpus explodes to
+    * `N·m·k` candidate rows against the BROADCAST codebook, then one
+    * map-side-combined argmin groupBy — no shuffle of the vectors
+    * themselves beyond the (id, s) grain.
+    */
+  def pqEncode(codes: DataFrame, codebook: DataFrame, m: Int, sub: Int,
+      idCol: String = "vec_id", codeCol: String = "qv"): DataFrame =
+    codes.select(col(idCol),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col(codeCol))
+      .withColumn("_sv", slice(col(codeCol), col("s") * sub + 1, lit(sub)))
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("_d", aggregate(
+        zip_with(col("_sv"), col("cw"),
+          (x, y) => ((x - y) * (x - y)).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("_d"), col("c"))).as("_k"))
+      .select(col(idCol), col("s"), col("_k.c").as("code"))
+
+  /** Asymmetric distance computation (ADC) top-k: each query
+    * precomputes one `m·k`-entry lookup table of exact integer partial
+    * dots `⟨q_sub, codeword⟩`; a candidate's score is the sum of its m
+    * looked-up entries — the query never touches the original vectors.
+    * The LUT join is broadcast (queries × m × k rows), the per-(query,
+    * vector) sum map-side combines, and ranking windows are per-query.
+    * Every score is an exact integer — the whole pipeline (pivots,
+    * encode, LUT, ADC, ranks) is one hash-checkable oracle row.
+    */
+  def pqAdcTopK(encoded: DataFrame, codebook: DataFrame,
+      queryCodes: DataFrame, k: Int, sub: Int,
+      idCol: String = "vec_id", codeCol: String = "qv"): DataFrame = {
+    val lut = queryCodes
+      .select(col(idCol).as("query_id"), col(codeCol))
+      .crossJoin(broadcast(codebook))
+      .withColumn("pdot", aggregate(
+        zip_with(slice(col(codeCol), col("s") * sub + 1, lit(sub)), col("cw"),
+          (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("query_id"), col("s"), col("c"), col("pdot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col(idCol))
+    encoded.join(broadcast(lut),
+        encoded("s") === lut("s") && encoded("code") === lut("c"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("pdot")).as("adc_score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("adc_score"), col("rnk"))
+  }
+
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH
     * (Charikar's SimHash for real vectors): signs(j)(k) derives from one
     * md5 of "rp:j:k", so the SAME matrix is reproducible anywhere —

@@ -336,6 +336,67 @@ object Sketches {
       .select(expr(s"_c * ${KmvSpace}L DIV _theta").as("est"))
   }
 
+  // ---- HDR-style log-bucket quantile sketch ----
+
+  /** Mergeable quantile sketch over POSITIVE integer values (HdrHistogram
+    * / DDSketch shape, public-domain classics): bucket key =
+    * `nbits·32 + (v >> max(nbits−5, 0))` where `nbits = length(bin(v))`
+    * — the binary octave plus 4 sub-bucket bits, ALL integer bit
+    * arithmetic (the same `bin()` trick [[hllRegisters]] relies on), so
+    * the sketch re-derives bit-identically in SQL. Values below 2^5
+    * get exact singleton buckets; above, relative bucket width is
+    * 2^-4 = 6.25% — the guaranteed quantile error bound. The sketch is
+    * `(bkey, cnt)` with at most ~32·64 rows regardless of input size;
+    * build is one map + one map-side-combined groupBy (the 100 TB
+    * shape), and sketches of corpus slices merge by
+    * [[hdrMerge]]'s per-bucket sum — the same law CMS uses.
+    */
+  def hdrSketch(items: DataFrame, centsCol: Column): DataFrame =
+    items.select(centsCol.as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("nbits", length(bin(col("cents"))))
+      .withColumn("bkey", col("nbits").cast("long") * 32 +
+        expr("shiftright(cents, CAST(GREATEST(nbits - 5, 0) AS INT))"))
+      .groupBy("bkey").agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge HDR sketches — per bucket, counts add, exactly what
+    * [[hdrSketch]]'s own groupBy computes over the concatenated input
+    * (pinned in SketchesSpec): the streaming/multi-slice story.
+    */
+  def hdrMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _).groupBy("bkey").agg(sum("cnt").as("cnt"))
+
+  /** Inclusive lower bound of a bucket key — exact integer decode:
+    * singleton region returns the value itself, log region shifts the
+    * kept 5 bits back up.
+    */
+  private val hdrLoExpr =
+    "CASE WHEN bkey DIV 32 <= 5 THEN bkey % 32" +
+      " ELSE shiftleft(bkey % 32, CAST(bkey DIV 32 - 5 AS INT)) END"
+
+  /** Quantile estimates from an HDR sketch: for each requested
+    * permille, the LOWER BOUND of the first bucket whose cumulative
+    * count reaches rank `ceil(q·n/1000)` — a deterministic integer, at
+    * most 6.25% below the true discrete quantile. The cumulative
+    * window runs over the ≤~2k-row sketch (never the data), and every
+    * arithmetic step is exact integers.
+    */
+  def hdrQuantiles(sketch: DataFrame, qPermille: Seq[Int]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cum = sketch.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("bkey")
+        .rowsBetween(Long.MinValue, 0)))
+    val tot = sketch.agg(sum("cnt").as("n"))
+    qPermille.toDF("q_permille")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr("(q_permille * n + 999) DIV 1000"))
+      .join(broadcast(cum), col("cum") >= col("r"))
+      .groupBy("q_permille").agg(min("bkey").as("bkey"))
+      .withColumn("est_lo_cents", expr(hdrLoExpr))
+      .select("q_permille", "est_lo_cents")
+  }
+
   /** Scaled-integer alpha numerators: `round(alpha_m * 1000)` for the
     * published constants (m=16: 0.673, m=32: 0.697, m=64: 0.709).
     * Larger m would overflow the exact-integer estimate below.

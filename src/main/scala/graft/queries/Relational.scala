@@ -149,6 +149,146 @@ object Relational extends QuerySet {
           .otherwise(lit(1L))).as("low_line_count"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q4-style late-shipment report, adapted to the trimmed schema
+    * (no `l_commitdate`/`l_receiptdate`, so "late" = a line shipped more
+    * than 60 days after the order date): per order priority, how many
+    * 1996 orders had at least one late line. Written as SQL so Catalyst
+    * DECORRELATES the correlated EXISTS (SURVEY §4.2) — note the
+    * correlated predicate is NON-equi (`l_shipdate > o_orderdate + 60
+    * days`), so the rewrite is a left-semi join with an equi key AND an
+    * extra join condition, not a plain semi — no per-row re-execution,
+    * no cartesian (pinned in PlanSpec). All-integer output. 218 / 2140 /
+    * 21694 qualifying orders at sf0.001 / 0.01 / 0.1 — never vacuous.
+    * Scale shape: date filter pushed to the orders scan, one shuffle
+    * pair on the order key, map-side-combined 5-key aggregate.
+    */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders", "lineitem"))
+    s.sql(q4Sql)
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q11-style important-stock report, made SCALE-FREE: parts
+    * whose lifetime revenue exceeds 1.5× the mean part revenue (the
+    * classic q11 pitfall is a fixed fraction-of-total threshold, which
+    * empties as the part universe grows — 0 rows at sf0.01 in
+    * rehearsal; comparing against the MEAN keeps the selectivity stable
+    * at every SF: 2 / 29 / 252 parts at sf0.001 / 0.01 / 0.1). Two
+    * scalar subqueries over one shared CTE exercise Catalyst's scalar-
+    * subquery planning (each becomes a 1-row broadcast, the CTE is
+    * evaluated once per consumer); the threshold comparison is EXACT
+    * integer cents arithmetic — `val·n·10 > total·15` — so the boundary
+    * cannot flip cross-engine.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("lineitem"))
+    s.sql(q11Sql)
+  }
+
+  private val q11Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS val_cents
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, val_cents FROM pv
+      |WHERE val_cents * (SELECT COUNT(*) FROM pv) * 10 >
+      |      (SELECT CAST(SUM(val_cents) AS BIGINT) FROM pv) * 15
+      |ORDER BY val_cents DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q14-style promo-revenue share over one shipping quarter:
+    * what fraction of revenue came from PROMO-type parts. The
+    * conditional-aggregate-ratio shape — but where the classic query
+    * divides two double sums (FP-noise roulette cross-engine), this
+    * computes an integer PERMILLE over exact cents: both sums are
+    * `floor(price·(1−disc)·100 + 0.5)` BIGINTs and the share is
+    * `1000·promo DIV total`. Part is a broadcast dim; the date filter
+    * is pushed to the lineitem scan; the whole answer is one map-side-
+    * combined ungrouped aggregate. 209‰ / 163‰ / 163‰ promo share over
+    * 164 / 2116 / 20e3 lines at sf0.001 / 0.01 / 0.1.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100 + lit(0.5)).cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(cents).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .selectExpr("(promo_cents * 1000) DIV total_cents AS promo_permille",
+        "promo_cents", "total_cents", "n_lines")
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size
+    * range, quantity range) arms OR-ed together over lineitem × part.
+    * The shape exists to exercise predicate handling that declarative
+    * plans get right and hand-written loops get wrong: Catalyst extracts
+    * the common `p_partkey = l_partkey` equi key from under the OR (the
+    * join stays a broadcast-hash join, never a cartesian with a residual
+    * OR — pinned in PlanSpec) and pushes the disjunction's part-only
+    * arms to the part scan. Revenue in exact integer cents per brand
+    * arm. 26 / 342 / 3178 matching lines at sf0.001 / 0.01 / 0.1.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100 + lit(0.5)).cast("long")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum(cents).as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q22-style idle-wealthy-customer report: customers whose
+    * balance beats the positive-balance average but who placed no order
+    * since 1999. Composes the two remaining subquery forms in one
+    * query: an UNCORRELATED SCALAR subquery (the average — one 1-row
+    * broadcast) and a correlated NOT EXISTS with an extra date
+    * predicate (decorrelated to a left-ANTI join on the customer key —
+    * the j3 lesson applies: the date window makes the anti side
+    * provably non-empty, 2 / 14 / 148 rows at sf0.001 / 0.01 / 0.1,
+    * where "no orders ever" would be vacuously zero). Balances surface
+    * as exact integer cents.
+    */
+  def q22IdleRich(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("customer", "orders"))
+    s.sql(q22Sql)
+  }
+
+  private val q22Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      |FROM customer
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -487,6 +627,11 @@ object Relational extends QuerySet {
     "q10_returned_items" -> q10ReturnedItems _,
     "q12_priority_class" -> q12PriorityClass _,
     "q18_big_orders" -> q18BigOrders _,
+    "q4_late_orders" -> q4LateOrders _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q14_promo_share" -> q14PromoShare _,
+    "q19_disjunctive" -> q19DisjunctiveRevenue _,
+    "q22_idle_rich" -> q22IdleRich _,
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
     "s3_json_scan" -> s3Json _,
@@ -579,6 +724,65 @@ object Relational extends QuerySet {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS val_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, val_cents FROM pv
+        |WHERE val_cents * (SELECT COUNT(*) FROM pv) * 10 >
+        |      (SELECT CAST(SUM(val_cents) AS BIGINT) FROM pv) * 15
+        |ORDER BY val_cents DESC, l_partkey""".stripMargin,
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+        |SELECT (1000 * SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END))
+        |    // CAST(SUM(cents) AS BIGINT) AS promo_permille,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
+        |    AS promo_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  COUNT(*) AS n_lines
+        |FROM j""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q22_idle_rich" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | SUM(l_quantity) AS sum_qty,

@@ -212,7 +212,39 @@ object SketchQueries extends QuerySet {
       .orderBy("join_side")
   }
 
+  private val HdrQs = Seq(500, 900, 990)
+
+  /** HDR-histogram quantile sketch ([[Sketches.hdrSketch]]): order
+    * totals in integer cents → log-octave buckets with 4 sub-bucket
+    * bits → p50/p90/p99 from the ≤~150-row sketch's cumulative counts,
+    * never from the data. The estimates are deterministic integers
+    * with a STRUCTURAL ≤6.25% error bound (measured 0.8–4.1% here,
+    * BASELINE.md); exact `quantile_cont` values ride along to exhibit
+    * it (that branch needs the raw data and drops out at 100 TB, where
+    * per-slice sketches [[Sketches.hdrMerge]]-sum instead — the
+    * mergeable-quantiles story a single-pass exact percentile cannot
+    * tell). Build is one map + one ≤150-key map-side-combined groupBy;
+    * the cumulative window runs over the sketch only.
+    */
+  def sk7HdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 0)
+    val cents = expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    val sk = Sketches.hdrSketch(o, cents)
+    val est = Sketches.hdrQuantiles(sk, HdrQs)
+    val ex = o.agg(expr(
+      "percentile(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)," +
+        " array(0.5, 0.9, 0.99))").as("ps"))
+    est.crossJoin(broadcast(ex))
+      .withColumn("exact_cents", round(
+        when(col("q_permille") === 500, col("ps").getItem(0))
+          .when(col("q_permille") === 900, col("ps").getItem(1))
+          .otherwise(col("ps").getItem(2)), 6))
+      .select("q_permille", "est_lo_cents", "exact_cents")
+      .orderBy("q_permille")
+  }
+
   val entries: Map[String, Q] = Map(
+    "sk7_hdr_quantiles" -> sk7HdrQuantiles _,
     "sk1_cms_heavy_hitters" -> sk1CmsHeavyHitters _,
     "sk2_bloom_prefilter" -> sk2BloomPrefilter _,
     "sk3_hll_distinct" -> sk3HllDistinct _,
@@ -280,6 +312,32 @@ object SketchQueries extends QuerySet {
          |    AS n_false_pos
          |FROM hits""".stripMargin
     },
+    "sk7_hdr_quantiles" ->
+      s"""WITH c AS (
+         |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders WHERE o_totalprice > 0),
+         |b AS (SELECT cents, length(bin(cents)) AS nbits FROM c),
+         |sk AS (SELECT CAST(nbits AS BIGINT) * 32 + (cents >> GREATEST(nbits - 5, 0)) AS bkey,
+         |         COUNT(*) AS cnt FROM b GROUP BY 1),
+         |cum AS (SELECT bkey, CAST(SUM(cnt) OVER (ORDER BY bkey
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM sk),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sk),
+         |qs AS (SELECT unnest([${HdrQs.mkString(", ")}]) AS q_permille),
+         |sel AS (SELECT q_permille, MIN(bkey) AS bkey
+         |  FROM qs, tot, cum WHERE cum >= (q_permille * n + 999) // 1000
+         |  GROUP BY q_permille),
+         |est AS (SELECT q_permille,
+         |  CASE WHEN bkey // 32 <= 5 THEN bkey % 32
+         |       ELSE (bkey % 32) << CAST(bkey // 32 - 5 AS INT) END AS est_lo_cents
+         |  FROM sel),
+         |ex AS (SELECT quantile_cont(cents, 0.5) AS p500,
+         |         quantile_cont(cents, 0.9) AS p900,
+         |         quantile_cont(cents, 0.99) AS p990 FROM c)
+         |SELECT q_permille, est_lo_cents,
+         |  FLOOR(CASE q_permille WHEN 500 THEN p500 WHEN 900 THEN p900
+         |    ELSE p990 END * 1e6 + 0.5) / 1e6 AS exact_cents
+         |FROM est, ex ORDER BY q_permille""".stripMargin,
     "sk4_hll_set_ops" -> {
       // per-window register CTE (sk3's two md5 slices at m=16) and the
       // all-integer raw estimator with alpha1000=673, m^2=256; the

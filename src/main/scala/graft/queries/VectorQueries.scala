@@ -164,6 +164,39 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  private val PqM = 16   // subspaces
+  private val PqSub = 4  // dims per subspace (PqM * PqSub = Dim)
+  private val PqK = 64   // codewords per subspace
+
+  /** Product quantization with ADC scoring ([[Similarity.pqCodebook]] /
+    * [[Similarity.pqEncode]] / [[Similarity.pqAdcTopK]]) — the Faiss
+    * IVF-PQ compression stage: 64 int8 dims become 16 codeword ids
+    * (~20× fewer candidate bytes than float, ~4× fewer than SQ8), and
+    * queries score candidates through an m·k-entry integer lookup
+    * table without ever touching the vectors. Codebooks here are the
+    * hash-random pivot init (the point Lloyd's would start from —
+    * production trains them with [[Similarity.kmeansCentroidsQuantized]]
+    * per subspace, v11's loop); recall@10 vs the float exact path is
+    * 0.56 at sf0.001 (pinned ≥ 0.5 in SimilaritySpec, vs 0.12 at the
+    * coarse m=4 split — the sweep is recorded in BASELINE.md). Every
+    * number — pivots, codes, LUT entries, ADC scores, ranks — is exact
+    * integer arithmetic: the full PQ pipeline is ONE hash-checked
+    * oracle row.
+    */
+  def v13PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cu = Similarity.withUnitVector(e, "embedding")
+      .select(col("vec_id"), col("uv"))
+    val stats = Similarity.quantStats(cu, "uv")
+    val codes = Similarity.withQuantized(cu, stats, "uv")
+      .select(col("vec_id"), col("qv")).persist()
+    val cb = Similarity.pqCodebook(codes, PqM, PqSub, PqK)
+    val enc = Similarity.pqEncode(codes, cb, PqM, PqSub)
+    val q = codes.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.pqAdcTopK(enc, cb, q, K, PqSub)
+      .orderBy("query_id", "rnk")
+  }
+
   /** IVF-SQ8 batch top-k — [[Similarity.ivfQuantizedTopKBatch]]: v5's
     * cell blocking composed with v9's int8 scoring, the faiss-style
     * production ANN shape. Centroid ranking stays float (tiny, exact
@@ -223,6 +256,7 @@ object VectorQueries extends QuerySet {
   private val MatchScore = 24000L
 
   val entries: Map[String, Q] = Map(
+    "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
     "v11_kmeans_quantized" -> v11KmeansQuantized _,
     "v10_ivf_quantized" -> v10IvfQuantized _,
@@ -404,6 +438,58 @@ object VectorQueries extends QuerySet {
          |      ORDER BY qscore DESC, neighbor_id) AS rnk
          |  FROM scored)
          |SELECT query_id, neighbor_id, qscore, rnk
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // the full PQ pipeline in SQL: v9's quantization CTE, pivot pick by
+    // md5 rank, per-subspace argmin encode (struct-min, ties to lowest
+    // codeword), integer LUT, ADC sum, rank — everything exact integers
+    "v13_pq_adc" ->
+      s"""WITH unit AS ($unitCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM unit)),
+         |codes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |pivots AS (
+         |  SELECT qv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c
+         |  FROM (SELECT vec_id, qv,
+         |          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 14))::BIGINT AS h
+         |        FROM codes ORDER BY h, vec_id LIMIT $PqK)),
+         |cb AS (
+         |  SELECT g.s, c, qv[(g.s*$PqSub+1):(g.s*$PqSub+$PqSub)] AS cw
+         |  FROM pivots, LATERAL (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) g),
+         |enc AS (
+         |  SELECT vec_id, s, (MIN(struct_pack(d := dist, c := c))).c AS code
+         |  FROM (
+         |    SELECT x.vec_id, g.s, cb.c,
+         |      CAST(list_sum(list_transform(generate_series(1, $PqSub),
+         |        i -> (x.qv[g.s*$PqSub+i] - cb.cw[i]) * (x.qv[g.s*$PqSub+i] - cb.cw[i])))
+         |        AS BIGINT) AS dist
+         |    FROM codes x,
+         |      LATERAL (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) g
+         |    JOIN cb ON cb.s = g.s)
+         |  GROUP BY vec_id, s),
+         |qset AS (SELECT vec_id AS query_id, qv FROM codes
+         |         WHERE vec_id >= 100 AND vec_id < 105),
+         |lut AS (
+         |  SELECT query_id, cb.s, cb.c,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqSub),
+         |      i -> q.qv[cb.s*$PqSub+i] * cb.cw[i])) AS BIGINT) AS pdot
+         |  FROM qset q CROSS JOIN cb),
+         |adc AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(l.pdot) AS BIGINT) AS adc_score
+         |  FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
+         |  WHERE e.vec_id <> query_id
+         |  GROUP BY query_id, e.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc_score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_score DESC, neighbor_id) AS rnk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adc_score, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     // quantization mirrors Similarity.withQuantized exactly: unit
     // vectors, one global |v|max scale, symmetric code =

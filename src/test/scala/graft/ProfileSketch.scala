@@ -85,6 +85,30 @@ object ProfileSketch {
       s"hll $hRows1 -> $hRowsN (bound $HllM)")
     assert(cRowsN <= CmsDepth * CmsWidth && hRowsN <= HllM,
       "sketch size must stay at its structural bound")
+
+    // ---- 3. KMV (theta) + HDR under the same two questions ----
+    def kmv(t: DataFrame, mode: Dedup.HashMode): Long =
+      Sketches.kmvSketch(t, col("tok"), 64, mode).count()
+    val kMd5 = best("kmvSketch k=64 Md5Hash (oracle)")(kmv(toks1, Dedup.Md5Hash))
+    val kXx = best("kmvSketch k=64 XxHash (production)")(kmv(toks1, Dedup.XxHash))
+    val kN = time(s"${mult}x kmv build (XxHash)")(kmv(big, Dedup.XxHash))
+    println(f"[sketch] md5/xxhash cost ratio: kmv ${kMd5 / kXx}%.2f; " +
+      f"build exponent ${math.log(kN / kXx) / math.log(mult)}%.2f; size fixed at k=64")
+    val cents = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      .select(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .persist()
+    println(s"[sketch] hdr input: ${cents.count()} orders at 1x")
+    val hdr1 = best("hdrSketch (orders sf0.1, no hash)")(
+      Sketches.hdrSketch(cents, col("v")).count())
+    val bigCents = spark.range(mult).toDF("rep").crossJoin(cents)
+      .select((col("v") + col("rep")).as("v")) // shift per replica: new values, same sketch bound
+    val hdrRowsN = Sketches.hdrSketch(bigCents, col("v")).count()
+    val hdrN = time(s"${mult}x hdr build")(
+      Sketches.hdrSketch(bigCents, col("v")).count())
+    println(f"[sketch] hdr build exponent ${math.log(hdrN / hdr1) / math.log(mult)}%.2f; " +
+      s"size 1x -> ${mult}x: ${Sketches.hdrSketch(cents, col("v")).count()} -> $hdrRowsN " +
+      s"(bound ${32 * 64})")
+    assert(hdrRowsN <= 32L * 64, "hdr sketch must stay at its structural bound")
     spark.stop()
   }
 }

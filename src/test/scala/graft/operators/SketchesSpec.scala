@@ -225,6 +225,36 @@ class SketchesSpec extends SparkSpec {
     assert(disjoint == 0L, s"disjoint intersection must be 0, got $disjoint")
   }
 
+  test("HDR quantile sketch: merge law, size bound, and the 6.25% error envelope") {
+    val o = graft.Tables.load(spark, dir, "orders").filter($"o_totalprice" > 0)
+    val cents = expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    val whole = Sketches.hdrSketch(o, cents)
+    assert(whole.count() <= 32L * 64, "sketch must stay at its structural bound")
+    // merge law: per-slice sketches sum-merge into the whole corpus's
+    val h1 = Sketches.hdrSketch(o.filter($"o_orderkey" % 2 === 0), cents)
+    val h2 = Sketches.hdrSketch(o.filter($"o_orderkey" % 2 =!= 0), cents)
+    assert(Sketches.hdrMerge(Seq(h1, h2)).as[(Long, Long)].collect().toSet ==
+      whole.as[(Long, Long)].collect().toSet)
+    // structural error envelope: the estimate is the lower bound of the
+    // bucket holding the rank-th value, and buckets above the singleton
+    // region are at most lo/16 wide — so est in (true*16/17, true]
+    val sorted = o.select(cents.as("c")).as[Long].collect().sorted
+    val est = Sketches.hdrQuantiles(whole, Seq(500, 900, 990))
+      .as[(Int, Long)].collect().toMap
+    for ((q, lo) <- est) {
+      val trueDisc = sorted((q * sorted.length + 999) / 1000 - 1)
+      assert(lo <= trueDisc, s"p$q estimate $lo overshoots true $trueDisc")
+      assert(lo.toDouble >= trueDisc * 16.0 / 17 - 1,
+        s"p$q estimate $lo below the structural envelope of $trueDisc")
+    }
+    // duplicate-heavy input: counts add, quantiles stay inside the
+    // envelope (sketch of 3x the corpus = 3x the counts, same buckets)
+    val tripled = Sketches.hdrSketch(o.unionByName(o).unionByName(o), cents)
+    val t = tripled.as[(Long, Long)].collect().toMap
+    val w = whole.as[(Long, Long)].collect().toMap
+    assert(t.keySet == w.keySet && t.forall { case (k, v) => v == 3 * w(k) })
+  }
+
   test("funnel stages are monotonically non-increasing and retention day-0 covers all users") {
     val f = graft.SparkEntry.queries("e9_funnel")(spark, dir)
       .as[(Long, Long, Long)].collect().head

@@ -131,6 +131,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming KMV bottom-k state equals the batch sketch hash-for-hash") {
+    // the theta sketch's merge IS its streaming story: the bounded
+    // bottom-k buffer is the running state, microbatches partial-merge
+    // into it, and complete mode reads the same ≤k array the batch
+    // build produces
+    import graft.operators.{Dedup, Sketches}
+    import spark.implicits._
+    val h = graft.functions.VectorExpressions.hexSliceToLong(
+      md5(concat(lit("t:"), col("user_id").cast("string"))), 1, 14)
+    val q = EventsStreaming.readEvents(spark, dir)
+      .select(h.as("h")).as[Long]
+      .select(new Sketches.KmvAggregator(64).toColumn.name("hs"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("kmv_out").as[Seq[Long]].collect().head.sorted
+    val batch = Sketches.kmvSketch(Tables.load(spark, dir, "events"),
+        col("user_id"), 64, Dedup.Md5Hash).as[Long].collect().sorted.toSeq
+    assert(streamed == batch, "streaming KMV state must equal the batch sketch")
+  }
+
+  test("streaming HDR quantile sketch equals the batch sketch bucket-for-bucket") {
+    import graft.operators.Sketches
+    val cents = expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    val q = Sketches.hdrSketch(EventsStreaming.readEvents(spark, dir), cents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hdr_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hdr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Sketches.hdrSketch(Tables.load(spark, dir, "events"), cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("native session_window agrees with the hand-rolled batch sessionizer") {
     // Spark's built-in session_window is the declarative twin of the
     // flatMapGroupsWithState sessionizer — same 30-min gap semantics.
