@@ -40,6 +40,7 @@ object Bench {
       .max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -20,17 +21,32 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) cannot represent directly — the vectorized reader
-    * throws PARQUET_TYPE_ILLEGAL. Read nanos as long (legacy conf), then
-    * truncate to micros, matching DuckDB's ns→us cast semantics.
+  /** The driver has shipped events.ts under two physical encodings:
+    * parquet TIMESTAMP(NANOS) — which Spark's TimestampType
+    * (microseconds) cannot represent, so the vectorized reader throws
+    * PARQUET_TYPE_ILLEGAL unless nanos arrive as long — and plain
+    * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to TimestampType micros so every
+    * downstream consumer (windows, watermarks, epoch arithmetic) sees
+    * one type, matching DuckDB's TIMESTAMP view of the same file.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      // integer division — epoch-nanos (~1.7e18) exceeds double's 2^53
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** ts → TimestampType micros regardless of source encoding. Long =
+    * epoch-nanos under the legacy conf: integer division (epoch-nanos
+    * ~1.7e18 exceed double's 2^53). TIMESTAMP_NTZ: re-tag as an
+    * instant — sessions pin spark.sql.session.timeZone=UTC, so the
+    * wall-clock reinterpretation is value-preserving.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** Register the named tables as temp views so `spark.sql` can use the
     * same table names as the DuckDB oracle (catalog-scan operator S6).

@@ -753,8 +753,8 @@ object Relational extends QuerySet {
         |  FROM lineitem JOIN part ON p_partkey = l_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
-        |SELECT (1000 * SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END))
-        |    // CAST(SUM(cents) AS BIGINT) AS promo_permille,
+        |SELECT CAST((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END))
+        |    // SUM(cents) AS BIGINT) AS promo_permille,
         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
         |    AS promo_cents,
         |  CAST(SUM(cents) AS BIGINT) AS total_cents,

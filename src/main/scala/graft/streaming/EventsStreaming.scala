@@ -67,8 +67,10 @@ object EventsStreaming {
       java.nio.file.Files.copy(src, staged,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(staged.toString).schema
-    spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // ts encoding varies by driver generation (nanos-as-long vs
+    // TIMESTAMP_NTZ micros) — same normalization as the batch loader
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Streaming exact dedup on a key — the training-pipeline staple
