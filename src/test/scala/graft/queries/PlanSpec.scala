@@ -106,6 +106,51 @@ class PlanSpec extends SparkSpec {
       "top-100 must plan as per-partition heaps, not a global sort")
   }
 
+  test("q4: correlated EXISTS decorrelates to a semi join; date filter pushed") {
+    val p = plan("q4_late_orders")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date window must reach the orders scan:\n" + p.take(1500))
+  }
+
+  test("q14: part dim broadcasts, shipdate pushed, aggregate map-side combines") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter window must reach the lineitem scan:\n" + p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "ungrouped sums must partial-aggregate before the exchange")
+  }
+
+  test("q19: disjunctive predicate keeps the equi key — broadcast join, no cartesian") {
+    val p = plan("q19_disjunctive")
+    // Catalyst must extract p_partkey = l_partkey from under the OR;
+    // the three (brand, size, quantity) arms stay a post-join residual
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q22: NOT EXISTS decorrelates to an anti join; scalar avg is a subquery") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      "the positive-balance average must plan as a 1-row scalar subquery, " +
+        "not a join:\n" + p.take(1500))
+  }
+
+  test("fi1: basket pair mining is agg + explode — no self-join, no cartesian") {
+    val p = plan("fi1_item_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pairs must come from the per-order generator, never a self-join:\n" +
+        p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "support counting must map-side combine")
+  }
+
   test("v5: batched IVF windows are per-query — no single-task global sort") {
     // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
