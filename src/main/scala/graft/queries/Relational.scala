@@ -289,6 +289,168 @@ object Relational extends QuerySet {
       |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly N non-urgent orders, INCLUDING the
+    * zero-order customers the left join preserves (the shape's whole
+    * point — an inner join silently drops them; the non-urgent filter
+    * rides the JOIN CONDITION, not a WHERE, so filtered-out customers
+    * still surface with count 0). Two-level aggregation: the per-
+    * customer COUNT(o_orderkey) counts non-null matches only, then the
+    * distribution groupBy collapses ~1 row per distinct count. Scale
+    * shape: one shuffle pair on the customer key (the outer join and
+    * the per-customer count share it), then a tiny ≤ dozens-of-keys
+    * map-side-combined histogram — the second shuffle moves almost
+    * nothing. 16 / 20 / 21 distinct counts at sf0.001 / 0.01 / 0.1.
+    */
+  def q13OrderDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose Q1-1996
+    * shipped revenue equals the maximum over all suppliers — the
+    * aggregate-then-argmax shape the classic query spells with a view.
+    * Written as SQL so the MAX runs as an uncorrelated scalar subquery
+    * over the same CTE the outer query consumes (two consumers, one
+    * definition — Catalyst plans the 1-row max as a broadcast
+    * subquery, never a join). Revenue is exact integer cents, so the
+    * `= MAX` boundary cannot flip cross-engine — the float spelling of
+    * this query is a notorious tie-roulette. Scale shape: one map-side-
+    * combined aggregate over the date-pruned lineitem slice, a
+    * broadcast supplier dim, a 1-row scalar. 1 row at every SF
+    * (supplier 9 / 64 / 818 at sf0.001 / 0.01 / 0.1).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("supplier", "lineitem"))
+    s.sql(q15Sql)
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems whose quantity
+    * is below HALF the average quantity for their part. The classic
+    * correlated-scalar-average shape — the oracle SQL keeps the
+    * correlated spelling (`WHERE 2·qty·cnt < (SELECT …)`-equivalent)
+    * while this side is hand-decorrelated to the aggregate-plus-join
+    * Catalyst would produce, proving the rewrite's equivalence on real
+    * data. The threshold is EXACT integer arithmetic — quantities are
+    * integral doubles, so `2·qty·cnt < sum_qty` (cross-multiplied to
+    * avoid the avg division) is boundary-stable cross-engine. Scale
+    * shape: one map-side-combined per-part aggregate, one shuffle join
+    * on the part key (both sides already hash-partitioned by the
+    * aggregate's exchange), and a single-row final fold. 1463 / 14602 /
+    * 144602 qualifying lines at sf0.001 / 0.01 / 0.1.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = col("l_quantity").cast("long")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(2L) * qty * col("cnt") < col("sum_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+  }
+
+  /** TPC-H Q21-style waiting-supplier report, adapted to this schema
+    * (no commit/receipt dates): in orders served by MULTIPLE suppliers,
+    * count per supplier the orders where that supplier shipped late
+    * (> 90 days after the order date) and NO other supplier did — the
+    * sole-blame attribution query. Composes BOTH residual subquery
+    * forms against the same derived relation: EXISTS (another supplier
+    * participated → left-semi) and NOT EXISTS (another supplier was
+    * late → left-anti), stacked on one per-(order, supplier) aggregate.
+    * All keys and flags are integers; counts are exact. Scale shape:
+    * the ol CTE is one map-side-combined aggregate over the
+    * lineitem⋈orders join; the semi/anti probes shuffle on the order
+    * key they share with ol's own partitioning; supplier is a broadcast
+    * dim. 10 / 100 / 1000 suppliers at sf0.001 / 0.01 / 0.1 (every
+    * supplier ends up sole-late somewhere — the counts, not the row
+    * set, are the discriminative part: 40 / 41 / 51 max waits).
+    */
+  def q21LateSolo(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("supplier", "orders", "lineitem"))
+    s.sql(q21Sql)
+  }
+
+  private val q21Sql =
+    """WITH ol AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, l_suppkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM ol t JOIN supplier ON s_suppkey = t.l_suppkey
+      |WHERE t.late = 1
+      |  AND EXISTS (
+      |    SELECT 1 FROM ol o2
+      |    WHERE o2.l_orderkey = t.l_orderkey
+      |      AND o2.l_suppkey <> t.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM ol o3
+      |    WHERE o3.l_orderkey = t.l_orderkey
+      |      AND o3.l_suppkey <> t.l_suppkey AND o3.late = 1)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q7-style cross-nation volume: shipped revenue between every
+    * DISTINCT (supplier nation, customer nation) pair by ship year over
+    * a two-year window. The six-way join DAG with nation playing TWO
+    * roles (supplier side and customer side — same table, different
+    * aliases, both broadcast) is the shape; the classic fixed nation
+    * pair is dropped because it is vacuous at small SF (0 rows at
+    * sf0.001 in rehearsal) — grouping over all pairs keeps every SF
+    * discriminative while exercising the identical plan. Revenue in
+    * exact integer cents; the year via `year()` on the pushed-down
+    * date window. Scale shape: lineitem⋈orders is the one big shuffle
+    * pair; customer, supplier, and both nation roles broadcast; the
+    * (pair, year) aggregate map-side combines into ≤ |N|²·years rows.
+    * 454 / 1196 / 1200 rows at sf0.001 / 0.01 / 0.1.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100 + lit(0.5)).cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -627,6 +789,11 @@ object Relational extends QuerySet {
     "q10_returned_items" -> q10ReturnedItems _,
     "q12_priority_class" -> q12PriorityClass _,
     "q18_big_orders" -> q18BigOrders _,
+    "q13_order_dist" -> q13OrderDist _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q17_small_qty" -> q17SmallQty _,
+    "q21_late_solo" -> q21LateSolo _,
+    "q7_nation_volume" -> q7NationVolume _,
     "q4_late_orders" -> q4LateOrders _,
     "q11_important_parts" -> q11ImportantParts _,
     "q14_promo_share" -> q14PromoShare _,
@@ -724,6 +891,76 @@ object Relational extends QuerySet {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) d
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the CORRELATED spelling — the Spark side is hand-decorrelated to
+    // aggregate+join; value equality across the two proves the rewrite
+    "q17_small_qty" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM lineitem l1
+        |WHERE 2 * CAST(l_quantity AS BIGINT) *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey) <
+        |  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
+    "q21_late_solo" ->
+      """WITH ol AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM ol t JOIN supplier ON s_suppkey = t.l_suppkey
+        |WHERE t.late = 1
+        |  AND EXISTS (
+        |    SELECT 1 FROM ol o2
+        |    WHERE o2.l_orderkey = t.l_orderkey
+        |      AND o2.l_suppkey <> t.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ol o3
+        |    WHERE o3.l_orderkey = t.l_orderkey
+        |      AND o3.l_suppkey <> t.l_suppkey AND o3.late = 1)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

@@ -151,6 +151,47 @@ class PlanSpec extends SparkSpec {
       "support counting must map-side combine")
   }
 
+  test("q13: outer join preserved; both aggregation levels map-side combine") {
+    val p = plan("q13_order_dist")
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      "per-customer count + distribution histogram must both hash-aggregate")
+  }
+
+  test("q15: the revenue max plans as a scalar subquery, supplier broadcasts") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("Subquery") || p.contains("subquery"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the quarter window must reach the lineitem scan:\n" + p.take(1500))
+  }
+
+  test("q17: decorrelated per-part average is an equi join, no nested loop") {
+    val p = plan("q17_small_qty")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-part quantity aggregate must map-side combine")
+  }
+
+  test("q21: EXISTS and NOT EXISTS both decorrelate — semi AND anti join") {
+    val p = plan("q21_late_solo")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q7: all four dims broadcast — at most the lineitem⋈orders join shuffles") {
+    val p = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "customer, supplier, and both nation roles must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the two-year window must reach the lineitem scan:\n" + p.take(1500))
+  }
+
   test("v5: batched IVF windows are per-query — no single-task global sort") {
     // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
