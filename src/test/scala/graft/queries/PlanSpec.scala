@@ -176,11 +176,18 @@ class PlanSpec extends SparkSpec {
       "per-part quantity aggregate must map-side combine")
   }
 
-  test("q21: EXISTS and NOT EXISTS both decorrelate — semi AND anti join") {
+  test("q21: semi AND anti probes stack on ONE cached ol relation") {
     val p = plan("q21_late_solo")
     assert(p.contains("LeftSemi"), p.take(1500))
     assert(p.contains("LeftAnti"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the per-(order, supplier) aggregate must be computed once and
+    // served from cache to all three consumers — the SQL-CTE spelling
+    // recomputed it per consumer (2.5 s at sf0.1)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "ol must be served from cache:\n" + p.take(1500))
+    graft.operators.Dedup.releaseCaches(spark)
+    spark.catalog.clearCache()
   }
 
   test("q7: all four dims broadcast — at most the lineitem⋈orders join shuffles") {
