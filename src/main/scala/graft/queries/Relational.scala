@@ -457,6 +457,73 @@ object Relational extends QuerySet {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q6-style forecast-revenue check: discount revenue the
+    * company would keep by dropping small-quantity discounted lines in
+    * one ship year. The simplest classic — a pure scan-side query:
+    * every predicate (date window, discount band, quantity cap) pushes
+    * to the parquet scan, and the answer is one map-side-combined
+    * ungrouped fold; zero shuffles beyond the 1-row final exchange. The
+    * discount band compares STORED doubles against literals — the same
+    * comparison on the same bits in both engines, no arithmetic before
+    * the predicate — and revenue is exact integer cents. 124 / 1175 /
+    * 12054 qualifying lines at sf0.001 / 0.01 / 0.1.
+    */
+  def q6DiscountRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * col("l_discount") * 100
+          + lit(0.5)).cast("long")).as("disc_rev_cents"))
+
+  /** TPC-H Q8-style market share: one supplier nation's share of the
+    * revenue ASIA-region customers generated, by ship year — the
+    * share-of-total-within-group shape (conditional sum over the same
+    * rows as the unconditional total, one aggregate, no second pass).
+    * Seven relations; nation again in two roles (supplier side, and
+    * customer side chained through region). Share surfaces as integer
+    * BASIS POINTS over exact cents — `10000·nation DIV total` — so the
+    * classic double-division noise is gone. NATION_19 picked because
+    * its share is nonzero at every SF (978 / 692 / 420 bp in 1996 —
+    * the value, not just the row, is discriminative). Scale shape:
+    * lineitem⋈orders is the one big shuffle; supplier and both nation
+    * roles plus region broadcast explicitly; customer is left to AQE
+    * (broadcast at test SF, honest shuffle at 100 TB); the (year)
+    * aggregate map-side combines to 2 rows. 2 rows at every SF.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_regionkey"))
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100 + lit(0.5)).cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy("l_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_19", cents).otherwise(lit(0L)))
+          .as("nation_cents"),
+        sum(cents).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .selectExpr("l_year", "nation_cents", "total_cents",
+        "(10000 * nation_cents) DIV total_cents AS share_bp", "n_lines")
+      .orderBy("l_year")
+  }
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -795,6 +862,8 @@ object Relational extends QuerySet {
     "q10_returned_items" -> q10ReturnedItems _,
     "q12_priority_class" -> q12PriorityClass _,
     "q18_big_orders" -> q18BigOrders _,
+    "q6_discount_rev" -> q6DiscountRevenue _,
+    "q8_market_share" -> q8MarketShare _,
     "q13_order_dist" -> q13OrderDist _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q17_small_qty" -> q17SmallQty _,
@@ -897,6 +966,40 @@ object Relational extends QuerySet {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q6_discount_rev" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS disc_rev_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region ON n2.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT l_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_19' THEN cents ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST((10000 * SUM(CASE WHEN supp_nation = 'NATION_19' THEN cents
+        |    ELSE 0 END)) // SUM(cents) AS BIGINT) AS share_bp,
+        |  COUNT(*) AS n_lines
+        |FROM vol GROUP BY l_year
+        |ORDER BY l_year""".stripMargin,
     "q13_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -199,6 +199,28 @@ class PlanSpec extends SparkSpec {
       "the two-year window must reach the lineitem scan:\n" + p.take(1500))
   }
 
+  test("q6: every predicate reaches the scan; the fold is scan-side") {
+    // toString truncates long PushedFilters lists — use formatted explain
+    val p = graft.SparkEntry.queries("q6_discount_rev")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2500))
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p.take(2500))
+    assert(p.contains("LessThan(l_quantity"), p.take(2500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "ungrouped fold must partial-aggregate before the 1-row exchange")
+  }
+
+  test("q8: dims broadcast; the share is one conditional aggregate, no second pass") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // conditional + unconditional sums ride ONE aggregate — a plan with
+    // two aggregates over vol would scan/join twice
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      "share-of-total must not re-aggregate:\n" + p.take(2000))
+  }
+
   test("v5: batched IVF windows are per-query — no single-task global sort") {
     // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
