@@ -524,6 +524,38 @@ object Relational extends QuerySet {
       .orderBy("l_year")
   }
 
+  /** TPC-H Q16-style supplier diversity report, adapted to the trimmed
+    * schema (no partsupp — the DISTINCT (l_partkey, l_suppkey) pairs
+    * observed in lineitem are the who-supplies-what bridge): how many
+    * distinct qualifying suppliers serve each (brand, size) slice,
+    * excluding low-balance suppliers via NOT IN. The one classic
+    * subquery form the q-series didn't cover: NOT IN is NOT the same
+    * as NOT EXISTS (a NULL in the subquery empties the result), so
+    * Catalyst plans it as a NULL-AWARE anti join — a broadcast-only
+    * strategy, pinned — where q22's NOT EXISTS planned a plain anti.
+    * COUNT(DISTINCT) per group is the other new aggregate shape
+    * (Catalyst expands it to a two-level aggregate). The exclusion is
+    * provably non-vacuous: threshold 1000 excludes 1 / 15 / 169
+    * suppliers at sf0.001 / 0.01 / 0.1 (a negative-balance spelling
+    * excludes ZERO suppliers at sf0.001 — the j3 vacuity lesson).
+    * 190 / 988 / 1250 (brand, size) rows at the three SFs. Scale
+    * shape: part broadcasts into lineitem, the excluded-supplier list
+    * is a tiny broadcast, and the distinct-pair reduction map-side
+    * combines before the (brand, size) rollup.
+    */
+  def q16SupplierDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("lineitem", "part", "supplier"))
+    s.sql(q16Sql)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   // ---- flagship: TPC-H Q1-style pricing summary (A1–A4, P4, P8) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -863,6 +895,7 @@ object Relational extends QuerySet {
     "q12_priority_class" -> q12PriorityClass _,
     "q18_big_orders" -> q18BigOrders _,
     "q6_discount_rev" -> q6DiscountRevenue _,
+    "q16_supplier_diversity" -> q16SupplierDiversity _,
     "q8_market_share" -> q8MarketShare _,
     "q13_order_dist" -> q13OrderDist _,
     "q15_top_supplier" -> q15TopSupplier _,
@@ -966,6 +999,13 @@ object Relational extends QuerySet {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "q6_discount_rev" ->
       """SELECT COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)

@@ -221,6 +221,15 @@ class PlanSpec extends SparkSpec {
       "share-of-total must not re-aggregate:\n" + p.take(2000))
   }
 
+  test("q16: NOT IN plans null-aware — anti join, never a nested-loop fallback") {
+    val p = plan("q16_supplier_diversity")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // COUNT(DISTINCT) must expand to the two-level aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      "distinct-pair reduction + rollup must both hash-aggregate:\n" + p.take(2000))
+  }
+
   test("v5: batched IVF windows are per-query — no single-task global sort") {
     // AQE wraps subtrees in AdaptiveSparkPlanExec leaves; descend into them
     def windows(p: org.apache.spark.sql.execution.SparkPlan)
