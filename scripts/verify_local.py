@@ -68,7 +68,13 @@ def column_types(con, sql):
 
 
 def main():
+    # Usage: verify_local.py <sfDir> <outDir> [name ...]
+    # Optional names restrict the sweep to just those queries — the
+    # fast path when iterating on one new query (the full sweep is
+    # dominated by the recursive-CTE dedup oracles). The missing-result
+    # manifest check only runs on the FULL sweep.
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -76,8 +82,13 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = []
     produced = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    if only:
+        unknown = only - set(produced)
+        for name in sorted(unknown):
+            failures.append((name, "requested query has no result dir"))
+        produced = [n for n in produced if n in only]
     manifest_path = Path(out_dir, "queries.json")
-    if manifest_path.exists():
+    if manifest_path.exists() and not only:
         declared = json.loads(manifest_path.read_text())
         for missing in sorted(set(declared) - set(produced)):
             failures.append((missing, "declared query produced no result "
