@@ -221,10 +221,16 @@ class PlanSpec extends SparkSpec {
       "share-of-total must not re-aggregate:\n" + p.take(2000))
   }
 
-  test("q16: NOT IN plans null-aware — anti join, never a nested-loop fallback") {
+  test("q16: NOT IN plans a hash anti join, never the nested-loop fallback") {
     val p = plan("q16_supplier_diversity")
     assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // NOT IN's null-aware rewrite degrades to BroadcastNestedLoopJoin
+    // when Catalyst can't prove the keys non-null / apply the
+    // single-column NAAJ path — O(n·m) at scale; pin the hash plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "NOT IN fell back to nested-loop:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
     // COUNT(DISTINCT) must expand to the two-level aggregate
     assert("HashAggregate".r.findAllIn(p).size >= 3,
       "distinct-pair reduction + rollup must both hash-aggregate:\n" + p.take(2000))
