@@ -82,12 +82,28 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = []
     produced = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    manifest_path = Path(out_dir, "queries.json")
     if only:
         unknown = only - set(produced)
         for name in sorted(unknown):
             failures.append((name, "requested query has no result dir"))
         produced = [n for n in produced if n in only]
-    manifest_path = Path(out_dir, "queries.json")
+        # A requested name absent from the regenerated oracle map would
+        # silently downgrade to the rows-only branch (e.g. a stale result
+        # dir left by a prior Verify run for a since-renamed query) — the
+        # user would believe the oracle compare ran when it didn't. Fail
+        # unless the manifest declares it as a known rows-only query.
+        declared = (set(json.loads(manifest_path.read_text()))
+                    if manifest_path.exists() else None)
+        for name in sorted(set(produced) - set(oracle)):
+            if declared is not None and name not in declared:
+                failures.append(
+                    (name, "requested name not in queries.json manifest — "
+                           "stale result dir? (no oracle compare would run)"))
+                produced.remove(name)
+            else:
+                print(f"  [warn] {name}: no oracle SQL — rows-only check "
+                      f"(declared non-SQL-expressible)")
     if manifest_path.exists() and not only:
         declared = json.loads(manifest_path.read_text())
         for missing in sorted(set(declared) - set(produced)):

@@ -38,13 +38,20 @@ object Tables {
   /** ts → TimestampType micros regardless of source encoding. Long =
     * epoch-nanos under the legacy conf: integer division (epoch-nanos
     * ~1.7e18 exceed double's 2^53). TIMESTAMP_NTZ: re-tag as an
-    * instant — sessions pin spark.sql.session.timeZone=UTC, so the
-    * wall-clock reinterpretation is value-preserving.
+    * instant — value-preserving ONLY under a UTC session timezone, so
+    * the loader pins spark.sql.session.timeZone=UTC itself (the same
+    * way loadEvents pins the nanos conf) instead of relying on every
+    * entry point remembering it: Bench/Verify/SparkSpec always set it,
+    * but Tables.load is public and a caller on a non-UTC machine would
+    * otherwise get every event timestamp silently shifted by the local
+    * offset (advice r9).
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
 

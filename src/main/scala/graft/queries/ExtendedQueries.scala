@@ -99,8 +99,10 @@ object ExtendedQueries extends QuerySet {
     * row pins result EQUIVALENCE.
     */
   def sj1SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    // floor, not cast: cross-engine conversion identical by construction
+    // even for fractional quantities (the q17 advice item, applied suite-wide)
     val fact = t(s, dir, "lineitem").select(col("l_suppkey"),
-      col("l_quantity").cast("long").as("qty"))
+      floor(col("l_quantity")).cast("long").as("qty"))
     val dim = t(s, dir, "supplier")
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
     graft.operators.Skew.saltedJoin(fact, dim, "l_suppkey", 8,
@@ -310,7 +312,7 @@ object ExtendedQueries extends QuerySet {
         first("l_extendedprice").over(w).as("first_price"),
         last("l_extendedprice").over(w).as("last_price"),
         nth_value(col("l_extendedprice"), 2).over(w).as("second_price"),
-        sum(col("l_quantity").cast("long")).over(wr).as("qty_7d"))
+        sum(floor(col("l_quantity")).cast("long")).over(wr).as("qty_7d"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -518,7 +520,7 @@ object ExtendedQueries extends QuerySet {
         |ORDER BY custkey""".stripMargin,
     "sj1_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        | CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "r3_grouping_sets" ->
@@ -534,7 +536,7 @@ object ExtendedQueries extends QuerySet {
         | first_value(l_extendedprice) OVER w AS first_price,
         | last_value(l_extendedprice) OVER w AS last_price,
         | nth_value(l_extendedprice, 2) OVER w AS second_price,
-        | CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+        | CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
         |   PARTITION BY l_partkey
         |   ORDER BY date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate)
         |   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_7d

@@ -90,12 +90,12 @@ object Relational extends QuerySet {
 
   private val q18Sql =
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      | CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey IN (
       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+      |  HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 250)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
@@ -362,7 +362,11 @@ object Relational extends QuerySet {
     */
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val qty = col("l_quantity").cast("long")
+    // floor, not cast: Spark's double→long cast truncates toward zero
+    // while DuckDB's CAST rounds half-even — identical only while
+    // quantities stay integral. floor() matches FLOOR() by construction
+    // whatever the data (advice r9); oracle side spells the same FLOOR.
+    val qty = floor(col("l_quantity")).cast("long")
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt"))
     li.join(perPart, col("l_partkey") === col("pk"))
@@ -396,14 +400,19 @@ object Relational extends QuerySet {
     * discriminative part: 40 / 41 / 51 max waits).
     */
   def q21LateSolo(s: SparkSession, dir: String): DataFrame = {
-    val ol = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(when(
-        col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAY"), 1)
-        .otherwise(0)).as("late"))
-      .persist()
+    // tracked in FrameCaches so Dedup.releaseCaches frees it under the
+    // same contract as the operator pipelines' cached intermediates —
+    // a library caller outside the Bench/Verify harness (which call
+    // clearCache) must not accumulate it for the session (advice r9)
+    val ol = graft.operators.FrameCaches.track(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAY"), 1)
+          .otherwise(0)).as("late"))
+        .persist())
     // renamed projections over the one cached relation — self-join-safe
     val others = ol.select(col("l_orderkey").as("p_ok"),
       col("l_suppkey").as("p_sk"), col("late").as("p_late"))
@@ -881,6 +890,187 @@ object Relational extends QuerySet {
       .orderBy("p_partkey")
   }
 
+  // =====================================================================
+  //  Synthesized partsupp + the last three classic shapes (q2/q9/q20)
+  // =====================================================================
+
+  /** Deterministic `partsupp` synthesized in-engine — the driver's
+    * testdata has no partsupp table, which blocked TPC-H q2/q9/q20
+    * (round-9 verdict #1). The who-supplies-what bridge is the DISTINCT
+    * (l_partkey, l_suppkey) pairs observed in lineitem (the q16
+    * adaptation, made a full table here), and the two attributes the
+    * three queries need are md5-derived from the pair key (the t16
+    * planted-PII playbook): `ps_supplycost_cents` ∈ [100, 100000] and
+    * `ps_availqty` ∈ [1, 9999], both BIGINT so every downstream
+    * comparison is exact integer arithmetic. The identical derivation is
+    * spelled in DuckDB inside [[psOracleCte]] — same md5, same hex
+    * slices, same moduli — so the synthesized table is itself
+    * oracle-identical and the three queries get full hash-checked rows.
+    *
+    * Scale shape: one map-side-combined DISTINCT over the two join
+    * columns (column-pruned at the scan), then pure scan-fused hash
+    * arithmetic — no extra shuffle beyond the distinct's. At 100 TB
+    * partsupp IS a real table (TPC-H spec) and this synthesis disappears;
+    * the queries below read the view either way. Consumers that
+    * reference the view more than once (q2's outer + correlated MIN)
+    * recompute it per reference — Spark inlines temp views — which is
+    * the honest CTE cost at test SF; a production run would materialize
+    * it once.
+    */
+  private def partsuppFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.hexSliceToLong
+    val h = md5(concat(lit("ps:"), col("ps_partkey").cast("string"),
+      lit(":"), col("ps_suppkey").cast("string")))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_cents", hexSliceToLong(h, 1, 14) % 99901L + 100L)
+      .withColumn("ps_availqty", hexSliceToLong(h, 15, 14) % 9999L + 1L)
+  }
+
+  /** DuckDB spelling of [[partsuppFrame]] — prefixed to the q2/q9/q20
+    * oracles so both engines derive the identical table from the same
+    * parquet bits.
+    */
+  private val psOracleCte =
+    """WITH partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    ('0x' || substr(md5('ps:' || CAST(ps_partkey AS VARCHAR) || ':'
+      |      || CAST(ps_suppkey AS VARCHAR)), 1, 14))::BIGINT % 99901 + 100
+      |      AS ps_supplycost_cents,
+      |    ('0x' || substr(md5('ps:' || CAST(ps_partkey AS VARCHAR) || ':'
+      |      || CAST(ps_suppkey AS VARCHAR)), 15, 14))::BIGINT % 9999 + 1
+      |      AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |          l_suppkey AS ps_suppkey FROM lineitem))
+      |""".stripMargin
+
+  private def registerPartsupp(s: SparkSession, dir: String): Unit =
+    partsuppFrame(s, dir).createOrReplaceTempView("partsupp")
+
+  /** TPC-H Q2-style minimum-cost supplier: for each qualifying part,
+    * the EUROPE supplier(s) whose supply cost equals the regional
+    * minimum for that part. The one decorrelation form the q-series
+    * still lacked (round-9 verdict): a CORRELATED SCALAR MIN inside the
+    * WHERE — Catalyst rewrites it to a per-part aggregate left-joined
+    * back on the correlation key (no per-row re-execution, no nested
+    * loop — pinned in PlanSpec). Costs are the synthesized exact-cents
+    * BIGINTs, so the `= MIN` boundary cannot flip cross-engine (the
+    * float spelling of q2 is a tie roulette, same lesson as q15).
+    * 15 / 107 / 982 rows at sf0.001 / 0.01 / 0.1 — the LIMIT 100 bites
+    * only at sf0.1, and the order key (acctbal DESC, n_name, s_name,
+    * p_partkey) is total: s_name is unique per supplier and p_partkey
+    * disambiguates within one. Scale shape: part's filters push to its
+    * scan, partsupp⋈part shuffles on the part key the MIN aggregate
+    * already partitioned by, supplier/nation/region broadcast.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("part", "supplier", "nation", "region"))
+    registerPartsupp(s, dir)
+    s.sql(q2Sql)
+  }
+
+  private val q2Sql =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost_cents
+      |FROM part JOIN partsupp ON p_partkey = ps_partkey
+      |  JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 1 AND 15 AND p_type = 'PROMO'
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost_cents = (
+      |    SELECT MIN(ps2.ps_supplycost_cents)
+      |    FROM partsupp ps2
+      |      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9-style product-type profit: per (supplier nation, order
+    * year), revenue minus supply cost over one part family. The 6-way
+    * join DAG with ARITHMETIC ACROSS TABLES (lineitem price × partsupp
+    * cost — the shape q2/q20 probe via subqueries, here in the select
+    * list). Profit is exact integer cents: revenue cents (the q-series
+    * standard floor) minus `ps_supplycost_cents · qty`, so the sums
+    * carry zero FP noise. `floor(l_quantity)` on BOTH sides (not
+    * `cast`): Spark's cast truncates toward zero while DuckDB's rounds
+    * half-even — floor is identical by construction (the q17 advice
+    * item, applied from the start here). Scale shape: part filtered and
+    * broadcast, lineitem⋈orders is the one big shuffle, partsupp joins
+    * on the (part, supp) pair key, supplier/nation broadcast, and the
+    * (nation, year) aggregate map-side combines to ≤ |N|·years rows.
+    * 70 / 175 / 175 rows at sf0.001 / 0.01 / 0.1.
+    */
+  def q9NationProfit(s: SparkSession, dir: String): DataFrame = {
+    val revCents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100 + lit(0.5)).cast("long")
+    val qty = floor(col("l_quantity")).cast("long")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(partsuppFrame(s, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (revCents - col("ps_supplycost_cents") * qty).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount")).as("profit_cents"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q20-style excess-stock suppliers: EUROPE suppliers holding
+    * more stock of a part family than they shipped in one year — the
+    * NESTED SEMI-JOIN CHAIN (IN inside IN inside a correlated scalar
+    * SUM) that composes three subquery forms in one query. The scalar
+    * subquery's NULL semantics are the classic q20 point: a pair with
+    * NO shipments in the window compares `ps_availqty > NULL` → dropped
+    * (no COALESCE — both engines must agree on the empty-group NULL
+    * through decorrelation, the COUNT-bug shape). The ×100 multiplier
+    * re-centers the classic 0.5 factor onto the synthesized availqty
+    * scale (availqty ~U[1, 9999] vs window quantity sums of tens — at
+    * ×100 the threshold lands mid-distribution, so the EXCESS-STOCK
+    * predicate, not just window presence, decides: at sf0.01 it cuts
+    * window-active suppliers 6 → 4). `p_partkey < 100` keeps the part
+    * family a fixed absolute set across SFs, so per-supplier candidate
+    * pairs thin as the supplier pool grows — 4 of 4 / 4 of 15 / 6 of
+    * 201 EUROPE suppliers at sf0.001 / 0.01 / 0.1 (saturated only at
+    * the smallest SF, strict subsets at both driver-gate SFs). Scale
+    * shape: both IN chains decorrelate to left-semi joins, the scalar
+    * SUM to a per-pair aggregate on the key partsupp already shuffles
+    * on, part/supplier/nation/region broadcast.
+    */
+  def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("part", "supplier", "nation", "region", "lineitem"))
+    registerPartsupp(s, dir)
+    s.sql(q20Sql)
+  }
+
+  private val q20Sql =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+      |  SELECT ps_suppkey FROM partsupp
+      |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+      |                       WHERE p_partkey < 100 AND p_name LIKE '%widget%')
+      |    AND ps_availqty > (
+      |      SELECT 100 * SUM(CAST(FLOOR(l_quantity) AS BIGINT)) FROM lineitem
+      |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Scratch dir for source-format round-trips (inside the repo target
     * dir; queries must not write outside /root/repo).
     */
@@ -907,6 +1097,9 @@ object Relational extends QuerySet {
     "q14_promo_share" -> q14PromoShare _,
     "q19_disjunctive" -> q19DisjunctiveRevenue _,
     "q22_idle_rich" -> q22IdleRich _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q9_nation_profit" -> q9NationProfit _,
+    "q20_excess_stock" -> q20ExcessStock _,
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
     "s3_json_scan" -> s3Json _,
@@ -990,12 +1183,12 @@ object Relational extends QuerySet {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q18_big_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 250)
+        |  HAVING CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
@@ -1068,10 +1261,10 @@ object Relational extends QuerySet {
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS rev_cents
         |FROM lineitem l1
-        |WHERE 2 * CAST(l_quantity AS BIGINT) *
+        |WHERE 2 * CAST(FLOOR(l_quantity) AS BIGINT) *
         |    (SELECT COUNT(*) FROM lineitem l2
         |     WHERE l2.l_partkey = l1.l_partkey) <
-        |  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |  (SELECT CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
         |   FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
     "q21_late_solo" ->
       """WITH ol AS (
@@ -1158,6 +1351,24 @@ object Relational extends QuerySet {
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q2_min_cost_supplier" -> (psOracleCte + q2Sql),
+    "q9_nation_profit" -> (psOracleCte +
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+        |      + 0.5) AS BIGINT)
+        |    - ps_supplycost_cents * CAST(FLOOR(l_quantity) AS BIGINT))
+        |    AS BIGINT) AS profit_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin),
+    "q20_excess_stock" -> (psOracleCte + q20Sql),
     "q22_idle_rich" ->
       """SELECT c_custkey, c_name,
         |  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents

@@ -57,7 +57,7 @@ object ProfileTpch {
       "part/supplier catalogs fixed")
 
     def q17(li: DataFrame): Long = {
-      val qty = col("l_quantity").cast("long")
+      val qty = floor(col("l_quantity")).cast("long")
       val perPart = li.groupBy(col("l_partkey").as("pk"))
         .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt"))
       li.join(perPart, col("l_partkey") === col("pk"))

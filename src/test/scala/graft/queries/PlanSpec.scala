@@ -177,17 +177,55 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21: semi AND anti probes stack on ONE cached ol relation") {
-    val p = plan("q21_late_solo")
-    assert(p.contains("LeftSemi"), p.take(1500))
-    assert(p.contains("LeftAnti"), p.take(1500))
+    // finally: a failed assert must still drain the shared session's
+    // cache, or one failure cascades into later suites (advice r9)
+    try {
+      val p = plan("q21_late_solo")
+      assert(p.contains("LeftSemi"), p.take(1500))
+      assert(p.contains("LeftAnti"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+      // the per-(order, supplier) aggregate must be computed once and
+      // served from cache to all three consumers — the SQL-CTE spelling
+      // recomputed it per consumer (2.5 s at sf0.1)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "ol must be served from cache:\n" + p.take(1500))
+    } finally {
+      graft.operators.Dedup.releaseCaches(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q2: correlated scalar MIN decorrelates — aggregate + equi join, no nested loop") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "correlated MIN fell back to per-row nested-loop re-execution:\n" + p.take(2000))
+    // the rewrite: per-part MIN aggregate joined back on the correlation key
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "decorrelated per-part MIN must map-side combine:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation/region dims must broadcast:\n" + p.take(2000))
+    // LIMIT 100 over a total order — per-partition heaps, no global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q9: part/supplier/nation broadcast; partsupp joins on the pair key") {
+    val p = plan("q9_nation_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part, supplier, and nation must broadcast:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    // the per-(order, supplier) aggregate must be computed once and
-    // served from cache to all three consumers — the SQL-CTE spelling
-    // recomputed it per consumer (2.5 s at sf0.1)
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "ol must be served from cache:\n" + p.take(1500))
-    graft.operators.Dedup.releaseCaches(spark)
-    spark.catalog.clearCache()
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q20: both IN chains decorrelate to semi joins, the scalar SUM to an aggregate") {
+    val p = plan("q20_excess_stock")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "nested IN chain fell back to nested-loop:\n" + p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the correlated window SUM must decorrelate to a per-pair aggregate:\n"
+        + p.take(2000))
   }
 
   test("q7: all four dims broadcast — at most the lineitem⋈orders join shuffles") {
