@@ -38,6 +38,15 @@ object Bench {
     val repeat = args.sliding(2).collectFirst { case Array("--repeat", n) => n.toInt }
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
       .max(1)
+    // --only a,b,c: restrict to named queries — the controlled
+    // re-measurement protocol (same build, idle machine, per-query
+    // medians) without paying for the whole suite. Unknown names fail
+    // loudly, mirroring Verify's names fast path.
+    val only = args.sliding(2).collectFirst { case Array("--only", ns) =>
+      ns.split(",").map(_.trim).filter(_.nonEmpty).toSet }
+      .getOrElse(Set.empty[String])
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown query names: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,7 +59,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     var failures = List.empty[String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -71,7 +82,18 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r*.json keeps only a truncated tail of this
+    // line (~63 of 140+ per-query medians), which blinded cross-round
+    // per-query comparison (round-9 verdict #6). Also write the FULL
+    // map to a file that survives the round; full suites only — a
+    // --only subset would overwrite the suite-wide record with a slice.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/bench_full_latest.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -174,6 +174,20 @@ object Similarity {
     * (per-partition summation order makes the means differ in final
     * ULPs across engines), so correctness is pinned by
     * `SimilaritySpec`'s monotone-objective and determinism tests.
+    *
+    * PACING BOUND (the [[Bpe.learnMerges]] standard): each round's
+    * eager localCheckpoint is one Spark job, so training is
+    * DRIVER-PACED at O(iters) sequential jobs — inherent to Lloyd's
+    * (round N+1's assignment needs round N's centroids), and the
+    * checkpoint holds lineage at ONE generation regardless of iters
+    * (without it the plan nests `iters` joins deep and the driver, not
+    * the data, becomes the bottleneck — the d6 lesson). The per-round
+    * job is corpus-linear with a k-row broadcast, so at 100 TB the
+    * honest cost model is iters × (one corpus pass): keep iters in the
+    * single digits (v8/v11 run 2–5) and train on a sample if more
+    * rounds are needed — do NOT lift iters into the hundreds expecting
+    * cluster parallelism to absorb it; the rounds are serial by
+    * construction.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -369,6 +383,11 @@ object Similarity {
     * driver, the d6 lesson). Deterministic: seeds are the k lowest-id
     * codes (n=1), ties break to the lowest centroid id, and an emptied
     * cell carries its previous (qsum, n) forward.
+    *
+    * PACING BOUND: same contract as [[kmeansCentroids]] (and
+    * [[Bpe.learnMerges]]) — one eager checkpoint job per round, serial
+    * by construction, lineage held at one generation; iters stays
+    * single-digit and larger budgets train on a sample.
     *
     * Returns (centroid_id, qsum array<long>, n long).
     */
