@@ -598,9 +598,11 @@ object Relational extends QuerySet {
     * cannot round: stored prices/rates are 2dp values, never 3dp
     * midpoints, so HALF_UP (Spark) and HALF_EVEN (DuckDB) agree.
     * Identical SQL text runs on both engines. Scale shape: q1's —
-    * pushed date filter, one map-side-combined 6-key aggregate;
-    * decimal128 arithmetic is ~2× int64 cents per op (measured in
-    * BASELINE.md) — the cents spelling stays the perf-first choice,
+    * pushed date filter, one map-side-combined 6-key aggregate.
+    * Measured end-to-end cost vs the double q1 at sf0.1: 0.21 s vs
+    * 0.19 s (1.09×, BASELINE.md §round-10) — the scan dominates, so
+    * Decimal's per-op premium barely shows at this shape; the cents
+    * spelling stays the perf-first choice on arithmetic-dense plans,
     * this one is the exactness-first choice.
     */
   def q1DecimalMoney(s: SparkSession, dir: String): DataFrame = {
@@ -651,6 +653,29 @@ object Relational extends QuerySet {
     s.read.json(tmp)
       .select("n_nationkey", "n_name", "n_regionkey") // inferred order varies
       .orderBy("n_nationkey")
+  }
+
+  /** S8: ORC scan — the second columnar format a metadata-driven
+    * ingest layer is asked for after parquet (reference
+    * bronze_config.yaml's format field is free-text; ORC is the one
+    * other format Spark reads natively with pushdown + pruning, no
+    * extra jars). Round-trips supplier through ORC so the oracle (which
+    * reads the original parquet) hash-verifies write AND read fidelity
+    * for every value, and applies a post-read predicate so the scan
+    * exercises ORC predicate pushdown (searchable-argument path) rather
+    * than a bare full scan. Threshold 2000 excludes 3/30/265 suppliers
+    * at sf0.001/0.01/0.1 — discriminative at EVERY gate SF (the j3
+    * lesson; acctbal>0 would exclude zero rows at sf0.001). Scale: same
+    * columnar economics as S1 — pruned ReadSchema, pushed filter,
+    * splittable stripes.
+    */
+  def s8Orc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(dir, "orc_supplier")
+    t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("s_acctbal") > 2000.0)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
   }
 
   // ---- S6: catalog/view scan via spark.sql (same text as the oracle) ----
@@ -953,19 +978,33 @@ object Relational extends QuerySet {
     * columns (column-pruned at the scan), then pure scan-fused hash
     * arithmetic — no extra shuffle beyond the distinct's. At 100 TB
     * partsupp IS a real table (TPC-H spec) and this synthesis disappears;
-    * the queries below read the view either way. Consumers that
-    * reference the view more than once (q2's outer + correlated MIN)
-    * recompute it per reference — Spark inlines temp views — which is
-    * the honest CTE cost at test SF; a production run would materialize
-    * it once.
+    * the queries below read the view either way.
+    *
+    * `partKeys`: optional broadcast part-key restriction applied via a
+    * LEFT SEMI join BEFORE the distinct. Each consumer only ever looks
+    * at partsupp rows for the parts its own predicates keep (q2's
+    * p_size/p_type cut, q9's widget family, q20's absolute key range),
+    * but that pruning is invisible to Catalyst when the view feeds a
+    * correlated subquery — the optimizer cannot push an outer LIKE
+    * through the decorrelated aggregate into the view's DISTINCT. Doing
+    * it by hand turns a 591k-pair shuffle + md5 into a ~12%-of-that one
+    * at sf0.1 (measured in BASELINE.md §round-10) and is
+    * results-neutral by construction: rows for parts no consumer joins
+    * carry no observable effect. The md5 derivation is per-pair, so the
+    * restricted view's values are bit-identical to the full view's.
     */
-  private def partsuppFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def partsuppFrame(s: SparkSession, dir: String,
+      partKeys: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorExpressions.hexSliceToLong
     val h = md5(concat(lit("ps:"), col("ps_partkey").cast("string"),
       lit(":"), col("ps_suppkey").cast("string")))
-    t(s, dir, "lineitem")
+    val pairs = t(s, dir, "lineitem")
       .select(col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))
+    partKeys.fold(pairs) { pk =>
+        pairs.join(broadcast(pk.select(col(pk.columns.head).as("ps_partkey"))),
+          Seq("ps_partkey"), "left_semi")
+      }
       .distinct()
       .withColumn("ps_supplycost_cents", hexSliceToLong(h, 1, 14) % 99901L + 100L)
       .withColumn("ps_availqty", hexSliceToLong(h, 15, 14) % 9999L + 1L)
@@ -988,8 +1027,9 @@ object Relational extends QuerySet {
       |          l_suppkey AS ps_suppkey FROM lineitem))
       |""".stripMargin
 
-  private def registerPartsupp(s: SparkSession, dir: String): Unit =
-    partsuppFrame(s, dir).createOrReplaceTempView("partsupp")
+  private def registerPartsupp(s: SparkSession, dir: String,
+      partKeys: Option[DataFrame] = None): Unit =
+    partsuppFrame(s, dir, partKeys).createOrReplaceTempView("partsupp")
 
   /** TPC-H Q2-style minimum-cost supplier: for each qualifying part,
     * the EUROPE supplier(s) whose supply cost equals the regional
@@ -1000,16 +1040,25 @@ object Relational extends QuerySet {
     * loop — pinned in PlanSpec). Costs are the synthesized exact-cents
     * BIGINTs, so the `= MIN` boundary cannot flip cross-engine (the
     * float spelling of q2 is a tie roulette, same lesson as q15).
-    * 15 / 107 / 982 rows at sf0.001 / 0.01 / 0.1 — the LIMIT 100 bites
-    * only at sf0.1, and the order key (acctbal DESC, n_name, s_name,
-    * p_partkey) is total: s_name is unique per supplier and p_partkey
-    * disambiguates within one. Scale shape: part's filters push to its
-    * scan, partsupp⋈part shuffles on the part key the MIN aggregate
-    * already partitioned by, supplier/nation/region broadcast.
+    * 15 / 100 / 100 rows at sf0.001 / 0.01 / 0.1 (pre-limit matches
+    * are 15 / 107 / 982 — the LIMIT 100 bites at both driver-gate SFs
+    * above the smallest), and the order key (acctbal DESC, n_name,
+    * s_name, p_partkey) is total: s_name is unique per supplier and
+    * p_partkey disambiguates within one. Scale shape: part's filters
+    * push to its scan, partsupp⋈part shuffles on the part key the MIN
+    * aggregate already partitioned by, supplier/nation/region broadcast.
     */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     Tables.register(s, dir, Seq("part", "supplier", "nation", "region"))
-    registerPartsupp(s, dir)
+    // the view is restricted to the partkeys the outer query keeps —
+    // both the outer join and the correlated MIN only ever touch those
+    // parts, but Catalyst cannot push the p_size/p_type cut through the
+    // decorrelated per-part aggregate into the view's DISTINCT (see
+    // partsuppFrame). Results-neutral; halves the synthesis and prunes
+    // both references.
+    registerPartsupp(s, dir, Some(t(s, dir, "part")
+      .filter(col("p_size").between(1, 15) && col("p_type") === "PROMO")
+      .select("p_partkey")))
     s.sql(q2Sql)
   }
 
@@ -1056,7 +1105,8 @@ object Relational extends QuerySet {
         col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(partsuppFrame(s, dir),
+      .join(partsuppFrame(s, dir, Some(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%")).select("p_partkey"))),
         col("l_partkey") === col("ps_partkey") &&
           col("l_suppkey") === col("ps_suppkey"))
       .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
@@ -1094,7 +1144,12 @@ object Relational extends QuerySet {
     */
   def q20ExcessStock(s: SparkSession, dir: String): DataFrame = {
     Tables.register(s, dir, Seq("part", "supplier", "nation", "region", "lineitem"))
-    registerPartsupp(s, dir)
+    // restricted to the absolute part family the IN chain keeps — the
+    // same manual pushdown as q2's (see partsuppFrame); the correlated
+    // scalar SUM only ever correlates on partkeys from this view.
+    registerPartsupp(s, dir, Some(t(s, dir, "part")
+      .filter(col("p_partkey") < 100 && col("p_name").like("%widget%"))
+      .select("p_partkey")))
     s.sql(q20Sql)
   }
 
@@ -1146,6 +1201,7 @@ object Relational extends QuerySet {
     "s1_parquet_scan" -> s1Scan _,
     "s2_csv_scan" -> s2Csv _,
     "s3_json_scan" -> s3Json _,
+    "s8_orc_scan" -> s8Orc _,
     "s6_sql_catalog" -> s6SqlCatalog _,
     "p1_literal_cols" -> p1Lit _,
     "p3_projection" -> p3Project _,
@@ -1446,6 +1502,10 @@ object Relational extends QuerySet {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s3_json_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s8_orc_scan" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 2000.0
+        |ORDER BY s_suppkey""".stripMargin,
     "s6_sql_catalog" -> s6Sql,
     "p1_literal_cols" ->
       "SELECT o_orderkey, 'erp_orders' AS source_id FROM orders ORDER BY o_orderkey",

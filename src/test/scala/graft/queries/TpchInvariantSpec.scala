@@ -75,15 +75,33 @@ class TpchInvariantSpec extends SparkSpec {
     val pairs = spark.sql(
       "SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)")
       .head.getLong(0)
-    // partsupp is not a SparkEntry query — reach it through q9's plan
-    // input is private; re-derive the public contract via q20's view
-    graft.SparkEntry.queries("q20_excess_stock")(spark, dir) // registers view
-    val ps = spark.table("partsupp")
+    val ps = Relational.partsuppFrame(spark, dir)
     assert(ps.count() == pairs, "partsupp must be exactly the observed pairs")
     val bad = ps.filter(
       col("ps_supplycost_cents") < 100 || col("ps_supplycost_cents") > 100000 ||
       col("ps_availqty") < 1 || col("ps_availqty") > 9999).count()
     assert(bad == 0, s"$bad rows outside the md5-derived attribute ranges")
+  }
+
+  test("partsupp restriction is value-neutral: restricted view == full view filtered") {
+    // q2/q9/q20 hand the synthesis a part-key restriction (the manual
+    // pushdown Catalyst cannot do through a correlated subquery); the
+    // md5 derivation is per-pair, so the restricted frame must be
+    // BIT-IDENTICAL to the full frame filtered to the same keys — if
+    // the restriction ever changed a derived attribute, the oracle CTE
+    // (which always derives from the full distinct) would diverge.
+    graft.Tables.register(spark, dir, Seq("part", "lineitem"))
+    val keys = spark.table("part")
+      .filter(col("p_partkey") < 100 && col("p_name").like("%widget%"))
+      .select("p_partkey")
+    val restricted = Relational.partsuppFrame(spark, dir, Some(keys))
+    val fullFiltered = Relational.partsuppFrame(spark, dir)
+      .join(keys.withColumnRenamed("p_partkey", "ps_partkey"),
+        Seq("ps_partkey"), "left_semi")
+    assert(restricted.count() > 0, "restriction subject must be non-empty")
+    assert(restricted.exceptAll(fullFiltered).count() == 0 &&
+      fullFiltered.exceptAll(restricted).count() == 0,
+      "restricted synthesis must equal the full synthesis on the kept keys")
   }
 
   test("q2: every output row's cost IS the regional minimum for its part") {
