@@ -443,12 +443,40 @@ object ExtendedQueries extends QuerySet {
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "hll1_approx_distinct" -> hll1ApproxDistinct _,
+    "x1_sql_functions" -> x1SqlFunctions _,
   )
+
+  /** SQL-extension surface: [[graft.functions.GraftExtensions]]
+    * registers the library's custom Catalyst expressions as SQL
+    * functions (the `withExtensions` / `spark.sql.extensions` plugin
+    * path; `install` is the same list applied to a built session).
+    * This query calls one from `spark.sql` TEXT — the registry
+    * resolution, the foldable-literal parameter path, and the
+    * expression's codegen all sit on the driver gate, with a DuckDB
+    * oracle because hex-slice-of-md5 is exactly the derivation the
+    * oracle CTEs already spell. The remaining nine functions get
+    * SQL↔Column parity pins in `GraftExtensionsSpec` (their semantics
+    * are oracle-checked through the operator queries that share the
+    * same expression instances). Scale shape: one map-side-combined
+    * 16-group aggregate over a pruned two-column scan.
+    */
+  def x1SqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(s)
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT hex_slice_to_long(md5(text), 1, 8) % 16 AS bucket,
+        |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
 
   private val toksLowerSql =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "x1_sql_functions" ->
+      """SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the declarative twin of the basket formulation: DISTINCT
     // (order, part) self-joined under p1 < p2 — provably the same pair
     // set the sorted-basket generator emits
