@@ -108,6 +108,45 @@ object ProfileTpch {
     val cN = time(s"${mult}x fi1 pair mining")(fi1(liN))
     exp("fi1", c1, cN)
 
+    // q9 (round 10): the 6-way profit DAG including the partsupp
+    // synthesis itself. Replication shifts order keys only, so the
+    // distinct (partkey, suppkey) PAIR SET is fixed while the distinct's
+    // input mass (and every fact-side join) grows N× — the synthesis
+    // cost must ride fact mass linearly, the dims stay broadcast.
+    def q9(li: DataFrame, or: DataFrame): Long = {
+      import graft.functions.VectorExpressions.hexSliceToLong
+      val part = Tables.load(spark, dir, "part")
+      val widget = part.filter(col("p_name").like("%widget%")).select("p_partkey")
+      val supp = Tables.load(spark, dir, "supplier")
+      val nat = Tables.load(spark, dir, "nation")
+      val h = md5(concat(lit("ps:"), col("ps_partkey").cast("string"),
+        lit(":"), col("ps_suppkey").cast("string")))
+      val ps = li.select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .join(broadcast(widget.withColumnRenamed("p_partkey", "ps_partkey")),
+          Seq("ps_partkey"), "left_semi")
+        .distinct()
+        .withColumn("ps_supplycost_cents", hexSliceToLong(h, 1, 14) % 99901L + 100L)
+      val revCents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val qty = floor(col("l_quantity")).cast("long")
+      li.join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+        .join(or.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(supp.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"),
+          (revCents - col("ps_supplycost_cents") * qty).as("amount"))
+        .groupBy("nation", "o_year").agg(sum("amount")).count()
+    }
+    val d1 = time("1x  q9 profit DAG")(q9(li0, or0))
+    val dN = time(s"${mult}x q9 profit DAG")(q9(liN, orN))
+    exp("q9", d1, dN)
+
     spark.stop()
   }
 }
