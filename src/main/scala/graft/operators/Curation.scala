@@ -66,6 +66,52 @@ object Curation {
     df.filter(bucket < rate * 1000)
   }
 
+  /** Fractional-epoch source mixing — the UPSAMPLING half of a
+    * training mixture (stratifiedSample is the downsampling half): a
+    * source weighted `epochs = 2.3` contributes every document twice
+    * plus a deterministic 30% of them a third time, the way published
+    * LLM data recipes state mixtures ("N epochs of source X"). Emits
+    * one row per (doc, epoch) with the epoch INDEX as a column — the
+    * replica id downstream shuffles can salt by, so upsampled copies
+    * of a hot document don't re-concentrate on one task.
+    *
+    * Deterministic like the rest of the family: the fractional copy is
+    * `hash('epoch:'||id) mod 1000 < frac·1000` — no RNG, stable across
+    * runs/engines/retries, and INDEPENDENT of stratifiedSample's
+    * bucket (different hash domain prefix), so composing "0.5× of en"
+    * with "2.3× of wiki" never correlates the two decisions.
+    *
+    * Scale shape: pure map work — a when-chain for the weight (the
+    * mixture table is constant-folded into codegen), one hash, one
+    * `explode(sequence(...))` whose fan-out is exactly the configured
+    * epoch count (bounded ≤ 16 by the guard below — an epoch weight is
+    * a recipe constant, never data); no shuffle, no driver state. At
+    * 100 TB the mix rides the scan like the sampler does.
+    */
+  def epochMix(df: DataFrame, sourceCol: Column, idCol: Column,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    require((defaultEpochs +: epochs.values.toSeq).forall(e => e >= 0 && e <= 16),
+      "epoch weights must be in [0, 16] — a mixture constant, not data")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(sourceCol === k, lit(v)).otherwise(acc)
+    }
+    val bucket = mode match {
+      case Dedup.Md5Hash =>
+        graft.functions.VectorExpressions.hexSliceToLong(
+          md5(concat(lit("epoch:"), idCol.cast("string"))), 1, 14) % 1000
+      case Dedup.XxHash =>
+        pmod(xxhash64(concat(lit("epoch:"), idCol.cast("string"))), lit(1000L))
+    }
+    val full = floor(e).cast("long")
+    val copies = full +
+      when(bucket < (e - full) * 1000, 1L).otherwise(0L)
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** Group-atomic train/val/test split — the leakage-safe way to cut a
     * corpus for training: the split key is a GROUP id (a dedup cluster,
     * a duplicate-content component, a domain), not the row id, so every

@@ -377,6 +377,25 @@ object TextQueries extends QuerySet {
       .orderBy("source", "rk")
   }
 
+  /** Fractional-epoch training mixture ([[graft.operators.Curation
+    * .epochMix]]): src0 at 2.3 epochs (every doc twice, a
+    * deterministic ~30% a third time), src1 at 0.4 (a ~40% subsample —
+    * the operator subsumes sub-1 rates too), everything else at 1.0.
+    * Emits (doc_id, source, epoch) — the oracle re-derives the exact
+    * copy counts from the same md5 threshold and UNNESTs
+    * generate_series, so WHICH docs got the extra epoch (not just how
+    * many) is hash-pinned. Weights chosen discriminative at every SF:
+    * both the 300‰ and 400‰ thresholds split every 25-doc-or-larger
+    * source non-trivially.
+    */
+  def t19EpochMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    Curation.epochMix(docs(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        Map("src0" -> 2.3, "src1" -> 0.4), 1.0, Dedup.Md5Hash)
+      .orderBy("doc_id", "epoch")
+  }
+
   private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
 
   /** Cross-document n-gram novelty — the boilerplate detector: for each
@@ -450,6 +469,7 @@ object TextQueries extends QuerySet {
     "t16_pii_redaction" -> t16PiiRedaction _,
     "t17_leakage_split" -> t17LeakageSplit _,
     "t18_source_quota" -> t18SourceQuota _,
+    "t19_epoch_mix" -> t19EpochMix _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -659,6 +679,22 @@ object TextQueries extends QuerySet {
          |      doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $QuotaCap ORDER BY source, rk""".stripMargin,
+    "t19_epoch_mix" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.4
+        |      ELSE 1.0 END AS ep,
+        |    ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+        |      % 1000 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(ep) AS BIGINT) +
+        |      CASE WHEN b < (ep - FLOOR(ep)) * 1000 THEN 1 ELSE 0 END AS n
+        |  FROM e)
+        |SELECT c.doc_id, c.source, u.epoch
+        |FROM c, UNNEST(generate_series(0, CAST(n AS INT) - 1)) AS u(epoch)
+        |WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
     "t14_chunk_dedup" ->
       s"""WITH $chunkCteSql
          |SELECT chunk_hash,

@@ -55,6 +55,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epochMix: integer weights copy exactly, fractions land between floor and ceil, epoch ids are dense") {
+    val rows = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "up").otherwise("flat").as("source"))
+    val mixed = Curation.epochMix(rows, col("source"), col("doc_id"),
+      Map("up" -> 2.5), defaultEpochs = 1.0)
+    val perDoc = mixed.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("maxe"), min("epoch").as("mine"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(perDoc.length == 1000, "no doc may disappear at weight >= 1")
+    perDoc.foreach { case (id, src, n, maxe, mine) =>
+      if (src == "flat") assert(n == 1, s"doc $id: flat source must copy once")
+      else assert(n == 2 || n == 3, s"doc $id: 2.5 epochs must give 2 or 3 copies")
+      assert(mine == 0 && maxe == n - 1, s"doc $id: epoch ids must be 0..n-1")
+    }
+    // the fractional half is ~50% and deterministic across invocations
+    val ups = perDoc.filter(_._2 == "up")
+    val three = ups.count(_._3 == 3)
+    assert(three > 500 * 0.35 && three < 500 * 0.65, s"$three of 500 got the extra epoch")
+    val again = Curation.epochMix(rows, col("source"), col("doc_id"),
+      Map("up" -> 2.5), defaultEpochs = 1.0)
+      .groupBy("doc_id").agg(count(lit(1))).as[(Long, Long)].collect().toSet
+    assert(perDoc.map(d => (d._1, d._3)).toSet == again,
+      "same input must make identical copy decisions")
+    // weight 0 removes the source entirely; out-of-range weight rejected
+    val gone = Curation.epochMix(rows, col("source"), col("doc_id"),
+      Map("up" -> 0.0), defaultEpochs = 1.0)
+    assert(gone.filter(col("source") === "up").count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.epochMix(rows, col("source"), col("doc_id"), Map("up" -> 17.0))
+    }
+  }
+
   test("redactPii scrubs emails/SSNs/IPs/phones, counts each once, leaves clean text alone") {
     val docs = Seq(
       (1L, "contact alice.smith+work@example.co.uk for details"),
