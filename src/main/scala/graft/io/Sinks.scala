@@ -17,6 +17,50 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Structured-Streaming → keyed-upsert bridge: `foreachBatch` hands
+    * each micro-batch to [[Upsert.upsertTable]] — the production
+    * pattern for a streaming MERGE sink when the table format has no
+    * native streaming upsert. Within a batch the upsert keeps one
+    * deterministic row per key; across batches the later batch's row
+    * replaces the earlier one (last-writer-wins at batch grain).
+    *
+    * Exactly-once story: checkpointed source offsets give at-least-once
+    * batch delivery, and the upsert is IDEMPOTENT per key (PropertySpec
+    * pins f(f(x)) = f(x)), so a micro-batch replayed after a failure
+    * re-merges the same rows and the table converges — idempotent sink
+    * + checkpointed offsets is the standard streaming exactly-once
+    * contract, the same reason foreachBatch+MERGE is the documented
+    * Delta pattern. At 100 TB the per-batch cost is the upsert's: a
+    * keyed shuffle of batch ∪ matched-target partitions; the unmatched
+    * target remainder is rewritten only because parquet has no
+    * row-level update — a real table format turns that into a
+    * version-pointer swap.
+    *
+    * @param availableNow true → process everything available, then
+    *        stop (the catch-up / batch-parity trigger); false → the
+    *        default micro-batch trigger for an always-on query.
+    * @return the started query; the caller owns awaitTermination/stop.
+    */
+  def streamUpsert(stream: DataFrame, table: String, keys: Seq[String],
+      checkpoint: String, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertTable(batch.sparkSession, table, batch, keys)
+        // foreachBatch runs in a micro-batch CLONE of the session;
+        // upsertTable refreshed the clone's file-index cache, but the
+        // owning session (the one the user reads the table from) still
+        // holds the pre-overwrite index and would FILE_NOT_EXIST
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }
 
 /** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN

@@ -45,6 +45,45 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streamUpsert merges each micro-batch by key: cross-batch updates win, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_upsert_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_upsert"
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = Sinks.streamUpsert(
+      ms.toDF.toDF("id", "name", "value"), table, Seq("id"), ckpt,
+      availableNow = false)
+    try {
+      ms.addData((1L, "a", 1.0), (2L, "b", 2.0), (2L, "b-dup", 2.5))
+      q.processAllAvailable()
+      val after1 = spark.table(table).as[(Long, String, Double)].collect()
+      assert(after1.map(_._1).toSet == Set(1L, 2L) && after1.length == 2,
+        "one row per key after batch 1")
+      // batch 2: update key 2, insert key 3
+      ms.addData((2L, "b2", 20.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table(table).as[(Long, String, Double)].collect().toSet
+      assert(rows.map(_._1) == Set(1L, 2L, 3L))
+      assert(rows.exists(r => r._1 == 2L && r._2 == "b2" && r._3 == 20.0),
+        "the later batch's row must replace the earlier one")
+      assert(rows.exists(r => r._1 == 1L && r._2 == "a"), "untouched keys survive")
+      // replay convergence: re-merging batch 2's rows changes nothing
+      // (the idempotence that makes checkpoint-replay exactly-once)
+      graft.io.Upsert.upsertTable(spark, table,
+        Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "value"),
+        Seq("id"))
+      assert(spark.table(table).as[(Long, String, Double)].collect().toSet == rows,
+        "replaying a merged batch must be a no-op")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("stream-stream attribution join is stream/batch identical") {
     val q = EventsStreaming.attributionJoin(
         EventsStreaming.readEvents(spark, dir))
