@@ -125,6 +125,28 @@ object EventQueries extends QuerySet {
         coalesce(col("view"), lit(0L)).as("n_view"))
       .orderBy("day")
 
+  /** UNPIVOT (melt) — the inverse reshape of e8: the wide daily matrix
+    * back to long (day, event_type, n_events) via the native
+    * `Dataset.unpivot` operator (SQL-standard UNPIVOT in the DuckDB
+    * oracle). Deliberately composed ON e8's pivot so the pair
+    * round-trips: the melted output keeps the ZERO rows the pivot
+    * materialized for absent (day, type) combos — the semantic
+    * difference from a plain groupBy, which never emits empty groups,
+    * and the reason unpivot∘pivot is densification, not identity.
+    * Scale shape: unpivot is a generator-style map (each row fans out
+    * to exactly |value columns| rows, no shuffle) on top of e8's one
+    * aggregate exchange.
+    */
+  def e12Unpivot(s: SparkSession, dir: String): DataFrame =
+    e8PivotDaily(s, dir)
+      .unpivot(Array(col("day")),
+        Array(col("n_click"), col("n_error"), col("n_purchase"),
+          col("n_signup"), col("n_view")),
+        "etype", "n_events")
+      .select(col("day"), substring(col("etype"), 3, 100).as("event_type"),
+        col("n_events"))
+      .orderBy("day", "event_type")
+
   /** Ordered conversion funnel view → click → purchase: a user reaches
     * a stage only via a STRICTLY LATER event than the previous stage
     * (first view, then first click after that view, then first purchase
@@ -206,6 +228,7 @@ object EventQueries extends QuerySet {
     "e6_histogram" -> e6Histogram _,
     "e7_daily_deltas" -> e7DailyDeltas _,
     "e8_pivot_daily" -> e8PivotDaily _,
+    "e12_unpivot" -> e12Unpivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -309,5 +332,18 @@ object EventQueries extends QuerySet {
         | COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
         | COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e12_unpivot" ->
+      """WITH piv AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |   COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT day, substr(etype, 3) AS event_type, n_events
+        |FROM piv UNPIVOT (n_events FOR etype IN
+        |  (n_click, n_error, n_purchase, n_signup, n_view))
+        |ORDER BY day, event_type""".stripMargin,
   )
 }

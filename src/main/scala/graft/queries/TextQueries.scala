@@ -396,6 +396,49 @@ object TextQueries extends QuerySet {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Statistical LM quality scoring — the CCNet-family signal the
+    * heuristic scorers (t2, t11) can't give: a bigram language model
+    * TRAINED ON THE CORPUS ITSELF scores each document by per-bigram
+    * negative log-likelihood, `nll = −(1/n) Σ ln(C(w1,w2)/C(w1))` (MLE
+    * conditionals; every bigram was observed, so no smoothing term —
+    * C2 ≤ C1 by construction and the score is a clean ≥ 0). Documents
+    * full of common transitions score low (predictable text); rare-
+    * transition documents score high — the outlier signal used both
+    * ways in curation (drop gibberish, or keep the tail for diversity).
+    *
+    * Scale shape: the MODEL is table-sized — distinct-bigram
+    * conditionals computed once (two map-side-combined aggregates, one
+    * equi-join bigram⋈unigram on w1) — and SCORING is one shuffle join
+    * of bigram occurrences against the scored table plus a per-doc
+    * aggregate; nothing is quadratic and nothing collects. At 100 TB
+    * the model table is the vocabulary-bigram mass (sublinear in
+    * corpus), the scoring join the dominant, embarrassingly
+    * partitionable cost — the KenLM-scoring shape with the model kept
+    * distributed. The summed doubles round at 6dp (ln ULPs and
+    * summation order differ cross-engine; the noise is ≤ 1e-12).
+    */
+  def t20LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = base.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1,
+            |              element_at(toks, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("c2").cast("double") / col("c1")).as("lp"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp")) / count(lit(1)), 6).as("nll_per_bigram"))
+      .orderBy("doc_id")
+  }
+
   private val NoveltyDf = 5 // shingle is "boilerplate" at ≥ this many docs
 
   /** Cross-document n-gram novelty — the boilerplate detector: for each
@@ -470,6 +513,7 @@ object TextQueries extends QuerySet {
     "t17_leakage_split" -> t17LeakageSplit _,
     "t18_source_quota" -> t18SourceQuota _,
     "t19_epoch_mix" -> t19EpochMix _,
+    "t20_lm_perplexity" -> t20LmPerplexity _,
     "bpe1_merges" -> bpe1Merges _,
     "t11_gopher_gate" -> t11GopherGate _,
     "t10_normalize" -> t10Normalize _,
@@ -679,6 +723,22 @@ object TextQueries extends QuerySet {
          |      doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $QuotaCap ORDER BY source, rk""".stripMargin,
+    "t20_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         |uni AS (
+         |  SELECT w1, COUNT(*) AS c1
+         |  FROM (SELECT UNNEST(toks) AS w1 FROM tk) GROUP BY 1),
+         |model AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT m.w1, m.w2, ln(CAST(m.c2 AS DOUBLE) / u.c1) AS lp
+         |  FROM model m JOIN uni u USING (w1))
+         |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(-SUM(s.lp) / COUNT(*), 6) AS nll_per_bigram
+         |FROM bi b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "t19_epoch_mix" ->
       """WITH e AS (
         |  SELECT doc_id, source,
