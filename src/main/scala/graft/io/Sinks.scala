@@ -90,6 +90,67 @@ object Sinks {
   */
 object Upsert {
 
+  /** Apply a CDC changelog — inserts, updates, AND deletes — to a keyed
+    * parquet table: the operation the upsert alone cannot express (a
+    * MERGE with `WHEN MATCHED AND op = 'D' THEN DELETE`). Semantics:
+    *   - one change SURVIVES per key — the one with the highest
+    *     `seqCol` (the changelog's own ordering: an LSN, a kafka
+    *     offset, an extraction timestamp); ties break on the full row,
+    *     so replays are deterministic;
+    *   - surviving op `D` removes the key from the target (deleting an
+    *     absent key is a no-op — deletes are idempotent);
+    *   - any other surviving op (`I`/`U` — the split is bookkeeping;
+    *     both are "make the row look like this") whole-row-replaces,
+    *     exactly like [[upsertTable]].
+    * Replaying a changelog (or any suffix of it) converges to the same
+    * table — the idempotence that makes this the correct foreachBatch
+    * target for a CDC stream, same contract as [[Sinks.streamUpsert]].
+    *
+    * Scale shape: the changelog dedup is one window over the key
+    * columns; the apply is one anti-join (target minus all changed
+    * keys) plus a union of the upsert survivors — both shuffle on the
+    * key the table's MERGE would shuffle on anyway. The full-table
+    * rewrite is parquet's price for row-level change; a real table
+    * format replaces it with a version-pointer swap.
+    *
+    * @return (upserted, deleted) surviving-change counts.
+    */
+  def applyChangeLog(spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op", seqCol: String = "seq")
+      : (Long, Long) = {
+    require(changes.columns.contains(opCol), s"changelog needs '$opCol'")
+    require(changes.columns.contains(seqCol), s"changelog needs '$seqCol'")
+    val dataCols = changes.columns.filter(c => c != opCol && c != seqCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: changes.columns.map(c => col(c).desc): _*)
+    val latest = changes
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val scratchRoot =
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/__cdc_stage/" +
+        table.replace('.', '_')
+    latest.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/latest")
+    val staged = spark.read.parquet(s"$scratchRoot/latest")
+    val upserts = staged.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col).toSeq: _*)
+    val deletes = staged.filter(col(opCol) === "D").count()
+    if (!spark.catalog.tableExists(table)) {
+      upserts.write.saveAsTable(table)
+      return (upserts.count(), deletes)
+    }
+    val target = spark.table(table)
+    val changedKeys = staged.select(keys.map(col).toSeq: _*)
+    val cond = keys.map(k => target(k) === changedKeys(k)).reduce(_ && _)
+    val merged = target.join(changedKeys, cond, "left_anti")
+      .unionByName(upserts.select(target.columns.map(col).toSeq: _*))
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/merged")
+    spark.read.parquet(s"$scratchRoot/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    (staged.filter(col(opCol) =!= "D").count(), deletes)
+  }
+
   def upsertTable(spark: SparkSession, table: String, source0: DataFrame,
       keys: Seq[String]): Long = {
     // the raw-count observation sits UNDER the dedup window, so the one

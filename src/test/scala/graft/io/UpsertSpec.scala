@@ -57,6 +57,44 @@ class UpsertSpec extends SparkSpec {
       Map(1 -> "a1", 2 -> "B2", 3 -> "c"))
   }
 
+  test("applyChangeLog: inserts, updates, deletes; latest-seq wins; replay converges") {
+    val t = table("t_cdc")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"))
+    // k=2 updated then deleted (seq decides: delete wins), k=3 updated,
+    // k=4 inserted, k=9 deleted though absent (no-op)
+    val log = Seq(
+      (2, "b2", "U", 10L), (2, "b2", "D", 11L),
+      (3, "c2", "U", 5L),
+      (4, "d", "I", 1L),
+      (9, "", "D", 3L)).toDF("k", "v", "op", "seq")
+    val (ups, dels) = Upsert.applyChangeLog(spark, t, log, Seq("k"))
+    assert(ups == 2 && dels == 2, s"got ($ups, $dels)")
+    val rows = spark.table(t).as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "a", 3 -> "c2", 4 -> "d"),
+      s"unexpected table state: $rows")
+    // replaying the identical changelog is a no-op on the state
+    Upsert.applyChangeLog(spark, t, log, Seq("k"))
+    assert(spark.table(t).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 3 -> "c2", 4 -> "d"), "replay must converge")
+    // a later suffix re-inserts a deleted key
+    Upsert.applyChangeLog(spark, t,
+      Seq((2, "b3", "I", 20L)).toDF("k", "v", "op", "seq"), Seq("k"))
+    assert(spark.table(t).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b3", 3 -> "c2", 4 -> "d"))
+  }
+
+  test("applyChangeLog creates the table from the insert survivors when absent") {
+    val t = table("t_cdc_create")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val (ups, dels) = Upsert.applyChangeLog(spark, t,
+      Seq((1, "a", "I", 1L), (2, "b", "I", 1L), (2, "", "D", 2L))
+        .toDF("k", "v", "op", "seq"), Seq("k"))
+    assert(ups == 1 && dels == 1)
+    assert(spark.table(t).as[(Int, String)].collect().toMap == Map(1 -> "a"))
+  }
+
   test("composite keys match on the full conjunction") {
     val t = table("t_comp")
     spark.sql(s"DROP TABLE IF EXISTS $t")
