@@ -158,6 +158,69 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("CBO statistics flip a shuffle join to a broadcast join") {
+    // Statistics-driven planning is the remaining 100 TB lever nothing
+    // pinned: a dimension physically ABOVE the broadcast threshold
+    // joins as SortMergeJoin on file size alone, but ANALYZE TABLE
+    // row + column stats let FilterEstimation see that an equality
+    // predicate keeps ~rowCount/ndv rows, dropping the estimate below
+    // the threshold — the join flips to BroadcastHashJoin with ZERO
+    // query changes. (AQE off here to isolate the static CBO decision;
+    // at runtime AQE can make the same flip from observed sizes.)
+    val prev = Seq(
+      "spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    val table = "cbo_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // md5 payloads keep parquet from compressing the table under the
+      // threshold — the FILE size must stay big so only STATS can shrink
+      // the filtered estimate
+      spark.range(20000L)
+        .select(col("id").as("k"), (col("id") % 100).as("grp"),
+          md5(col("id").cast("string")).as("pad1"),
+          md5((col("id") + 7).cast("string")).as("pad2"))
+        .write.saveAsTable(table)
+      def planFor(): String = {
+        val fact = spark.range(100000L)
+          .select((col("id") % 20000).as("k"), col("id").as("v"))
+        fact.join(spark.table(table).filter(col("grp") === 7), Seq("k"))
+          .queryExecution.executedPlan.toString
+      }
+      val before = planFor()
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"without stats the filtered dim must stay a shuffle join:\n${before.take(1500)}")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS grp")
+      val after = planFor()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats (ndv=100 of 20k rows) must flip the filtered dim to broadcast:\n${after.take(1500)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("AQE coalesces undersized shuffle partitions") {
+    // the default-on behavior that makes shuffle.partitions=32 safe to
+    // oversize at 100 TB: tiny reduce work collapses to few tasks. A
+    // conf regression (coalescePartitions off) would silently schedule
+    // 32 near-empty reducers per stage, fleet-wide.
+    val df = spark.range(10000L)
+      .groupBy((col("id") % 5).as("g")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE must coalesce the 5-group shuffle below partition count:\n${plan.take(1500)}")
+  }
+
   test("AQE skew join: a skewed shuffle partition is split (skew=true in the final plan)") {
     // L15's saltedJoin proves MANUAL skew handling; the production-first
     // lever at 100 TB is Spark's own adaptive skew-join split, and
