@@ -295,6 +295,42 @@ object ExtendedQueries extends QuerySet {
     * the range sum is an exact integer. Two window shuffles (order key,
     * part key), both partitioned — no global sort anywhere.
     */
+  /** One-pass data profiling — the data-dictionary report every
+    * metadata-driven ETL ships next to its catalog (the reference's
+    * dictionary lists columns; this PROFILES them): per column, row
+    * count, non-null count, exact distinct count, and min/max. ALL
+    * columns profile in ONE scan: a single aggregate computes every
+    * metric (Catalyst plans the multi-COUNT(DISTINCT) via one Expand —
+    * cols× row amplification map-side, still one pass over the data,
+    * the standard trade), and the single result row explodes into the
+    * long-form report. Profiled columns are BIGINTs and VARCHARs;
+    * min/max stringify identically cross-engine for those types
+    * (doubles and dates deliberately excluded — their string forms are
+    * engine-specific; a production profile keeps them in typed
+    * columns). At 100 TB this is the scan you schedule nightly — the
+    * Expand factor is the column count, never data-dependent.
+    */
+  def dp1TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+    val profile = expr(
+      "explode(array(" + cols.map { c =>
+        s"struct('$c' AS column_name, n_rows, ${c}__nn AS non_null, " +
+          s"${c}__nd AS n_distinct, ${c}__min AS min_v, ${c}__max AS max_v)"
+      }.mkString(", ") + "))")
+    t(s, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(profile.as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
   /** Iterative graph score propagation — PageRank, two unrolled
     * rounds, EXACT-INTEGER fixed point: the one distributed-graph
     * family the engine still lacked (d6/v7 do connected components;
@@ -326,10 +362,16 @@ object ExtendedQueries extends QuerySet {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
+    // cached PRE-PARTITIONED on src: the degree aggregate and BOTH
+    // supersteps' score⋈edges joins need src-hash partitioning, so
+    // paying the exchange once before the persist lets every consumer
+    // read co-located cached blocks instead of re-shuffling 2|E| rows
+    // per round (measured 4.08 → 2.79 s at sf0.1, BASELINE §round-10)
     val edges = FrameCaches.track(
       pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
           (col("c") * 2).as("dst")))
+        .repartition(col("src"))
         .persist())
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // round 1 from the uniform start p0 = SCALE
@@ -539,6 +581,7 @@ object ExtendedQueries extends QuerySet {
     "w7_value_windows" -> w7ValueWindows _,
     "w8_scd2_history" -> w8Scd2History _,
     "gr1_pagerank" -> gr1Pagerank _,
+    "dp1_table_profile" -> dp1TableProfile _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "hll1_approx_distinct" -> hll1ApproxDistinct _,
@@ -572,6 +615,24 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "dp1_table_profile" ->
+      """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS non_null, COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_v FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', COUNT(*), COUNT(o_orderkey),
+        |  COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS VARCHAR),
+        |  CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+        |  MAX(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+        |  MAX(o_orderstatus) FROM orders
+        |ORDER BY column_name""".stripMargin,
     "gr1_pagerank" ->
       """WITH pr0 AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
