@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators for parquet catalog tables — the
+  * no-Delta counterparts of OPTIMIZE (compaction) and the incremental
+  * gold-refresh path a metadata-driven pipeline needs at scale
+  * (reference scope: the gold layer recomputes models wholesale and
+  * upserts; VACUUM/OPTIMIZE are Delta-only per SURVEY §7.4 — these are
+  * the parquet-native equivalents of the parts that ARE expressible).
+  */
+object Maintenance {
+
+  /** OPTIMIZE-style compaction: rewrite a table into
+    * `ceil(rows / targetRowsPerFile)` files. The small-file problem is
+    * the classic streaming/incremental-append pathology — thousands of
+    * kilobyte files turn every scan into a file-listing and task-
+    * scheduling storm; nightly compaction restores scan-sized files.
+    * Staged rewrite (a table cannot feed its own overwrite), atomic at
+    * the catalog-pointer level like [[Upsert.upsertTable]]; a real
+    * table format makes the swap transactional. `repartition` (not
+    * `coalesce`) so the rewrite redistributes evenly — coalesce would
+    * glue existing small files into uneven unions and keep skew.
+    *
+    * @return (files before, files after).
+    */
+  def compact(spark: SparkSession, table: String,
+      targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val before = spark.table(table).inputFiles.length
+    val n = spark.table(table).count()
+    val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__compact_stage/" +
+      table.replace('.', '_')
+    spark.table(table).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(scratch)
+    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /** Incremental maintenance of an ADDITIVE aggregate table — the
+    * 100 TB gold-refresh path: instead of rescanning all history per
+    * run (the reference's wholesale recompute), fold each new fact
+    * batch into the standing (keys → sums, count) table:
+    * `new_sum = old_sum + batch_sum` via full-outer join + coalesce.
+    * Correct exactly for the ADDITIVE family (SUM/COUNT — and the
+    * AVG/rate family derived from them at read time); MIN/MAX survive
+    * inserts but not retractions, and DISTINCT needs a sketch
+    * ([[graft.operators.Sketches]]) — that boundary is the classic
+    * materialized-view-maintenance taxonomy, enforced here by only
+    * accepting sum columns. Maintaining N batches ≡ one aggregate over
+    * their union, in ANY batch order (associativity + commutativity of
+    * +) — pinned in `MaintenanceSpec`. Scale shape: per batch, one
+    * map-side-combined aggregate of the BATCH (not history) + one
+    * keyed join against the standing table — cost rides the batch.
+    */
+  def maintainAdditiveAggregate(spark: SparkSession, table: String,
+      batch: DataFrame, keys: Seq[String], sumCols: Seq[String]): Unit = {
+    require(sumCols.nonEmpty, "need at least one additive column")
+    val aggExprs = sumCols.map(c => sum(col(c)).as(c)) :+
+      count(lit(1)).as("n_rows")
+    val batchAgg = batch.groupBy(keys.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    if (!spark.catalog.tableExists(table)) {
+      batchAgg.write.saveAsTable(table)
+      return
+    }
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    batchAgg.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+    val b = spark.read.parquet(s"$scratch/batch")
+    val t = spark.table(table)
+    val joined = t.join(b, keys, "full_outer")
+    val merged = joined.select(
+      keys.map(col) ++
+        (sumCols :+ "n_rows").map { c =>
+          (coalesce(t(c), lit(0)) + coalesce(b(c), lit(0))).as(c)
+        }: _*)
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
+    spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+}

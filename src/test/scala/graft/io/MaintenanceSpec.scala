@@ -1,0 +1,62 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS maint_test")
+    s"maint_test.$name"
+  }
+
+  test("compact rewrites many small files into the row-targeted count, rows intact") {
+    val t = table("t_compact")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // simulate incremental-append small files: 20 single-row appends
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").saveAsTable(t)
+    }
+    val beforeRows = spark.table(t).as[(Long, String)].collect().toSet
+    assert(spark.table(t).inputFiles.length >= 20, "setup must fragment")
+    val (before, after) = Maintenance.compact(spark, t, targetRowsPerFile = 10)
+    assert(before >= 20 && after == 2, s"expected 20+ -> 2 files, got $before -> $after")
+    assert(spark.table(t).as[(Long, String)].collect().toSet == beforeRows,
+      "compaction must not change a single row")
+  }
+
+  test("additive aggregate maintained over batches equals the one-shot aggregate, any order") {
+    val t1 = table("t_gold_inc")
+    val t2 = table("t_gold_inc_rev")
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    val b1 = Seq(("a", 10L, 1.5), ("a", 20L, 2.5), ("b", 5L, 0.5)).toDF("g", "qty", "amt")
+    val b2 = Seq(("a", 1L, 0.25), ("c", 7L, 7.0)).toDF("g", "qty", "amt")
+    val b3 = Seq(("b", 2L, 1.0), ("c", 3L, 3.0), ("a", 4L, 4.0)).toDF("g", "qty", "amt")
+    Seq(b1, b2, b3).foreach(b =>
+      Maintenance.maintainAdditiveAggregate(spark, t1, b, Seq("g"), Seq("qty", "amt")))
+    Seq(b3, b1, b2).foreach(b =>
+      Maintenance.maintainAdditiveAggregate(spark, t2, b, Seq("g"), Seq("qty", "amt")))
+    val oneShot = b1.unionByName(b2).unionByName(b3)
+      .groupBy("g")
+      .agg(sum("qty").as("qty"), sum("amt").as("amt"), count(lit(1)).as("n_rows"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    val inc = spark.table(t1).as[(String, Long, Double, Long)].collect().toSet
+    val rev = spark.table(t2).as[(String, Long, Double, Long)].collect().toSet
+    assert(inc == oneShot, s"incremental $inc != one-shot $oneShot")
+    assert(rev == oneShot, "batch order must not matter (commutativity)")
+  }
+
+  test("maintained aggregate grows keys without touching unrelated ones") {
+    val t = table("t_gold_keys")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("x", 1L)).toDF("g", "qty"), Seq("g"), Seq("qty"))
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("y", 2L)).toDF("g", "qty"), Seq("g"), Seq("qty"))
+    val rows = spark.table(t).as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(("x", 1L, 1L), ("y", 2L, 1L)), s"got $rows")
+  }
+}
