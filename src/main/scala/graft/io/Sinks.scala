@@ -61,6 +61,33 @@ object Sinks {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming CDC sink: [[streamUpsert]]'s changelog twin — each
+    * micro-batch of (data…, op, seq) rows goes through
+    * [[Upsert.applyChangeLog]], so a streamed changelog (a Debezium/
+    * binlog-shaped feed) maintains the table INCLUDING deletes, which
+    * the plain upsert sink cannot express. Same exactly-once contract:
+    * checkpointed offsets + a replay-convergent apply (latest-seq-wins
+    * per key, idempotent deletes) — re-delivered batches re-apply to
+    * the same state.
+    */
+  def streamChangeLog(stream: DataFrame, table: String, keys: Seq[String],
+      checkpoint: String, opCol: String = "op", seqCol: String = "seq",
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.applyChangeLog(batch.sparkSession, table, batch, keys,
+          opCol, seqCol)
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }
 
 /** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN

@@ -107,6 +107,7 @@ object ProfileR10Scale {
         .select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
           (col("c") * 2).as("dst")))
+        .repartition(col("src")) // the shipped gr1 shape: cache co-located
         .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
       val p1 = edges.join(deg, "src")

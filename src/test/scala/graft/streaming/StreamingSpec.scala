@@ -84,6 +84,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamChangeLog applies a streamed CDC feed: upserts land, deletes remove, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_cdc_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_cdc"
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = Sinks.streamChangeLog(
+      ms.toDF.toDF("id", "name", "op", "seq"), table, Seq("id"), ckpt,
+      availableNow = false)
+    try {
+      ms.addData((1L, "a", "I", 1L), (2L, "b", "I", 2L), (3L, "c", "I", 3L))
+      q.processAllAvailable()
+      assert(spark.table(table).count() == 3)
+      // batch 2: delete 2, update 3, racing update-then-delete on 1
+      ms.addData((2L, "", "D", 10L), (3L, "c2", "U", 11L),
+        (1L, "a2", "U", 12L), (1L, "", "D", 13L))
+      q.processAllAvailable()
+      val rows = spark.table(table).as[(Long, String)].collect().toSet
+      assert(rows == Set((3L, "c2")),
+        s"deletes must remove 1 and 2, update must land on 3; got $rows")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("stream-stream attribution join is stream/batch identical") {
     val q = EventsStreaming.attributionJoin(
         EventsStreaming.readEvents(spark, dir))
