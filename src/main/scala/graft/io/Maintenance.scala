@@ -41,6 +41,32 @@ object Maintenance {
     (before, spark.table(table).inputFiles.length)
   }
 
+  /** VACUUM for the staging plane: the merge/CDC/compaction sinks
+    * stage through scratch directories under the warehouse
+    * (`__upsert_stage`, `__cdc_stage`, `__compact_stage`,
+    * `__evolve_stage`, `__maint_stage`); each is transient by contract
+    * (the NEXT run of the same table overwrites it) but a crashed or
+    * final run leaves the last copy on disk forever. This deletes the
+    * staging roots — safe by construction because no table ever
+    * references staged files (every sink reads the stage back and
+    * writes a fresh catalog copy; the Delta-VACUUM orphan-detection
+    * problem doesn't arise when staging is namespaced). Returns the
+    * number of staging roots removed.
+    */
+  def vacuumStaging(spark: SparkSession): Int = {
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    val stages = Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__") &&
+        f.getName.endsWith("_stage"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    stages.foreach(rm)
+    stages.length
+  }
+
   /** Incremental maintenance of an ADDITIVE aggregate table — the
     * 100 TB gold-refresh path: instead of rescanning all history per
     * run (the reference's wholesale recompute), fold each new fact

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Sink modes (reference operators K1–K6) on parquet catalog tables:
   * append, overwrite (optional partitionBy), and keyed upsert (the
@@ -176,6 +176,54 @@ object Upsert {
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
     (staged.filter(col(opCol) =!= "D").count(), deletes)
+  }
+
+  /** [[upsertTable]] with SCHEMA EVOLUTION: a source batch carrying
+    * columns the target lacks WIDENS the table (existing rows read the
+    * new columns as NULL), and a batch missing target columns fills
+    * them with NULL on its own rows — additive evolution only, the
+    * mergeSchema contract (never a drop, never a type change; a
+    * conflicting type fails loudly in the union). This is the
+    * metadata-driven-ETL lifecycle case the strict upsert rejects: the
+    * upstream added a field, tomorrow's batches carry it, and the
+    * pipeline must not stop. Implementation: pad EACH side to the
+    * UNION of the two schemas with typed NULL columns, then run the
+    * standard staged anti-join + union merge.
+    */
+  def upsertTableEvolving(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String]): Long = {
+    if (!spark.catalog.tableExists(table))
+      return upsertTable(spark, table, source, keys)
+    val target = spark.table(table)
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSeq
+    require(keys.forall(sCols.contains), s"source must carry the keys $keys")
+    val newCols = sCols.filterNot(tCols.contains)
+    val missingCols = tCols.filterNot(sCols.contains)
+    val widened =
+      if (newCols.isEmpty) target
+      else newCols.foldLeft(target) { (df, c) =>
+        df.withColumn(c, lit(null).cast(source.schema(c).dataType))
+      }
+    val padded =
+      if (missingCols.isEmpty) source
+      else missingCols.foldLeft(source) { (df, c) =>
+        df.withColumn(c, lit(null).cast(target.schema(c).dataType))
+      }
+    if (newCols.nonEmpty) {
+      // rewrite the catalog entry to the widened schema FIRST (staged —
+      // a table cannot feed its own overwrite), then the plain upsert
+      // sees schema-identical sides
+      val scratch =
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/__evolve_stage/" +
+          table.replace('.', '_')
+      widened.write.mode(SaveMode.Overwrite).parquet(scratch)
+      spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    }
+    upsertTable(spark, table, padded.select(
+      spark.table(table).columns.map(col).toSeq: _*), keys)
   }
 
   def upsertTable(spark: SparkSession, table: String, source0: DataFrame,

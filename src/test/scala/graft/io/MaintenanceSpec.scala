@@ -49,6 +49,41 @@ class MaintenanceSpec extends SparkSpec {
     assert(rev == oneShot, "batch order must not matter (commutativity)")
   }
 
+  test("vacuumStaging removes staging debris; tables survive") {
+    val t = table("t_vacuum")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // leave real staging debris the way a final upsert run does
+    Upsert.upsertTable(spark, t, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    Upsert.upsertTable(spark, t, Seq((2, "b")).toDF("k", "v"), Seq("k"))
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    assert(wh.listFiles().exists(_.getName == "__upsert_stage"),
+      "setup: the staged merge must have left its scratch root")
+    val removed = Maintenance.vacuumStaging(spark)
+    assert(removed >= 1, "must remove at least the upsert stage")
+    assert(!wh.listFiles().exists(f => f.getName.startsWith("__") &&
+      f.getName.endsWith("_stage")), "all staging roots gone")
+    assert(spark.table(t).count() == 2, "the table itself must be untouched")
+  }
+
+  test("evolving upsert widens the table for a new column, pads a missing one") {
+    val t = table("t_evolve")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    // batch adds column w: table widens; old rows read w as NULL
+    Upsert.upsertTableEvolving(spark, t,
+      Seq((2, "b2", 20.0), (3, "c", 30.0)).toDF("k", "v", "w"), Seq("k"))
+    val rows = spark.table(t)
+      .select("k", "v", "w").as[(Int, String, Option[Double])].collect().toSet
+    assert(rows == Set((1, "a", None), (2, "b2", Some(20.0)), (3, "c", Some(30.0))),
+      s"got $rows")
+    // a later batch MISSING w still merges; its rows carry NULL w
+    Upsert.upsertTableEvolving(spark, t, Seq((4, "d")).toDF("k", "v"), Seq("k"))
+    val rows2 = spark.table(t)
+      .select("k", "v", "w").as[(Int, String, Option[Double])].collect().toSet
+    assert(rows2 == rows + ((4, "d", None)), s"got $rows2")
+  }
+
   test("maintained aggregate grows keys without touching unrelated ones") {
     val t = table("t_gold_keys")
     spark.sql(s"DROP TABLE IF EXISTS $t")
