@@ -147,6 +147,24 @@ object EventQueries extends QuerySet {
         col("n_events"))
       .orderBy("day", "event_type")
 
+  /** VARIANT semi-structured path — Spark 4's open-ended JSON type
+    * (`parse_json` → binary variant → typed `variant_get`) instead of
+    * e4's schema-on-read `get_json_object` string plucking: the shape
+    * for payloads whose schema you DON'T pin up front. Extraction is
+    * scan-fused map work; the aggregate is the usual map-side-combined
+    * per-type rollup. The oracle extracts the same path with DuckDB's
+    * JSON reader — identical ints, so the variant decode is
+    * value-checked end to end.
+    */
+  def e13VariantJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Ordered conversion funnel view → click → purchase: a user reaches
     * a stage only via a STRICTLY LATER event than the previous stage
     * (first view, then first click after that view, then first purchase
@@ -229,6 +247,7 @@ object EventQueries extends QuerySet {
     "e7_daily_deltas" -> e7DailyDeltas _,
     "e8_pivot_daily" -> e8PivotDaily _,
     "e12_unpivot" -> e12Unpivot _,
+    "e13_variant_json" -> e13VariantJson _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +351,13 @@ object EventQueries extends QuerySet {
         | COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
         | COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e13_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+        |    AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e12_unpivot" ->
       """WITH piv AS (
         |  SELECT CAST(ts AS DATE) AS day,

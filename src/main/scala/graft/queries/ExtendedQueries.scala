@@ -295,6 +295,60 @@ object ExtendedQueries extends QuerySet {
     * the range sum is an exact integer. Two window shuffles (order key,
     * part key), both partitioned — no global sort anywhere.
     */
+  /** WITH RECURSIVE — Spark 4's recursive CTE on a DATA-SEEDED anchor:
+    * a 24-month amortization schedule per region (principal = the
+    * region's supplier balances in cents, 1%/month interest, payment =
+    * principal/48) — the inherently SEQUENTIAL computation class
+    * (balance n+1 needs balance n) that joins/windows cannot express
+    * and pre-4.x Spark delegated to driver loops. All-integer
+    * arithmetic; `DIV`(Spark)/`//`(DuckDB) agree because every balance
+    * stays positive by construction (payment ≈ 2.1%/month vs 1%
+    * interest ⇒ balance shrinks ~1%/month, never crossing zero inside
+    * 24 months — truncating and flooring division only differ below
+    * zero). Scale shape: recursion depth is the CONSTANT 24 (never
+    * data-dependent); each step is one tiny self-map — the frontier is
+    * |regions| rows. 125 rows at every SF (5 regions × 25 months).
+    */
+  def rc1Amortization(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("supplier", "nation", "region"))
+    s.sql(
+      """WITH RECURSIVE am(region, month, balance_cents, pay) AS (
+        |  SELECT r_name, 0,
+        |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT),
+        |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT))
+        |      DIV 48 AS BIGINT)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name
+        |  UNION ALL
+        |  SELECT region, month + 1,
+        |    balance_cents + balance_cents DIV 100 - pay, pay
+        |  FROM am WHERE month < 24)
+        |SELECT region, month, balance_cents FROM am
+        |ORDER BY region, month""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery — the top-k-per-group shape spelled
+    * the modern-SQL way (a correlated ORDER BY … LIMIT subquery in the
+    * FROM clause) instead of w4's window+filter: Catalyst decorrelates
+    * the lateral through its DomainJoin machinery, the one subquery
+    * form the suite had not exercised. Nations without customers
+    * vanish (inner lateral semantics, both engines agree). The order
+    * key inside the lateral is total per nation (acctbal DESC, name),
+    * so the LIMIT 2 cutoff is deterministic.
+    */
+  def j8LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("nation", "customer"))
+    s.sql(
+      """SELECT n_name, l.c_name, l.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n_name, l.c_acctbal DESC, l.c_name""".stripMargin)
+  }
+
   /** One-pass data profiling — the data-dictionary report every
     * metadata-driven ETL ships next to its catalog (the reference's
     * dictionary lists columns; this PROFILES them): per column, row
@@ -582,6 +636,8 @@ object ExtendedQueries extends QuerySet {
     "w8_scd2_history" -> w8Scd2History _,
     "gr1_pagerank" -> gr1Pagerank _,
     "dp1_table_profile" -> dp1TableProfile _,
+    "rc1_amortization" -> rc1Amortization _,
+    "j8_lateral_topk" -> j8LateralTopk _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "hll1_approx_distinct" -> hll1ApproxDistinct _,
@@ -615,6 +671,29 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "rc1_amortization" ->
+      """WITH RECURSIVE am(region, month, balance_cents, pay) AS (
+        |  SELECT r_name, 0,
+        |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT),
+        |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT)) // 48
+        |      AS BIGINT)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name
+        |  UNION ALL
+        |  SELECT region, month + 1,
+        |    balance_cents + balance_cents // 100 - pay, pay
+        |  FROM am WHERE month < 24)
+        |SELECT region, month, CAST(balance_cents AS BIGINT) AS balance_cents
+        |FROM am ORDER BY region, month""".stripMargin,
+    "j8_lateral_topk" ->
+      """SELECT n_name, l.c_name, l.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n_name, l.c_acctbal DESC, l.c_name""".stripMargin,
     "dp1_table_profile" ->
       """SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
         |  COUNT(o_custkey) AS non_null, COUNT(DISTINCT o_custkey) AS n_distinct,
