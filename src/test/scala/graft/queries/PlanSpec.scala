@@ -473,6 +473,26 @@ class PlanSpec extends SparkSpec {
       s"stage windows must reuse one user_id exchange, saw $userShuffles:\n$p")
   }
 
+  test("j8: the correlated lateral decorrelates to a map-side group limit, never a nested loop") {
+    val p = plan("j8_lateral_topk")
+    // Catalyst must rewrite the ORDER BY…LIMIT lateral into rank +
+    // WindowGroupLimit (the partial group-limit runs BEFORE the
+    // exchange — map-side top-k) joined hash-wise; a per-outer-row
+    // re-execution would surface as a nested-loop join
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-k must plan the group-limit pushdown:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral must not plan a nested loop:\n${p.take(1500)}")
+  }
+
+  test("rc1: WITH RECURSIVE plans the native loop operator") {
+    val p = graft.SparkEntry.queries("rc1_amortization")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"recursion must plan UnionLoop (not an unrolled union):\n${p.take(1500)}")
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
