@@ -182,8 +182,11 @@ object Upsert {
     * columns the target lacks WIDENS the table (existing rows read the
     * new columns as NULL), and a batch missing target columns fills
     * them with NULL on its own rows — additive evolution only, the
-    * mergeSchema contract (never a drop, never a type change; a
-    * conflicting type fails loudly in the union). This is the
+    * mergeSchema contract (never a drop, never a type change; a type
+    * conflict on a shared column is rejected EAGERLY — Spark's union
+    * would otherwise coerce silently, e.g. a DOUBLE batch column
+    * stringifying into a STRING target, which is corruption, not
+    * evolution). This is the
     * metadata-driven-ETL lifecycle case the strict upsert rejects: the
     * upstream added a field, tomorrow's batches carry it, and the
     * pipeline must not stop. Implementation: pad EACH side to the
@@ -198,6 +201,17 @@ object Upsert {
     val tCols = target.columns.toSeq
     val sCols = source.columns.toSeq
     require(keys.forall(sCols.contains), s"source must carry the keys $keys")
+    // shared columns must agree on type EXACTLY: Spark's union would
+    // otherwise coerce (a DOUBLE batch column silently stringifies
+    // into a STRING target column) — evolution is additive, never a
+    // type change
+    val conflicts = sCols.filter(tCols.contains).filter(c =>
+      source.schema(c).dataType != target.schema(c).dataType)
+    require(conflicts.isEmpty,
+      s"type conflict on ${conflicts.mkString(", ")}: evolution is " +
+        "additive-only (new columns), never a type change — " +
+        conflicts.map(c => s"$c: ${target.schema(c).dataType.simpleString} " +
+          s"vs batch ${source.schema(c).dataType.simpleString}").mkString("; "))
     val newCols = sCols.filterNot(tCols.contains)
     val missingCols = tCols.filterNot(sCols.contains)
     val widened =

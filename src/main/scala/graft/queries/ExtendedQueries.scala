@@ -329,6 +329,42 @@ object ExtendedQueries extends QuerySet {
         |ORDER BY region, month""".stripMargin)
   }
 
+  /** WITH RECURSIVE over a DATA graph — rc1's complement: the
+    * recursive step JOINS the loop relation against a 1.17M-edge table
+    * (BFS frontier expansion), not a pure self-map. Two-hop
+    * reachability from supplier #1's node over the co-order bipartite
+    * graph, min-distance per node read off the outer aggregate.
+    * Bounded-depth UNION ALL is the deliberate spelling: each
+    * superstep is one join + append and the frontier is bounded by
+    * Σ deg over the previous hop (≈23k rows at sf0.1's 2 hops);
+    * unbounded traversals on cyclic graphs want per-level dedup
+    * (UNION-distinct recursion) or the d6/v7 union-find path — that
+    * boundary is the scale note. 153 / 613 / 1571 reachable nodes at
+    * the three SFs — a strict subset of each graph's 160/1600/16k
+    * nodes, so reachability (not mere membership) and the per-node
+    * min-dist are both discriminative.
+    */
+  def rc2Reachability(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst")))
+      .createOrReplaceTempView("coorder_edges")
+    s.sql(
+      """WITH RECURSIVE reach(node, dist) AS (
+        |  SELECT CAST(3 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1
+        |  FROM reach r JOIN coorder_edges e ON e.src = r.node
+        |  WHERE r.dist < 2)
+        |SELECT node, MIN(dist) AS dist FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   /** LATERAL correlated subquery — the top-k-per-group shape spelled
     * the modern-SQL way (a correlated ORDER BY … LIMIT subquery in the
     * FROM clause) instead of w4's window+filter: Catalyst decorrelates
@@ -637,6 +673,7 @@ object ExtendedQueries extends QuerySet {
     "gr1_pagerank" -> gr1Pagerank _,
     "dp1_table_profile" -> dp1TableProfile _,
     "rc1_amortization" -> rc1Amortization _,
+    "rc2_reachability" -> rc2Reachability _,
     "j8_lateral_topk" -> j8LateralTopk _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
@@ -687,6 +724,22 @@ object ExtendedQueries extends QuerySet {
         |  FROM am WHERE month < 24)
         |SELECT region, month, CAST(balance_cents AS BIGINT) AS balance_cents
         |FROM am ORDER BY region, month""".stripMargin,
+    "rc2_reachability" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM p0
+        |  UNION ALL
+        |  SELECT sk * 2 + 1 AS src, c * 2 AS dst FROM p0),
+        |reach(node, dist) AS (
+        |  SELECT CAST(3 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.dist < 2)
+        |SELECT node, MIN(dist) AS dist FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
     "j8_lateral_topk" ->
       """SELECT n_name, l.c_name, l.c_acctbal
         |FROM nation, LATERAL (

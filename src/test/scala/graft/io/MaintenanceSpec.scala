@@ -84,6 +84,19 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows2 == rows + ((4, "d", None)), s"got $rows2")
   }
 
+  test("evolving upsert rejects a type conflict instead of silently coercing") {
+    val t = table("t_evolve_conflict")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertTableEvolving(spark, t,
+        Seq((2, 2.5)).toDF("k", "v"), Seq("k")) // v: STRING in table, DOUBLE in batch
+    }
+    assert(e.getMessage.contains("type conflict") && e.getMessage.contains("v"),
+      s"unexpected: ${e.getMessage}")
+    assert(spark.table(t).count() == 1, "the failed merge must not touch the table")
+  }
+
   test("maintained aggregate grows keys without touching unrelated ones") {
     val t = table("t_gold_keys")
     spark.sql(s"DROP TABLE IF EXISTS $t")
