@@ -38,6 +38,23 @@ object EventQueries extends QuerySet {
         col("n_events"), col("total_value"))
       .orderBy("bucket_start", "event_type")
 
+  /** SLIDING (hopping) window — e3's tumbling twin with overlap: 1-hour
+    * windows hopping every 30 minutes, so each event lands in exactly
+    * TWO buckets (duration/slide = 2 — Spark's `window(ts, dur, slide)`
+    * plans a 2-row generator per event, never a range join). The
+    * overlap factor is the denormalization cost a streaming rollup
+    * accepts for query-time simplicity; the oracle UNNESTs the same
+    * two window starts per event. Scale shape: generator + one
+    * map-side-combined aggregate — tumbling's cost ×(dur/slide).
+    */
+  def e14SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
   /** Sessionization: a new session starts after a >30 min gap per user.
     * lag + cumulative-sum over an integer-micros total order.
     */
@@ -248,6 +265,7 @@ object EventQueries extends QuerySet {
     "e8_pivot_daily" -> e8PivotDaily _,
     "e12_unpivot" -> e12Unpivot _,
     "e13_variant_json" -> e13VariantJson _,
+    "e14_sliding_window" -> e14SlidingWindow _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +335,16 @@ object EventQueries extends QuerySet {
       """SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000) AS bucket_start,
         | event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "e14_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    UNNEST([epoch_us(ts) // 1800000000 * 1800000000,
+        |            epoch_us(ts) // 1800000000 * 1800000000 - 1800000000])
+        |      AS ws
+        |  FROM events)
+        |SELECT make_timestamp(ws) AS win_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "e4_json_extract" ->
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k

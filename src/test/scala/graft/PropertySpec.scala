@@ -35,6 +35,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental additive aggregate equals the one-shot aggregate for arbitrary batch splits") {
+    import graft.io.Maintenance
+    spark.sql("CREATE DATABASE IF NOT EXISTS prop_test")
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val t = s"prop_test.m_$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val nBatches = rnd.nextInt(4) + 2
+      val batches = Seq.fill(nBatches)(
+        Seq.fill(rnd.nextInt(30) + 1)(
+          (s"g${rnd.nextInt(6)}", rnd.nextInt(1000).toLong))
+          .toDF("g", "qty"))
+      batches.foreach(b =>
+        Maintenance.maintainAdditiveAggregate(spark, t, b, Seq("g"), Seq("qty")))
+      val oneShot = batches.reduce(_ unionByName _)
+        .groupBy("g")
+        .agg(sum("qty").as("qty"), count(lit(1)).as("n_rows"))
+        .as[(String, Long, Long)].collect().toSet
+      val inc = spark.table(t).as[(String, Long, Long)].collect().toSet
+      assert(inc == oneShot, s"seed $seed ($nBatches batches): $inc != $oneShot")
+    }
+  }
+
   test("dq filter + invalid metrics partition the input exactly") {
     for (seed <- seeds) {
       val rnd = new Random(seed)
