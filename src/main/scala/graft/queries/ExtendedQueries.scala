@@ -350,9 +350,15 @@ object ExtendedQueries extends QuerySet {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
-    pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
-        (col("c") * 2).as("dst")))
+    // persisted + src-partitioned like gr1's edge cache: the loop
+    // re-reads the edge view ONCE PER ITERATION, so an un-persisted
+    // view recomputes the 587k-pair distinct per hop
+    graft.operators.FrameCaches.track(
+      pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
+        .repartition(col("src"))
+        .persist())
       .createOrReplaceTempView("coorder_edges")
     s.sql(
       """WITH RECURSIVE reach(node, dist) AS (
