@@ -84,6 +84,11 @@ object GraftExtensions {
       arity("word_shingles", args, 2)
       WordShingles(args.head, intLit(args(1), "word_shingles", "n"))
     },
+    fn("adjacent_pairs", classOf[AdjacentPairs],
+      "adjacent_pairs(text) - bigram occurrences as array<struct<w1,w2>>") { args =>
+      arity("adjacent_pairs", args, 1)
+      AdjacentPairs(args.head)
+    },
     fn("simhash_chunks", classOf[SimhashChunksExpr],
       "simhash_chunks(text[, use_md5]) - packed 60-bit simhash chunks") { args =>
       arity("simhash_chunks", args, 1, 2)

@@ -71,6 +71,55 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native one-pass adjacent-token pairs — bigram OCCURRENCES, with
+  * multiplicity, in token order, as `array<struct<w1,w2>>`. The LM
+  * scorer's hottest map (t20): the composable spelling
+  * (`transform(sequence(1, size-1), i -> struct(element_at…))`)
+  * dispatches an interpreted lambda per ELEMENT plus an O(n) two-array
+  * walk per element_at; this is one virtual call per row with a single
+  * token pass. At the gate corpus (5000 short docs) the scoring JOINS
+  * dominate and the swap measures neutral (1.05 s either way,
+  * BASELINE §round-10) — the dispatch saving matters when text mass,
+  * not the model join, carries the query. Tokenization matches
+  * `TextFunctions.tokens` (whitespace split, empties removed) by
+  * construction. Also fixes the HOF
+  * spelling's latent edge: `sequence(1, size-1)` on a 0/1-token doc
+  * DESCENDS (Spark defaults step −1 when start > stop), generating
+  * bogus indices — here such docs cleanly emit an empty array.
+  */
+case class AdjacentPairs(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "adjacent_pairs"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"adjacent_pairs needs a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](tokens.length - 1)
+    var i = 0
+    while (i < tokens.length - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(tokens(i)), UTF8String.fromString(tokens(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native one-pass 60-bit SimHash → 4×15-bit chunks.
   *
   * The composable form runs 60 interpreted `aggregate` HOFs over the
@@ -475,6 +524,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 object TextExpressions {
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+
+  def adjacentPairs(c: Column): Column =
+    GraftColumnBridge.column(AdjacentPairs(GraftColumnBridge.expression(c)))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(

@@ -419,11 +419,11 @@ object TextQueries extends QuerySet {
     */
   def t20LmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bi = base.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> struct(element_at(toks, i) AS w1,
-            |              element_at(toks, i + 1) AS w2))""".stripMargin))
+    // native one-pass pair generator ([[graft.functions.TextExpressions
+    // .adjacentPairs]]) — the HOF spelling kept as an executable spec in
+    // GraftExtensionsSpec; per-row virtual call vs per-element lambda
+    val bi = docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextExpressions.adjacentPairs(col("text")))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val uni = base.select(explode(col("toks")).as("w1"))

@@ -38,7 +38,7 @@ class GraftExtensionsSpec extends SparkSpec {
   test("install registers every function by name") {
     installed
     val names = GraftExtensions.functions.map(_._1.funcName)
-    assert(names.size == 10)
+    assert(names.size == 11)
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
@@ -68,6 +68,32 @@ class GraftExtensionsSpec extends SparkSpec {
           TextExpressions.wordShingles(col("text"), 2), useMd5 = false),
         TextExpressions.hashedShingleSet(
           TextExpressions.wordShingles(col("text"), 2), useMd5 = false)))
+  }
+
+  test("adjacent_pairs: native equals the HOF spelling; short docs emit empty, not bogus indices") {
+    installed
+    // parity with the interpreted-HOF formulation on >= 2-token docs
+    val multi = docs.filter(length(trim(col("text"))) > 0)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2)
+    val viaNative = multi.select(col("id"),
+      TextExpressions.adjacentPairs(col("text")).as("p")).orderBy("id").collect()
+    val viaHof = multi.select(col("id"), expr(
+      """transform(sequence(1, size(filter(split(trim(text), '\\s+'), t -> length(t) > 0)) - 1),
+        |  i -> struct(element_at(filter(split(trim(text), '\\s+'), t -> length(t) > 0), i) AS w1,
+        |              element_at(filter(split(trim(text), '\\s+'), t -> length(t) > 0), i + 1) AS w2))""".stripMargin)
+      .as("p")).orderBy("id").collect()
+    assert(viaNative.sameElements(viaHof), "native must equal the HOF formulation")
+    // the HOF's latent edge (sequence(1, size-1) DESCENDS below 2
+    // tokens) is fixed: short docs emit an EMPTY array
+    val short = docs.filter(size(split(trim(col("text")), "\\s+")) < 2 ||
+        length(trim(col("text"))) === 0)
+      .select(size(TextExpressions.adjacentPairs(col("text"))).as("n"))
+      .as[Int].collect()
+    assert(short.nonEmpty && short.forall(_ == 0),
+      s"0/1-token docs must emit empty pair arrays, got ${short.toSeq}")
+    // SQL registration path
+    assertParity("adjacent_pairs", "adjacent_pairs(text)",
+      TextExpressions.adjacentPairs(col("text")))
   }
 
   test("vector family: SQL text equals the Column wrapper") {
