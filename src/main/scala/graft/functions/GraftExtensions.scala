@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the library needs no custom LogicalPlan or SparkStrategy — but its
   * scalar surface (shingling, sketch signatures, vector arithmetic,
   * hex-hash slicing) lives in custom Expressions reachable only from
-  * the Column API. This extension registers every one of them as a
+  * the Column API. This extension registers every one of them (eleven expressions) as a
   * first-class SQL function, so a `spark.sql(...)` user — the
   * reference's whole audience is SQL-in-YAML (transform_config
   * .yaml's expression strings) — gets the identical codegen'd

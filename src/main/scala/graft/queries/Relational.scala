@@ -849,6 +849,22 @@ object Relational extends QuerySet {
     t(s, dir, "orders").filter(col("o_orderstatus") === "P")
       .agg((count(lit(1)) > 0).as("has_rows"))
 
+  /** A11: ordered ARRAY_AGG — the collection aggregate the A-family
+    * lacked: per customer, the SORTED array of its order keys (sorting
+    * makes `collect_list`'s arbitrary arrival order deterministic —
+    * the only way a collected array can sit behind a hash gate).
+    * Capped to the `o_custkey < 500` slice so the per-group array stays
+    * a bounded payload; the unbounded spelling is the classic
+    * group-explosion hazard at scale (one hot customer = one giant
+    * row), which is exactly why fi1/d9/LSH wire caps.
+    */
+  def a11ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_custkey") < 500)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   // ---- W1: uniqueness/dedup by rank (fixed version of the reference's
   //      broken validate_uniqueness, dq_engine.py:231-241) ----
   def w1DedupRank(s: SparkSession, dir: String): DataFrame = {
@@ -1222,6 +1238,7 @@ object Relational extends QuerySet {
     "a7_key_counts" -> a7KeyCounts _,
     "a8_distinct" -> a8Distinct _,
     "a9_exists_probe" -> a9Exists _,
+    "a11_array_agg" -> a11ArrayAgg _,
     "w1_dedup_rank" -> w1DedupRank _,
     "w2_running_sum" -> w2RunningSum _,
     "w3_lag" -> w3Lag _,
@@ -1588,6 +1605,11 @@ object Relational extends QuerySet {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a9_exists_probe" ->
       "SELECT COUNT(*) > 0 AS has_rows FROM orders WHERE o_orderstatus = 'P'",
+    "a11_array_agg" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey < 500
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "w1_dedup_rank" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_quantity,
