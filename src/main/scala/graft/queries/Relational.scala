@@ -929,6 +929,42 @@ object Relational extends QuerySet {
       .limit(100)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
 
+  /** O5: OFFSET pagination — page 3 of a keyset-ordered listing
+    * (LIMIT 20 OFFSET 40). The API-pagination spelling; the scaladoc
+    * caveat IS the scale note: OFFSET must still sort/skip the first
+    * page·N rows on one node, so deep pagination wants the keyset form
+    * (`WHERE key > last_seen ORDER BY key LIMIT n`) — o1/o3 show that
+    * shape; this row pins that the OFFSET operator itself is exact.
+    */
+  def o5OffsetPage(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin)
+  }
+
+  /** O6: explicit null ordering — on an ASCENDING sort Spark defaults
+    * NULLS FIRST while DuckDB defaults NULLS LAST, so any nullable
+    * ascending sort key left implicit is a silent cross-engine
+    * divergence; the suite's other queries dodge it with non-null
+    * keys, and this row pins the EXPLICIT discipline on a genuinely
+    * null-bearing column (the CASE-null status from p5's shape). The
+    * LIMIT makes the null placement decide WHICH rows return (the
+    * driver hashes the row SET, so bare ordering would be invisible):
+    * with NULLS FIRST the page is null-status rows (514/987 nulls at
+    * sf0.001/0.01 ≫ 50, tiebroken by the unique key) — an oracle left
+    * to DuckDB's NULLS LAST default would return non-null rows and
+    * hash-mismatch.
+    */
+  def o6NullOrdering(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") =!= "O", col("o_orderstatus"))
+          .otherwise(lit(null)).as("status_nn"))
+      .orderBy(col("status_nn").asc_nulls_first, col("o_orderkey").asc)
+      .limit(50)
+
   // ---- gold model analogs (gold_config.yaml:8-65) ----
   def g1DailySales(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -1246,6 +1282,8 @@ object Relational extends QuerySet {
     "o1_topk" -> o1TopK _,
     "o2_sort" -> o2Sort _,
     "o3_limit" -> o3Limit _,
+    "o5_offset_page" -> o5OffsetPage _,
+    "o6_null_ordering" -> o6NullOrdering _,
     "g1_daily_sales_by_type" -> g1DailySales _,
     "g2_customer_summary" -> g2CustomerSummary _,
     "g3_product_performance" -> g3ProductPerformance _,
@@ -1641,6 +1679,14 @@ object Relational extends QuerySet {
     "o3_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "o5_offset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+    "o6_null_ordering" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus END AS status_nn
+        |FROM orders WHERE o_orderkey < 3000
+        |ORDER BY status_nn ASC NULLS FIRST, o_orderkey LIMIT 50""".stripMargin,
     "g1_daily_sales_by_type" ->
       """SELECT CAST(l_shipdate AS DATE) AS sale_date, p_type,
         | COUNT(*) AS transaction_count,
