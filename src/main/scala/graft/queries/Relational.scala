@@ -929,6 +929,39 @@ object Relational extends QuerySet {
       .limit(100)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
 
+  /** J9: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * variant where NULL keys MATCH each other instead of silently
+    * dropping (the classic "where did my unclassified rows go" bug in
+    * dimension joins on optional attributes). Both sides aggregate
+    * orders to per-status rows with the non-'O' statuses nulled (p5's
+    * CASE shape) over DISJOINT even/odd key slices, then join
+    * null-safely: the null-status row from each side pairs up — a
+    * plain equi join returns 2 of the 3 rows (the null row vanishes),
+    * so the variant is discriminative at every SF. Scale shape:
+    * null-safe equality still hashes
+    * (NULL becomes an ordinary key value), so the join stays a hash
+    * join — but every null-keyed row lands in ONE partition, which is
+    * exactly the skew the L15/AQE levers exist for when nulls are
+    * plentiful.
+    */
+  def j9NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    // even/odd key slices: disjoint AND non-empty at every SF (an
+    // absolute key split is empty on one side at sf0.001 — the j3
+    // vacuity lesson)
+    def side(parity: Long, n: String) =
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === parity)
+        .groupBy(when(col("o_orderstatus") =!= "O", col("o_orderstatus"))
+          .otherwise(lit(null)).as("status_nn"))
+        .agg(count(lit(1)).as(n))
+    val l = side(0L, "n_left")
+    val r = side(1L, "n_right")
+      .withColumnRenamed("status_nn", "status_r")
+    l.join(r, col("status_nn") <=> col("status_r"))
+      .select(col("status_nn"), col("n_left"), col("n_right"))
+      .orderBy(col("status_nn").asc_nulls_first)
+  }
+
   /** O5: OFFSET pagination — page 3 of a keyset-ordered listing
     * (LIMIT 20 OFFSET 40). The API-pagination spelling; the scaladoc
     * caveat IS the scale note: OFFSET must still sort/skip the first
@@ -1269,6 +1302,7 @@ object Relational extends QuerySet {
     "j2_left_join" -> j2Left _,
     "j3_anti_join" -> j3Anti _,
     "j4_semi_join" -> j4Semi _,
+    "j9_nullsafe_join" -> j9NullsafeJoin _,
     "a1_multi_agg" -> a1MultiAgg _,
     "a6_count_rows" -> a6Count _,
     "a7_key_counts" -> a7KeyCounts _,
@@ -1627,6 +1661,20 @@ object Relational extends QuerySet {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_partkey = p_partkey AND l_quantity >= 45)
         |ORDER BY p_partkey""".stripMargin,
+    "j9_nullsafe_join" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus END
+        |    AS status_nn, COUNT(*) AS n_left
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus END
+        |    AS status_r, COUNT(*) AS n_right
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  GROUP BY 1)
+        |SELECT l.status_nn, l.n_left, r.n_right
+        |FROM l JOIN r ON l.status_nn IS NOT DISTINCT FROM r.status_r
+        |ORDER BY l.status_nn ASC NULLS FIRST""".stripMargin,
     "a1_multi_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | ROUND(SUM(o_totalprice), 2) AS total_sales,

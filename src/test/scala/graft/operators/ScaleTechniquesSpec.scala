@@ -208,6 +208,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("SQL join hints override the planner: BROADCAST forces the join strategy") {
+    // hints are the practical lever when stats lie (a filtered side the
+    // optimizer sizes wrong) — nothing pinned that they actually bind.
+    // With broadcast disabled by threshold, the BROADCAST hint must
+    // still plan a BroadcastHashJoin; and MERGE must force SMJ where
+    // the planner would have broadcast.
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      graft.Tables.register(spark, dir, Seq("nation", "region"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val hinted = spark.sql(
+        """SELECT /*+ BROADCAST(r) */ n.n_name, r.r_name
+          |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin)
+      hinted.collect()
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "BROADCAST hint must override the disabled threshold")
+      prev.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                     case (k, None) => spark.conf.unset(k) }
+      val merged = spark.sql(
+        """SELECT /*+ MERGE(r) */ n.n_name, r.r_name
+          |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin)
+      merged.collect()
+      assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "MERGE hint must force SMJ where the planner would broadcast")
+    } finally prev.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                             case (k, None) => spark.conf.unset(k) }
+  }
+
   test("AQE coalesces undersized shuffle partitions") {
     // the default-on behavior that makes shuffle.partitions=32 safe to
     // oversize at 100 TB: tiny reduce work collapses to few tasks. A
