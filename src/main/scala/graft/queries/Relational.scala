@@ -929,6 +929,27 @@ object Relational extends QuerySet {
       .limit(100)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
 
+  /** A12: ordered LISTAGG + the FILTER aggregate clause — two Spark-4
+    * SQL surfaces in one row: `LISTAGG(…) WITHIN GROUP (ORDER BY …)`
+    * (the string twin of a11's sorted array — deterministic only
+    * because the WITHIN GROUP order is total) and `COUNT(*) FILTER
+    * (WHERE …)` (the per-aggregate predicate e8's oracle always used
+    * on the DuckDB side, now exercised ON SPARK). Bounded to a key
+    * slice like a11 — LISTAGG concatenates a whole group into ONE
+    * value, the same group-explosion hazard.
+    */
+  def a12Listagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT o_orderstatus,
+        |  listagg(CAST(o_orderkey AS STRING), ',')
+        |    WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** J9: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join
     * variant where NULL keys MATCH each other instead of silently
     * dropping (the classic "where did my unclassified rows go" bug in
@@ -1303,6 +1324,7 @@ object Relational extends QuerySet {
     "j3_anti_join" -> j3Anti _,
     "j4_semi_join" -> j4Semi _,
     "j9_nullsafe_join" -> j9NullsafeJoin _,
+    "a12_listagg" -> a12Listagg _,
     "a1_multi_agg" -> a1MultiAgg _,
     "a6_count_rows" -> a6Count _,
     "a7_key_counts" -> a7KeyCounts _,
@@ -1661,6 +1683,14 @@ object Relational extends QuerySet {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_partkey = p_partkey AND l_quantity >= 45)
         |ORDER BY p_partkey""".stripMargin,
+    "a12_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |    AS keys_csv,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "j9_nullsafe_join" ->
       """WITH l AS (
         |  SELECT CASE WHEN o_orderstatus <> 'O' THEN o_orderstatus END
