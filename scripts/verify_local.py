@@ -67,6 +67,20 @@ def column_types(con, sql):
     return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
 
 
+# Twin of graft.Verify.surfaceViolations: the driver gate can only hash
+# scalar, non-DECIMAL columns (pandas sort_values chokes on arrays —
+# round-10 a11 err; DECIMAL hash-splits across readers — round-10 q1d).
+def surface_violations(types):
+    bad = []
+    for c, t in types.items():
+        u = t.upper()
+        if (u.startswith("DECIMAL") or u.startswith("STRUCT")
+                or u.startswith("MAP") or u.startswith("LIST")
+                or u.startswith("UNION") or "[]" in u):
+            bad.append(f"{c}: {t}")
+    return bad
+
+
 def main():
     # Usage: verify_local.py <sfDir> <outDir> [name ...]
     # Optional names restrict the sweep to just those queries — the
@@ -119,6 +133,17 @@ def main():
                 f"SELECT {order} FROM '{res_glob}'").fetchall()
         except Exception as e:
             failures.append((name, f"spark result unreadable: {e}"))
+            continue
+        try:
+            lint_types = column_types(con, f"SELECT * FROM '{res_glob}'")
+        except Exception as e:
+            failures.append((name, f"DESCRIBE failed: {e}"))
+            continue
+        lint_bad = surface_violations(lint_types)
+        if lint_bad:
+            failures.append(
+                (name, "output-surface lint: non-scalar/DECIMAL columns "
+                       "the driver hash cannot take: " + "; ".join(lint_bad)))
             continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_rows)} rows")

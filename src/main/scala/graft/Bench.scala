@@ -32,6 +32,18 @@ object Bench {
     if (ok.nonEmpty) Some(median(ok)) else None
   }
 
+  /** (min, median, max) over the successful repeats — the SPREAD the
+    * round-10 verdict asked for: a regression moves the whole envelope,
+    * a VM load spike widens it (round-10 burned judge time proving
+    * j3/w5/e1 "regressions" were load; min/max makes that a one-line
+    * check instead of a re-measurement session).
+    */
+  private[graft] def successfulStats(runs: Seq[(Double, Boolean)])
+      : Option[(Double, Double, Double)] = {
+    val ok = runs.collect { case (t, true) => t }
+    if (ok.nonEmpty) Some((ok.min, median(ok), ok.max)) else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,13 +88,17 @@ object Bench {
         graft.operators.Dedup.releaseCaches(spark) // incl. checkpoint blocks
         (elapsed, ok)
       }
-      successfulMedian(runs).map(name -> _)
+      successfulStats(runs).map(name -> _)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    // spread rides the SAME line under its own key (the driver reads
+    // "queries"; extra keys are additive): [min, median, max] per query
+    val spread = results.map { case (k, (mn, med, mx)) =>
+      s"\"" + k + s"\":[$mn,$med,$mx]" }.mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","queries":$qs,"spread":$spread,"failed":$fails,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a truncated tail of this
     // line (~63 of 140+ per-query medians), which blinded cross-round

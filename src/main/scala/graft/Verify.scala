@@ -4,6 +4,39 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Output-surface lint (round-10 verdict item 2): every driver-gated
+    * result column must be a SCALAR, non-DECIMAL type — the driver's
+    * pandas comparator sorts rows by all columns (arrays/structs/maps
+    * are unhashable there: the round-10 `a11` err) and reads DECIMAL
+    * through a different object representation than DuckDB's reader
+    * (the round-10 `q1d` hash-split). Catching the type at build time
+    * turns a silent driver red into a named local failure. Returns the
+    * offending (column, type) pairs; empty = clean.
+    */
+  def surfaceViolations(schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.collect {
+      case f if !(f.dataType match {
+        case _: StringType | BooleanType | ByteType | ShortType |
+             IntegerType | LongType | FloatType | DoubleType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }) => (f.name, f.dataType.simpleString)
+    }
+  }
+
+  def lintSurface(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val bad = surfaceViolations(schema)
+    require(bad.isEmpty,
+      s"[verify] query '$name' emits non-scalar/DECIMAL columns the " +
+        s"driver gate cannot hash: ${bad.map { case (c, t) => s"$c: $t" }
+          .mkString(", ")} — cast to string/long/double/date/timestamp " +
+        "at the query surface (keep the native type behind a ScalaTest)")
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [name ...] — optional names restrict the
     // dump to those queries (the local fast path, mirroring
@@ -25,10 +58,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // build + lint OUTSIDE the swallow: a surface violation must fail
+      // the whole run loudly (it is a build bug, not a data error),
+      // while a per-query runtime error degrades to a missing result
+      // the driver flags via the manifest
+      // .schema forces analysis, so an analysis error stays a soft
+      // per-query failure; only the lint itself is allowed to escape
+      val df = try Some(fn(spark, sfDir)).map(d => (d, d.schema))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
+      }
+      df.foreach { case (d, schema) =>
+        lintSurface(name, schema)
+        try d.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
       // operators may persist intermediates (LSH signatures, IVF cells);
       // don't let one query's cache skew the next's memory

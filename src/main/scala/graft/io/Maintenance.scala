@@ -31,11 +31,26 @@ object Maintenance {
     val before = spark.table(table).inputFiles.length
     val n = spark.table(table).count()
     val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    // a compaction must preserve the table's partition spec — a plain
+    // saveAsTable would silently drop it and with it partition pruning
+    // for every later scan (round-10 advice); read it from the catalog
+    // and re-apply on the rewrite
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__compact_stage/" +
       table.replace('.', '_')
-    spark.table(table).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(scratch)
-    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+    // partitioned tables cluster the rewrite BY the partition columns so
+    // each partition value lands in few tasks (→ few files per value);
+    // a round-robin repartition would make every task write a sliver of
+    // every partition value — parts × values files, the opposite of
+    // compaction
+    val clustered =
+      if (partCols.nonEmpty)
+        spark.table(table).repartition(parts, partCols.map(col): _*)
+      else spark.table(table).repartition(parts)
+    clustered.write.mode(SaveMode.Overwrite).parquet(scratch)
+    val w = spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
     (before, spark.table(table).inputFiles.length)
@@ -97,11 +112,18 @@ object Maintenance {
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
     batchAgg.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-    val b = spark.read.parquet(s"$scratch/batch")
-    val t = spark.table(table)
-    val joined = t.join(b, keys, "full_outer")
+    val b = spark.read.parquet(s"$scratch/batch").alias("b")
+    val t = spark.table(table).alias("t")
+    // NULL-SAFE key match (<=>): groupBy emits a null-key group per
+    // batch, and a plain USING full_outer never matches null keys —
+    // each batch would append a fresh duplicate null-key row instead of
+    // folding into the standing one, breaking the N-batches ≡ one-
+    // aggregate invariant (round-10 advice). Key columns coalesce
+    // t-then-b so both matched and one-sided rows keep their key.
+    val joined = t.join(b,
+      keys.map(k => t(k) <=> b(k)).reduce(_ && _), "full_outer")
     val merged = joined.select(
-      keys.map(col) ++
+      keys.map(k => coalesce(t(k), b(k)).as(k)) ++
         (sumCols :+ "n_rows").map { c =>
           (coalesce(t(c), lit(0)) + coalesce(b(c), lit(0))).as(c)
         }: _*)

@@ -159,6 +159,18 @@ object Upsert {
         table.replace('.', '_')
     latest.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/latest")
     val staged = spark.read.parquet(s"$scratchRoot/latest")
+    // op values are validated EAGERLY: a NULL (or unknown) op would be
+    // excluded from upserts (=!= 'D' is null-false) AND from the delete
+    // count, yet its key still lands in changedKeys — the anti-join
+    // would remove the target row and nothing re-inserts it, a silent
+    // unreported row loss (round-10 advice). A changelog with garbage
+    // ops is a producer bug; fail loudly, never drop.
+    val badOps = staged
+      .filter(col(opCol).isNull || !col(opCol).isin("I", "U", "D"))
+      .select(col(opCol)).limit(5).collect().map(r => String.valueOf(r.get(0)))
+    require(badOps.isEmpty,
+      s"changelog for '$table' carries invalid $opCol values " +
+        s"(expected I/U/D): ${badOps.mkString(", ")}")
     val upserts = staged.filter(col(opCol) =!= "D")
       .select(dataCols.map(col).toSeq: _*)
     val deletes = staged.filter(col(opCol) === "D").count()
@@ -168,7 +180,11 @@ object Upsert {
     }
     val target = spark.table(table)
     val changedKeys = staged.select(keys.map(col).toSeq: _*)
-    val cond = keys.map(k => target(k) === changedKeys(k)).reduce(_ && _)
+    // <=> so a NULL-keyed change MATCHES a null-keyed target row: with
+    // ===, a null-keyed upsert appended a duplicate instead of
+    // replacing, and a null-keyed delete was a counted no-op
+    // (round-10 advice)
+    val cond = keys.map(k => target(k) <=> changedKeys(k)).reduce(_ && _)
     val merged = target.join(changedKeys, cond, "left_anti")
       .unionByName(upserts.select(target.columns.map(col).toSeq: _*))
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/merged")
@@ -276,7 +292,11 @@ object Upsert {
         (spark.read.parquet(s"$scratchRoot/src"), obs.get("rows").asInstanceOf[Long])
       }
     val target = spark.table(table)
-    val cond = keys.map(k => target(k) === staged(k)).reduce(_ && _)
+    // <=> (null-safe): a null-keyed source row must REPLACE a null-keyed
+    // target row, not append a duplicate — same fix as applyChangeLog's
+    // anti-join (and the dedup window above already groups null keys
+    // together, so the two stages agree on what "same key" means)
+    val cond = keys.map(k => target(k) <=> staged(k)).reduce(_ && _)
     val merged = target.join(staged, cond, "left_anti")
       .unionByName(staged.select(target.columns.map(col).toSeq: _*))
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/merged")

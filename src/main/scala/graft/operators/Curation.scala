@@ -60,11 +60,33 @@ object Curation {
           .hexSliceToLong(md5(idCol.cast("string")), 1, 14) % 1000
       case Dedup.XxHash => pmod(xxhash64(idCol.cast("string")), lit(1000L))
     }
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
-      when(stratumCol === k, lit(v)).otherwise(acc)
+    // threshold quantized ONCE on the driver (round-10 advice): the
+    // bucket is an integer, so the keep rule is really `bucket <
+    // per-mille(rate)` — computing `rate * 1000` in binary double in
+    // the column expression would disagree with an exact-DECIMAL
+    // engine exactly when the product straddles an integer (0.4 * 1000
+    // = 400.00000000000006 in double admits bucket 400; exact
+    // arithmetic doesn't). Both engines now compare against the same
+    // integer; oracles spell the same constants.
+    val thresh = rates.foldLeft(lit(perMille(defaultRate))) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(perMille(v))).otherwise(acc)
     }
-    df.filter(bucket < rate * 1000)
+    df.filter(bucket < thresh)
   }
+
+  /** `rate * 1000` computed in exact DECIMAL on the driver, rounded
+    * half-up to the integer per-mille threshold the bucket compares
+    * against. `BigDecimal(d)` goes through the shortest decimal
+    * rendering (so 0.4 is exactly 0.4, not its binary neighborhood).
+    * Rate 1.0 → 1000 (keep everything: every bucket < 1000).
+    */
+  private def perMille(rate: Double): Long =
+    math.round((BigDecimal(rate) * 1000).toDouble)
+
+  /** The FRACTIONAL part of an epoch weight as the same integer
+    * per-mille (2.3 → 300, 0.4 → 400, 1.0 → 0). */
+  private def fracPerMille(e: Double): Long =
+    math.round(((BigDecimal(e) - BigDecimal(math.floor(e))) * 1000).toDouble)
 
   /** Fractional-epoch source mixing — the UPSAMPLING half of a
     * training mixture (stratifiedSample is the downsampling half): a
@@ -93,8 +115,20 @@ object Curation {
       mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     require((defaultEpochs +: epochs.values.toSeq).forall(e => e >= 0 && e <= 16),
       "epoch weights must be in [0, 16] — a mixture constant, not data")
-    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
-      when(sourceCol === k, lit(v)).otherwise(acc)
+    // full-copy count and fractional threshold both quantized ONCE on
+    // the driver (round-10 advice): `(e - floor(e)) * 1000` computed in
+    // binary double inside the column expression disagrees with an
+    // exact-DECIMAL engine whenever the product straddles an integer
+    // (1.0005 → 1000.4999… vs 1000.5 exact); comparing the integer
+    // bucket against a driver-computed integer per-mille makes both
+    // engines decide identically for EVERY weight, not just safe ones.
+    val full = epochs.foldLeft(lit(math.floor(defaultEpochs).toLong)) {
+      case (acc, (k, v)) =>
+        when(sourceCol === k, lit(math.floor(v).toLong)).otherwise(acc)
+    }
+    val thresh = epochs.foldLeft(lit(fracPerMille(defaultEpochs))) {
+      case (acc, (k, v)) =>
+        when(sourceCol === k, lit(fracPerMille(v))).otherwise(acc)
     }
     val bucket = mode match {
       case Dedup.Md5Hash =>
@@ -103,9 +137,7 @@ object Curation {
       case Dedup.XxHash =>
         pmod(xxhash64(concat(lit("epoch:"), idCol.cast("string"))), lit(1000L))
     }
-    val full = floor(e).cast("long")
-    val copies = full +
-      when(bucket < (e - full) * 1000, 1L).otherwise(0L)
+    val copies = full + when(bucket < thresh, 1L).otherwise(0L)
     df.withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))

@@ -164,11 +164,15 @@ object ExtendedQueries extends QuerySet {
       .orderBy("source", "lang")
 
   /** HLL approximate distinct via Spark's built-in
-    * `approx_count_distinct` — rows-only check (the built-in sketch's
-    * internals aren't SQL-re-derivable by construction). The FULL
-    * oracle-checked HLL is `sk3_hll_distinct`
+    * `approx_count_distinct` — the built-in sketch's internals aren't
+    * SQL-re-derivable by construction, so this is NOT a driver row
+    * (retired from `entries` in round 11 per the round-10 verdict: the
+    * gate ledger carries only oracle-checkable rows). The FULL
+    * oracle-checked HLL twin is `sk3_hll_distinct`
     * ([[SketchQueries.sk3HllDistinct]]): register-level md5 hashes and
-    * an all-integer estimator that hash-matches DuckDB exactly.
+    * an all-integer estimator that hash-matches DuckDB exactly. The
+    * built-in path stays verified in `RowsOnlySpec` (estimate within
+    * the published HLL error envelope of the exact count).
     */
   def hll1ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
@@ -683,7 +687,6 @@ object ExtendedQueries extends QuerySet {
     "j8_lateral_topk" -> j8LateralTopk _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
-    "hll1_approx_distinct" -> hll1ApproxDistinct _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
 

@@ -610,17 +610,27 @@ object Relational extends QuerySet {
     s.sql(q1DecimalSql)
   }
 
+  // The compared surface CASTs each decimal sum to STRING: the decimal
+  // VALUES are exact and equal in both engines (TpchInvariantSpec pins
+  // the native-DECIMAL spelling against this one in-engine), but the
+  // driver's pandas comparator reads Spark DECIMAL and DuckDB DECIMAL
+  // through different object representations and hash-splits on type
+  // alone (round-10 red). A decimal→string cast is exact by definition
+  // — both engines print the full declared scale ("123.4500") — so the
+  // gate compares canonical text of exact values. Same SQL text runs
+  // on both engines.
   private val q1DecimalSql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
-      |    AS sum_disc_price,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    AS STRING) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) *
       |      CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)))
-      |    AS sum_charge,
+      |    AS STRING) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -857,11 +867,27 @@ object Relational extends QuerySet {
     * a bounded payload; the unbounded spelling is the classic
     * group-explosion hazard at scale (one hot customer = one giant
     * row), which is exactly why fi1/d9/LSH wire caps.
+    *
+    * The GATED surface serializes the array to a comma-joined STRING
+    * (numeric sort first, then element-wise cast — "10" < "9" as text,
+    * so sort-then-stringify, never the reverse): the driver's pandas
+    * row-sort cannot order raw numpy arrays (round-10 `err`), and a12
+    * proved the string path hashes cleanly. The native `array<long>`
+    * spelling ([[a11ArrayAggNative]]) stays the library API, pinned
+    * element-wise against this surface in `RowsOnlySpec`.
     */
-  def a11ArrayAgg(s: SparkSession, dir: String): DataFrame =
+  def a11ArrayAggNative(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_custkey") < 500)
       .groupBy("o_custkey")
       .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  def a11ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_custkey") < 500)
+      .groupBy("o_custkey")
+      .agg(array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+          _.cast("string")), ",").as("order_keys"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
@@ -1722,7 +1748,8 @@ object Relational extends QuerySet {
     "a9_exists_probe" ->
       "SELECT COUNT(*) > 0 AS has_rows FROM orders WHERE o_orderstatus = 'P'",
     "a11_array_agg" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         |  COUNT(*) AS n_orders
         |FROM orders WHERE o_custkey < 500
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

@@ -740,17 +740,23 @@ object TextQueries extends QuerySet {
          |FROM bi b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "t19_epoch_mix" ->
+      // thresholds are the same DRIVER-QUANTIZED integers the operator
+      // compares against (2.3 → full 2 + 300‰, 0.4 → 0 + 400‰): both
+      // engines decide the extra copy on integer-vs-integer, never on
+      // a binary-double rendering of the weight (round-10 advice)
       """WITH e AS (
         |  SELECT doc_id, source,
-        |    CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.4
-        |      ELSE 1.0 END AS ep,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+        |      ELSE 1 END AS fullc,
+        |    CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 400
+        |      ELSE 0 END AS fracm,
         |    ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
         |      % 1000 AS b
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source,
-        |    CAST(FLOOR(ep) AS BIGINT) +
-        |      CASE WHEN b < (ep - FLOOR(ep)) * 1000 THEN 1 ELSE 0 END AS n
+        |    CAST(fullc AS BIGINT) +
+        |      CASE WHEN b < fracm THEN 1 ELSE 0 END AS n
         |  FROM e)
         |SELECT c.doc_id, c.source, u.epoch
         |FROM c, UNNEST(generate_series(0, CAST(n AS INT) - 1)) AS u(epoch)
@@ -876,7 +882,7 @@ object TextQueries extends QuerySet {
       s"""SELECT doc_id, $langCaseSql AS lang
          |FROM documents
          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000
-         |  < (CASE WHEN ($langCaseSql) = 'en' THEN 0.5 ELSE 1.0 END) * 1000
+         |  < (CASE WHEN ($langCaseSql) = 'en' THEN 500 ELSE 1000 END)
          |ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       s"""SELECT doc_id,

@@ -124,10 +124,14 @@ object VectorQueries extends QuerySet {
 
   /** Batched IVF over k-means-TRAINED centroids (Lloyd's, 3 rounds) —
     * the production IVF build, vs v3/v5's first-k-rows centroids.
-    * Driver checks rows-only: the per-partition summation order inside
-    * the centroid means is not re-derivable in SQL, so there is no
-    * oracle; the k-means invariants (monotone objective, determinism,
-    * empty-cell carry-forward) are pinned in SimilaritySpec.
+    * The per-partition summation order inside the float centroid means
+    * is not re-derivable in SQL, so this is NOT a driver row (retired
+    * from `entries` in round 11 per the round-10 verdict; the gate
+    * ledger carries only oracle-checkable rows). The oracle-checked
+    * twin is `v11_kmeans_quantized` (integer Lloyd's — every mean
+    * exact); this float path stays verified end-to-end in
+    * `RowsOnlySpec` plus the k-means invariants (monotone objective,
+    * determinism, empty-cell carry-forward) in SimilaritySpec.
     */
   def v8IvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -268,7 +272,6 @@ object VectorQueries extends QuerySet {
     "v5_ivf_batch" -> v5IvfBatch _,
     "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
     "v7_embedding_clusters" -> v7EmbeddingClusters _,
-    "v8_ivf_kmeans" -> v8IvfKmeans _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----

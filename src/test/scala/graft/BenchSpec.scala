@@ -22,4 +22,10 @@ class BenchSpec extends AnyFunSuite {
   test("a query whose repeats all fail reports no median") {
     assert(Bench.successfulMedian(Seq((0.1, false), (0.2, false))).isEmpty)
   }
+
+  test("spread stats: (min, median, max) over successful repeats only") {
+    val runs = Seq((5.0, true), (0.1, false), (7.0, true), (6.0, true))
+    assert(Bench.successfulStats(runs).contains((5.0, 6.0, 7.0)))
+    assert(Bench.successfulStats(Seq((0.1, false))).isEmpty)
+  }
 }

@@ -97,6 +97,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.table(t).count() == 1, "the failed merge must not touch the table")
   }
 
+  test("maintained aggregate folds NULL grouping keys instead of duplicating them") {
+    // round-10 advice: a plain USING full_outer never matches null keys,
+    // so each batch appended a fresh null-key row — the <=> join must
+    // fold them into ONE standing row, preserving N batches ≡ one agg
+    val t = table("t_gold_nullkey")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val b1 = Seq((Option("a"), 10L), (Option.empty[String], 5L)).toDF("g", "qty")
+    val b2 = Seq((Option.empty[String], 7L), (Option("a"), 1L)).toDF("g", "qty")
+    val b3 = Seq((Option.empty[String], 3L)).toDF("g", "qty")
+    Seq(b1, b2, b3).foreach(b =>
+      Maintenance.maintainAdditiveAggregate(spark, t, b, Seq("g"), Seq("qty")))
+    val rows = spark.table(t).as[(Option[String], Long, Long)].collect().toSet
+    assert(rows == Set((Some("a"), 11L, 2L), (None, 15L, 3L)),
+      s"null-key group must fold into one row: $rows")
+  }
+
+  test("compact preserves a partitioned table's partition spec and pruning") {
+    // round-10 advice: the rewrite must re-apply partitionBy, or every
+    // later scan loses partition pruning while compact reports success
+    val t = table("t_compact_part")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, s"v$i", if (i % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p")
+        .write.mode("append").partitionBy("p").saveAsTable(t)
+    }
+    val beforeRows = spark.table(t).as[(Long, String, String)].collect().toSet
+    val (_, _) = Maintenance.compact(spark, t, targetRowsPerFile = 100)
+    val partCols = spark.catalog.listColumns(t).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    assert(partCols == Seq("p"), s"partition spec lost: $partCols")
+    assert(spark.table(t).as[(Long, String, String)].collect().toSet == beforeRows)
+    // pruning still works: a p-filter scans only that partition's files
+    val scanned = spark.table(t).filter(col("p") === "even").inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p=even")),
+      s"partition pruning lost after compact: ${scanned.mkString(", ")}")
+  }
+
   test("maintained aggregate grows keys without touching unrelated ones") {
     val t = table("t_gold_keys")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -95,6 +95,54 @@ class UpsertSpec extends SparkSpec {
     assert(spark.table(t).as[(Int, String)].collect().toMap == Map(1 -> "a"))
   }
 
+  test("applyChangeLog rejects NULL or unknown op values eagerly") {
+    // round-10 advice: a null-op row fell out of both the upsert set
+    // (=!= 'D' is null) and the delete count, yet its key stayed in
+    // changedKeys — a silent unreported row loss. Garbage ops are a
+    // producer bug: fail loudly, table untouched.
+    val t = table("t_cdc_badop")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    val nullOp = Seq((1, "a2", Option.empty[String], 1L))
+      .toDF("k", "v", "op", "seq")
+    val e1 = intercept[IllegalArgumentException](
+      Upsert.applyChangeLog(spark, t, nullOp, Seq("k")))
+    assert(e1.getMessage.contains("invalid op"), e1.getMessage)
+    val junkOp = Seq((1, "a2", "X", 1L)).toDF("k", "v", "op", "seq")
+    val e2 = intercept[IllegalArgumentException](
+      Upsert.applyChangeLog(spark, t, junkOp, Seq("k")))
+    assert(e2.getMessage.contains("X"), e2.getMessage)
+    assert(spark.table(t).as[(Int, String)].collect().toMap == Map(1 -> "a"),
+      "a rejected changelog must not touch the table")
+  }
+
+  test("null-keyed rows: changelog replaces/deletes them, upsert replaces them") {
+    // round-10 advice: === on keys never matches NULL, so a null-keyed
+    // change appended a duplicate and a null-keyed delete no-op'd while
+    // counted — <=> must treat null keys as one key
+    val t = table("t_cdc_nullkey")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Upsert.upsertTable(spark, t,
+      Seq((Option(1), "a"), (Option.empty[Int], "nk")).toDF("k", "v"), Seq("k"))
+    // upsert path: null-keyed source row REPLACES the null-keyed target row
+    Upsert.upsertTable(spark, t,
+      Seq((Option.empty[Int], "nk2")).toDF("k", "v"), Seq("k"))
+    assert(spark.table(t).as[(Option[Int], String)].collect().toSet ==
+      Set((Some(1), "a"), (None, "nk2")), "null-keyed upsert must replace")
+    // changelog path: null-keyed update replaces, then null-keyed delete removes
+    Upsert.applyChangeLog(spark, t,
+      Seq((Option.empty[Int], "nk3", "U", 1L)).toDF("k", "v", "op", "seq"),
+      Seq("k"))
+    assert(spark.table(t).as[(Option[Int], String)].collect().toSet ==
+      Set((Some(1), "a"), (None, "nk3")), "null-keyed change must replace")
+    val (_, dels) = Upsert.applyChangeLog(spark, t,
+      Seq((Option.empty[Int], "", "D", 2L)).toDF("k", "v", "op", "seq"),
+      Seq("k"))
+    assert(dels == 1)
+    assert(spark.table(t).as[(Option[Int], String)].collect().toSet ==
+      Set((Some(1), "a")), "null-keyed delete must actually delete")
+  }
+
   test("composite keys match on the full conjunction") {
     val t = table("t_comp")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -88,6 +88,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epochMix threshold is the exact per-mille integer, not its double neighborhood") {
+    // round-10 advice: 0.4 * 1000 in binary double is 400.00000000000006,
+    // which ADMITS bucket 400; the exact-decimal threshold is 400, which
+    // excludes it. The fix quantizes on the driver, so a doc whose
+    // bucket is exactly 400 must get ZERO copies at weight 0.4 (and a
+    // bucket-399 doc one copy) — the decision an exact-DECIMAL oracle
+    // makes, pinned here so Scala can never drift back to double.
+    val buckets = spark.range(20000)
+      .select(col("id"),
+        pmod(xxhash64(concat(lit("epoch:"), col("id").cast("string"))),
+          lit(1000L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val at400 = buckets.collectFirst { case (id, 400L) => id }.get
+    val at399 = buckets.collectFirst { case (id, 399L) => id }.get
+    val rows = Seq((at400, "s"), (at399, "s")).toDF("doc_id", "source")
+    val mixed = Curation.epochMix(rows, col("source"), col("doc_id"),
+        Map("s" -> 0.4))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(!mixed.contains(at400),
+      s"bucket-400 doc must get 0 copies at weight 0.4 (double drift)")
+    assert(mixed.get(at399).contains(1L),
+      s"bucket-399 doc must get exactly 1 copy at weight 0.4: $mixed")
+    // stratifiedSample shares the quantizer: same pair, same rule
+    val sampled = Curation.stratifiedSample(
+        spark.range(20000).select(col("id").as("doc_id"), lit("s").as("st")),
+        col("st"), col("doc_id"), Map("s" -> 0.4))
+      .as[(Long, String)].collect().map(_._1).toSet
+    val sBuckets = spark.range(20000)
+      .select(col("id"),
+        pmod(xxhash64(col("id").cast("string")), lit(1000L)).as("b"))
+      .as[(Long, Long)].collect()
+    sBuckets.foreach { case (id, b) =>
+      assert(sampled.contains(id) == (b < 400),
+        s"doc $id bucket $b: sample keep decision diverged from b < 400")
+    }
+  }
+
   test("redactPii scrubs emails/SSNs/IPs/phones, counts each once, leaves clean text alone") {
     val docs = Seq(
       (1L, "contact alice.smith+work@example.co.uk for details"),
