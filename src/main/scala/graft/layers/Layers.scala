@@ -94,13 +94,28 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
 
   def transform(t: TransformConfig): Unit =
     audit.bracket(layerName, "transform", "SilverLayer", t.transformId, t.targetTable) {
-      val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
-      val base = spark.sql(sql)
+      // transform_type dispatch (reference silver_layer.py:98-125 runs
+      // only SQL; the dedup/curation verbs expose the operator families
+      // through the same plane — same DQ, audit, and control rows)
+      val base = t.transformType match {
+        case "dedup" =>
+          DeclarativeSteps.dedupFrame(spark.table(t.sourceTable), t.dedup.get)
+        case "curation" =>
+          DeclarativeSteps.curationFrame(spark.table(t.sourceTable), t.curation.get)
+        case _ =>
+          val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
+          spark.sql(sql)
+      }
       val dq = DqEngine(spark, base, t.dataQuality)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${t.targetTable.split('.').head}")
       val rows =
         try writeCounted(dq.data, Sinks.overwrite(_, t.targetTable, t.partitionBy))
-        finally dq.cleanup()
+        finally {
+          dq.cleanup()
+          // the near-dup funnel persists its survivor frame (it feeds
+          // two consumers); the write above is the last of them
+          graft.operators.FrameCaches.release(spark)
+        }
       meta.recordDqMetrics(dq.metrics.map(m =>
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
           m.ruleType, m.action, m.validCount, m.invalidCount, runDate,

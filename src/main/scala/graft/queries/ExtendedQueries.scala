@@ -340,10 +340,13 @@ object ExtendedQueries extends QuerySet {
     * graph, min-distance per node read off the outer aggregate.
     * Bounded-depth UNION ALL is the deliberate spelling: each
     * superstep is one join + append and the frontier is bounded by
-    * Σ deg over the previous hop (≈23k rows at sf0.1's 2 hops);
-    * unbounded traversals on cyclic graphs want per-level dedup
-    * (UNION-distinct recursion) or the d6/v7 union-find path — that
-    * boundary is the scale note. 153 / 613 / 1571 reachable nodes at
+    * Σ deg over the previous hop (≈23k rows at sf0.1's 2 hops).
+    * Unbounded/cyclic traversal is IMPLEMENTED as
+    * [[graft.operators.Traversal.reachable]] — BFS with per-level
+    * frontier dedup + visited-set subtraction, terminating on any
+    * finite graph (TraversalSpec pins termination on a planted cycle
+    * and equivalence with this CTE's min-dist readback at equal
+    * depth). 153 / 613 / 1571 reachable nodes at
     * the three SFs — a strict subset of each graph's 160/1600/16k
     * nodes, so reachability (not mere membership) and the per-node
     * min-dist are both discriminative.

@@ -215,6 +215,135 @@ class PipelineSpec extends SparkSpec {
       goldCountBefore + 1) // legacy row untouched by the merge
   }
 
+  test("declarative dedup + curation steps run through the metadata plane") {
+    // round-10 verdict item 3: the silver layer's transform_type verbs
+    // must reach the operator families — a YAML-declared corpus cleanup
+    // with the same DQ, audit, and control-table rows as a SQL step.
+    // Corpus: real sf0.001 documents plus planted rows (one exact dup,
+    // one PII carrier) so every stage provably does something.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = Seq(
+      (9001L, docs.filter($"doc_id" === 0L).select("text").as[String].head(),
+        "en", "plant", 10L), // exact dup of doc 0's text
+      (9002L, "Contact me at alice@example.com or 555-123-4567 today. " +
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "en", "plant", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$stage/documents")
+
+    val docsYaml =
+      s"""sources:
+         |  - source_id: docs_parquet
+         |    source_path: $stage/documents
+         |    file_format: parquet
+         |    target_table: bronze_docs.documents
+         |""".stripMargin
+    val curateYaml =
+      """transformations:
+        |  - transform_id: docs_dedup
+        |    transform_type: dedup
+        |    source_table: bronze_docs.documents
+        |    target_table: silver_docs.docs_dedup
+        |    dedup:
+        |      method: minhash
+        |      id_column: doc_id
+        |      text_column: text
+        |      shingle_size: 3
+        |      num_hashes: 16
+        |      bands: 4
+        |    data_quality:
+        |      - rule_name: text_not_null
+        |        rule_type: not_null
+        |        column: text
+        |        action_on_failure: filter
+        |  - transform_id: docs_curated
+        |    transform_type: curation
+        |    source_table: silver_docs.docs_dedup
+        |    target_table: silver_docs.docs_curated
+        |    curation:
+        |      id_column: doc_id
+        |      text_column: text
+        |      languages: [en]
+        |      min_quality: 0.3
+        |      redact_pii: true
+        |      stratum_column: source
+        |      sample_rates: {src0: 0.5}
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS silver_docs.docs_dedup")
+    spark.sql("DROP TABLE IF EXISTS silver_docs.docs_curated")
+    spark.sql("DROP TABLE IF EXISTS bronze_docs.documents")
+    val pipeline = new Pipeline(spark, "2024-02-01", new FixedClock(1780000000000L))
+    val reports = pipeline.run(Map(
+      "bronze" -> EtlConfig.fromYaml(docsYaml),
+      "silver" -> EtlConfig.fromYaml(curateYaml)))
+    assert(reports.forall(_.failed.isEmpty), reports.flatMap(_.failed).toString)
+
+    // dedup: the planted exact dup is folded (doc 0 survives, 9001 not)
+    val deduped = spark.table("silver_docs.docs_dedup")
+    val ids = deduped.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && !ids.contains(9001L),
+      "exact duplicate must fold to the smallest doc_id")
+    assert(ids.contains(9002L), "the unique planted doc must survive")
+    // plane output ≡ direct operator invocation (same config)
+    val direct = graft.layers.DeclarativeSteps.dedupFrame(
+      spark.table("bronze_docs.documents"),
+      graft.config.DedupStepConfig("minhash", "doc_id", "text", 3, 16, 4))
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.FrameCaches.release(spark)
+    assert(ids == direct, "declarative plane must match the operator API")
+
+    // curation: only langId-en survivors, quality-scored, PII burned,
+    // src0 sampled at 500 per-mille
+    val curated = spark.table("silver_docs.docs_curated")
+    assert(curated.count() > 0)
+    assert(curated.columns.contains("quality_score"))
+    assert(curated.filter($"text".rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"))
+      .count() == 0, "emails must be redacted")
+    val pii = curated.filter($"doc_id" === 9002L)
+    if (pii.count() > 0) // survives its own lang/quality gates
+      assert(pii.select("_pii_redactions").as[Long].head() >= 2L,
+        "planted email + phone must both be counted")
+    assert(curated.filter(
+      graft.functions.TextFunctions.langId($"text") =!= "en").count() == 0)
+    assert(curated.filter($"quality_score" < 0.3).count() == 0)
+
+    // control rows: one SUCCESS per declarative step, snapshot carries
+    // the transform_type and its params
+    val control = spark.table(pipeline.meta.controlTable)
+      .filter($"last_run_date" === "2024-02-01" && $"layer" === "silver")
+    val snaps = control.select("table_name", "config_snapshot")
+      .as[(String, String)].collect().toMap
+    assert(snaps("silver_docs.docs_dedup").contains("\"transform_type\":\"dedup\"")
+      && snaps("silver_docs.docs_dedup").contains("\"method\":\"minhash\""))
+    assert(snaps("silver_docs.docs_curated").contains("\"transform_type\":\"curation\"")
+      && snaps("silver_docs.docs_curated").contains("\"redact_pii\":true"))
+    assert(control.filter($"status" === "SUCCESS").count() == 2)
+
+    // audit bracketing identical to the sql path: STARTED+SUCCESS pairs
+    val audit = spark.table(pipeline.meta.auditTable)
+      .filter($"run_id" === pipeline.audit.runId && $"layer" === "silver")
+    assert(audit.filter($"status" === "ERROR").count() == 0)
+    assert(audit.filter($"status" === "SUCCESS").count() == 2)
+
+    // DQ composes with declarative types (metrics row for the dedup rule)
+    val dqm = spark.table(pipeline.meta.dqMetricsTable)
+      .filter($"run_date" === "2024-02-01" && $"rule_name" === "text_not_null")
+    assert(dqm.count() == 1)
+  }
+
+  test("config parse rejects a declarative step missing its params block") {
+    val bad =
+      """transformations:
+        |  - transform_id: broken
+        |    transform_type: dedup
+        |    source_table: a.b
+        |    target_table: c.d
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](EtlConfig.fromYaml(bad))
+    assert(e.getMessage.contains("broken") && e.getMessage.contains("dedup"))
+  }
+
   test("incremental bronze: second run ingests only rows past the watermark") {
     writeFixtures()
     val incYaml =
