@@ -58,4 +58,49 @@ object Itemsets {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** Association rules over [[itemPairs]] — the confidence/lift stage
+    * that turns co-occurrence counts into directed rules (the Apriori
+    * output a recommender or basket report actually consumes): each
+    * qualifying pair {a, b} emits a→b and b→a with
+    *   `conf_permille = 1000·support(a,b) DIV support(a)`
+    *   `lift_permille = 1000·support(a,b)·N DIV (support(a)·support(b))`
+    * — all-integer permille arithmetic (the q14 playbook), so the
+    * driver gate hash-checks the statistics, not just the pair list.
+    * Lift is direction-symmetric by definition; confidence is the
+    * directed part.
+    *
+    * Scale shape: [[itemPairs]]'s cost dominates; on top ride one
+    * distinct (basket, item) projection → map-side-combined item
+    * supports, one 1-row basket count joined in as a broadcast
+    * (never a collect), and two broadcast-able equi joins of the rule
+    * frame against the item-support table (|items| rows — broadcast at
+    * dimension scale, keyed shuffle beyond). Item supports are counted
+    * on the UNCAPPED rows: support(pair) ≤ support(item) holds under
+    * the basket cap regardless (a cap only removes pair observations),
+    * so confidence never exceeds 1000‰.
+    */
+  def associationRules(rows: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L,
+      maxBasketSize: Option[Int] = None): DataFrame = {
+    val pairs = itemPairs(rows, basketCol, itemCol, minSupport, maxBasketSize)
+    val itemSupport = rows.select(col(basketCol), col(itemCol)).distinct()
+      .groupBy(col(itemCol).as("_item"))
+      .agg(count(lit(1)).as("_isup"))
+    val nBaskets = rows.select(col(basketCol)).distinct()
+      .agg(count(lit(1)).as("_n_baskets"))
+    val directed = pairs
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("support"))
+      .unionByName(pairs
+        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("support")))
+    directed
+      .join(broadcast(itemSupport.select(col("_item").as("antecedent"),
+        col("_isup").as("_sa"))), "antecedent")
+      .join(broadcast(itemSupport.select(col("_item").as("consequent"),
+        col("_isup").as("_sc"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("1000 * support DIV _sa").as("conf_permille"),
+        expr("1000 * support * _n_baskets DIV (_sa * _sc)").as("lift_permille"))
+  }
 }

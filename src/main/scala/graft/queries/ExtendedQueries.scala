@@ -661,8 +661,79 @@ object ExtendedQueries extends QuerySet {
         minSupport = 2L, maxBasketSize = Some(64))
       .orderBy(desc("support"), col("p1"), col("p2"))
 
+  /** Association rules over fi1's pairs — confidence and lift as exact
+    * integer permille ([[graft.operators.Itemsets.associationRules]]):
+    * the directed a→b statistics a recommender consumes, hash-checked
+    * end to end (support, confidence AND lift, not just the pair
+    * list). Same support floor and basket cap as fi1; 2·pairs rules.
+    */
+  def fi2AssociationRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L, maxBasketSize = Some(64))
+      .orderBy(desc("conf_permille"), col("antecedent"), col("consequent"))
+
+  /** 3-hop reachability via [[graft.operators.Traversal.reachable]] —
+    * the round-11 cyclic-safe BFS operator on the driver gate (rc2
+    * pins the bounded recursive-CTE spelling; this row pins the
+    * ITERATIVE per-level-dedup engine itself against a DuckDB
+    * UNION-dedup recursion). Depth 3 crosses the bipartite graph's
+    * odd/even boundary — supplier-side nodes join the frontier — so
+    * the result discriminates the traversal order, not just
+    * membership; min-dist per node is BFS first-arrival on the Spark
+    * side and MIN over the deduped (node, dist) closure in the oracle.
+    * The edge frame persists src-partitioned exactly like rc2/gr1 (3
+    * supersteps re-read it); Verify/Bench drain it per query.
+    */
+  def gr2Reach3(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = graft.operators.FrameCaches.track(
+      pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst")))
+        .repartition(col("src"))
+        .persist())
+    graft.operators.Traversal.reachable(edges, Seq(3L), maxDepth = 3)
+      .orderBy("node")
+  }
+
+  /** Discrete percentiles — `PERCENTILE_DISC(q) WITHIN GROUP` (the
+    * ordered-set aggregate the percentile family still lacked): unlike
+    * e5's interpolated `percentile`, DISC returns an ACTUAL element
+    * (smallest value whose cume_dist ≥ q — the SQL-standard
+    * definition), so over integer cents the result is exact and
+    * hash-stable with zero FP caveats. The oracle spells the same
+    * definition explicitly (MIN over the cume_dist ≥ q suffix) rather
+    * than trusting DuckDB's quantile_disc to share tie semantics.
+    * One map-side-combinable ordered-set aggregate per priority group.
+    */
+  def a13PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |    AS p25_cents,
+        |  CAST(PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |    AS p50_cents,
+        |  CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |    AS p75_cents,
+        |  COUNT(*) AS n_orders
+        |FROM (SELECT o_orderpriority,
+        |        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "fi1_item_pairs" -> fi1ItemPairs _,
+    "fi2_association_rules" -> fi2AssociationRules _,
+    "gr2_reach3" -> gr2Reach3 _,
+    "a13_percentile_disc" -> a13PercentileDisc _,
     "g6_source_overlap" -> g6SourceOverlap _,
     "z1_zorder" -> z1Zorder _,
     "a10_stats_aggregates" -> a10StatsAggregates _,
@@ -839,6 +910,58 @@ object ExtendedQueries extends QuerySet {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY support DESC, p1, p2""".stripMargin,
+    "fi2_association_rules" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        |  FROM ip a JOIN ip b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |isup AS (SELECT l_partkey AS item, COUNT(*) AS s FROM ip GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ip),
+        |dir AS (
+        |  SELECT p1 AS antecedent, p2 AS consequent, support FROM pairs
+        |  UNION ALL
+        |  SELECT p2 AS antecedent, p1 AS consequent, support FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.support,
+        |  (1000 * d.support) // sa.s AS conf_permille,
+        |  (1000 * d.support * nb.n) // (sa.s * sc.s) AS lift_permille
+        |FROM dir d
+        |  JOIN isup sa ON sa.item = d.antecedent
+        |  JOIN isup sc ON sc.item = d.consequent, nb
+        |ORDER BY conf_permille DESC, antecedent, consequent""".stripMargin,
+    "gr2_reach3" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM p0
+        |  UNION ALL
+        |  SELECT sk * 2 + 1 AS src, c * 2 AS dst FROM p0),
+        |reach(node, dist) AS (
+        |  SELECT CAST(3 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, r.dist + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.dist < 3)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "a13_percentile_disc" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cd
+        |  FROM c)
+        |SELECT o_orderpriority,
+        |  MIN(cents) FILTER (WHERE cd >= 0.25) AS p25_cents,
+        |  MIN(cents) FILTER (WHERE cd >= 0.5)  AS p50_cents,
+        |  MIN(cents) FILTER (WHERE cd >= 0.75) AS p75_cents,
+        |  COUNT(*) AS n_orders
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "g6_source_overlap" ->
       s"""WITH ${TextQueries.chunkCteSql},
          |fps AS (SELECT DISTINCT chunk_hash, source FROM ch)

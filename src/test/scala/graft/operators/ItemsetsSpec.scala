@@ -25,6 +25,32 @@ class ItemsetsSpec extends SparkSpec {
     assert(frequent == Set((10L, 20L, 3L)))
   }
 
+  test("association rules: hand-computed confidence/lift, invariants hold") {
+    // baskets: {10,20,30}, {10,20}, {10,20}, {10,40}
+    // s(10)=4 s(20)=3 s(30)=1 s(40)=1 N=4; s(10,20)=3 s(10,30)=1
+    // s(20,30)=1 s(10,40)=1
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 40L)).toDF("basket", "item")
+    val rules = Itemsets.associationRules(rows, "basket", "item")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 10→20: conf 3000/4=750, lift 1000·3·4/(4·3)=1000
+    assert(rules((10L, 20L)) == ((3L, 750L, 1000L)), rules((10L, 20L)).toString)
+    // 20→10: conf 3000/3=1000 (20 always co-occurs with 10), same lift
+    assert(rules((20L, 10L)) == ((3L, 1000L, 1000L)))
+    // 30→10: conf 1000, lift 1000·1·4/(1·4)=1000; 10→30: conf 250
+    assert(rules((30L, 10L)) == ((1L, 1000L, 1000L)))
+    assert(rules((10L, 30L)) == ((1L, 250L, 1000L)))
+    // 20→30: conf 1000/3=333, lift 1000·4/(3·1)=1333 (positive assoc)
+    assert(rules((20L, 30L)) == ((1L, 333L, 1333L)))
+    // invariants: every pair yields both directions, conf never > 1000‰
+    assert(rules.size == 8 && rules.keys.forall(k => rules.contains(k.swap)))
+    assert(rules.values.forall(_._2 <= 1000L))
+  }
+
   test("fi1 regime: capped is bit-identical to uncapped when no basket exceeds the cap") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val maxBasket = li.groupBy("l_orderkey")
