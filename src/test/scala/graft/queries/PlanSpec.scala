@@ -493,6 +493,24 @@ class PlanSpec extends SparkSpec {
       s"recursion must plan UnionLoop (not an unrolled union):\n${p.take(1500)}")
   }
 
+  test("fi2: rule joins broadcast the item supports; pair pipeline stays equi") {
+    val p = plan("fi2_association_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the 1-row basket-count
+    // broadcast (a cross join by construction); item-support joins
+    // must be broadcast hash joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row count may nested-loop:\n$p")
+  }
+
+  test("a13: ordered-set aggregate is one partial+final aggregate, no window") {
+    val p = plan("a13_percentile_disc")
+    assert(!p.contains("Window"), s"percentile_disc must not plan a window:\n$p")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
