@@ -31,12 +31,15 @@ object Maintenance {
     val before = spark.table(table).inputFiles.length
     val n = spark.table(table).count()
     val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    // a compaction must preserve the table's partition spec — a plain
-    // saveAsTable would silently drop it and with it partition pruning
-    // for every later scan (round-10 advice); read it from the catalog
-    // and re-apply on the rewrite
+    // a compaction must preserve the table's layout spec — a plain
+    // saveAsTable would silently drop the partition spec (and with it
+    // partition pruning for every later scan — round-10 advice) AND the
+    // bucket spec (and with it shuffle-free bucketed joins, the same
+    // bug one shelf over); read both from the catalog and re-apply
     val partCols = spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq
+    val bucketSpec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__compact_stage/" +
       table.replace('.', '_')
     // partitioned tables cluster the rewrite BY the partition columns so
@@ -49,9 +52,16 @@ object Maintenance {
         spark.table(table).repartition(parts, partCols.map(col): _*)
       else spark.table(table).repartition(parts)
     clustered.write.mode(SaveMode.Overwrite).parquet(scratch)
-    val w = spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .saveAsTable(table)
+    val w0 = spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+    val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+    val w = bucketSpec.fold(w1) { bs =>
+      val bucketed = w1.bucketBy(bs.numBuckets,
+        bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+      if (bs.sortColumnNames.nonEmpty)
+        bucketed.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+      else bucketed
+    }
+    w.saveAsTable(table)
     spark.catalog.refreshTable(table)
     (before, spark.table(table).inputFiles.length)
   }
@@ -127,6 +137,58 @@ object Maintenance {
         (sumCols :+ "n_rows").map { c =>
           (coalesce(t(c), lit(0)) + coalesce(b(c), lit(0))).as(c)
         }: _*)
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
+    spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Incremental MIN/MAX maintenance — the other half of the
+    * materialized-view taxonomy [[maintainAdditiveAggregate]] enforces:
+    * extremes fold correctly under INSERT-ONLY feeds (`new_min =
+    * least(old_min, batch_min)`), and that restriction is the contract,
+    * not a caveat — a retraction can strand a stale extreme with no way
+    * to recompute short of a full rescan, which is exactly the
+    * wholesale-recompute this path exists to avoid (a retraction-heavy
+    * feed wants the additive family or a rescan schedule). Output
+    * columns are `min_<c>` / `max_<c>` plus an additive `n_rows`.
+    * Same scale shape and null-safe (<=>) key fold as the additive
+    * path: one map-side-combined aggregate of the BATCH, one keyed
+    * join against the standing table. N batches ≡ one aggregate over
+    * their union in any order (min/max are associative + commutative)
+    * — pinned in MaintenanceSpec.
+    */
+  def maintainInsertOnlyExtremes(spark: SparkSession, table: String,
+      batch: DataFrame, keys: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): Unit = {
+    require(minCols.nonEmpty || maxCols.nonEmpty,
+      "need at least one min or max column")
+    val outMin = minCols.map(c => s"min_$c")
+    val outMax = maxCols.map(c => s"max_$c")
+    val aggExprs = minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c")) :+
+      count(lit(1)).as("n_rows")
+    val batchAgg = batch.groupBy(keys.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    if (!spark.catalog.tableExists(table)) {
+      batchAgg.write.saveAsTable(table)
+      return
+    }
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    batchAgg.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+    val b = spark.read.parquet(s"$scratch/batch").alias("b")
+    val t = spark.table(table).alias("t")
+    val joined = t.join(b,
+      keys.map(k => t(k) <=> b(k)).reduce(_ && _), "full_outer")
+    // least/greatest skip nulls (null only when BOTH sides are), so a
+    // one-sided row keeps its own extreme without a coalesce dance
+    val merged = joined.select(
+      keys.map(k => coalesce(t(k), b(k)).as(k)) ++
+        outMin.map(c => least(t(c), b(c)).as(c)) ++
+        outMax.map(c => greatest(t(c), b(c)).as(c)) :+
+        (coalesce(t("n_rows"), lit(0)) + coalesce(b("n_rows"), lit(0)))
+          .as("n_rows"): _*)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)

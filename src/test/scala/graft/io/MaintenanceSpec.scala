@@ -135,6 +135,55 @@ class MaintenanceSpec extends SparkSpec {
       s"partition pruning lost after compact: ${scanned.mkString(", ")}")
   }
 
+  test("insert-only extremes: N batches equal the one-shot min/max, any order") {
+    val t1 = table("t_gold_minmax")
+    val t2 = table("t_gold_minmax_rev")
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    val b1 = Seq(("a", 10L, 1.5), ("a", 3L, 9.0), ("b", 5L, 0.5)).toDF("g", "qty", "amt")
+    val b2 = Seq(("a", 1L, 0.25), ("c", 7L, 7.0)).toDF("g", "qty", "amt")
+    val b3 = Seq(("b", 2L, 1.0), ("c", 3L, 3.0), ("a", 44L, 4.0)).toDF("g", "qty", "amt")
+    Seq(b1, b2, b3).foreach(b => Maintenance.maintainInsertOnlyExtremes(
+      spark, t1, b, Seq("g"), minCols = Seq("qty"), maxCols = Seq("qty", "amt")))
+    Seq(b3, b1, b2).foreach(b => Maintenance.maintainInsertOnlyExtremes(
+      spark, t2, b, Seq("g"), minCols = Seq("qty"), maxCols = Seq("qty", "amt")))
+    val oneShot = b1.unionByName(b2).unionByName(b3)
+      .groupBy("g")
+      .agg(min("qty").as("min_qty"), max("qty").as("max_qty"),
+        max("amt").as("max_amt"), count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    val inc = spark.table(t1).select("g", "min_qty", "max_qty", "max_amt", "n_rows")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    val rev = spark.table(t2).select("g", "min_qty", "max_qty", "max_amt", "n_rows")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(inc == oneShot, s"incremental $inc != one-shot $oneShot")
+    assert(rev == oneShot, "batch order must not matter")
+  }
+
+  test("compact preserves a bucketed table's bucket spec and shuffle-free join") {
+    val t = table("t_compact_bucket")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").bucketBy(4, "k").sortBy("k").saveAsTable(t)
+    }
+    val beforeRows = spark.table(t).as[(Long, String)].collect().toSet
+    Maintenance.compact(spark, t, targetRowsPerFile = 100)
+    val bs = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec
+    assert(bs.exists(b => b.numBuckets == 4 && b.bucketColumnNames == Seq("k")),
+      s"bucket spec lost after compact: $bs")
+    assert(spark.table(t).as[(Long, String)].collect().toSet == beforeRows)
+    // the point of preserving buckets: a self-join on the bucket key
+    // still plans without a shuffle exchange
+    val joined = spark.table(t).join(spark.table(t).withColumnRenamed("v", "v2"), "k")
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join must stay shuffle-free after compact:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("maintained aggregate grows keys without touching unrelated ones") {
     val t = table("t_gold_keys")
     spark.sql(s"DROP TABLE IF EXISTS $t")
