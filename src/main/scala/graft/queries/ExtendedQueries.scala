@@ -39,6 +39,62 @@ object ExtendedQueries extends QuerySet {
       .orderBy("o_custkey")
   }
 
+  /** INTERSECT ALL — the BAG-semantics twin u2 lacked: a customer with
+    * three F orders and two O orders appears min(3,2)=2 times (the SQL
+    * multiset rule), vs u2's 0/1. Differs from u2 on every multi-order
+    * customer, so the variant discriminates at each SF. Plans as one
+    * keyed shuffle with per-row multiplicity counters — no join blowup.
+    */
+  def u4IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT ALL — bag subtraction: each P order CANCELS one F
+    * occurrence of the same customer instead of erasing them all
+    * (u3's set rule). The semantics a reconciliation/ledger diff
+    * actually wants — N deliveries minus M returns leaves N−M rows.
+    */
+  def u5ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Higher-order array functions as a first-class surface —
+    * `aggregate`, `zip_with`, `transform`, `array_max` over per-order
+    * line arrays (sorted by line number, so the collected array order
+    * is total): total quantity via an aggregate fold, revenue via
+    * zip_with(qty, price) → fold — the codegen'd array path the
+    * vector/dedup pipelines use internally (`Similarity.dot`,
+    * shingling), here exposed as its own gated row. All-integer
+    * outputs; the oracle computes the same values relationally
+    * (Σ q·p ≡ fold over zip — the equivalence IS the check that the
+    * HOF chain computes what it claims). One collect_list shuffle on
+    * the order key; the folds are scan-fused map work.
+    */
+  def hof1ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber"),
+          floor(col("l_quantity")).cast("long").as("q"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("p"))
+          .as("ln"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("ln"))).as("ls"))
+      .select(col("l_orderkey"),
+        expr("size(ls)").cast("long").as("n_lines"),
+        expr("aggregate(transform(ls, x -> x.q), 0L, (acc, q) -> acc + q)")
+          .as("total_qty"),
+        expr("""aggregate(zip_with(transform(ls, x -> x.q),
+                transform(ls, x -> x.p), (q, p) -> q * p),
+                0L, (acc, y) -> acc + y)""").as("rev_cents"),
+        expr("array_max(transform(ls, x -> x.p))").as("max_price_cents"))
+      .orderBy("l_orderkey")
+
   def r1Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
@@ -750,6 +806,9 @@ object ExtendedQueries extends QuerySet {
     "u1_union_all" -> u1UnionAll _,
     "u2_intersect" -> u2Intersect _,
     "u3_except" -> u3Except _,
+    "u4_intersect_all" -> u4IntersectAll _,
+    "u5_except_all" -> u5ExceptAll _,
+    "hof1_array_funcs" -> hof1ArrayFuncs _,
     "r1_rollup" -> r1Rollup _,
     "r3_grouping_sets" -> r3GroupingSets _,
     "w7_value_windows" -> w7ValueWindows _,
@@ -996,6 +1055,29 @@ object ExtendedQueries extends QuerySet {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_custkey""".stripMargin,
+    "u4_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "u5_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "hof1_array_funcs" ->
+      // the same values computed RELATIONALLY — Σ q·p ≡ the zip_with
+      // fold, MAX ≡ array_max over the same elements; value equality
+      // is the proof the HOF chain computes what it claims
+      """SELECT l_orderkey,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT) *
+        |      CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents,
+        |  MAX(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS max_price_cents
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "r2_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority,
