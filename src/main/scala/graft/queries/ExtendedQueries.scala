@@ -205,6 +205,44 @@ object ExtendedQueries extends QuerySet {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Collocation mining by contingency-table lift — the PMI-family
+    * statistic that finds MULTI-WORD EXPRESSIONS ("new york", "machine
+    * learning") a tokenizer or phrase vocabulary should treat as
+    * units: for adjacent pair (w1, w2),
+    * `lift = c(w1,w2)·N / (c(w1,·)·c(·,w2))` — observed co-occurrence
+    * over the independence expectation, all counts from the bigram
+    * table itself (left-slot / right-slot marginals, so Σ₂ c12 =
+    * c(w1,·) exactly and the contingency table is self-consistent).
+    * PMI = ln(lift); kept as exact integer permille (the fi2/q14
+    * playbook) so the statistic itself hash-checks — 1000 = independent,
+    * above = associated. Floors: pair count ≥ 5 (the sparse-PMI noise
+    * gate every collocation paper applies), lift > 1000 (positively
+    * associated only). Scale shape: one bigram explode (native
+    * [[graft.functions.TextExpressions.adjacentPairs]], scan-fused),
+    * three map-side-combined aggregates over it, marginals joined back
+    * on their slot keys, N broadcast as a 1-row scalar — t20's model
+    * cost profile with a different statistic on top.
+    */
+  def tw3PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextExpressions
+        .adjacentPairs(lower(col("text")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val leftMarg = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val rightMarg = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val nBigrams = bi.agg(count(lit(1)).as("n_bigrams"))
+    pairCounts
+      .join(leftMarg, "w1")
+      .join(rightMarg, "w2")
+      .crossJoin(broadcast(nBigrams))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("1000 * c12 * n_bigrams DIV (c1 * c2)").as("lift_permille"))
+      .filter(col("lift_permille") > 1000)
+      .orderBy(desc("lift_permille"), col("w1"), col("w2"))
+  }
+
   /** Training-mix report: per (source, lang) stratum — doc count, total
     * tokens, mean quality. The dashboard every data pipeline publishes
     * before a training run (and the input to `t7_sample_mix`'s rates).
@@ -820,6 +858,7 @@ object ExtendedQueries extends QuerySet {
     "j8_lateral_topk" -> j8LateralTopk _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
+    "tw3_pmi_collocations" -> tw3PmiCollocations _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
 
@@ -1254,5 +1293,21 @@ object ExtendedQueries extends QuerySet {
          |      ORDER BY tfidf DESC, term) AS rnk FROM scored)
          |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
+    "tw3_pmi_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT $toksLowerSql AS toks FROM documents WHERE text IS NOT NULL),
+         |bi AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         |pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+         |       HAVING COUNT(*) >= 5),
+         |lm AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+         |rm AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_bigrams FROM bi)
+         |SELECT pc.w1, pc.w2, pc.c12,
+         |  (1000 * pc.c12 * n.n_bigrams) // (lm.c1 * rm.c2) AS lift_permille
+         |FROM pc JOIN lm USING (w1) JOIN rm USING (w2), n
+         |WHERE (1000 * pc.c12 * n.n_bigrams) // (lm.c1 * rm.c2) > 1000
+         |ORDER BY lift_permille DESC, w1, w2""".stripMargin,
   )
 }
