@@ -44,6 +44,21 @@ object TemporalJoins {
       .select(col(key), col("_lid").as(leftId), col("_us"), col("_matched_us"))
   }
 
+  /** Forward as-of: for each left row, the SMALLEST `rightTsUs` ≥
+    * `leftTsUs` within the key — "the next event at or after" (the
+    * conversion-attribution direction, where [[asofMatchTs]] is the
+    * state-lookup direction). Implemented by time reversal: negate both
+    * timestamp columns and the backward match's "greatest ≤" becomes
+    * exactly "smallest ≥" — one sign flip instead of a second
+    * window formulation to keep correct (equal-ts matching carries
+    * over: ties still match). Same single-shuffle shape.
+    */
+  def asofMatchTsForward(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, leftTsUs: Column, rightTsUs: Column): DataFrame =
+    asofMatchTs(left, right, key, leftId, -leftTsUs, -rightTsUs)
+      .select(col(key), col(leftId),
+        (-col("_us")).as("_us"), (-col("_matched_us")).as("_matched_us"))
+
   /** Pairs (l, r) with the same `key` and `rightTsUs - leftTsUs` in
     * [0, windowUs]: bucket both sides by `windowUs`, join each left
     * bucket to right buckets {b, b+1}, then apply the exact bound.

@@ -528,6 +528,41 @@ object ExtendedQueries extends QuerySet {
       .orderBy("column_name")
   }
 
+  /** Per-column Shannon entropy — dp1's information-theoretic
+    * complement: cardinality says how many values a column takes,
+    * entropy says how EVENLY it takes them — the statistic that ranks
+    * partition-key candidates (a skewed key wastes partitions), flags
+    * constant-in-practice columns (H ≈ 0 with n_distinct > 1), and
+    * feeds compression-ratio estimates. `H = −Σ (c/n)·ln(c/n)` over
+    * the exact value-frequency table, plus the normalized
+    * `H / ln(n_distinct)` evenness ratio (1.0 = uniform), both at the
+    * 6-dp rounding the ln-bearing scores use everywhere (tw2/t20
+    * discipline — ULP/summation-order noise ≤ 1e-12 ties out).
+    * Scale shape: one map-side-combined (column, value) count per
+    * profiled column over a single unpivoted scan (the Expand dp1
+    * already pays), then a tiny per-column fold.
+    */
+  def dp2ColumnEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    val stacked = t(s, dir, "orders").select(
+      expr("explode(array(" + cols.map(c =>
+        s"struct('$c' AS column_name, CAST($c AS STRING) AS v)")
+        .mkString(", ") + "))").as("p"))
+      .select("p.*")
+    val freq = stacked.groupBy("column_name", "v")
+      .agg(count(lit(1)).as("c"))
+    freq.groupBy("column_name")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col("column_name"), col("n_distinct"),
+        round(log(col("n")) - col("clogc") / col("n"), 6).as("entropy_nats"),
+        when(col("n_distinct") > 1,
+          round((log(col("n")) - col("clogc") / col("n")) /
+            log(col("n_distinct")), 6))
+          .otherwise(lit(0.0)).as("evenness"))
+      .orderBy("column_name")
+  }
+
   /** Iterative graph score propagation — PageRank, two unrolled
     * rounds, EXACT-INTEGER fixed point: the one distributed-graph
     * family the engine still lacked (d6/v7 do connected components;
@@ -828,6 +863,7 @@ object ExtendedQueries extends QuerySet {
     "fi2_association_rules" -> fi2AssociationRules _,
     "gr2_reach3" -> gr2Reach3 _,
     "a13_percentile_disc" -> a13PercentileDisc _,
+    "dp2_column_entropy" -> dp2ColumnEntropy _,
     "g6_source_overlap" -> g6SourceOverlap _,
     "z1_zorder" -> z1Zorder _,
     "a10_stats_aggregates" -> a10StatsAggregates _,
@@ -1028,6 +1064,23 @@ object ExtendedQueries extends QuerySet {
         |  JOIN isup sa ON sa.item = d.antecedent
         |  JOIN isup sc ON sc.item = d.consequent, nb
         |ORDER BY conf_permille DESC, antecedent, consequent""".stripMargin,
+    "dp2_column_entropy" ->
+      """WITH s AS (
+        |  SELECT 'o_orderstatus' AS column_name,
+        |    CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        |f AS (SELECT column_name, v, COUNT(*) AS c FROM s GROUP BY 1, 2)
+        |SELECT column_name, COUNT(*) AS n_distinct,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(c)) / SUM(c), 6)
+        |    AS entropy_nats,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    ROUND((ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(c)) / SUM(c))
+        |      / ln(COUNT(*)), 6)
+        |  ELSE 0.0 END AS evenness
+        |FROM f GROUP BY column_name ORDER BY column_name""".stripMargin,
     "gr2_reach3" ->
       """WITH RECURSIVE p0 AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk

@@ -56,8 +56,35 @@ object TemporalQueries extends QuerySet {
       .orderBy("signup_id", "purchase_id")
   }
 
+  /** Forward as-of: each signup matched to the user's NEXT purchase at
+    * or after it — the conversion-attribution direction, via the
+    * time-reversal reuse of the backward engine
+    * ([[TemporalJoins.asofMatchTsForward]]); same-ts ties resolve by
+    * MAX(value) like aj1. The oracle states the semantics as a
+    * correlated MIN.
+    */
+  def aj2AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value")).persist()
+    val matched = TemporalJoins.asofMatchTsForward(signups, purchases,
+      "user_id", "event_id", col("us"), col("us"))
+    matched
+      .join(purchases.withColumnRenamed("us", "_matched_us"),
+        Seq("user_id", "_matched_us"))
+      .groupBy("event_id", "user_id", "_matched_us")
+      .agg(max("value").as("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("_matched_us")).as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "aj1_asof_join" -> aj1AsofJoin _,
+    "aj2_asof_forward" -> aj2AsofForward _,
     "rj1_range_join" -> rj1RangeJoin _,
   )
 
@@ -71,6 +98,19 @@ object TemporalQueries extends QuerySet {
         |        (SELECT MAX(p.us) FROM pur p
         |         WHERE p.user_id = e.user_id AND p.us <= e.us) AS m_us
         |      FROM err e)
+        |SELECT m.event_id, m.user_id, make_timestamp(m.m_us) AS purchase_ts,
+        |  (SELECT MAX(p.value) FROM pur p
+        |   WHERE p.user_id = m.user_id AND p.us = m.m_us) AS purchase_value
+        |FROM m WHERE m.m_us IS NOT NULL ORDER BY event_id""".stripMargin,
+    "aj2_asof_forward" ->
+      """WITH sg AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |            FROM events WHERE event_type = 'signup'),
+        |pur AS (SELECT user_id, epoch_us(ts) AS us, value
+        |        FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT s.event_id, s.user_id,
+        |        (SELECT MIN(p.us) FROM pur p
+        |         WHERE p.user_id = s.user_id AND p.us >= s.us) AS m_us
+        |      FROM sg s)
         |SELECT m.event_id, m.user_id, make_timestamp(m.m_us) AS purchase_ts,
         |  (SELECT MAX(p.value) FROM pur p
         |   WHERE p.user_id = m.user_id AND p.us = m.m_us) AS purchase_value
