@@ -89,10 +89,18 @@ object Itemsets {
       .agg(count(lit(1)).as("_isup"))
     val nBaskets = rows.select(col(basketCol)).distinct()
       .agg(count(lit(1)).as("_n_baskets"))
+    // both directions via one map-side explode — a union of two selects
+    // over the same frame plans as TWO plan instances (no
+    // ReusedExchange), recomputing the whole basket-pair pipeline per
+    // branch; the explode emits a→b and b→a from ONE pass (measured:
+    // 5 scans/20 aggregates → 3 scans/8 aggregates at sf0.001)
     val directed = pairs
-      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("support"))
-      .unionByName(pairs
-        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("support")))
+      .select(explode(array(
+        struct(col("p1").as("antecedent"), col("p2").as("consequent"),
+          col("support")),
+        struct(col("p2").as("antecedent"), col("p1").as("consequent"),
+          col("support")))).as("r"))
+      .select("r.*")
     directed
       .join(broadcast(itemSupport.select(col("_item").as("antecedent"),
         col("_isup").as("_sa"))), "antecedent")
