@@ -78,9 +78,14 @@ final case class ModelConfig(
     sqlQuery: String,
     targetTable: String,
     partitionBy: Seq[String],
-    refreshType: String, // full | incremental
+    refreshType: String, // full | incremental | additive
     primaryKeys: Seq[String],
-    enabled: Boolean)
+    enabled: Boolean,
+    // additive only: the SUM columns the model's batch frame carries;
+    // each run folds them into the standing table per primaryKeys
+    // (Maintenance.maintainAdditiveAggregate) instead of rescanning
+    // history or whole-row-replacing
+    sumColumns: Seq[String] = Nil)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -149,6 +154,7 @@ object ConfigJson {
     "model_id" -> js(m.modelId), "sql_query" -> js(m.sqlQuery),
     "target_table" -> js(m.targetTable), "partition_by" -> jarr(m.partitionBy),
     "refresh_type" -> js(m.refreshType), "primary_keys" -> jarr(m.primaryKeys),
+    "sum_columns" -> jarr(m.sumColumns),
     "enabled" -> m.enabled.toString)
 }
 
@@ -299,12 +305,22 @@ object EtlConfig {
     c
   }
 
-  private def parseModel(m: Map[String, Object]): ModelConfig = ModelConfig(
-    modelId = str(m, "model_id"),
-    sqlQuery = str(m, "sql_query"),
-    targetTable = str(m, "target_table"),
-    partitionBy = strSeq(m, "partition_by"),
-    refreshType = str(m, "refresh_type", "full"),
-    primaryKeys = strSeq(m, "primary_keys"),
-    enabled = bool(m, "enabled"))
+  private def parseModel(m: Map[String, Object]): ModelConfig = {
+    val mc = ModelConfig(
+      modelId = str(m, "model_id"),
+      sqlQuery = str(m, "sql_query"),
+      targetTable = str(m, "target_table"),
+      partitionBy = strSeq(m, "partition_by"),
+      refreshType = str(m, "refresh_type", "full"),
+      primaryKeys = strSeq(m, "primary_keys"),
+      enabled = bool(m, "enabled"),
+      sumColumns = strSeq(m, "sum_columns"))
+    require(Set("full", "incremental", "additive")(mc.refreshType),
+      s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "additive" ||
+      (mc.primaryKeys.nonEmpty && mc.sumColumns.nonEmpty),
+      s"model '${mc.modelId}': refresh_type additive needs primary_keys " +
+        "and sum_columns")
+    mc
+  }
 }

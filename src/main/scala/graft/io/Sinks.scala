@@ -88,6 +88,43 @@ object Sinks {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming incremental gold: each micro-batch folds into a standing
+    * additive-aggregate table via
+    * [[Maintenance.maintainAdditiveAggregate]] — the streaming twin of
+    * the batch maintenance path, and the third member of the
+    * foreachBatch sink family (upsert / changelog / additive). The
+    * exactly-once story is DIFFERENT from the other two and worth
+    * stating: the additive fold is NOT idempotent (replaying a batch
+    * adds it twice), so correctness leans entirely on checkpointed
+    * offsets giving exactly-once BATCH delivery per epoch — Spark's
+    * foreachBatch contract (a restarted query re-runs an epoch only if
+    * its offsets were not committed, and the fold runs once per
+    * committed epoch). That is the standard contract for non-idempotent
+    * foreachBatch sinks; a deployment needing idempotent replay on top
+    * writes per-epoch batch ids into the table and dedups — the Delta
+    * `txnAppId` pattern, out of scope on plain parquet. Per-batch cost
+    * rides the BATCH (one map-side-combined aggregate + one keyed join
+    * against the standing table), never the stream's history — the
+    * whole point vs. aggregating the stream wholesale.
+    */
+  def streamAdditiveAggregate(stream: DataFrame, table: String,
+      keys: Seq[String], sumCols: Seq[String], checkpoint: String,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Maintenance.maintainAdditiveAggregate(
+          batch.sparkSession, table, batch, keys, sumCols)
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }
 
 /** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN

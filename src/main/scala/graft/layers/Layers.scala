@@ -139,10 +139,27 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
   def build(m: ModelConfig): Unit =
     audit.bracket(layerName, "model", "GoldLayer", m.modelId, m.targetTable) {
       val sql = EtlConfig.substitute(m.sqlQuery, Map("PROCESSING_DATE" -> runDate))
-      val df = spark.sql(sql).withColumn("gold_insert_timestamp", current_timestamp())
+      val df0 = spark.sql(sql)
+      // additive models skip the audit timestamp: the standing table's
+      // schema is (keys, sums, n_rows) and the fold would try to add
+      // timestamps; the control table carries the run bookkeeping
+      val df =
+        if (m.refreshType == "additive") df0
+        else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       val rows =
-        if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
+        if (m.refreshType == "additive") {
+          // incremental-view-maintenance refresh: fold THIS RUN's batch
+          // frame into the standing aggregate per key — cost rides the
+          // batch, never the table's history (the 100 TB gold path).
+          // records_processed = the batch frame's rows, counted by an
+          // Observation on the frame the fold consumes (single pass)
+          val obs = new Observation()
+          graft.io.Maintenance.maintainAdditiveAggregate(spark,
+            m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
+            m.primaryKeys, m.sumColumns)
+          obs.get("rows").asInstanceOf[Long]
+        } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted
           // by an Observation riding the staging write inside the upsert),

@@ -332,6 +332,53 @@ class PipelineSpec extends SparkSpec {
     assert(dqm.count() == 1)
   }
 
+  test("additive gold model folds each run's batch instead of rescanning") {
+    writeFixtures()
+    val additiveYaml =
+      """models:
+        |  - model_id: sales_running
+        |    sql_query: >
+        |      SELECT product_id,
+        |             CAST(SUM(COALESCE(amount, 0)) AS DOUBLE) AS amount,
+        |             SUM(quantity) AS quantity
+        |      FROM bronze_e2e.tx_additive GROUP BY product_id
+        |    target_table: gold_e2e.sales_running
+        |    refresh_type: additive
+        |    primary_keys: [product_id]
+        |    sum_columns: [amount, quantity]
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.sales_running")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tx_additive")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    // run 1 sees the first two transactions; run 2 sees two more
+    Seq(("T1", "P01", Some(30.0), 3), ("T2", "P02", Some(20.0), 1))
+      .toDF("transaction_id", "product_id", "amount", "quantity")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.tx_additive")
+    val p1 = new Pipeline(spark, "2024-03-01", new FixedClock(1790000000000L))
+    val r1 = p1.run(Map("gold" -> EtlConfig.fromYaml(additiveYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    Seq(("T3", "P01", Some(40.0), 2), ("T4", "P03", Some(10.0), 1))
+      .toDF("transaction_id", "product_id", "amount", "quantity")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.tx_additive")
+    val p2 = new Pipeline(spark, "2024-03-02", new FixedClock(1790100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(additiveYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    // the standing table is the fold of BOTH batches
+    val rows = spark.table("gold_e2e.sales_running")
+      .select("product_id", "amount", "quantity", "n_rows")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(rows == Set(("P01", 70.0, 5L, 2L), ("P02", 20.0, 1L, 1L),
+      ("P03", 10.0, 1L, 1L)), s"got $rows")
+    // records_processed = the LATEST run's BATCH rows (2, not the
+    // 3-row standing table) — the control table is a watermark (one
+    // row per target, latest run wins), so only run 2's row remains
+    val recs = spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.sales_running")
+      .select("last_run_date", "records_processed")
+      .as[(String, Long)].collect().toMap
+    assert(recs == Map("2024-03-02" -> 2L), recs.toString)
+  }
+
   test("config parse rejects a declarative step missing its params block") {
     val bad =
       """transformations:

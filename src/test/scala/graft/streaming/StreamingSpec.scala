@@ -84,6 +84,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamAdditiveAggregate folds micro-batches into the standing gold table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_additive_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_additive"
+    val ms = MemoryStream[(String, Long, Double)]
+    val q = Sinks.streamAdditiveAggregate(
+      ms.toDF.toDF("g", "qty", "amt"), table, Seq("g"), Seq("qty", "amt"),
+      ckpt, availableNow = false)
+    try {
+      ms.addData(("a", 10L, 1.5), ("a", 20L, 2.5), ("b", 5L, 0.5))
+      q.processAllAvailable()
+      ms.addData(("a", 1L, 0.25), ("c", 7L, 7.0))
+      q.processAllAvailable()
+      ms.addData(("b", 2L, 1.0), ("c", 3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .select("g", "qty", "amt", "n_rows")
+        .as[(String, Long, Double, Long)].collect().toSet
+      val want = Set(("a", 31L, 4.25, 3L), ("b", 7L, 1.5, 2L), ("c", 10L, 10.0, 2L))
+      assert(got == want, s"streamed fold must equal the one-shot aggregate: $got")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streamChangeLog applies a streamed CDC feed: upserts land, deletes remove, replay converges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.Sinks
