@@ -290,6 +290,32 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id")
   }
 
+  /** Aligned multimodal training manifest — the LAION-shaped join the
+    * m-family lacked: text documents paired 1:1 with their image
+    * payloads (media_id = doc_id), reduced to the per-source manifest
+    * a multimodal training run consumes (pair count, total text
+    * tokens, mean image luminance). Composes the text plane
+    * (tokenCount, scan-fused) with the multimodal plane (batched stub
+    * decode → features) through one broadcast-able equi join — videos
+    * drop out at the inner join (images only), so the pair count
+    * discriminates the modality filter, not just the join. Per-image
+    * luma is 4dp-floored exactly like m1 (md5-re-derivable); the
+    * cross-image AVG rounds at 6dp (summation order).
+    */
+  def m5PairManifest(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticMedia(s, 200)
+    val feats = graft.multimodal.Multimodal.imageFeatures(media).toDF()
+      .select(col("media_id"), round(col("mean_luma"), 4).as("luma"))
+    val docsT = t(s, dir, "documents").filter(col("doc_id") < 200)
+    docsT.join(feats, docsT("doc_id") === feats("media_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")))
+          .as("n_tokens"),
+        round(avg(col("luma")), 6).as("avg_luma"))
+      .orderBy("source")
+  }
+
   /** Image RESIZE as a FULL oracle row — the last of the multimodal
     * quartet (decode = all, feature-extract = m1, frame-sample = m2,
     * resize = here): every image thumbnails to 8×8 through the batched
@@ -874,6 +900,7 @@ object ExtendedQueries extends QuerySet {
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
     "m4_thumbnails" -> m4Thumbnails _,
+    "m5_pair_manifest" -> m5PairManifest _,
     "r2_cube" -> r2Cube _,
     "j6_full_outer" -> j6FullOuter _,
     "sj1_salted_join" -> sj1SaltedJoin _,
@@ -1264,6 +1291,28 @@ object ExtendedQueries extends QuerySet {
         |  FLOOR((SUM(b) / (width * height)) * 10000 + 0.5) / 10000 AS mean_luma
         |FROM px GROUP BY media_id, width, height
         |ORDER BY media_id""".stripMargin,
+    "m5_pair_manifest" ->
+      s"""WITH m AS (
+         |  SELECT i AS media_id,
+         |         16 + (i % 8) * 4 AS width,
+         |         16 + (i % 5) * 4 AS height
+         |  FROM generate_series(0, 199) t(i)
+         |  WHERE i % 3 <> 2),
+         |px AS (
+         |  SELECT media_id, width, height,
+         |    ('0x' || substr(md5('media:' || media_id || ':' || (p // 16)),
+         |       (p % 16) * 2 + 1, 2))::INT AS b
+         |  FROM m, LATERAL (SELECT unnest(generate_series(0, width * height - 1)) AS p) g),
+         |luma AS (
+         |  SELECT media_id,
+         |    FLOOR((SUM(b) / (width * height)) * 10000 + 0.5) / 10000 AS luma
+         |  FROM px GROUP BY media_id, width, height)
+         |SELECT d.source, COUNT(*) AS n_pairs,
+         |  CAST(SUM(len(${TextQueries.toksSql})) AS BIGINT) AS n_tokens,
+         |  ROUND(AVG(l.luma), 6) AS avg_luma
+         |FROM documents d JOIN luma l ON d.doc_id = l.media_id
+         |WHERE d.doc_id < 200
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // videos are i % 3 = 2 with 8 frames; frame span = w*h bytes;
     // stride-2 sampling keeps frames 0,2,4,6; bytes re-derive from the
     // same md5('media:<id>:<block>') scheme as m1
