@@ -498,6 +498,43 @@ object ExtendedQueries extends QuerySet {
         |GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** Recurrence DRIVEN BY a data series — the third recursion class:
+    * rc1's step is a constant-coefficient self-map, rc2's step joins a
+    * static edge set; here each step consumes the NEXT element of a
+    * data-dependent time series (exponential moving average over
+    * quarterly revenue, the smoothing every ops dashboard runs), the
+    * stateful-scan pattern windows cannot express (emaₙ needs emaₙ₋₁).
+    * All-integer: revenue in cents, α = 0.2 as the scaled recurrence
+    * `ema = (200·v + 800·prev) DIV 1000` — positive throughout, so
+    * truncating/flooring division agree cross-engine (rc1's argument).
+    * The quarter grid is provably DENSE (27 quarters × 5 priorities
+    * filled at every SF), so the inner-join step never breaks a chain.
+    * Scale shape: the series is one map-side-combined aggregate
+    * (135 rows at any SF — aggregates before recursing, the IVM
+    * lesson); the loop is 27 joins against the PERSISTED tiny series
+    * (rc2's persist-the-loop-relation rule), frontier = |priorities|.
+    */
+  def rc3EmaSeries(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"),
+        ((year(col("o_orderdate").cast("date")) - 1995) * 4 +
+          quarter(col("o_orderdate").cast("date")) - 1).as("qidx"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .cast("long").as("cents"))
+    graft.operators.FrameCaches.track(series.persist())
+      .createOrReplaceTempView("ema_series")
+    s.sql(
+      """WITH RECURSIVE ema(pri, qidx, cents, ema_cents) AS (
+        |  SELECT pri, qidx, cents, cents FROM ema_series WHERE qidx = 0
+        |  UNION ALL
+        |  SELECT s.pri, s.qidx, s.cents,
+        |    (200 * s.cents + 800 * e.ema_cents) DIV 1000
+        |  FROM ema e JOIN ema_series s
+        |    ON s.pri = e.pri AND s.qidx = e.qidx + 1)
+        |SELECT pri, qidx, cents, ema_cents FROM ema
+        |ORDER BY pri, qidx""".stripMargin)
+  }
+
   /** LATERAL correlated subquery — the top-k-per-group shape spelled
     * the modern-SQL way (a correlated ORDER BY … LIMIT subquery in the
     * FROM clause) instead of w4's window+filter: Catalyst decorrelates
@@ -918,6 +955,7 @@ object ExtendedQueries extends QuerySet {
     "dp1_table_profile" -> dp1TableProfile _,
     "rc1_amortization" -> rc1Amortization _,
     "rc2_reachability" -> rc2Reachability _,
+    "rc3_ema_series" -> rc3EmaSeries _,
     "j8_lateral_topk" -> j8LateralTopk _,
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
@@ -1108,6 +1146,23 @@ object ExtendedQueries extends QuerySet {
         |      / ln(COUNT(*)), 6)
         |  ELSE 0.0 END AS evenness
         |FROM f GROUP BY column_name ORDER BY column_name""".stripMargin,
+    "rc3_ema_series" ->
+      """WITH RECURSIVE series AS (
+        |  SELECT o_orderpriority AS pri,
+        |    (YEAR(CAST(o_orderdate AS DATE)) - 1995) * 4 +
+        |      QUARTER(CAST(o_orderdate AS DATE)) - 1 AS qidx,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |ema(pri, qidx, cents, ema_cents) AS (
+        |  SELECT pri, qidx, cents, cents FROM series WHERE qidx = 0
+        |  UNION ALL
+        |  SELECT s.pri, s.qidx, s.cents,
+        |    (200 * s.cents + 800 * e.ema_cents) // 1000
+        |  FROM ema e JOIN series s
+        |    ON s.pri = e.pri AND s.qidx = e.qidx + 1)
+        |SELECT pri, qidx, cents, ema_cents FROM ema
+        |ORDER BY pri, qidx""".stripMargin,
     "gr2_reach3" ->
       """WITH RECURSIVE p0 AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
