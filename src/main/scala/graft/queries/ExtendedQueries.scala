@@ -205,6 +205,36 @@ object ExtendedQueries extends QuerySet {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Blocked fuzzy matching — the record-linkage primitive (dedupe two
+    * catalogs whose names drift): candidate pairs come from a BLOCKING
+    * key (here the noun of the two-word part name), never all-pairs —
+    * the same quadratic-avoidance discipline as LSH banding, with edit
+    * distance as the verify stage instead of Jaccard. Pairs sharing a
+    * block and within Levenshtein ≤ 4 emit with both names' part
+    * counts (the survivorship weights a merge decision uses). Distance
+    * is computed on DISTINCT names (64 here), so the expensive metric
+    * runs per NAME pair, not per row pair — at catalog scale the
+    * blocks bound the candidate mass and the distinct-first projection
+    * bounds the metric cost. Levenshtein is the classic integer DP in
+    * both engines — exact, no tie caveats.
+    */
+  def fz1FuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("name"), " ").getItem(1))
+    val a = names.select(col("name").as("name_a"), col("n_parts").as("n_a"),
+      col("blk"))
+    val b = names.select(col("name").as("name_b"), col("n_parts").as("n_b"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 4)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** Collocation mining by contingency-table lift — the PMI-family
     * statistic that finds MULTI-WORD EXPRESSIONS ("new york", "machine
     * learning") a tokenizer or phrase vocabulary should treat as
@@ -960,6 +990,7 @@ object ExtendedQueries extends QuerySet {
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "tw3_pmi_collocations" -> tw3PmiCollocations _,
+    "fz1_fuzzy_pairs" -> fz1FuzzyPairs _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
 
@@ -1146,6 +1177,17 @@ object ExtendedQueries extends QuerySet {
         |      / ln(COUNT(*)), 6)
         |  ELSE 0.0 END AS evenness
         |FROM f GROUP BY column_name ORDER BY column_name""".stripMargin,
+    "fz1_fuzzy_pairs" ->
+      """WITH n AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_parts,
+        |    split_part(p_name, ' ', 2) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
     "rc3_ema_series" ->
       """WITH RECURSIVE series AS (
         |  SELECT o_orderpriority AS pri,
