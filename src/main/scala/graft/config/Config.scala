@@ -281,7 +281,7 @@ object EtlConfig {
     require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
       "dedup needs id_column and text_column")
     require(d.numHashes % d.bands == 0,
-      s"num_hashes (${d.numHashes}) must divide evenly into bands (${d.bands})")
+      s"bands (${d.bands}) must divide num_hashes (${d.numHashes}) evenly")
     d
   }
 

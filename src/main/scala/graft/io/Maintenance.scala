@@ -43,16 +43,34 @@ object Maintenance {
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__compact_stage/" +
       table.replace('.', '_')
     // partitioned tables cluster the rewrite BY the partition columns so
-    // each partition value lands in few tasks (→ few files per value);
-    // a round-robin repartition would make every task write a sliver of
-    // every partition value — parts × values files, the opposite of
-    // compaction
+    // each partition value lands in FEW tasks (a round-robin repartition
+    // would make every task write a sliver of every value — parts ×
+    // values files, the opposite of compaction) — but not ONE task: a
+    // hot value holding 50× targetRowsPerFile must still split into
+    // ~50 files, or the rewrite funnels it through a single
+    // straggler/OOM task. Per-value counts (one cheap aggregate) size a
+    // salt column: value v spreads over ceil(rows(v)/target) tasks, so
+    // targetRowsPerFile is honored WITHIN each partition value.
     val clustered =
-      if (partCols.nonEmpty)
-        spark.table(table).repartition(parts, partCols.map(col): _*)
-      else spark.table(table).repartition(parts)
+      if (partCols.nonEmpty) {
+        val counts = spark.table(table).groupBy(partCols.map(col): _*)
+          .agg(ceil(count(lit(1)).cast("double") / targetRowsPerFile)
+            .cast("int").as("_nf"))
+        spark.table(table)
+          .join(broadcast(counts), partCols)
+          .withColumn("_salt",
+            pmod(spark_partition_id() + monotonically_increasing_id(),
+              greatest(col("_nf"), lit(1))).cast("int"))
+          .repartition(parts, (partCols.map(col) :+ col("_salt")): _*)
+          .drop("_salt", "_nf")
+      } else spark.table(table).repartition(parts)
     clustered.write.mode(SaveMode.Overwrite).parquet(scratch)
+    // the salt gives the hot value TASK parallelism; hash collisions can
+    // still co-locate salt groups in one task, so the FILE-size contract
+    // is enforced directly by the writer — a task holding k·target rows
+    // of one value rolls k files
     val w0 = spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
     val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
     val w = bucketSpec.fold(w1) { bs =>
       val bucketed = w1.bucketBy(bs.numBuckets,
@@ -108,16 +126,36 @@ object Maintenance {
     * map-side-combined aggregate of the BATCH (not history) + one
     * keyed join against the standing table — cost rides the batch.
     */
+  /** @param epochId when set (the streaming sink's batchId), the fold
+    *        becomes REPLAY-IDEMPOTENT: the id is written as a
+    *        `_last_epoch` column in the SAME table commit as the folded
+    *        data (one saveAsTable — data and marker can never diverge),
+    *        and a batch whose id is ≤ the standing `_last_epoch` is
+    *        skipped. This is what makes the additive fold safe under
+    *        foreachBatch's at-least-once delivery: a crash-replayed
+    *        epoch re-arrives, sees its own id already committed, and
+    *        no-ops — the parquet analog of Delta's txnAppId/txnVersion
+    *        pattern. Batch-path callers (no stream, no redelivery)
+    *        leave it None and get no marker column.
+    */
   def maintainAdditiveAggregate(spark: SparkSession, table: String,
-      batch: DataFrame, keys: Seq[String], sumCols: Seq[String]): Unit = {
+      batch: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      epochId: Option[Long] = None): Unit = {
     require(sumCols.nonEmpty, "need at least one additive column")
     val aggExprs = sumCols.map(c => sum(col(c)).as(c)) :+
       count(lit(1)).as("n_rows")
-    val batchAgg = batch.groupBy(keys.map(col): _*)
+    val batchAgg0 = batch.groupBy(keys.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
+    val batchAgg = epochId.fold(batchAgg0)(id =>
+      batchAgg0.withColumn("_last_epoch", lit(id)))
     if (!spark.catalog.tableExists(table)) {
       batchAgg.write.saveAsTable(table)
       return
+    }
+    // replayed epoch: its id is already committed with the data — no-op
+    for (id <- epochId if spark.table(table).columns.contains("_last_epoch")) {
+      val m = spark.table(table).agg(max(col("_last_epoch"))).head
+      if (!m.isNullAt(0) && m.getLong(0) >= id) return
     }
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
@@ -136,7 +174,8 @@ object Maintenance {
       keys.map(k => coalesce(t(k), b(k)).as(k)) ++
         (sumCols :+ "n_rows").map { c =>
           (coalesce(t(c), lit(0)) + coalesce(b(c), lit(0))).as(c)
-        }: _*)
+        } ++
+        epochId.map(id => lit(id).as("_last_epoch")).toSeq: _*)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)

@@ -95,15 +95,16 @@ object Sinks {
     * the batch maintenance path, and the third member of the
     * foreachBatch sink family (upsert / changelog / additive). The
     * exactly-once story is DIFFERENT from the other two and worth
-    * stating: the additive fold is NOT idempotent (replaying a batch
-    * adds it twice), so correctness leans entirely on checkpointed
-    * offsets giving exactly-once BATCH delivery per epoch — Spark's
-    * foreachBatch contract (a restarted query re-runs an epoch only if
-    * its offsets were not committed, and the fold runs once per
-    * committed epoch). That is the standard contract for non-idempotent
-    * foreachBatch sinks; a deployment needing idempotent replay on top
-    * writes per-epoch batch ids into the table and dedups — the Delta
-    * `txnAppId` pattern, out of scope on plain parquet. Per-batch cost
+    * stating: the additive fold is NOT naturally idempotent (replaying
+    * a batch would add it twice), and foreachBatch delivery is
+    * AT-LEAST-ONCE (a crash between the fold's commit and the
+    * checkpoint's offset commit re-runs the epoch) — which is exactly
+    * why Spark hands the sink a batchId. The sink therefore commits
+    * the epoch id as a `_last_epoch` column in the SAME table write as
+    * the folded data and skips any epoch ≤ the committed one
+    * ([[Maintenance.maintainAdditiveAggregate]]'s `epochId`) — the
+    * parquet analog of the Delta `txnAppId`/`txnVersion` pattern, so
+    * replays converge like the sibling sinks'. Per-batch cost
     * rides the BATCH (one map-side-combined aggregate + one keyed join
     * against the standing table), never the stream's history — the
     * whole point vs. aggregating the stream wholesale.
@@ -115,9 +116,10 @@ object Sinks {
     val writer = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Maintenance.maintainAdditiveAggregate(
-          batch.sparkSession, table, batch, keys, sumCols)
+          batch.sparkSession, table, batch, keys, sumCols,
+          epochId = Some(batchId))
         stream.sparkSession.catalog.refreshTable(table)
         ()
       }
@@ -185,29 +187,39 @@ object Upsert {
     require(changes.columns.contains(opCol), s"changelog needs '$opCol'")
     require(changes.columns.contains(seqCol), s"changelog needs '$seqCol'")
     val dataCols = changes.columns.filter(c => c != opCol && c != seqCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc +: changes.columns.map(c => col(c).desc): _*)
-    val latest = changes
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
     val scratchRoot =
       s"${spark.conf.get("spark.sql.warehouse.dir")}/__cdc_stage/" +
         table.replace('.', '_')
-    latest.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/latest")
-    val staged = spark.read.parquet(s"$scratchRoot/latest")
-    // op values are validated EAGERLY: a NULL (or unknown) op would be
-    // excluded from upserts (=!= 'D' is null-false) AND from the delete
-    // count, yet its key still lands in changedKeys — the anti-join
-    // would remove the target row and nothing re-inserts it, a silent
-    // unreported row loss (round-10 advice). A changelog with garbage
-    // ops is a producer bug; fail loudly, never drop.
-    val badOps = staged
+    // the RAW changelog stages first (one evaluation of the source
+    // plan), and validation + dedup both read the staged copy
+    changes.write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/raw")
+    val raw = spark.read.parquet(s"$scratchRoot/raw")
+    // op values are validated EAGERLY and on the RAW feed: a NULL (or
+    // unknown) op would be excluded from upserts (=!= 'D' is
+    // null-false) AND from the delete count, yet its key still lands in
+    // changedKeys — the anti-join would remove the target row and
+    // nothing re-inserts it, a silent unreported row loss (round-10
+    // advice). Raw, not post-dedup: a garbage row superseded by a later
+    // seq for the same key would otherwise vanish before the check, and
+    // whether a broken producer fails loudly would depend on unrelated
+    // traffic per key. Garbage ops are a producer bug; fail loudly,
+    // never drop.
+    val badOps = raw
       .filter(col(opCol).isNull || !col(opCol).isin("I", "U", "D"))
       .select(col(opCol)).limit(5).collect().map(r => String.valueOf(r.get(0)))
     require(badOps.isEmpty,
       s"changelog for '$table' carries invalid $opCol values " +
         s"(expected I/U/D): ${badOps.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: raw.columns.map(c => col(c).desc): _*)
+    // the deduped survivors stage too: four consumers below (upserts,
+    // delete count, changed keys, the records count) would otherwise
+    // re-run the window per action
+    raw.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratchRoot/latest")
+    val staged = spark.read.parquet(s"$scratchRoot/latest")
     val upserts = staged.filter(col(opCol) =!= "D")
       .select(dataCols.map(col).toSeq: _*)
     val deletes = staged.filter(col(opCol) === "D").count()

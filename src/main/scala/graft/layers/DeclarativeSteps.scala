@@ -95,6 +95,12 @@ object DeclarativeSteps {
       case Some(st) if cfg.sampleRates.nonEmpty || cfg.defaultSampleRate < 1.0 =>
         Curation.stratifiedSample(redacted, col(st), col(cfg.idColumn),
           cfg.sampleRates, cfg.defaultSampleRate)
+      case None if cfg.defaultSampleRate < 1.0 =>
+        // a default rate without a stratum column is still a sampling
+        // request — a single all-rows stratum, never a silent skip
+        // (a config the user wrote must act or fail, not vanish)
+        Curation.stratifiedSample(redacted, lit("_all"), col(cfg.idColumn),
+          Map.empty, cfg.defaultSampleRate)
       case _ => redacted
     }
   }

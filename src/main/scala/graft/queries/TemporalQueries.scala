@@ -23,8 +23,9 @@ object TemporalQueries extends QuerySet {
     val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), col("value")).persist()
+    val purchases = graft.operators.FrameCaches.track(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("value")).persist())
     val matched = TemporalJoins.asofMatchTs(errors, purchases, "user_id",
       "event_id", col("us"), col("us"))
     matched
@@ -67,8 +68,9 @@ object TemporalQueries extends QuerySet {
     val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("event_id"), col("user_id"), col("us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), col("value")).persist()
+    val purchases = graft.operators.FrameCaches.track(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("value")).persist())
     val matched = TemporalJoins.asofMatchTsForward(signups, purchases,
       "user_id", "event_id", col("us"), col("us"))
     matched

@@ -184,6 +184,47 @@ class MaintenanceSpec extends SparkSpec {
       s"bucketed join must stay shuffle-free after compact:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("epoch-stamped fold is replay-idempotent (the streaming sink's contract)") {
+    // foreachBatch is at-least-once: a crash-replayed epoch re-arrives;
+    // the id committed WITH the data must turn the second apply into a
+    // no-op, while a NEW epoch still folds
+    val t = table("t_gold_epoch")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val b1 = Seq(("a", 10L), ("b", 5L)).toDF("g", "qty")
+    Maintenance.maintainAdditiveAggregate(spark, t, b1, Seq("g"), Seq("qty"),
+      epochId = Some(0L))
+    Maintenance.maintainAdditiveAggregate(spark, t, b1, Seq("g"), Seq("qty"),
+      epochId = Some(0L)) // replay — must not double-count
+    val after0 = spark.table(t).select("g", "qty", "n_rows")
+      .as[(String, Long, Long)].collect().toSet
+    assert(after0 == Set(("a", 10L, 1L), ("b", 5L, 1L)),
+      s"replayed epoch double-counted: $after0")
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("a", 1L)).toDF("g", "qty"), Seq("g"), Seq("qty"),
+      epochId = Some(1L)) // a new epoch folds normally
+    val after1 = spark.table(t).select("g", "qty", "n_rows")
+      .as[(String, Long, Long)].collect().toSet
+    assert(after1 == Set(("a", 11L, 2L), ("b", 5L, 1L)), after1.toString)
+  }
+
+  test("compact splits a hot partition value across files (target honored within value)") {
+    val t = table("t_compact_hot")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // hot value: 500 rows vs cold: 10 — target 100 must give p=hot >= 4
+    // files instead of funneling it through one task/file
+    val hot = spark.range(500).selectExpr("id AS k", "'v' AS v", "'hot' AS p")
+    val cold = spark.range(10).selectExpr("id + 1000 AS k", "'v' AS v", "'cold' AS p")
+    hot.unionByName(cold).write.partitionBy("p").saveAsTable(t)
+    val before = spark.table(t).as[(Long, String, String)].collect().toSet
+    Maintenance.compact(spark, t, targetRowsPerFile = 100)
+    assert(spark.table(t).as[(Long, String, String)].collect().toSet == before)
+    val hotFiles = spark.table(t).filter($"p" === "hot").inputFiles.length
+    assert(hotFiles >= 5,
+      s"hot partition must split into >= 500/100 files, got $hotFiles")
+    val coldFiles = spark.table(t).filter($"p" === "cold").inputFiles.length
+    assert(coldFiles == 1, s"cold partition should compact to 1, got $coldFiles")
+  }
+
   test("maintained aggregate grows keys without touching unrelated ones") {
     val t = table("t_gold_keys")
     spark.sql(s"DROP TABLE IF EXISTS $t")

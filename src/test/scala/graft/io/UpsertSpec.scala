@@ -112,6 +112,15 @@ class UpsertSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Upsert.applyChangeLog(spark, t, junkOp, Seq("k")))
     assert(e2.getMessage.contains("X"), e2.getMessage)
+    // validation sees the RAW feed: a garbage row SUPERSEDED by a later
+    // seq for the same key must still fail (post-dedup it would vanish,
+    // making "does a broken producer fail loudly" depend on unrelated
+    // traffic per key)
+    val superseded = Seq((1, "junk", "X", 1L), (1, "ok", "U", 2L))
+      .toDF("k", "v", "op", "seq")
+    val e3 = intercept[IllegalArgumentException](
+      Upsert.applyChangeLog(spark, t, superseded, Seq("k")))
+    assert(e3.getMessage.contains("X"), e3.getMessage)
     assert(spark.table(t).as[(Int, String)].collect().toMap == Map(1 -> "a"),
       "a rejected changelog must not touch the table")
   }

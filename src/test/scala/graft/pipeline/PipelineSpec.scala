@@ -379,6 +379,21 @@ class PipelineSpec extends SparkSpec {
     assert(recs == Map("2024-03-02" -> 2L), recs.toString)
   }
 
+  test("curation default_sample_rate without a stratum still samples (never a silent skip)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"), lit("hello world text").as("text"))
+    val cfg = graft.config.CurationStepConfig(
+      idColumn = "doc_id", textColumn = "text", languages = Nil,
+      minQuality = None, redactPii = false, piiReplacement = "[REDACTED]",
+      stratumColumn = None, sampleRates = Map.empty, defaultSampleRate = 0.25)
+    val kept = graft.layers.DeclarativeSteps.curationFrame(docs, cfg).count()
+    assert(kept > 2000 * 0.15 && kept < 2000 * 0.35,
+      s"default-rate-only sampling must act (kept $kept of 2000)")
+    // and it is deterministic
+    assert(graft.layers.DeclarativeSteps.curationFrame(docs, cfg).count() == kept)
+  }
+
   test("config parse rejects a declarative step missing its params block") {
     val bad =
       """transformations:
