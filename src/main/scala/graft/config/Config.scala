@@ -248,7 +248,10 @@ object EtlConfig {
       partitionBy = strSeq(m, "partition_by"),
       dataQuality = seqOfMaps(m, "data_quality").map(parseDqRule),
       enabled = bool(m, "enabled"),
-      transformType = str(m, "transform_type", "sql"),
+      // the reference spells it transformation_type
+      // (silver_layer.py:114); the short form is accepted too
+      transformType = opt(m, "transformation_type")
+        .orElse(opt(m, "transform_type")).getOrElse("sql"),
       dedup = m.get("dedup").map(d => parseDedup(asMap(d))),
       curation = m.get("curation").map(c => parseCuration(asMap(c))))
     // config shape errors fail at PARSE time, not at run time inside a

@@ -60,6 +60,36 @@ class MainSpec extends SparkSpec {
     } finally sys.props.remove("GRAFT_DATA_DIR")
   }
 
+  test("checked-in corpus configs run the declarative funnel via Main.run") {
+    sys.props("GRAFT_DATA_DIR") = "/root/testdata/sf0.001"
+    try {
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.source_token_budget")
+      val exit = Main.run(spark,
+        Main.Args("2031-07-07", Seq("bronze", "silver", "gold"),
+          "/root/repo/configs/corpus", None))
+      assert(exit == 0)
+      val raw = spark.table("bronze_corpus.documents").count()
+      val deduped = spark.table("silver_corpus.docs_dedup").count()
+      val curated = spark.table("silver_corpus.docs_curated").count()
+      assert(raw > deduped && deduped > curated && curated > 0,
+        s"funnel must narrow: $raw -> $deduped -> $curated")
+      // the additive gold model exists with the declared shape
+      val gold = spark.table("gold_corpus.source_token_budget")
+      assert(gold.columns.toSet ==
+        Set("source", "n_docs", "n_chars", "n_rows"))
+      assert(gold.agg(sum("n_docs")).head.getLong(0) == curated,
+        "token budget must cover exactly the curated docs")
+      // control rows carry the declarative snapshots
+      val control = spark.table("metadata.etl_control_table")
+        .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
+      val snaps = control.select("table_name", "config_snapshot")
+        .as[(String, String)].collect().toMap
+      assert(snaps("silver_corpus.docs_dedup").contains("\"method\":\"minhash\""))
+      assert(snaps("gold_corpus.source_token_budget")
+        .contains("\"refresh_type\":\"additive\""))
+    } finally sys.props.remove("GRAFT_DATA_DIR")
+  }
+
   test("Demo.run propagates a layer failure instead of masking it in previews") {
     // a gold-only config whose model reads a table that does not exist:
     // the layer fails, and Demo.run must return that nonzero exit code
