@@ -543,6 +543,11 @@ object ExtendedQueries extends QuerySet {
     * (135 rows at any SF — aggregates before recursing, the IVM
     * lesson); the loop is 27 joins against the PERSISTED tiny series
     * (rc2's persist-the-loop-relation rule), frontier = |priorities|.
+    * Wall-clock is PACING-bound, not data-bound: 27 SERIAL UnionLoop
+    * iterations each pay ~0.1 s of per-step planning/materialization
+    * (~3.3 s at any SF; measured invariant to broadcast hints and
+    * series partitioning — v11's training-rounds bound, same cause).
+    * More groups ride along free; only a LONGER series costs more.
     */
   def rc3EmaSeries(s: SparkSession, dir: String): DataFrame = {
     val series = t(s, dir, "orders")
