@@ -511,6 +511,26 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).nonEmpty, p)
   }
 
+  test("fz1: blocked fuzzy join is equi-shaped — never cartesian") {
+    val p = plan("fz1_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tw3: bigram aggregates partial-combine; marginals broadcast back") {
+    val p = plan("tw3_pmi_collocations")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only the 1-row N may nested-loop; pair⋈marginal joins stay hash
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("dp2: entropy profile is aggregates only — no window, no join") {
+    val p = plan("dp2_column_entropy")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
