@@ -70,13 +70,20 @@ def column_types(con, sql):
 # Twin of graft.Verify.surfaceViolations: the driver gate can only hash
 # scalar, non-DECIMAL columns (pandas sort_values chokes on arrays —
 # round-10 a11 err; DECIMAL hash-splits across readers — round-10 q1d).
+# ALLOWLIST, mirroring the Scala side's type whitelist — a deny-list
+# would let surfaces the Scala lint rejects (e.g. BLOB from a Spark
+# BinaryType column) sail into the comparator and fail with a
+# misleading value-mismatch instead of a named surface failure.
+SCALAR_OK = {"BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+             "FLOAT", "REAL", "DOUBLE", "VARCHAR", "DATE"}
+
+
 def surface_violations(types):
     bad = []
     for c, t in types.items():
         u = t.upper()
-        if (u.startswith("DECIMAL") or u.startswith("STRUCT")
-                or u.startswith("MAP") or u.startswith("LIST")
-                or u.startswith("UNION") or "[]" in u):
+        if u not in SCALAR_OK and not u.startswith("TIMESTAMP"):
             bad.append(f"{c}: {t}")
     return bad
 

@@ -263,6 +263,13 @@ object EtlConfig {
       s"transform '${t.transformId}': transform_type curation needs a curation: block")
     require(t.transformType != "sql" || t.sqlQuery.nonEmpty,
       s"transform '${t.transformId}': transform_type sql needs sql_query")
+    // the inverse too: a sql_query on a dedup/curation step would be
+    // silently ignored (the dispatch reads source_table directly) —
+    // a config the user wrote must act or fail, never vanish
+    require(t.transformType == "sql" || t.sqlQuery.isEmpty,
+      s"transform '${t.transformId}': sql_query is not used by " +
+        s"transform_type ${t.transformType} — pre-filter via a preceding " +
+        "sql transform instead")
     require(Set("sql", "dedup", "curation")(t.transformType),
       s"transform '${t.transformId}': unknown transform_type '${t.transformType}'")
     t

@@ -53,16 +53,24 @@ object Maintenance {
     // targetRowsPerFile is honored WITHIN each partition value.
     val clustered =
       if (partCols.nonEmpty) {
-        val counts = spark.table(table).groupBy(partCols.map(col): _*)
+        // counts join back NULL-SAFELY (<=>): a partition value can be
+        // NULL (__HIVE_DEFAULT_PARTITION__ reads back as null), and an
+        // === join would silently DROP those rows from the rewrite — a
+        // maintenance op must never lose data (same null-key class as
+        // the maintainAdditiveAggregate fix, caught by review)
+        val t0 = spark.table(table)
+        val counts = t0.groupBy(partCols.map(col): _*)
           .agg(ceil(count(lit(1)).cast("double") / targetRowsPerFile)
             .cast("int").as("_nf"))
-        spark.table(table)
-          .join(broadcast(counts), partCols)
+        val cAliased = counts.select(
+          partCols.map(c => col(c).as(s"_pc_$c")) :+ col("_nf"): _*)
+        t0.join(broadcast(cAliased),
+            partCols.map(c => t0(c) <=> cAliased(s"_pc_$c")).reduce(_ && _))
           .withColumn("_salt",
             pmod(spark_partition_id() + monotonically_increasing_id(),
               greatest(col("_nf"), lit(1))).cast("int"))
           .repartition(parts, (partCols.map(col) :+ col("_salt")): _*)
-          .drop("_salt", "_nf")
+          .drop("_salt" +: "_nf" +: partCols.map(c => s"_pc_$c"): _*)
       } else spark.table(table).repartition(parts)
     clustered.write.mode(SaveMode.Overwrite).parquet(scratch)
     // the salt gives the hot value TASK parallelism; hash collisions can
@@ -125,8 +133,8 @@ object Maintenance {
     * +) — pinned in `MaintenanceSpec`. Scale shape: per batch, one
     * map-side-combined aggregate of the BATCH (not history) + one
     * keyed join against the standing table — cost rides the batch.
-    */
-  /** @param epochId when set (the streaming sink's batchId), the fold
+    *
+    * @param epochId when set (the streaming sink's batchId), the fold
     *        becomes REPLAY-IDEMPOTENT: the id is written as a
     *        `_last_epoch` column in the SAME table commit as the folded
     *        data (one saveAsTable — data and marker can never diverge),
@@ -137,10 +145,13 @@ object Maintenance {
     *        no-ops — the parquet analog of Delta's txnAppId/txnVersion
     *        pattern. Batch-path callers (no stream, no redelivery)
     *        leave it None and get no marker column.
+    * @return true if the batch folded (or created the table); false if
+    *         it was a replayed epoch and was skipped — callers holding
+    *         an Observation on the batch must not block on it then.
     */
   def maintainAdditiveAggregate(spark: SparkSession, table: String,
       batch: DataFrame, keys: Seq[String], sumCols: Seq[String],
-      epochId: Option[Long] = None): Unit = {
+      epochId: Option[Long] = None): Boolean = {
     require(sumCols.nonEmpty, "need at least one additive column")
     val aggExprs = sumCols.map(c => sum(col(c)).as(c)) :+
       count(lit(1)).as("n_rows")
@@ -150,12 +161,15 @@ object Maintenance {
       batchAgg0.withColumn("_last_epoch", lit(id)))
     if (!spark.catalog.tableExists(table)) {
       batchAgg.write.saveAsTable(table)
-      return
+      return true
     }
-    // replayed epoch: its id is already committed with the data — no-op
+    // replayed epoch: its id is already committed with the data — no-op.
+    // NOTE the skip happens BEFORE any action touches `batch`: a caller
+    // observing the batch (GoldLayer's records count) must not block on
+    // an Observation whose action never ran — hence the Boolean return.
     for (id <- epochId if spark.table(table).columns.contains("_last_epoch")) {
       val m = spark.table(table).agg(max(col("_last_epoch"))).head
-      if (!m.isNullAt(0) && m.getLong(0) >= id) return
+      if (!m.isNullAt(0) && m.getLong(0) >= id) return false
     }
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
@@ -180,6 +194,7 @@ object Maintenance {
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
+    true
   }
 
   /** Incremental MIN/MAX maintenance — the other half of the

@@ -94,6 +94,11 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
 
   def transform(t: TransformConfig): Unit =
     audit.bracket(layerName, "transform", "SilverLayer", t.transformId, t.targetTable) {
+      // snapshot BEFORE this step tracks anything: the drain below must
+      // free only frames THIS transform created — a blanket release
+      // would free localCheckpoint blocks owned by other in-flight
+      // callers of the shared session, which cannot recompute
+      val cacheMark = graft.operators.FrameCaches.mark(spark)
       // transform_type dispatch (reference silver_layer.py:98-125 runs
       // only SQL; the dedup/curation verbs expose the operator families
       // through the same plane — same DQ, audit, and control rows)
@@ -114,7 +119,7 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
           dq.cleanup()
           // the near-dup funnel persists its survivor frame (it feeds
           // two consumers); the write above is the last of them
-          graft.operators.FrameCaches.release(spark)
+          graft.operators.FrameCaches.releaseSince(spark, cacheMark)
         }
       meta.recordDqMetrics(dq.metrics.map(m =>
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
@@ -152,13 +157,23 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           // incremental-view-maintenance refresh: fold THIS RUN's batch
           // frame into the standing aggregate per key — cost rides the
           // batch, never the table's history (the 100 TB gold path).
-          // records_processed = the batch frame's rows, counted by an
-          // Observation on the frame the fold consumes (single pass)
+          // The run DATE is the fold's epoch id, so re-running a date
+          // (a retry after a failure, an operator re-trigger) is a
+          // NO-OP instead of a double-count — the additive fold is not
+          // idempotent by itself (review finding). Across DATES the
+          // config owes the fold DELTA batches; a full-recompute
+          // sql_query fed to additive double-counts by declaration
+          // (the contract is documented at the model in configs/).
+          // records_processed = the batch frame's rows via an
+          // Observation riding the fold's single pass — 0 when the
+          // epoch guard skipped (the Observation never ran then and
+          // must not be read: it would block forever).
+          val epoch = java.time.LocalDate.parse(runDate).toEpochDay
           val obs = new Observation()
-          graft.io.Maintenance.maintainAdditiveAggregate(spark,
+          val folded = graft.io.Maintenance.maintainAdditiveAggregate(spark,
             m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
-            m.primaryKeys, m.sumColumns)
-          obs.get("rows").asInstanceOf[Long]
+            m.primaryKeys, m.sumColumns, epochId = Some(epoch))
+          if (folded) obs.get("rows").asInstanceOf[Long] else 0L
         } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted

@@ -34,4 +34,36 @@ object FrameCaches {
     if (q != null)
       q.forEach(ds => org.apache.spark.sql.GraftColumnBridge.freeStorage(ds))
   }
+
+  /** Identity snapshot of the frames currently tracked — pair with
+    * [[releaseSince]] for a SCOPED drain: a framework step (the silver
+    * layer's per-transform cleanup) must free only the frames ITS work
+    * tracked, not reach into caches owned by other in-flight callers of
+    * the same session (whose localCheckpoint blocks cannot be
+    * recomputed once freed).
+    */
+  def mark(spark: SparkSession): java.util.Set[Dataset[_]] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    val q = registry.get(spark)
+    if (q != null) q.forEach(d => { s.add(d); () })
+    s
+  }
+
+  /** Free (and untrack) only the frames tracked AFTER `marked` was
+    * taken; everything in the snapshot stays live.
+    */
+  def releaseSince(spark: SparkSession, marked: java.util.Set[Dataset[_]]): Unit = {
+    val q = registry.get(spark)
+    if (q != null) {
+      val it = q.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        if (!marked.contains(d)) {
+          it.remove()
+          org.apache.spark.sql.GraftColumnBridge.freeStorage(d)
+        }
+      }
+    }
+  }
 }

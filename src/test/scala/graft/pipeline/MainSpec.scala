@@ -76,7 +76,7 @@ class MainSpec extends SparkSpec {
       // the additive gold model exists with the declared shape
       val gold = spark.table("gold_corpus.source_token_budget")
       assert(gold.columns.toSet ==
-        Set("source", "n_docs", "n_chars", "n_rows"))
+        Set("source", "n_docs", "n_chars", "n_rows", "_last_epoch"))
       assert(gold.agg(sum("n_docs")).head.getLong(0) == curated,
         "token budget must cover exactly the curated docs")
       // control rows carry the declarative snapshots

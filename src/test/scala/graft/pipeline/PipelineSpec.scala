@@ -377,6 +377,19 @@ class PipelineSpec extends SparkSpec {
       .select("last_run_date", "records_processed")
       .as[(String, Long)].collect().toMap
     assert(recs == Map("2024-03-02" -> 2L), recs.toString)
+    // re-running the SAME date is a no-op (the run date is the fold's
+    // epoch id): a retry after a failure must not double-count
+    val p2retry = new Pipeline(spark, "2024-03-02", new FixedClock(1790200000000L))
+    val r3 = p2retry.run(Map("gold" -> EtlConfig.fromYaml(additiveYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    val rowsRetry = spark.table("gold_e2e.sales_running")
+      .select("product_id", "amount", "quantity", "n_rows")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(rowsRetry == rows, s"same-date retry double-counted: $rowsRetry")
+    val recsRetry = spark.table(p2retry.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.sales_running")
+      .select("records_processed").as[Long].head()
+    assert(recsRetry == 0L, "a skipped epoch reports 0 records processed")
   }
 
   test("curation default_sample_rate without a stratum still samples (never a silent skip)") {
