@@ -58,6 +58,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("association rules: conf/lift laws on random baskets vs a driver reference") {
+    import graft.operators.Itemsets
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val rows = Seq.fill(rnd.nextInt(150) + 50)(
+        (rnd.nextInt(15).toLong, rnd.nextInt(8).toLong))
+      val df = rows.toDF("basket", "item")
+      val rules = Itemsets.associationRules(df, "basket", "item")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // driver reference: exact supports from the deduped pairs
+      val items = rows.distinct
+      val byBasket = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val isup = items.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val n = byBasket.size.toLong
+      rules.foreach { case (a, c, s, conf, lift) =>
+        val expS = byBasket.values.count(b => b.contains(a) && b.contains(c)).toLong
+        assert(s == expS, s"seed $seed: support($a,$c)=$s, expected $expS")
+        assert(conf == 1000L * s / isup(a), s"seed $seed: conf($a->$c)")
+        assert(lift == 1000L * s * n / (isup(a).toLong * isup(c)),
+          s"seed $seed: lift($a,$c)")
+        assert(conf >= 0 && conf <= 1000, s"seed $seed: conf out of range")
+      }
+      // symmetry: every rule's reverse direction exists with equal lift
+      val byDir = rules.map(r => (r._1, r._2) -> r._5).toMap
+      byDir.foreach { case ((a, c), l) =>
+        assert(byDir.get((c, a)).contains(l), s"seed $seed: lift asymmetry $a,$c")
+      }
+    }
+  }
+
+  test("Traversal.reachable equals a driver-side BFS on random directed graphs") {
+    import graft.operators.{FrameCaches, Traversal}
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      val nNodes = rnd.nextInt(30) + 10
+      val edges = Seq.fill(rnd.nextInt(120) + 30)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)) // cycles, self-loops
+      val src = rnd.nextInt(nNodes).toLong
+      val got = Traversal.reachable(edges.toDF("src", "dst"), Seq(src))
+        .as[(Long, Long)].collect().toMap
+      FrameCaches.release(spark)
+      // reference: level-synchronous BFS on the driver
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      var level = Set(src); var d = 0L
+      while (level.nonEmpty) {
+        d += 1
+        val next = level.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains)
+        next.foreach(n => dist(n) = d)
+        level = next
+      }
+      assert(got == dist.toMap,
+        s"seed $seed: BFS mismatch (${got.size} vs ${dist.size} nodes)")
+    }
+  }
+
   test("dq filter + invalid metrics partition the input exactly") {
     for (seed <- seeds) {
       val rnd = new Random(seed)
