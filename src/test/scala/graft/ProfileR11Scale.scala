@@ -145,6 +145,48 @@ object ProfileR11Scale {
     val bN = time(s"${mult}x q20 excess stock")(q20(liN))
     exp("q20", b1, bN)
 
+    // ---- gr2: 3-hop BFS, customers xN (edges xN, supplier hubs fatten —
+    //      gr1's growth model; frontier bounded by |V|, never paths) ----
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    def gr2(li: DataFrame, or: DataFrame): Long = {
+      val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .repartition(col("src")).persist()
+      edges.count()
+      val n = graft.operators.Traversal.reachable(edges, Seq(3L), maxDepth = 3).count()
+      graft.operators.FrameCaches.release(spark)
+      edges.unpersist(blocking = true)
+      n
+    }
+    // grow CUSTOMERS (and with them orders/edges) xN: shifted custkeys
+    // keep the graph consistent; supplier nodes fatten into hubs
+    val orN = spark.range(mult).toDF("rep").crossJoin(orders)
+      .select((col("o_orderkey") + col("rep") * shift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * shift).as("o_custkey"))
+    val liNOrders = spark.range(mult).toDF("rep").crossJoin(li0)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * shift)
+      .drop("rep")
+    gr2(li0, orders) // warm
+    val c1 = time("1x  gr2 3-hop BFS")(gr2(li0, orders))
+    val cN = time(s"${mult}x gr2 3-hop BFS")(gr2(liNOrders, orN))
+    exp("gr2", c1, cN)
+
+    // ---- fi2: association rules, baskets xN (pair mass xN, rides fi1's
+    //      exponent; the rules stages add item-table joins ~fixed) ----
+    def fi2(li: DataFrame): Long =
+      graft.operators.Itemsets.associationRules(li, "l_orderkey", "l_partkey",
+        minSupport = 2L, maxBasketSize = Some(64)).count()
+    fi2(li0) // warm
+    val d1 = time("1x  fi2 assoc rules")(fi2(li0))
+    val dN = time(s"${mult}x fi2 assoc rules")(fi2(
+      spark.range(mult).toDF("rep").crossJoin(li0)
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * shift)
+        .drop("rep")))
+    exp("fi2", d1, dN)
+
     spark.stop()
   }
 }
