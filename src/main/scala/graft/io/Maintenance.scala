@@ -64,10 +64,18 @@ object Maintenance {
             .cast("int").as("_nf"))
         val cAliased = counts.select(
           partCols.map(c => col(c).as(s"_pc_$c")) :+ col("_nf"): _*)
+        // the salt is a DETERMINISTIC function of the row's own data
+        // (xxhash64 over every source column): spark_partition_id /
+        // monotonically_increasing_id would re-assign rows on a shuffle-
+        // map task RETRY (fetch failure, executor loss), the SPARK-23207
+        // class of silent row loss/duplication under a repartition —
+        // fatal in an op that must never lose data (round-11 advice).
+        // Identical duplicate rows co-locate in one salt group; the
+        // writer's maxRecordsPerFile below still bounds file size then.
         t0.join(broadcast(cAliased),
             partCols.map(c => t0(c) <=> cAliased(s"_pc_$c")).reduce(_ && _))
           .withColumn("_salt",
-            pmod(spark_partition_id() + monotonically_increasing_id(),
+            pmod(xxhash64(t0.columns.map(col): _*),
               greatest(col("_nf"), lit(1))).cast("int"))
           .repartition(parts, (partCols.map(col) :+ col("_salt")): _*)
           .drop("_salt" +: "_nf" +: partCols.map(c => s"_pc_$c"): _*)
@@ -138,8 +146,10 @@ object Maintenance {
     *        becomes REPLAY-IDEMPOTENT: the id is written as a
     *        `_last_epoch` column in the SAME table commit as the folded
     *        data (one saveAsTable — data and marker can never diverge),
-    *        and a batch whose id is ≤ the standing `_last_epoch` is
-    *        skipped. This is what makes the additive fold safe under
+    *        and a batch whose id EQUALS the standing `_last_epoch` is
+    *        skipped, while an OLDER id throws (a late backfill is not a
+    *        replay — dropping it silently would be data loss recorded
+    *        as success). This is what makes the additive fold safe under
     *        foreachBatch's at-least-once delivery: a crash-replayed
     *        epoch re-arrives, sees its own id already committed, and
     *        no-ops — the parquet analog of Delta's txnAppId/txnVersion
@@ -167,9 +177,22 @@ object Maintenance {
     // NOTE the skip happens BEFORE any action touches `batch`: a caller
     // observing the batch (GoldLayer's records count) must not block on
     // an Observation whose action never ran — hence the Boolean return.
-    for (id <- epochId if spark.table(table).columns.contains("_last_epoch")) {
-      val m = spark.table(table).agg(max(col("_last_epoch"))).head
-      if (!m.isNullAt(0) && m.getLong(0) >= id) return false
+    // Only the SAME epoch skips; an OLDER epoch is a late backfill whose
+    // silent drop would be data loss dressed as success (round-11
+    // advice: the audit row would record SUCCESS with 0 records) — it
+    // fails loudly so the layer's per-item isolation surfaces it.
+    val standingEpoch: Option[Long] =
+      if (spark.table(table).columns.contains("_last_epoch")) {
+        val m = spark.table(table).agg(max(col("_last_epoch"))).head
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      } else None
+    for (id <- epochId; committed <- standingEpoch) {
+      if (committed == id) return false
+      if (committed > id) throw new IllegalStateException(
+        s"additive fold for '$table': batch epoch $id is OLDER than the " +
+          s"committed epoch $committed — a late backfill cannot fold " +
+          "additively without double-count risk; recompute the table or " +
+          "re-stamp the batch with a current epoch")
     }
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
@@ -184,12 +207,17 @@ object Maintenance {
     // t-then-b so both matched and one-sided rows keep their key.
     val joined = t.join(b,
       keys.map(k => t(k) <=> b(k)).reduce(_ && _), "full_outer")
+    // a batch-path call (epochId = None) against a table the STREAMING
+    // sink built must not strip the committed _last_epoch marker — a
+    // later crash-replay of that epoch would then double-count
+    // (round-11 advice); carry the standing max forward instead
+    val keepEpoch = epochId.orElse(standingEpoch)
     val merged = joined.select(
       keys.map(k => coalesce(t(k), b(k)).as(k)) ++
         (sumCols :+ "n_rows").map { c =>
           (coalesce(t(c), lit(0)) + coalesce(b(c), lit(0))).as(c)
         } ++
-        epochId.map(id => lit(id).as("_last_epoch")).toSeq: _*)
+        keepEpoch.map(id => lit(id).as("_last_epoch")).toSeq: _*)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)

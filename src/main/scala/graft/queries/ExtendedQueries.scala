@@ -558,9 +558,18 @@ object ExtendedQueries extends QuerySet {
         .cast("long").as("cents"))
     graft.operators.FrameCaches.track(series.persist())
       .createOrReplaceTempView("ema_series")
+    // the anchor is each priority's MIN(qidx) — not a literal 0 — so
+    // the recurrence always starts at the series HEAD: a dataset whose
+    // orders begin before the qidx origin year would otherwise have its
+    // early quarters silently excluded from the chain (round-11 advice;
+    // on this corpus min(qidx) = 0 per priority, so results are
+    // unchanged and the gate stays green)
     s.sql(
       """WITH RECURSIVE ema(pri, qidx, cents, ema_cents) AS (
-        |  SELECT pri, qidx, cents, cents FROM ema_series WHERE qidx = 0
+        |  SELECT pri, qidx, cents, cents FROM (
+        |    SELECT pri, qidx, cents,
+        |      MIN(qidx) OVER (PARTITION BY pri) AS _mn
+        |    FROM ema_series) WHERE qidx = _mn
         |  UNION ALL
         |  SELECT s.pri, s.qidx, s.cents,
         |    (200 * s.cents + 800 * e.ema_cents) DIV 1000
@@ -1137,19 +1146,41 @@ object ExtendedQueries extends QuerySet {
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the declarative twin of the basket formulation: DISTINCT
     // (order, part) self-joined under p1 < p2 — provably the same pair
-    // set the sorted-basket generator emits
+    // set the sorted-basket generator emits. The maxBasketSize = 64 cap
+    // is SPELLED here too (round-11 advice: an oracle silent on the cap
+    // only matches while no basket exceeds it): `capped` keeps each
+    // basket's 64 SMALLEST items by part key — exactly itemPairs'
+    // slice(sort_array(collect_set(item)), 1, 64) keep rule — so the
+    // two engines express the same semantics at ANY basket shape, not
+    // just the tested SFs' ≤12-item baskets.
     "fi1_item_pairs" ->
-      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+        |        AS rk
+        |    FROM ip) WHERE rk <= 64)
         |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
-        |FROM ip a JOIN ip b
+        |FROM capped a JOIN capped b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY support DESC, p1, p2""".stripMargin,
+    // pairs ride the capped baskets; item supports and the basket count
+    // stay UNCAPPED — mirroring associationRules, whose itemSupport /
+    // nBaskets are counted on the raw rows (a cap only removes pair
+    // observations, so support(pair) ≤ support(item) still holds)
     "fi2_association_rules" ->
       """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+        |        AS rk
+        |    FROM ip) WHERE rk <= 64),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
-        |  FROM ip a JOIN ip b
+        |  FROM capped a JOIN capped b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |isup AS (SELECT l_partkey AS item, COUNT(*) AS s FROM ip GROUP BY 1),
@@ -1202,7 +1233,10 @@ object ExtendedQueries extends QuerySet {
         |      AS BIGINT) AS cents
         |  FROM orders GROUP BY 1, 2),
         |ema(pri, qidx, cents, ema_cents) AS (
-        |  SELECT pri, qidx, cents, cents FROM series WHERE qidx = 0
+        |  SELECT pri, qidx, cents, cents FROM (
+        |    SELECT pri, qidx, cents,
+        |      MIN(qidx) OVER (PARTITION BY pri) AS _mn
+        |    FROM series) WHERE qidx = _mn
         |  UNION ALL
         |  SELECT s.pri, s.qidx, s.cents,
         |    (200 * s.cents + 800 * e.ema_cents) // 1000

@@ -207,6 +207,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(after1 == Set(("a", 11L, 2L), ("b", 5L, 1L)), after1.toString)
   }
 
+  test("an OLDER epoch fails loudly instead of silently dropping a backfill") {
+    // round-11 advice: epoch < committed is a late backfill, not a
+    // replay — skipping it would be data loss recorded as success (the
+    // layer's audit row would log SUCCESS with 0 records); the fold
+    // must throw so per-item isolation surfaces the failure
+    val t = table("t_gold_backfill")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("a", 10L)).toDF("g", "qty"), Seq("g"), Seq("qty"),
+      epochId = Some(5L))
+    val e = intercept[IllegalStateException] {
+      Maintenance.maintainAdditiveAggregate(spark, t,
+        Seq(("a", 3L)).toDF("g", "qty"), Seq("g"), Seq("qty"),
+        epochId = Some(3L))
+    }
+    assert(e.getMessage.contains("OLDER") && e.getMessage.contains("3"),
+      s"unexpected: ${e.getMessage}")
+    assert(spark.table(t).select("g", "qty").as[(String, Long)]
+      .collect().toSet == Set(("a", 10L)), "failed fold must not touch the table")
+  }
+
+  test("a batch-path fold preserves a streaming-built table's epoch marker") {
+    // round-11 advice: epochId = None against a table the streaming
+    // sink built must NOT strip _last_epoch — a later crash-replay of
+    // that epoch would then double-count
+    val t = table("t_gold_mixed_path")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("a", 10L)).toDF("g", "qty"), Seq("g"), Seq("qty"),
+      epochId = Some(7L))
+    Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("a", 5L)).toDF("g", "qty"), Seq("g"), Seq("qty")) // batch path
+    assert(spark.table(t).columns.contains("_last_epoch"),
+      "batch-path fold stripped the replay-idempotence marker")
+    assert(spark.table(t).agg(max($"_last_epoch")).as[Long].head() == 7L,
+      "the committed epoch must survive the batch-path fold")
+    // the preserved marker still fences a replay of epoch 7
+    val folded = Maintenance.maintainAdditiveAggregate(spark, t,
+      Seq(("a", 999L)).toDF("g", "qty"), Seq("g"), Seq("qty"),
+      epochId = Some(7L))
+    assert(!folded, "replayed epoch must still no-op after a batch-path fold")
+    assert(spark.table(t).select("g", "qty").as[(String, Long)]
+      .collect().toSet == Set(("a", 15L)), "replay leaked into the standing sums")
+  }
+
   test("compact splits a hot partition value across files (target honored within value)") {
     val t = table("t_compact_hot")
     spark.sql(s"DROP TABLE IF EXISTS $t")
