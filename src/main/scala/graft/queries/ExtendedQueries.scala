@@ -205,33 +205,31 @@ object ExtendedQueries extends QuerySet {
       .orderBy("doc_id", "rnk")
   }
 
-  /** Blocked fuzzy matching — the record-linkage primitive (dedupe two
+  /** Blocked fuzzy matching via [[graft.operators.Linkage
+    * .blockedFuzzyPairs]] — the record-linkage primitive (dedupe two
     * catalogs whose names drift): candidate pairs come from a BLOCKING
     * key (here the noun of the two-word part name), never all-pairs —
     * the same quadratic-avoidance discipline as LSH banding, with edit
     * distance as the verify stage instead of Jaccard. Pairs sharing a
     * block and within Levenshtein ≤ 4 emit with both names' part
     * counts (the survivorship weights a merge decision uses). Distance
-    * is computed on DISTINCT names (64 here), so the expensive metric
-    * runs per NAME pair, not per row pair — at catalog scale the
-    * blocks bound the candidate mass and the distinct-first projection
-    * bounds the metric cost. Levenshtein is the classic integer DP in
-    * both engines — exact, no tie caveats.
+    * is computed on DISTINCT names, so the expensive metric runs per
+    * NAME pair, not per row pair. Round-11 verdict hardening, both
+    * spelled in the oracle too: the block cap (`maxBlockSize = 256`,
+    * provably results-neutral here — LinkageSpec pins the identity and
+    * the adversarial hot-block bound) and the null-block fallback (a
+    * single-word name blocks under ITSELF — an explicit singleton —
+    * instead of vanishing through a `=== NULL` join miss).
     */
   def fz1FuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val names = t(s, dir, "part")
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", split(col("name"), " ").getItem(1))
-    val a = names.select(col("name").as("name_a"), col("n_parts").as("n_a"),
-      col("blk"))
-    val b = names.select(col("name").as("name_b"), col("n_parts").as("n_b"),
-      col("blk").as("blk_b"))
-    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 4)
+    graft.operators.Linkage.blockedFuzzyPairs(names, "name",
+        blockKey = get(split(col("name"), " "), lit(1)),
+        maxDist = 4, maxBlockSize = 256)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
-        col("n_a"), col("n_b"))
+        col("n_parts_a").as("n_a"), col("n_parts_b").as("n_b"))
       .orderBy("name_a", "name_b")
   }
 
@@ -1213,15 +1211,25 @@ object ExtendedQueries extends QuerySet {
         |      / ln(COUNT(*)), 6)
         |  ELSE 0.0 END AS evenness
         |FROM f GROUP BY column_name ORDER BY column_name""".stripMargin,
+    // the cap and the null-block fallback are SPELLED here (round-11
+    // verdict): split_part yields '' where Spark's getItem yields NULL
+    // for a single-word name, so the NULLIF/COALESCE names the same
+    // singleton-block policy the operator applies; rk <= 256 is the
+    // operator's name-ordered keep rule verbatim
     "fz1_fuzzy_pairs" ->
       """WITH n AS (
         |  SELECT p_name AS name, COUNT(*) AS n_parts,
-        |    split_part(p_name, ' ', 2) AS blk
-        |  FROM part GROUP BY p_name)
+        |    COALESCE(NULLIF(split_part(p_name, ' ', 2), ''), p_name) AS blk
+        |  FROM part GROUP BY p_name),
+        |capped AS (
+        |  SELECT name, n_parts, blk FROM (
+        |    SELECT name, n_parts, blk,
+        |      ROW_NUMBER() OVER (PARTITION BY blk ORDER BY name) AS rk
+        |    FROM n) WHERE rk <= 256)
         |SELECT a.name AS name_a, b.name AS name_b,
         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
         |  a.n_parts AS n_a, b.n_parts AS n_b
-        |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+        |FROM capped a JOIN capped b ON a.blk = b.blk AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 4
         |ORDER BY name_a, name_b""".stripMargin,
     "rc3_ema_series" ->
