@@ -61,6 +61,65 @@ final case class CurationStepConfig(
     sampleRates: Map[String, Double],
     defaultSampleRate: Double)
 
+/** Declarative chunking (silver `transform_type: chunk`) — the YAML
+  * surface over [[graft.operators.Chunking.slidingChunks]]: one row per
+  * (doc, chunk) with token count and content hash; `carry_columns` ride
+  * through unchanged.
+  */
+final case class ChunkStepConfig(
+    idColumn: String,
+    textColumn: String,
+    chunkTokens: Int,
+    stride: Int,
+    carryColumns: Seq[String])
+
+/** Declarative per-stratum quota (silver `transform_type: quota`) — the
+  * YAML surface over [[graft.operators.Curation.stratumQuota]]: keep at
+  * most `maxPerStratum` rows per stratum, hash-ranked (deterministic,
+  * growth-stable).
+  */
+final case class QuotaStepConfig(
+    idColumn: String,
+    stratumColumn: String,
+    maxPerStratum: Int)
+
+/** Declarative fractional-epoch mixing (silver `transform_type: mix`) —
+  * the YAML surface over [[graft.operators.Curation.epochMix]]: source
+  * weighted 2.3 emits every doc twice plus a deterministic 30% a third
+  * time, with the epoch index as a column.
+  */
+final case class MixStepConfig(
+    idColumn: String,
+    sourceColumn: String,
+    epochs: Map[String, Double],
+    defaultEpochs: Double)
+
+/** Declarative leakage-free split (silver `transform_type: split`) —
+  * the YAML surface over the t17 funnel: docs sharing any chunk form a
+  * duplicate-content component ([[graft.operators.Dedup
+  * .connectedComponents]] over chunk-hash collisions) and the COMPONENT
+  * is the split key, so near-identical content never straddles train
+  * and test.
+  */
+final case class SplitStepConfig(
+    idColumn: String,
+    textColumn: String,
+    chunkTokens: Int,
+    stride: Int,
+    trainPct: Int,
+    valPct: Int)
+
+/** Declarative decontamination (silver `transform_type: decontaminate`)
+  * — the YAML surface over [[graft.operators.Curation
+  * .contaminationScores]] + anti-join: drop every doc sharing any word
+  * n-gram with the probe table (an eval benchmark).
+  */
+final case class DecontaminateStepConfig(
+    idColumn: String,
+    textColumn: String,
+    probeTable: String,
+    ngram: Int)
+
 final case class TransformConfig(
     transformId: String,
     sourceTable: String,
@@ -69,9 +128,15 @@ final case class TransformConfig(
     partitionBy: Seq[String],
     dataQuality: Seq[DqRuleConfig],
     enabled: Boolean,
-    transformType: String = "sql", // sql | dedup | curation
+    // sql | dedup | curation | chunk | quota | mix | split | decontaminate
+    transformType: String = "sql",
     dedup: Option[DedupStepConfig] = None,
-    curation: Option[CurationStepConfig] = None)
+    curation: Option[CurationStepConfig] = None,
+    chunk: Option[ChunkStepConfig] = None,
+    quota: Option[QuotaStepConfig] = None,
+    mix: Option[MixStepConfig] = None,
+    split: Option[SplitStepConfig] = None,
+    decontaminate: Option[DecontaminateStepConfig] = None)
 
 final case class ModelConfig(
     modelId: String,
@@ -148,6 +213,28 @@ object ConfigJson {
         "sample_rates" -> c.sampleRates.toSeq.sortBy(_._1)
           .map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}"),
         "default_sample_rate" -> c.defaultSampleRate.toString)) ++
+      t.chunk.toSeq.map(c => "chunk" -> jobj(
+        "id_column" -> js(c.idColumn), "text_column" -> js(c.textColumn),
+        "chunk_tokens" -> c.chunkTokens.toString,
+        "stride" -> c.stride.toString,
+        "carry_columns" -> jarr(c.carryColumns))) ++
+      t.quota.toSeq.map(q => "quota" -> jobj(
+        "id_column" -> js(q.idColumn),
+        "stratum_column" -> js(q.stratumColumn),
+        "max_per_stratum" -> q.maxPerStratum.toString)) ++
+      t.mix.toSeq.map(x => "mix" -> jobj(
+        "id_column" -> js(x.idColumn), "source_column" -> js(x.sourceColumn),
+        "epochs" -> x.epochs.toSeq.sortBy(_._1)
+          .map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}"),
+        "default_epochs" -> x.defaultEpochs.toString)) ++
+      t.split.toSeq.map(x => "split" -> jobj(
+        "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
+        "chunk_tokens" -> x.chunkTokens.toString,
+        "stride" -> x.stride.toString,
+        "train_pct" -> x.trainPct.toString, "val_pct" -> x.valPct.toString)) ++
+      t.decontaminate.toSeq.map(x => "decontaminate" -> jobj(
+        "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
+        "probe_table" -> js(x.probeTable), "ngram" -> x.ngram.toString)) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
@@ -253,24 +340,36 @@ object EtlConfig {
       transformType = opt(m, "transformation_type")
         .orElse(opt(m, "transform_type")).getOrElse("sql"),
       dedup = m.get("dedup").map(d => parseDedup(asMap(d))),
-      curation = m.get("curation").map(c => parseCuration(asMap(c))))
+      curation = m.get("curation").map(c => parseCuration(asMap(c))),
+      chunk = m.get("chunk").map(c => parseChunk(asMap(c))),
+      quota = m.get("quota").map(q => parseQuota(asMap(q))),
+      mix = m.get("mix").map(x => parseMix(asMap(x))),
+      split = m.get("split").map(x => parseSplit(asMap(x))),
+      decontaminate = m.get("decontaminate")
+        .map(x => parseDecontaminate(asMap(x))))
     // config shape errors fail at PARSE time, not at run time inside a
-    // per-item catch: a dedup step without its params block (or vice
+    // per-item catch: a verb step without its params block (or vice
     // versa) is an authoring bug, never a data error
-    require(t.transformType != "dedup" || t.dedup.nonEmpty,
-      s"transform '${t.transformId}': transform_type dedup needs a dedup: block")
-    require(t.transformType != "curation" || t.curation.nonEmpty,
-      s"transform '${t.transformId}': transform_type curation needs a curation: block")
+    val blocks: Map[String, Option[_]] = Map(
+      "dedup" -> t.dedup, "curation" -> t.curation, "chunk" -> t.chunk,
+      "quota" -> t.quota, "mix" -> t.mix, "split" -> t.split,
+      "decontaminate" -> t.decontaminate)
+    for ((verb, block) <- blocks) {
+      require(t.transformType != verb || block.nonEmpty,
+        s"transform '${t.transformId}': transform_type $verb needs a $verb: block")
+      // the inverse too: a params block on a DIFFERENT step type would
+      // be silently ignored — a config the user wrote must act or fail
+      require(t.transformType == verb || block.isEmpty,
+        s"transform '${t.transformId}': a $verb: block is not used by " +
+          s"transform_type ${t.transformType}")
+    }
     require(t.transformType != "sql" || t.sqlQuery.nonEmpty,
       s"transform '${t.transformId}': transform_type sql needs sql_query")
-    // the inverse too: a sql_query on a dedup/curation step would be
-    // silently ignored (the dispatch reads source_table directly) —
-    // a config the user wrote must act or fail, never vanish
     require(t.transformType == "sql" || t.sqlQuery.isEmpty,
       s"transform '${t.transformId}': sql_query is not used by " +
         s"transform_type ${t.transformType} — pre-filter via a preceding " +
         "sql transform instead")
-    require(Set("sql", "dedup", "curation")(t.transformType),
+    require((Set("sql") ++ blocks.keySet)(t.transformType),
       s"transform '${t.transformId}': unknown transform_type '${t.transformType}'")
     t
   }
@@ -313,6 +412,79 @@ object EtlConfig {
     require(c.sampleRates.isEmpty || c.stratumColumn.nonEmpty,
       "sample_rates needs stratum_column")
     c
+  }
+
+  private def parseChunk(m: Map[String, Object]): ChunkStepConfig = {
+    val c = ChunkStepConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      chunkTokens = num(m, "chunk_tokens", 64),
+      stride = num(m, "stride", 48),
+      carryColumns = strSeq(m, "carry_columns"))
+    require(c.idColumn.nonEmpty && c.textColumn.nonEmpty,
+      "chunk needs id_column and text_column")
+    require(c.chunkTokens > 0, s"chunk_tokens must be positive, got ${c.chunkTokens}")
+    require(c.stride > 0 && c.stride <= c.chunkTokens,
+      s"stride must be in (0, chunk_tokens]; got ${c.stride}/${c.chunkTokens}")
+    c
+  }
+
+  private def parseQuota(m: Map[String, Object]): QuotaStepConfig = {
+    val q = QuotaStepConfig(
+      idColumn = str(m, "id_column"),
+      stratumColumn = str(m, "stratum_column"),
+      maxPerStratum = num(m, "max_per_stratum", 0))
+    require(q.idColumn.nonEmpty && q.stratumColumn.nonEmpty,
+      "quota needs id_column and stratum_column")
+    require(q.maxPerStratum > 0,
+      s"max_per_stratum must be positive, got ${q.maxPerStratum}")
+    q
+  }
+
+  private def parseMix(m: Map[String, Object]): MixStepConfig = {
+    val x = MixStepConfig(
+      idColumn = str(m, "id_column"),
+      sourceColumn = str(m, "source_column"),
+      epochs = asMap(m.get("epochs")).map { case (k, v) => k -> v.toString.toDouble },
+      defaultEpochs = opt(m, "default_epochs").map(_.toDouble).getOrElse(1.0))
+    require(x.idColumn.nonEmpty && x.sourceColumn.nonEmpty,
+      "mix needs id_column and source_column")
+    require((x.defaultEpochs +: x.epochs.values.toSeq).forall(e => e >= 0 && e <= 16),
+      "mix epoch weights must be in [0, 16]")
+    require(x.epochs.nonEmpty || x.defaultEpochs != 1.0,
+      "mix with no epochs and default 1.0 is a no-op — a config must act or fail")
+    x
+  }
+
+  private def parseSplit(m: Map[String, Object]): SplitStepConfig = {
+    val s = SplitStepConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      chunkTokens = num(m, "chunk_tokens", 64),
+      stride = num(m, "stride", 48),
+      trainPct = num(m, "train_pct", 90),
+      valPct = num(m, "val_pct", 5))
+    require(s.idColumn.nonEmpty && s.textColumn.nonEmpty,
+      "split needs id_column and text_column")
+    require(s.chunkTokens > 0 && s.stride > 0 && s.stride <= s.chunkTokens,
+      s"split chunk grid invalid: ${s.stride}/${s.chunkTokens}")
+    require(s.trainPct > 0 && s.valPct > 0 && s.trainPct + s.valPct < 100,
+      s"split needs 0 < train_pct, 0 < val_pct, train_pct+val_pct < 100; " +
+        s"got ${s.trainPct}/${s.valPct}")
+    s
+  }
+
+  private def parseDecontaminate(m: Map[String, Object]): DecontaminateStepConfig = {
+    val d = DecontaminateStepConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      probeTable = str(m, "probe_table"),
+      ngram = num(m, "ngram", 5))
+    require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
+      "decontaminate needs id_column and text_column")
+    require(d.probeTable.nonEmpty, "decontaminate needs probe_table")
+    require(d.ngram >= 1, s"ngram must be >= 1, got ${d.ngram}")
+    d
   }
 
   private def parseModel(m: Map[String, Object]): ModelConfig = {

@@ -2,9 +2,9 @@ package graft.layers
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.config.{CurationStepConfig, DedupStepConfig}
+import graft.config._
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, FrameCaches}
+import graft.operators.{Chunking, Curation, Dedup, FrameCaches}
 
 /** The declarative transformation types behind the silver layer's
   * `transform_type` dispatch (round-10 verdict item 3): the reference's
@@ -103,5 +103,96 @@ object DeclarativeSteps {
           Map.empty, cfg.defaultSampleRate)
       case _ => redacted
     }
+  }
+
+  /** One row per (doc, chunk) at the configured token grid — the
+    * context-window splitter as a metadata step
+    * ([[Chunking.slidingChunks]]); scan-fused, no shuffle.
+    */
+  def chunkFrame(df: DataFrame, cfg: ChunkStepConfig): DataFrame = {
+    val missing = (cfg.idColumn +: cfg.textColumn +: cfg.carryColumns)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"chunk columns not in input: ${missing.mkString(", ")}")
+    Chunking.slidingChunks(df, cfg.idColumn, cfg.textColumn,
+      cfg.chunkTokens, cfg.stride, cfg.carryColumns)
+  }
+
+  /** At most `max_per_stratum` rows per stratum, hash-ranked
+    * ([[Curation.stratumQuota]]) — deterministic and growth-stable;
+    * one window shuffle on the stratum key.
+    */
+  def quotaFrame(df: DataFrame, cfg: QuotaStepConfig): DataFrame = {
+    require(df.columns.contains(cfg.idColumn),
+      s"quota id_column '${cfg.idColumn}' not in input")
+    require(df.columns.contains(cfg.stratumColumn),
+      s"quota stratum_column '${cfg.stratumColumn}' not in input")
+    Curation.stratumQuota(df, col(cfg.stratumColumn), col(cfg.idColumn),
+      cfg.maxPerStratum)
+  }
+
+  /** Fractional-epoch upsampling/downsampling per source
+    * ([[Curation.epochMix]]) — one row per (doc, epoch), the epoch
+    * index as a column; pure map work.
+    */
+  def mixFrame(df: DataFrame, cfg: MixStepConfig): DataFrame = {
+    require(df.columns.contains(cfg.idColumn),
+      s"mix id_column '${cfg.idColumn}' not in input")
+    require(df.columns.contains(cfg.sourceColumn),
+      s"mix source_column '${cfg.sourceColumn}' not in input")
+    Curation.epochMix(df, col(cfg.sourceColumn), col(cfg.idColumn),
+      cfg.epochs, cfg.defaultEpochs)
+  }
+
+  /** Leakage-free train/val/test labels (the t17 funnel as a metadata
+    * step): docs sharing ANY chunk at the configured grid form a
+    * duplicate-content component, and the COMPONENT — not the doc — is
+    * the split key, so near-identical content never straddles train and
+    * test. Emits every input column plus `group_id` and `split`. Scale
+    * shape: chunking is scan-fused, the collision join shuffles on the
+    * content hash, the CC funnel runs over collision pairs only
+    * (duplicate mass, not corpus mass), the label is free map work.
+    */
+  def splitFrame(df: DataFrame, cfg: SplitStepConfig): DataFrame = {
+    val id = cfg.idColumn
+    require(df.columns.contains(id), s"split id_column '$id' not in input")
+    require(df.columns.contains(cfg.textColumn),
+      s"split text_column '${cfg.textColumn}' not in input")
+    val ch = Chunking.slidingChunks(df, id, cfg.textColumn,
+      cfg.chunkTokens, cfg.stride)
+      .select(col(id), col("chunk_hash"))
+    val pairs = ch.as("a").join(ch.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash")
+          && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .distinct()
+    // label columns are aliased before the join: the caller's id column
+    // is usually itself "doc_id", and an unaliased drop would take both
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("_cc_doc"), col("cluster_id").as("_cc_cluster"))
+    val grp = df.join(labels, df(id) === col("_cc_doc"), "left")
+      .withColumn("group_id", coalesce(col("_cc_cluster"), df(id)))
+      .drop("_cc_doc", "_cc_cluster")
+    Curation.assignSplit(grp, col("group_id"), cfg.trainPct, cfg.valPct)
+  }
+
+  /** Zero-tolerance decontamination (t15's policy as a metadata step):
+    * drop every corpus doc sharing ANY word n-gram with the probe set.
+    * The probe side collapses to a distinct n-gram-hash set and
+    * BROADCASTS; the corpus never shuffles, and the flagged set
+    * anti-joins back broadcast-sized.
+    */
+  def decontaminateFrame(df: DataFrame, probes: DataFrame,
+      cfg: DecontaminateStepConfig): DataFrame = {
+    require(df.columns.contains(cfg.idColumn),
+      s"decontaminate id_column '${cfg.idColumn}' not in input")
+    require(df.columns.contains(cfg.textColumn),
+      s"decontaminate text_column '${cfg.textColumn}' not in input")
+    require(probes.columns.contains(cfg.textColumn),
+      s"probe table lacks text_column '${cfg.textColumn}'")
+    val flagged = Curation.contaminationScores(df, probes,
+        cfg.idColumn, cfg.textColumn, cfg.ngram)
+      .select(col(cfg.idColumn))
+    df.join(broadcast(flagged), Seq(cfg.idColumn), "left_anti")
   }
 }

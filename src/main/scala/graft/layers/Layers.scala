@@ -107,6 +107,17 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
           DeclarativeSteps.dedupFrame(spark.table(t.sourceTable), t.dedup.get)
         case "curation" =>
           DeclarativeSteps.curationFrame(spark.table(t.sourceTable), t.curation.get)
+        case "chunk" =>
+          DeclarativeSteps.chunkFrame(spark.table(t.sourceTable), t.chunk.get)
+        case "quota" =>
+          DeclarativeSteps.quotaFrame(spark.table(t.sourceTable), t.quota.get)
+        case "mix" =>
+          DeclarativeSteps.mixFrame(spark.table(t.sourceTable), t.mix.get)
+        case "split" =>
+          DeclarativeSteps.splitFrame(spark.table(t.sourceTable), t.split.get)
+        case "decontaminate" =>
+          DeclarativeSteps.decontaminateFrame(spark.table(t.sourceTable),
+            spark.table(t.decontaminate.get.probeTable), t.decontaminate.get)
         case _ =>
           val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
           spark.sql(sql)

@@ -144,6 +144,34 @@ object Curation {
       .drop("n_copies")
   }
 
+  /** Deterministic per-stratum quota — the mixing primitive the
+    * rate-based [[stratifiedSample]] cannot express: keep AT MOST `cap`
+    * rows from each stratum (caps are how real training mixes bound a
+    * dominant crawl), chosen by hash rank so the kept set is identical
+    * on every run/engine/retry and STABLE under corpus growth — a new
+    * row displaces at most one ranked row, never reshuffles the
+    * selection. Emits the kept rows with their `rk` rank (1-based).
+    *
+    * Scale shape: one window shuffle on the stratum key; at 100 TB a
+    * per-stratum top-k (TakeOrdered-shaped, heap per partition)
+    * replaces the full sort the window implies — the selection is
+    * identical. `Md5Hash` mode re-derives in SQL oracles; `XxHash` is
+    * the cheaper production family.
+    */
+  def stratumQuota(df: DataFrame, stratumCol: Column, idCol: Column,
+      cap: Int, mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    require(cap > 0, s"quota cap must be positive, got $cap")
+    val rk = mode match {
+      case Dedup.Md5Hash =>
+        graft.functions.VectorExpressions
+          .hexSliceToLong(md5(concat(lit("q:"), idCol.cast("string"))), 1, 14)
+      case Dedup.XxHash => xxhash64(concat(lit("q:"), idCol.cast("string")))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(rk, idCol)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
   /** Group-atomic train/val/test split — the leakage-safe way to cut a
     * corpus for training: the split key is a GROUP id (a dedup cluster,
     * a duplicate-content component, a domain), not the row id, so every

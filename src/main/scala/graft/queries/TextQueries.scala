@@ -233,22 +233,9 @@ object TextQueries extends QuerySet {
     * Carries `source` so the cross-source overlap report (g6) can
     * group by it; single-column consumers prune it at the scan.
     */
-  private[queries] def chunkHashFrame(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("n_chunks", when(col("n_tok") <= ChunkLen, lit(1L))
-        .otherwise(expr(s"CAST(1 + (n_tok - ${ChunkLen - ChunkStride + 1}) DIV $ChunkStride AS BIGINT)")))
-    base
-      .select(col("doc_id"), col("source"), col("toks"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
-      .withColumn("chunk",
-        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
-          lit(ChunkLen)))
-      .select(col("doc_id"), col("source"), col("chunk_id"),
-        size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_hash"))
-  }
+  private[queries] def chunkHashFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingChunks(docs(s, dir), "doc_id", "text",
+      ChunkLen, ChunkStride, carryCols = Seq("source"))
 
   /** Chunk-level exact dedup — d1's shape at t12's granularity (the
     * dedup unit modern pipelines actually train on): group the sliding
@@ -366,16 +353,12 @@ object TextQueries extends QuerySet {
     * per-source top-k (TakeOrdered-shaped, heap per partition) replaces
     * the full sort the window implies — the selection is identical.
     */
-  def t18SourceQuota(s: SparkSession, dir: String): DataFrame = {
-    val rk = graft.functions.VectorExpressions
-      .hexSliceToLong(md5(concat(lit("q:"), col("doc_id").cast("string"))), 1, 14)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(rk, col("doc_id"))
-    docs(s, dir).select(col("doc_id"), col("source"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= QuotaCap)
+  def t18SourceQuota(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.stratumQuota(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), QuotaCap,
+        graft.operators.Dedup.Md5Hash)
       .orderBy("source", "rk")
-  }
 
   /** Fractional-epoch training mixture ([[graft.operators.Curation
     * .epochMix]]): src0 at 2.3 epochs (every doc twice, a

@@ -58,6 +58,59 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.models.head.primaryKeys == Seq("sale_date", "category"))
   }
 
+  private def transformYaml(body: String): String =
+    s"""transformations:
+       |  - transform_id: t1
+       |    source_table: b.docs
+       |    target_table: s.out
+       |$body""".stripMargin
+
+  test("declarative verb configs validate at parse time, not inside the run loop") {
+    // a verb step without its params block (or a params block on the
+    // wrong step type) is an authoring bug — it must fail at parse
+    // time, never run as a silent no-op
+    for (verb <- Seq("chunk", "quota", "mix", "split", "decontaminate")) {
+      val e = intercept[IllegalArgumentException] {
+        EtlConfig.fromYaml(transformYaml(s"    transform_type: $verb\n"))
+      }
+      assert(e.getMessage.contains(s"needs a $verb: block"), e.getMessage)
+    }
+    // mismatched block: quota params on a chunk step
+    val mism = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(transformYaml(
+        """    transform_type: chunk
+          |    chunk: {id_column: doc_id, text_column: text}
+          |    quota: {id_column: doc_id, stratum_column: src, max_per_stratum: 5}
+          |""".stripMargin))
+    }
+    assert(mism.getMessage.contains("quota: block is not used"), mism.getMessage)
+    // value-range shapes: stride > chunk_tokens, zero quota, a no-op
+    // mix, a missing probe table — each named at parse time
+    intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
+      """    transform_type: chunk
+        |    chunk: {id_column: doc_id, text_column: text, chunk_tokens: 8, stride: 9}
+        |""".stripMargin)) }
+    intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
+      """    transform_type: quota
+        |    quota: {id_column: doc_id, stratum_column: src, max_per_stratum: 0}
+        |""".stripMargin)) }
+    intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
+      """    transform_type: mix
+        |    mix: {id_column: doc_id, source_column: src}
+        |""".stripMargin)) }
+    intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
+      """    transform_type: decontaminate
+        |    decontaminate: {id_column: doc_id, text_column: text}
+        |""".stripMargin)) }
+    // the happy path parses with defaults filled
+    val ok = EtlConfig.fromYaml(transformYaml(
+      """    transform_type: split
+        |    split: {id_column: doc_id, text_column: text}
+        |""".stripMargin)).transformations.head
+    assert(ok.split.contains(graft.config.SplitStepConfig(
+      "doc_id", "text", 64, 48, 90, 5)))
+  }
+
   test("template substitution: vars, env, and unknown left empty") {
     assert(EtlConfig.substitute("d >= '${PROCESSING_DATE}'",
       Map("PROCESSING_DATE" -> "2024-01-01")) == "d >= '2024-01-01'")

@@ -73,6 +73,16 @@ class MainSpec extends SparkSpec {
       val curated = spark.table("silver_corpus.docs_curated").count()
       assert(raw > deduped && deduped > curated && curated > 0,
         s"funnel must narrow: $raw -> $deduped -> $curated")
+      // round-12 verbs chained off the curated docs: quota caps every
+      // source, the mix upweights src1, chunking explodes to windows
+      val quota = spark.table("silver_corpus.docs_quota")
+      assert(quota.groupBy("source").count()
+        .agg(max("count")).head.getLong(0) <= 40L)
+      val mixed = spark.table("silver_corpus.docs_mix").count()
+      assert(mixed >= quota.count(), "default 1.0 epochs keeps every doc")
+      val chunks = spark.table("silver_corpus.docs_chunks")
+      assert(chunks.columns.contains("chunk_hash") && chunks.count() >= mixed,
+        "every mixed doc copy must chunk")
       // the additive gold model exists with the declared shape
       val gold = spark.table("gold_corpus.source_token_budget")
       assert(gold.columns.toSet ==

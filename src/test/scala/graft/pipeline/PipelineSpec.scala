@@ -332,6 +332,155 @@ class PipelineSpec extends SparkSpec {
     assert(dqm.count() == 1)
   }
 
+  test("declarative quota/mix/chunk/split/decontaminate verbs run through the metadata plane") {
+    // round-11 verdict item 2: the rest of the corpus-pipeline family a
+    // config author wants — per-source quota (t18), epoch mixing (t19),
+    // chunking (t12), leakage-free split (t17), decontamination (t15)
+    // — reachable as transformation_type verbs with the same per-item
+    // isolation, audit bracketing, and control rows as dedup/curation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$stage/documents_verbs")
+    spark.sql("CREATE DATABASE IF NOT EXISTS probe_verbs")
+    spark.sql("DROP TABLE IF EXISTS probe_verbs.eval_probes")
+    docs.filter($"doc_id" < 5).select("doc_id", "text")
+      .write.saveAsTable("probe_verbs.eval_probes")
+    val bronzeYaml =
+      s"""sources:
+         |  - source_id: docs_parquet
+         |    source_path: $stage/documents_verbs
+         |    file_format: parquet
+         |    target_table: bronze_verbs.documents
+         |""".stripMargin
+    val silverYaml =
+      """transformations:
+        |  - transform_id: docs_quota
+        |    transform_type: quota
+        |    source_table: bronze_verbs.documents
+        |    target_table: silver_verbs.docs_quota
+        |    quota:
+        |      id_column: doc_id
+        |      stratum_column: source
+        |      max_per_stratum: 20
+        |  - transform_id: docs_mix
+        |    transform_type: mix
+        |    source_table: silver_verbs.docs_quota
+        |    target_table: silver_verbs.docs_mix
+        |    mix:
+        |      id_column: doc_id
+        |      source_column: source
+        |      epochs: {src0: 2.3, src1: 0.4}
+        |  - transform_id: docs_chunks
+        |    transform_type: chunk
+        |    source_table: silver_verbs.docs_mix
+        |    target_table: silver_verbs.docs_chunks
+        |    chunk:
+        |      id_column: doc_id
+        |      text_column: text
+        |      chunk_tokens: 64
+        |      stride: 48
+        |      carry_columns: [source, epoch]
+        |  - transform_id: docs_split
+        |    transform_type: split
+        |    source_table: bronze_verbs.documents
+        |    target_table: silver_verbs.docs_split
+        |    split:
+        |      id_column: doc_id
+        |      text_column: text
+        |  - transform_id: docs_decon
+        |    transform_type: decontaminate
+        |    source_table: bronze_verbs.documents
+        |    target_table: silver_verbs.docs_decon
+        |    decontaminate:
+        |      id_column: doc_id
+        |      text_column: text
+        |      probe_table: probe_verbs.eval_probes
+        |""".stripMargin
+    Seq("docs_quota", "docs_mix", "docs_chunks", "docs_split", "docs_decon")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS silver_verbs.$t"))
+    spark.sql("DROP TABLE IF EXISTS bronze_verbs.documents")
+    val pipeline = new Pipeline(spark, "2024-04-01", new FixedClock(1800000000000L))
+    val reports = pipeline.run(Map(
+      "bronze" -> EtlConfig.fromYaml(bronzeYaml),
+      "silver" -> EtlConfig.fromYaml(silverYaml)))
+    assert(reports.forall(_.failed.isEmpty), reports.flatMap(_.failed).toString)
+
+    import org.apache.spark.sql.functions._
+    val bronze = spark.table("bronze_verbs.documents")
+
+    // quota: hard cap per source, and plane ≡ direct operator API
+    val quota = spark.table("silver_verbs.docs_quota")
+    assert(quota.groupBy("source").count()
+      .agg(max("count")).head.getLong(0) <= 20L)
+    val quotaDirect = graft.operators.Curation.stratumQuota(
+        bronze, col("source"), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(quota.select("doc_id").as[Long].collect().toSet == quotaDirect,
+      "declarative quota must match the operator API")
+
+    // mix: every src0 survivor gets >= 2 copies (full epochs of 2.3),
+    // epoch indices are dense from 0, and plane ≡ direct API
+    val mix = spark.table("silver_verbs.docs_mix")
+    val src0Copies = mix.filter($"source" === "src0")
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(src0Copies.nonEmpty && src0Copies.forall(c => c == 2L || c == 3L),
+      s"src0 at 2.3 epochs must copy 2-3x: ${src0Copies.toSet}")
+    val mixDirect = graft.operators.Curation.epochMix(quota.select("doc_id", "source"),
+        col("source"), col("doc_id"), Map("src0" -> 2.3, "src1" -> 0.4), 1.0)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(mix.select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+      == mixDirect, "declarative mix must match the operator API")
+
+    // chunk: plane ≡ direct API at the same grid, carry columns ride
+    val chunks = spark.table("silver_verbs.docs_chunks")
+    assert(chunks.columns.toSet ==
+      Set("doc_id", "source", "epoch", "chunk_id", "n_chunk_tokens", "chunk_hash"))
+    val chunksDirect = graft.operators.Chunking.slidingChunks(
+      mix, "doc_id", "text", 64, 48, Seq("source", "epoch")).count()
+    assert(chunks.count() == chunksDirect && chunks.count() >= mix.count(),
+      "every mixed doc copy must chunk")
+
+    // split: labels are total, and two docs sharing ANY chunk hash can
+    // never straddle splits (the leakage-free contract)
+    val split = spark.table("silver_verbs.docs_split")
+    assert(split.count() == bronze.count())
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    val ch = graft.operators.Chunking.slidingChunks(bronze, "doc_id", "text")
+      .select(col("doc_id"), col("chunk_hash"))
+    val sharingPairs = ch.as("a").join(ch.as("b"),
+        $"a.chunk_hash" === $"b.chunk_hash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+    val labels = split.select(col("doc_id"), col("split"))
+    val straddles = sharingPairs
+      .join(labels.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("split", "sa"), "da")
+      .join(labels.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("split", "sb"), "db")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddles == 0, s"$straddles chunk-sharing pairs straddle splits")
+
+    // decontaminate: the probe docs themselves (full 5-gram overlap)
+    // are dropped; clean docs survive
+    val decon = spark.table("silver_verbs.docs_decon")
+    val deconIds = decon.select("doc_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(!deconIds.contains(_)),
+      "probe-identical docs must be dropped")
+    assert(decon.count() > 0 && decon.count() < bronze.count())
+
+    // control rows: one SUCCESS per verb, snapshot carries the params
+    val control = spark.table(pipeline.meta.controlTable)
+      .filter($"last_run_date" === "2024-04-01" && $"layer" === "silver")
+    val snaps = control.select("table_name", "config_snapshot")
+      .as[(String, String)].collect().toMap
+    assert(snaps("silver_verbs.docs_quota").contains("\"max_per_stratum\":20"))
+    assert(snaps("silver_verbs.docs_mix").contains("\"src0\":2.3"))
+    assert(snaps("silver_verbs.docs_chunks").contains("\"chunk_tokens\":64"))
+    assert(snaps("silver_verbs.docs_split").contains("\"train_pct\":90"))
+    assert(snaps("silver_verbs.docs_decon").contains("\"ngram\":5"))
+    assert(control.filter($"status" === "SUCCESS").count() == 5)
+    graft.operators.FrameCaches.release(spark)
+  }
+
   test("additive gold model folds each run's batch instead of rescanning") {
     writeFixtures()
     val additiveYaml =
