@@ -143,14 +143,21 @@ final case class ModelConfig(
     sqlQuery: String,
     targetTable: String,
     partitionBy: Seq[String],
-    refreshType: String, // full | incremental | additive
+    refreshType: String, // full | incremental | additive | extremes
     primaryKeys: Seq[String],
     enabled: Boolean,
     // additive only: the SUM columns the model's batch frame carries;
     // each run folds them into the standing table per primaryKeys
     // (Maintenance.maintainAdditiveAggregate) instead of rescanning
     // history or whole-row-replacing
-    sumColumns: Seq[String] = Nil)
+    sumColumns: Seq[String] = Nil,
+    // extremes only: the MIN/MAX columns the batch frame carries; each
+    // run folds least/greatest per primaryKeys
+    // (Maintenance.maintainInsertOnlyExtremes). The INSERT-ONLY feed
+    // contract is declared here: a retraction-capable source must use
+    // additive or full — extremes cannot un-see a deleted row's min
+    minColumns: Seq[String] = Nil,
+    maxColumns: Seq[String] = Nil)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -242,6 +249,7 @@ object ConfigJson {
     "target_table" -> js(m.targetTable), "partition_by" -> jarr(m.partitionBy),
     "refresh_type" -> js(m.refreshType), "primary_keys" -> jarr(m.primaryKeys),
     "sum_columns" -> jarr(m.sumColumns),
+    "min_columns" -> jarr(m.minColumns), "max_columns" -> jarr(m.maxColumns),
     "enabled" -> m.enabled.toString)
 }
 
@@ -496,13 +504,28 @@ object EtlConfig {
       refreshType = str(m, "refresh_type", "full"),
       primaryKeys = strSeq(m, "primary_keys"),
       enabled = bool(m, "enabled"),
-      sumColumns = strSeq(m, "sum_columns"))
-    require(Set("full", "incremental", "additive")(mc.refreshType),
+      sumColumns = strSeq(m, "sum_columns"),
+      minColumns = strSeq(m, "min_columns"),
+      maxColumns = strSeq(m, "max_columns"))
+    require(Set("full", "incremental", "additive", "extremes")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
     require(mc.refreshType != "additive" ||
       (mc.primaryKeys.nonEmpty && mc.sumColumns.nonEmpty),
       s"model '${mc.modelId}': refresh_type additive needs primary_keys " +
         "and sum_columns")
+    require(mc.refreshType != "extremes" || (mc.primaryKeys.nonEmpty &&
+      (mc.minColumns.nonEmpty || mc.maxColumns.nonEmpty)),
+      s"model '${mc.modelId}': refresh_type extremes needs primary_keys " +
+        "and at least one of min_columns / max_columns — and an " +
+        "INSERT-ONLY feed (a retraction-capable source must use additive " +
+        "or full: extremes cannot un-see a deleted row)")
+    // declared-but-unused fold columns would silently vanish — act or fail
+    require(mc.refreshType == "additive" || mc.sumColumns.isEmpty,
+      s"model '${mc.modelId}': sum_columns is only used by refresh_type additive")
+    require(mc.refreshType == "extremes" ||
+      (mc.minColumns.isEmpty && mc.maxColumns.isEmpty),
+      s"model '${mc.modelId}': min_columns/max_columns are only used by " +
+        "refresh_type extremes")
     mc
   }
 }

@@ -156,11 +156,11 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
     audit.bracket(layerName, "model", "GoldLayer", m.modelId, m.targetTable) {
       val sql = EtlConfig.substitute(m.sqlQuery, Map("PROCESSING_DATE" -> runDate))
       val df0 = spark.sql(sql)
-      // additive models skip the audit timestamp: the standing table's
-      // schema is (keys, sums, n_rows) and the fold would try to add
-      // timestamps; the control table carries the run bookkeeping
+      // additive/extremes models skip the audit timestamp: the standing
+      // table's schema is (keys, folds, n_rows) and the fold would try
+      // to fold timestamps; the control table carries the run bookkeeping
       val df =
-        if (m.refreshType == "additive") df0
+        if (m.refreshType == "additive" || m.refreshType == "extremes") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       val rows =
@@ -185,6 +185,17 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
             m.primaryKeys, m.sumColumns, epochId = Some(epoch))
           if (folded) obs.get("rows").asInstanceOf[Long] else 0L
+        } else if (m.refreshType == "extremes") {
+          // insert-only MIN/MAX maintenance: least/greatest fold per key
+          // (Maintenance.maintainInsertOnlyExtremes). The INSERT-ONLY
+          // feed contract is declared at the config (parseModel) — a
+          // retraction can strand a stale extreme, which is exactly the
+          // wholesale recompute this path exists to avoid
+          val obs = new Observation()
+          graft.io.Maintenance.maintainInsertOnlyExtremes(spark,
+            m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
+            m.primaryKeys, m.minColumns, m.maxColumns)
+          obs.get("rows").asInstanceOf[Long]
         } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted

@@ -541,6 +541,75 @@ class PipelineSpec extends SparkSpec {
     assert(recsRetry == 0L, "a skipped epoch reports 0 records processed")
   }
 
+  test("extremes gold model folds insert-only min/max across runs") {
+    val extremesYaml =
+      """models:
+        |  - model_id: price_envelope
+        |    sql_query: >
+        |      SELECT product_id, MIN(amount) AS amount_min,
+        |             MAX(amount) AS amount_max
+        |      FROM bronze_e2e.tx_extremes GROUP BY product_id
+        |    target_table: gold_e2e.price_envelope
+        |    refresh_type: extremes
+        |    primary_keys: [product_id]
+        |    min_columns: [amount_min]
+        |    max_columns: [amount_max]
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.price_envelope")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tx_extremes")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    Seq(("P01", 30.0), ("P01", 50.0), ("P02", 20.0))
+      .toDF("product_id", "amount")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.tx_extremes")
+    val p1 = new Pipeline(spark, "2024-05-01", new FixedClock(1800100000000L))
+    val r1 = p1.run(Map("gold" -> EtlConfig.fromYaml(extremesYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    // run 2's batch widens P01's max and introduces P03
+    Seq(("P01", 90.0), ("P03", 5.0)).toDF("product_id", "amount")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.tx_extremes")
+    val p2 = new Pipeline(spark, "2024-05-02", new FixedClock(1800200000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(extremesYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    val rows = spark.table("gold_e2e.price_envelope")
+      .select("product_id", "min_amount_min", "max_amount_max")
+      .as[(String, Double, Double)].collect().toSet
+    assert(rows == Set(("P01", 30.0, 90.0), ("P02", 20.0, 20.0),
+      ("P03", 5.0, 5.0)), s"got $rows")
+    // records_processed rides the batch, not the standing table
+    val recs = spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.price_envelope")
+      .select("records_processed").as[Long].head()
+    assert(recs == 2L, s"batch rows expected, got $recs")
+  }
+
+  test("extremes config without fold columns (or with sum_columns) fails at parse time") {
+    // the insert-only-feed contract is enforced where it is declared:
+    // an extremes model must name its min/max columns, and fold columns
+    // on the wrong refresh_type must not silently vanish
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: extremes
+          |    primary_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("INSERT-ONLY"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken2
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    min_columns: [x]
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by"), e2.getMessage)
+  }
+
   test("curation default_sample_rate without a stratum still samples (never a silent skip)") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(2000)
