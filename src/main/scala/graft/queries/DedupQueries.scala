@@ -209,7 +209,25 @@ object DedupQueries extends QuerySet {
       .orderBy("batch_id", "ref_id")
   }
 
+  /** Exact-substring dedup at sub-chunk grain ([[graft.operators.Spans
+    * .sharedSpans]]) — the Lee-et-al rolling exact-match the aligned
+    * 64-token chunk dedup (t14) cannot see: every doc pair sharing ANY
+    * exact ≥ 50-token span at ANY alignment, with the pair's maximal
+    * span length and span count. 18 / 12 / 141 pairs at the three SFs.
+    * The `maxPostingSize = 32` hot-window guard is results-neutral here
+    * (max observed posting 4; SpansSpec pins identity + the adversarial
+    * bound) and is SPELLED in the oracle so both engines share the same
+    * semantics at any corpus shape. Plan-pinned: the corpus never
+    * self-joins — only the bounded window-hash frame does.
+    */
+  def d12SharedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.sharedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minSpanTokens = 50, maxPostingSize = 32)
+      .orderBy("doc_a", "doc_b")
+
   val entries: Map[String, Q] = Map(
+    "d12_shared_spans" -> d12SharedSpans _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
     "d2_minhash_bands" -> d2MinhashBands _,
     "d3_minhash_pairs" -> d3MinhashPairs _,
@@ -271,6 +289,40 @@ object DedupQueries extends QuerySet {
        |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the sorted hash-run derivation verbatim: 50-token rolling windows
+    // (md5 of the space-joined slice), the posting cap, the equi join,
+    // diagonal islands via pos - row_number, span = run + 49
+    "d12_shared_spans" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |b2 AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM base
+         |  WHERE len(toks) >= 50),
+         |win AS (
+         |  SELECT doc_id, g.i AS pos,
+         |    md5(array_to_string(toks[g.i:(g.i + 49)], ' ')) AS h
+         |  FROM b2, LATERAL (SELECT unnest(generate_series(1, n - 49)) AS i) g),
+         |hot AS (
+         |  SELECT h FROM win GROUP BY h HAVING COUNT(*) > 32),
+         |kept AS (
+         |  SELECT * FROM win WHERE h NOT IN (SELECT h FROM hot)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, b.pos AS pos_b
+         |  FROM kept a JOIN kept b
+         |    ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+         |    pos_a - ROW_NUMBER() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+         |  FROM m),
+         |sp AS (
+         |  SELECT doc_a, doc_b, diag, isl, COUNT(*) + 49 AS span_tokens
+         |  FROM r GROUP BY doc_a, doc_b, diag, isl)
+         |SELECT doc_a, doc_b, COUNT(*) AS n_spans,
+         |  CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+         |FROM sp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "d11_incremental_dedup" ->
       s"""WITH a AS (${minhashBaseFrom(
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),

@@ -517,6 +517,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d12: shared-span join is equi-on-hash — corpus never self-joins") {
+    val p = plan("d12_shared_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the hot-window count is a partial+final aggregate, not a window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("tw3: bigram aggregates partial-combine; marginals broadcast back") {
     val p = plan("tw3_pmi_collocations")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
