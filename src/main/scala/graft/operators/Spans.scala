@@ -49,7 +49,8 @@ object Spans {
     * oracles byte-for-byte.
     */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
-      minSpanTokens: Int = 50, maxPostingSize: Int = 32): DataFrame = {
+      minSpanTokens: Int = 50, maxPostingSize: Int = 32,
+      mode: Dedup.HashMode = Dedup.Md5Hash): DataFrame = {
     require(docs.columns.contains(idCol), s"id column '$idCol' not in input")
     require(docs.columns.contains(textCol),
       s"text column '$textCol' not in input")
@@ -63,9 +64,17 @@ object Spans {
     val win = base
       .select(col("_id"), col("toks"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("pos"))
-      .select(col("_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))
-          .cast("binary")).as("h"))
+      .select(col("_id"), col("pos"), {
+        // Md5Hash re-derives in SQL oracles byte-for-byte (the gated
+        // d12 row); XxHash is the cheaper codegen'd production family —
+        // same 64-bit-collision-negligible identity, ~3× less hash cost
+        // on the dominant window explode (same trade as Dedup's modes)
+        val w = concat_ws(" ", slice(col("toks"), col("pos"), lit(k)))
+        (mode match {
+          case Dedup.Md5Hash => md5(w.cast("binary"))
+          case Dedup.XxHash => xxhash64(w)
+        }).as("h")
+      })
     // the hot-window guard: count occurrences per hash (map-side
     // combined), drop hashes past the cap BEFORE the join
     val hot = win.groupBy("h").agg(count(lit(1)).as("_occ"))

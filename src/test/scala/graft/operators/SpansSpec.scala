@@ -60,6 +60,16 @@ class SpansSpec extends SparkSpec {
       s"cap must be bit-neutral here (${capped.size} pairs)")
   }
 
+  test("the XxHash production mode finds the same pairs as the oracle-checkable md5 mode") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val md5Pairs = result(docs)
+    val xxPairs = Spans.sharedSpans(docs, "doc_id", "text", 50, 32, Dedup.XxHash)
+      .select("doc_a", "doc_b", "n_spans", "max_span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(md5Pairs == xxPairs,
+      "hash family must not change which spans are found")
+  }
+
   test("degenerate knobs fail loudly") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
