@@ -34,16 +34,19 @@ final case class DqRuleConfig(
   * surface over [[graft.operators.Dedup]]: `method: exact` keeps one
   * row per content fingerprint; `minhash` / `simhash` additionally
   * cluster near-duplicates (LSH candidates → connected components) and
-  * keep each cluster's canonical member. The keeper is always the
-  * smallest id (deterministic; d8's contract).
+  * keep each cluster's canonical member; `spans` clusters docs sharing
+  * any exact ≥ `min_span_tokens`-token span at any alignment
+  * ([[graft.operators.Spans]] — the Lee-et-al sub-chunk grain). The
+  * keeper is always the smallest id (deterministic; d8's contract).
   */
 final case class DedupStepConfig(
-    method: String, // exact | minhash | simhash
+    method: String, // exact | minhash | simhash | spans
     idColumn: String,
     textColumn: String,
     shingleSize: Int,
     numHashes: Int,
-    bands: Int)
+    bands: Int,
+    minSpanTokens: Int = 50)
 
 /** Declarative curation step (silver `transform_type: curation`) — the
   * YAML surface over [[graft.operators.Curation]] and the text scorers:
@@ -210,7 +213,8 @@ object ConfigJson {
         "method" -> js(d.method), "id_column" -> js(d.idColumn),
         "text_column" -> js(d.textColumn),
         "shingle_size" -> d.shingleSize.toString,
-        "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString)) ++
+        "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString,
+        "min_span_tokens" -> d.minSpanTokens.toString)) ++
       t.curation.toSeq.map(c => "curation" -> jobj(
         "id_column" -> js(c.idColumn), "text_column" -> js(c.textColumn),
         "languages" -> jarr(c.languages),
@@ -392,13 +396,16 @@ object EtlConfig {
       textColumn = str(m, "text_column"),
       shingleSize = num(m, "shingle_size", 3),
       numHashes = num(m, "num_hashes", 16),
-      bands = num(m, "bands", 4))
-    require(Set("exact", "minhash", "simhash")(d.method),
-      s"dedup method must be exact|minhash|simhash, got '${d.method}'")
+      bands = num(m, "bands", 4),
+      minSpanTokens = num(m, "min_span_tokens", 50))
+    require(Set("exact", "minhash", "simhash", "spans")(d.method),
+      s"dedup method must be exact|minhash|simhash|spans, got '${d.method}'")
     require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
       "dedup needs id_column and text_column")
     require(d.numHashes % d.bands == 0,
       s"bands (${d.bands}) must divide num_hashes (${d.numHashes}) evenly")
+    require(d.minSpanTokens >= 2,
+      s"min_span_tokens must be >= 2, got ${d.minSpanTokens}")
     d
   }
 

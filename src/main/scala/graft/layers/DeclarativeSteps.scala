@@ -53,6 +53,14 @@ object DeclarativeSteps {
         val pairs = near match {
           case "minhash" => Dedup.minhashCandidates(base, id, text,
             cfg.shingleSize, cfg.numHashes, cfg.bands)
+          case "spans" =>
+            // the exact sub-chunk grain (Lee et al.): docs sharing any
+            // ≥ min_span_tokens exact span cluster together — catches
+            // contained/concatenated duplicates whose whole-doc Jaccard
+            // is low (production XxHash family, like the LSH path)
+            graft.operators.Spans.sharedSpans(base, id, text,
+                cfg.minSpanTokens, mode = Dedup.XxHash)
+              .select(col("doc_a"), col("doc_b"))
           case _ => Dedup.simhashCandidates(base, id, text)
         }
         val nonCanonical = Dedup.connectedComponents(pairs)

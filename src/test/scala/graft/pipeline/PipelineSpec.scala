@@ -610,6 +610,51 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("only used by"), e2.getMessage)
   }
 
+  test("dedup method: spans clusters contained duplicates LSH whole-doc Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    // doc 2 CONTAINS doc 1's 60-token span inside 140 tokens of its own
+    // content: whole-doc Jaccard ~0.3 (below any sane LSH threshold),
+    // but the span grain must cluster them; doc 3 is clean
+    val span = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, span),
+      (2L, ((1 to 70).map(i => s"p$i") :+ span).mkString(" ") + " " +
+        (1 to 70).map(i => s"q$i").mkString(" ")),
+      (3L, (1 to 80).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cfg = graft.config.DedupStepConfig("spans", "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, minSpanTokens = 50)
+    val kept = graft.layers.DeclarativeSteps.dedupFrame(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.FrameCaches.release(spark)
+    assert(kept == Set(1L, 3L),
+      s"span-grain dedup must fold doc 2 into doc 1's cluster: kept $kept")
+    // parse surface: the method + grain round-trip through YAML
+    val parsed = EtlConfig.fromYaml(
+      """transformations:
+        |  - transform_id: t
+        |    source_table: b.d
+        |    target_table: s.d
+        |    transform_type: dedup
+        |    dedup:
+        |      method: spans
+        |      id_column: doc_id
+        |      text_column: text
+        |      min_span_tokens: 40
+        |""".stripMargin).transformations.head
+    assert(parsed.dedup.exists(d => d.method == "spans" && d.minSpanTokens == 40))
+    intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """transformations:
+          |  - transform_id: t
+          |    source_table: b.d
+          |    target_table: s.d
+          |    transform_type: dedup
+          |    dedup: {method: spans, id_column: doc_id, text_column: text, min_span_tokens: 1}
+          |""".stripMargin)
+    }
+  }
+
   test("curation default_sample_rate without a stratum still samples (never a silent skip)") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(2000)
