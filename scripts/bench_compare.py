@@ -20,23 +20,25 @@ import json
 import sys
 
 
-def mins(path):
+def load(path):
     with open(path) as f:
         doc = json.load(f)
     spread = doc.get("spread") or {}
     out = {q: v[0] for q, v in spread.items()}
     for q, med in (doc.get("queries") or {}).items():
         out.setdefault(q, med)
-    return out
+    return out, set(doc.get("failed") or [])
 
 
 def main():
     base_path, cand_path = sys.argv[1], sys.argv[2]
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     floor = 0.3  # seconds: below this, ratios are scheduler noise
-    base, cand = mins(base_path), mins(cand_path)
+    base, _ = load(base_path)
+    cand, cand_failed = load(cand_path)
     shared = sorted(set(base) & set(cand))
     regressions = []
+    broken = []
     for q in shared:
         b, c = base[q], cand[q]
         if c > factor * b and c - b > floor:
@@ -44,7 +46,15 @@ def main():
     for q in sorted(set(cand) - set(base)):
         print(f"  [new] {q}: {cand[q]:.2f}s (no baseline)")
     for q in sorted(set(base) - set(cand)):
-        print(f"  [gone] {q}: was {base[q]:.2f}s")
+        # a baseline query with every candidate repeat FAILED is the
+        # worst regression there is, not a coverage change — Bench
+        # omits all-failed queries from spread/queries but names them
+        # in `failed`; only a genuinely retired query is informational
+        if q in cand_failed:
+            broken.append(q)
+            print(f"  [BROKEN] {q}: was {base[q]:.2f}s, now fails every repeat")
+        else:
+            print(f"  [gone] {q}: was {base[q]:.2f}s (retired?)")
     for q, b, c in sorted(regressions, key=lambda r: r[2] / r[1], reverse=True):
         print(f"  [REGRESSION] {q}: min {b:.2f}s -> {c:.2f}s "
               f"({c / b:.1f}x > {factor}x gate)")
@@ -52,8 +62,8 @@ def main():
     tot_c = sum(cand[q] for q in shared)
     print(f"{len(shared)} shared queries: sum-of-mins "
           f"{tot_b:.1f}s -> {tot_c:.1f}s "
-          f"({len(regressions)} regression(s))")
-    sys.exit(1 if regressions else 0)
+          f"({len(regressions)} regression(s), {len(broken)} broken)")
+    sys.exit(1 if regressions or broken else 0)
 
 
 if __name__ == "__main__":

@@ -110,7 +110,13 @@ final case class SplitStepConfig(
     chunkTokens: Int,
     stride: Int,
     trainPct: Int,
-    valPct: Int)
+    valPct: Int,
+    // hot-hash guard on the chunk-collision join: a chunk hash shared
+    // by more than this many docs (boilerplate, a license header) is
+    // dropped from edge generation — the LSH maxBucketSize discipline;
+    // such docs would otherwise emit occ² join rows AND weld into one
+    // mega-component assigned to a single split
+    maxPosting: Int = 64)
 
 /** Declarative decontamination (silver `transform_type: decontaminate`)
   * — the YAML surface over [[graft.operators.Curation
@@ -242,7 +248,8 @@ object ConfigJson {
         "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
         "chunk_tokens" -> x.chunkTokens.toString,
         "stride" -> x.stride.toString,
-        "train_pct" -> x.trainPct.toString, "val_pct" -> x.valPct.toString)) ++
+        "train_pct" -> x.trainPct.toString, "val_pct" -> x.valPct.toString,
+        "max_posting" -> x.maxPosting.toString)) ++
       t.decontaminate.toSeq.map(x => "decontaminate" -> jobj(
         "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
         "probe_table" -> js(x.probeTable), "ngram" -> x.ngram.toString)) ++
@@ -478,11 +485,13 @@ object EtlConfig {
       chunkTokens = num(m, "chunk_tokens", 64),
       stride = num(m, "stride", 48),
       trainPct = num(m, "train_pct", 90),
-      valPct = num(m, "val_pct", 5))
+      valPct = num(m, "val_pct", 5),
+      maxPosting = num(m, "max_posting", 64))
     require(s.idColumn.nonEmpty && s.textColumn.nonEmpty,
       "split needs id_column and text_column")
     require(s.chunkTokens > 0 && s.stride > 0 && s.stride <= s.chunkTokens,
       s"split chunk grid invalid: ${s.stride}/${s.chunkTokens}")
+    require(s.maxPosting >= 2, s"max_posting must be >= 2, got ${s.maxPosting}")
     require(s.trainPct > 0 && s.valPct > 0 && s.trainPct + s.valPct < 100,
       s"split needs 0 < train_pct, 0 < val_pct, train_pct+val_pct < 100; " +
         s"got ${s.trainPct}/${s.valPct}")

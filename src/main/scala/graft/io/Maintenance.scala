@@ -239,10 +239,15 @@ object Maintenance {
     * join against the standing table. N batches ≡ one aggregate over
     * their union in any order (min/max are associative + commutative)
     * — pinned in MaintenanceSpec.
+    *
+    * `epochId` carries the additive fold's replay-idempotence contract
+    * (the min/max values are replay-idempotent on their own, but
+    * `n_rows` is NOT): same epoch → skip (returns false), older epoch
+    * → throw, batch path preserves a standing marker.
     */
   def maintainInsertOnlyExtremes(spark: SparkSession, table: String,
       batch: DataFrame, keys: Seq[String], minCols: Seq[String],
-      maxCols: Seq[String]): Unit = {
+      maxCols: Seq[String], epochId: Option[Long] = None): Boolean = {
     require(minCols.nonEmpty || maxCols.nonEmpty,
       "need at least one min or max column")
     val outMin = minCols.map(c => s"min_$c")
@@ -250,11 +255,29 @@ object Maintenance {
     val aggExprs = minCols.map(c => min(col(c)).as(s"min_$c")) ++
       maxCols.map(c => max(col(c)).as(s"max_$c")) :+
       count(lit(1)).as("n_rows")
-    val batchAgg = batch.groupBy(keys.map(col): _*)
+    val batchAgg0 = batch.groupBy(keys.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
+    val batchAgg = epochId.fold(batchAgg0)(id =>
+      batchAgg0.withColumn("_last_epoch", lit(id)))
     if (!spark.catalog.tableExists(table)) {
       batchAgg.write.saveAsTable(table)
-      return
+      return true
+    }
+    // the SAME epoch fence as the additive fold (review finding): the
+    // min/max fold is value-idempotent but n_rows is NOT — a same-epoch
+    // replay (run-date retry) must no-op, an older epoch must fail loud
+    val standingEpoch: Option[Long] =
+      if (spark.table(table).columns.contains("_last_epoch")) {
+        val m = spark.table(table).agg(max(col("_last_epoch"))).head
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      } else None
+    for (id <- epochId; committed <- standingEpoch) {
+      if (committed == id) return false
+      if (committed > id) throw new IllegalStateException(
+        s"extremes fold for '$table': batch epoch $id is OLDER than the " +
+          s"committed epoch $committed — a late backfill cannot fold " +
+          "without double-counting n_rows; recompute the table or " +
+          "re-stamp the batch with a current epoch")
     }
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
@@ -265,15 +288,18 @@ object Maintenance {
       keys.map(k => t(k) <=> b(k)).reduce(_ && _), "full_outer")
     // least/greatest skip nulls (null only when BOTH sides are), so a
     // one-sided row keeps its own extreme without a coalesce dance
+    val keepEpoch = epochId.orElse(standingEpoch)
     val merged = joined.select(
       keys.map(k => coalesce(t(k), b(k)).as(k)) ++
         outMin.map(c => least(t(c), b(c)).as(c)) ++
-        outMax.map(c => greatest(t(c), b(c)).as(c)) :+
-        (coalesce(t("n_rows"), lit(0)) + coalesce(b("n_rows"), lit(0)))
-          .as("n_rows"): _*)
+        outMax.map(c => greatest(t(c), b(c)).as(c)) ++
+        ((coalesce(t("n_rows"), lit(0)) + coalesce(b("n_rows"), lit(0)))
+          .as("n_rows") +:
+          keepEpoch.map(id => lit(id).as("_last_epoch")).toSeq): _*)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
+    true
   }
 }

@@ -169,7 +169,17 @@ object DeclarativeSteps {
     val ch = Chunking.slidingChunks(df, id, cfg.textColumn,
       cfg.chunkTokens, cfg.stride)
       .select(col(id), col("chunk_hash"))
-    val pairs = ch.as("a").join(ch.as("b"),
+    // hot-hash guard BEFORE the self-join (review finding — the Spans/
+    // Linkage cap discipline): a chunk hash shared by > max_posting
+    // docs is boilerplate, and boilerplate must neither emit occ² join
+    // rows nor weld unrelated docs into one mega-component that lands
+    // whole in a single split
+    val hot = ch.groupBy("chunk_hash")
+      .agg(countDistinct(col(id)).as("_nd"))
+      .filter(col("_nd") > cfg.maxPosting)
+      .select("chunk_hash")
+    val kept = ch.join(hot, Seq("chunk_hash"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.chunk_hash") === col("b.chunk_hash")
           && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
@@ -198,9 +208,14 @@ object DeclarativeSteps {
       s"decontaminate text_column '${cfg.textColumn}' not in input")
     require(probes.columns.contains(cfg.textColumn),
       s"probe table lacks text_column '${cfg.textColumn}'")
+    // no broadcast hint on the flagged set (review finding): its size
+    // is DATA-dependent — every contaminated doc — not config-bounded
+    // like the probe set; a widespread-contamination corpus would OOM
+    // the driver, where AQE's own choice (broadcast when small,
+    // shuffled anti-join when not) completes either way
     val flagged = Curation.contaminationScores(df, probes,
         cfg.idColumn, cfg.textColumn, cfg.ngram)
       .select(col(cfg.idColumn))
-    df.join(broadcast(flagged), Seq(cfg.idColumn), "left_anti")
+    df.join(flagged, Seq(cfg.idColumn), "left_anti")
   }
 }

@@ -190,12 +190,16 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           // (Maintenance.maintainInsertOnlyExtremes). The INSERT-ONLY
           // feed contract is declared at the config (parseModel) — a
           // retraction can strand a stale extreme, which is exactly the
-          // wholesale recompute this path exists to avoid
+          // wholesale recompute this path exists to avoid. The run date
+          // is the fold's epoch, same as additive: min/max are replay-
+          // idempotent but n_rows is NOT, so a same-date retry must
+          // no-op instead of double-counting (review finding)
+          val epoch = java.time.LocalDate.parse(runDate).toEpochDay
           val obs = new Observation()
-          graft.io.Maintenance.maintainInsertOnlyExtremes(spark,
+          val folded = graft.io.Maintenance.maintainInsertOnlyExtremes(spark,
             m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
-            m.primaryKeys, m.minColumns, m.maxColumns)
-          obs.get("rows").asInstanceOf[Long]
+            m.primaryKeys, m.minColumns, m.maxColumns, epochId = Some(epoch))
+          if (folded) obs.get("rows").asInstanceOf[Long] else 0L
         } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted

@@ -40,6 +40,12 @@ object Chunking {
     val base = df.filter(col(textCol).isNotNull)
       .select(keep :+ TextFunctions.tokens(col(textCol)).as("toks"): _*)
       .withColumn("n_tok", size(col("toks")))
+      // a whitespace-only doc tokenizes to zero tokens — without this
+      // guard it would emit one PHANTOM chunk (hash of the empty
+      // string) that every such doc shares, polluting chunk-level
+      // dedup/overlap stats and welding the docs into one component
+      // downstream (review finding); the oracle spells the same guard
+      .filter(col("n_tok") > 0)
       .withColumn("n_chunks", when(col("n_tok") <= chunkLen, lit(1L))
         .otherwise(expr(s"CAST(1 + (n_tok - ${chunkLen - stride + 1}) " +
           s"DIV $stride AS BIGINT)")))

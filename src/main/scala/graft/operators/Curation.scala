@@ -161,6 +161,11 @@ object Curation {
   def stratumQuota(df: DataFrame, stratumCol: Column, idCol: Column,
       cap: Int, mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     require(cap > 0, s"quota cap must be positive, got $cap")
+    // the emitted rank column must not silently clobber a caller's
+    // column of the same name (review finding — act or fail)
+    require(!df.columns.contains("rk"),
+      "input already has an 'rk' column — the quota emits its rank " +
+        "under that name; rename or drop the existing column first")
     val rk = mode match {
       case Dedup.Md5Hash =>
         graft.functions.VectorExpressions

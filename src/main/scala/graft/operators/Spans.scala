@@ -61,7 +61,13 @@ object Spans {
       .select(col(idCol).as("_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k)
-    val win = base
+    // the window frame is PERSISTED (FrameCaches contract — Verify/
+    // Bench drain per query): it feeds the hot-count, the anti-join,
+    // and BOTH self-join sides, and Catalyst plans each as a separate
+    // instance (the a/b sides differ in output names, defeating
+    // ReuseExchange) — unpersisted, the dominant per-token hash explode
+    // would run up to 4× (review finding)
+    val win = FrameCaches.track(base
       .select(col("_id"), col("toks"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("pos"))
       .select(col("_id"), col("pos"), {
@@ -74,7 +80,7 @@ object Spans {
           case Dedup.Md5Hash => md5(w.cast("binary"))
           case Dedup.XxHash => xxhash64(w)
         }).as("h")
-      })
+      }).persist())
     // the hot-window guard: count occurrences per hash (map-side
     // combined), drop hashes past the cap BEFORE the join
     val hot = win.groupBy("h").agg(count(lit(1)).as("_occ"))

@@ -533,7 +533,7 @@ object TextQueries extends QuerySet {
        |  SELECT doc_id, source, toks,
        |    CASE WHEN n_tok <= $ChunkLen THEN 1
        |         ELSE 1 + (n_tok - ${ChunkLen - ChunkStride + 1}) // $ChunkStride END AS n_chunks
-       |  FROM base),
+       |  FROM base WHERE n_tok > 0),
        |ch AS (
        |  SELECT doc_id, source, g.i AS chunk_id,
        |    CAST(len(toks[(g.i * $ChunkStride + 1):(g.i * $ChunkStride + $ChunkLen)]) AS BIGINT)

@@ -580,6 +580,21 @@ class PipelineSpec extends SparkSpec {
       .filter($"table_name" === "gold_e2e.price_envelope")
       .select("records_processed").as[Long].head()
     assert(recs == 2L, s"batch rows expected, got $recs")
+    // a same-date retry must NO-OP: the min/max values are replay-
+    // idempotent but n_rows is not (review finding — the additive
+    // branch's epoch fence applies here too)
+    val nRowsBefore = spark.table("gold_e2e.price_envelope")
+      .agg(sum("n_rows")).head.getLong(0)
+    val p2retry = new Pipeline(spark, "2024-05-02", new FixedClock(1800300000000L))
+    val r3 = p2retry.run(Map("gold" -> EtlConfig.fromYaml(extremesYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(spark.table("gold_e2e.price_envelope")
+      .agg(sum("n_rows")).head.getLong(0) == nRowsBefore,
+      "same-date retry double-counted n_rows")
+    assert(spark.table(p2retry.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.price_envelope")
+      .select("records_processed").as[Long].head() == 0L,
+      "a skipped epoch reports 0 records processed")
   }
 
   test("extremes config without fold columns (or with sum_columns) fails at parse time") {
