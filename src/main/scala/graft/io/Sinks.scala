@@ -127,6 +127,35 @@ object Sinks {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming twin of [[Maintenance.maintainInsertOnlyExtremes]] —
+    * per-key MIN/MAX envelopes maintained from a stream under the same
+    * epoch-fenced foreachBatch contract as the additive sink: the
+    * batchId is committed WITH the fold, so a crash-replayed epoch
+    * no-ops (the extremes VALUES are replay-idempotent on their own,
+    * but `n_rows` is not — the fence is what keeps the count honest
+    * under at-least-once delivery). A streaming feed is insert-only by
+    * nature, so the operator's insert-only contract holds by
+    * construction here — the one place it needs no caveat.
+    */
+  def streamInsertOnlyExtremes(stream: DataFrame, table: String,
+      keys: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      checkpoint: String, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.maintainInsertOnlyExtremes(
+          batch.sparkSession, table, batch, keys, minCols, maxCols,
+          epochId = Some(batchId))
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }
 
 /** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN

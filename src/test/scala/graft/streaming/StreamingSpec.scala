@@ -114,6 +114,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamInsertOnlyExtremes maintains min/max envelopes with an honest n_rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_extremes_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_extremes"
+    val ms = MemoryStream[(String, Long)]
+    val q = Sinks.streamInsertOnlyExtremes(
+      ms.toDF.toDF("g", "qty"), table, Seq("g"),
+      minCols = Seq("qty"), maxCols = Seq("qty"), ckpt, availableNow = false)
+    try {
+      ms.addData(("a", 10L), ("a", 3L), ("b", 5L))
+      q.processAllAvailable()
+      ms.addData(("a", 44L), ("c", 7L))
+      q.processAllAvailable()
+      val got = spark.table(table)
+        .select("g", "min_qty", "max_qty", "n_rows")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("a", 3L, 44L, 3L), ("b", 5L, 5L, 1L), ("c", 7L, 7L, 1L)),
+        s"streamed extremes must equal the one-shot min/max: $got")
+      // the committed epoch fences a manual replay of the last batch
+      // (foreachBatch is at-least-once): values idempotent, n_rows must
+      // not double-count
+      val replayed = graft.io.Maintenance.maintainInsertOnlyExtremes(
+        spark, table, Seq(("a", 44L), ("c", 7L)).toDF("g", "qty"),
+        Seq("g"), Seq("qty"), Seq("qty"), epochId = Some(1L))
+      assert(!replayed, "replayed epoch must no-op")
+      assert(spark.table(table)
+        .select("g", "min_qty", "max_qty", "n_rows")
+        .as[(String, Long, Long, Long)].collect().toSet == got,
+        "replaying a folded batch must be a no-op")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streamChangeLog applies a streamed CDC feed: upserts land, deletes remove, replay converges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.Sinks
