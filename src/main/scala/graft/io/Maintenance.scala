@@ -75,7 +75,7 @@ object Maintenance {
         t0.join(broadcast(cAliased),
             partCols.map(c => t0(c) <=> cAliased(s"_pc_$c")).reduce(_ && _))
           .withColumn("_salt",
-            pmod(xxhash64(t0.columns.map(col): _*),
+            pmod(xxhash64(t0.columns.toSeq.map(col): _*),
               greatest(col("_nf"), lit(1))).cast("int"))
           .repartition(parts, (partCols.map(col) :+ col("_salt")): _*)
           .drop("_salt" +: "_nf" +: partCols.map(c => s"_pc_$c"): _*)
@@ -183,7 +183,7 @@ object Maintenance {
     // fails loudly so the layer's per-item isolation surfaces it.
     val standingEpoch: Option[Long] =
       if (spark.table(table).columns.contains("_last_epoch")) {
-        val m = spark.table(table).agg(max(col("_last_epoch"))).head
+        val m = spark.table(table).agg(max(col("_last_epoch"))).head()
         if (m.isNullAt(0)) None else Some(m.getLong(0))
       } else None
     for (id <- epochId; committed <- standingEpoch) {
@@ -268,7 +268,7 @@ object Maintenance {
     // replay (run-date retry) must no-op, an older epoch must fail loud
     val standingEpoch: Option[Long] =
       if (spark.table(table).columns.contains("_last_epoch")) {
-        val m = spark.table(table).agg(max(col("_last_epoch"))).head
+        val m = spark.table(table).agg(max(col("_last_epoch"))).head()
         if (m.isNullAt(0)) None else Some(m.getLong(0))
       } else None
     for (id <- epochId; committed <- standingEpoch) {

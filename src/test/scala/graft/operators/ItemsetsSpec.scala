@@ -87,6 +87,37 @@ class ItemsetsSpec extends SparkSpec {
       s"uncapped mega-basket must be the full square law, got $uncapped")
   }
 
+  test("the capped keep rule IS the oracle's row_number spelling on an over-cap basket") {
+    // round-12: the fi1/fi2 oracles now SPELL the cap as
+    // `row_number() OVER (PARTITION BY basket ORDER BY item) <= cap`
+    // over the DISTINCT (basket, item) set — this pins the Spark side's
+    // slice(sort_array(collect_set(item)), 1, cap) to that exact rule
+    // on a basket that actually exceeds the cap (the regime the gate
+    // data never enters)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cap = 5
+    val rows = (1 to 12).map(i => (1L, (13 - i).toLong)) ++ // reversed arrival
+      Seq((2L, 100L), (2L, 101L))
+    val df = rows.toDF("basket", "item")
+    val capped = Itemsets.itemPairs(df, "basket", "item",
+        maxBasketSize = Some(cap))
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("basket").orderBy("item")
+    val oracleKept = df.distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+      .drop("rk")
+    val oraclePairs = oracleKept.as("a").join(oracleKept.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("p1"), col("b.item").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == oraclePairs,
+      s"slice keep rule must equal the row_number spelling: $capped vs $oraclePairs")
+    // and the kept slice is the cap SMALLEST items (1..5, not 8..12)
+    assert(capped.flatMap(p => Set(p._1, p._2)).filter(_ < 100).max == cap.toLong)
+  }
+
   test("capped supports never exceed exact supports (undercount-only contract)") {
     // baskets 1-3 all contain (10,20); basket 3 is padded so item 20
     // falls outside a cap of 3 there — capped support drops 3 -> 2,
