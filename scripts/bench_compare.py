@@ -45,6 +45,12 @@ def main():
             regressions.append((q, b, c))
     for q in sorted(set(cand) - set(base)):
         print(f"  [new] {q}: {cand[q]:.2f}s (no baseline)")
+    # a query in the candidate's failed list but absent from BOTH maps
+    # failed every repeat — including a brand-NEW query that never
+    # worked; without this it would be invisible to the gate entirely
+    for q in sorted(cand_failed - set(cand) - set(base)):
+        broken.append(q)
+        print(f"  [BROKEN] {q}: new query fails every repeat")
     for q in sorted(set(base) - set(cand)):
         # a baseline query with every candidate repeat FAILED is the
         # worst regression there is, not a coverage change — Bench

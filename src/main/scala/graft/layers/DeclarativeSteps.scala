@@ -156,7 +156,14 @@ object DeclarativeSteps {
     * step): docs sharing ANY chunk at the configured grid form a
     * duplicate-content component, and the COMPONENT — not the doc — is
     * the split key, so near-identical content never straddles train and
-    * test. Emits every input column plus `group_id` and `split`. Scale
+    * test — with ONE spelled exception: a chunk hash carried by more
+    * than `max_posting` docs (boilerplate — a license header, a crawl
+    * template) generates NO edges. Boilerplate must neither emit occ²
+    * join rows nor weld unrelated docs into a single mega-component
+    * that lands whole in one split; docs whose ONLY shared content is
+    * such boilerplate may therefore straddle — the same documented
+    * bounded-cost trade as [[graft.operators.Spans]]' posting cap.
+    * Emits every input column plus `group_id` and `split`. Scale
     * shape: chunking is scan-fused, the collision join shuffles on the
     * content hash, the CC funnel runs over collision pairs only
     * (duplicate mass, not corpus mass), the label is free map work.
@@ -166,16 +173,22 @@ object DeclarativeSteps {
     require(df.columns.contains(id), s"split id_column '$id' not in input")
     require(df.columns.contains(cfg.textColumn),
       s"split text_column '${cfg.textColumn}' not in input")
-    val ch = Chunking.slidingChunks(df, id, cfg.textColumn,
-      cfg.chunkTokens, cfg.stride)
-      .select(col(id), col("chunk_hash"))
-    // hot-hash guard BEFORE the self-join (review finding — the Spans/
-    // Linkage cap discipline): a chunk hash shared by > max_posting
-    // docs is boilerplate, and boilerplate must neither emit occ² join
-    // rows nor weld unrelated docs into one mega-component that lands
-    // whole in a single split
+    // DISTINCT (doc, hash) grain, PERSISTED (second-review findings):
+    // distinct-first means within-doc repetition cannot blow up the
+    // self-join (a doc repeating one chunk 2000× would contribute 2000²
+    // join rows per partner otherwise — the hot count below would not
+    // see it, counting distinct docs); the persist stops the tokenize+
+    // explode+md5 scan from re-planning on the hot-count and both
+    // aliased join sides (the Spans fix, measured ~2×). The layer
+    // drains it via FrameCaches.releaseSince after its write.
+    val ch = FrameCaches.track(
+      Chunking.slidingChunks(df, id, cfg.textColumn,
+          cfg.chunkTokens, cfg.stride)
+        .select(col(id), col("chunk_hash"))
+        .distinct()
+        .persist())
     val hot = ch.groupBy("chunk_hash")
-      .agg(countDistinct(col(id)).as("_nd"))
+      .agg(count(lit(1)).as("_nd")) // == distinct docs at this grain
       .filter(col("_nd") > cfg.maxPosting)
       .select("chunk_hash")
     val kept = ch.join(hot, Seq("chunk_hash"), "left_anti")
@@ -197,8 +210,12 @@ object DeclarativeSteps {
   /** Zero-tolerance decontamination (t15's policy as a metadata step):
     * drop every corpus doc sharing ANY word n-gram with the probe set.
     * The probe side collapses to a distinct n-gram-hash set and
-    * BROADCASTS; the corpus never shuffles, and the flagged set
-    * anti-joins back broadcast-sized.
+    * BROADCASTS (probes are an eval benchmark — config-bounded small);
+    * the corpus scan itself never shuffles for the scoring. The flagged
+    * set's anti-join is left to AQE: its size is DATA-dependent (every
+    * contaminated doc), so it broadcasts when small and degrades to a
+    * shuffled anti-join — not a driver OOM — when contamination is
+    * widespread.
     */
   def decontaminateFrame(df: DataFrame, probes: DataFrame,
       cfg: DecontaminateStepConfig): DataFrame = {

@@ -163,43 +163,39 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
         if (m.refreshType == "additive" || m.refreshType == "extremes") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
+      // incremental-view-maintenance refreshes: fold THIS RUN's batch
+      // frame into the standing table per key — cost rides the batch,
+      // never history (the 100 TB gold path). The run DATE is the
+      // fold's epoch id, so re-running a date (a retry after a failure,
+      // an operator re-trigger) is a NO-OP instead of a double-count —
+      // neither fold is idempotent by itself (additive sums; extremes'
+      // n_rows). Across DATES the config owes the fold DELTA batches; a
+      // full-recompute sql_query fed here double-counts by declaration
+      // (documented at the model in configs/). records_processed = the
+      // batch frame's rows via an Observation riding the fold's single
+      // pass — 0 when the epoch guard skipped (the Observation never
+      // ran then and must not be read: it would block forever). One
+      // shared helper so the epoch/Observation contract can never
+      // diverge between the two fold families (second-review finding).
+      def foldCounted(fold: DataFrame => Boolean): Long = {
+        val obs = new Observation()
+        val folded = fold(df.observe(obs, count(lit(1)).as("rows")))
+        if (folded) obs.get("rows").asInstanceOf[Long] else 0L
+      }
+      lazy val epoch = java.time.LocalDate.parse(runDate).toEpochDay
       val rows =
         if (m.refreshType == "additive") {
-          // incremental-view-maintenance refresh: fold THIS RUN's batch
-          // frame into the standing aggregate per key — cost rides the
-          // batch, never the table's history (the 100 TB gold path).
-          // The run DATE is the fold's epoch id, so re-running a date
-          // (a retry after a failure, an operator re-trigger) is a
-          // NO-OP instead of a double-count — the additive fold is not
-          // idempotent by itself (review finding). Across DATES the
-          // config owes the fold DELTA batches; a full-recompute
-          // sql_query fed to additive double-counts by declaration
-          // (the contract is documented at the model in configs/).
-          // records_processed = the batch frame's rows via an
-          // Observation riding the fold's single pass — 0 when the
-          // epoch guard skipped (the Observation never ran then and
-          // must not be read: it would block forever).
-          val epoch = java.time.LocalDate.parse(runDate).toEpochDay
-          val obs = new Observation()
-          val folded = graft.io.Maintenance.maintainAdditiveAggregate(spark,
-            m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
-            m.primaryKeys, m.sumColumns, epochId = Some(epoch))
-          if (folded) obs.get("rows").asInstanceOf[Long] else 0L
+          foldCounted(batch => graft.io.Maintenance.maintainAdditiveAggregate(
+            spark, m.targetTable, batch, m.primaryKeys, m.sumColumns,
+            epochId = Some(epoch)))
         } else if (m.refreshType == "extremes") {
-          // insert-only MIN/MAX maintenance: least/greatest fold per key
-          // (Maintenance.maintainInsertOnlyExtremes). The INSERT-ONLY
-          // feed contract is declared at the config (parseModel) — a
-          // retraction can strand a stale extreme, which is exactly the
-          // wholesale recompute this path exists to avoid. The run date
-          // is the fold's epoch, same as additive: min/max are replay-
-          // idempotent but n_rows is NOT, so a same-date retry must
-          // no-op instead of double-counting (review finding)
-          val epoch = java.time.LocalDate.parse(runDate).toEpochDay
-          val obs = new Observation()
-          val folded = graft.io.Maintenance.maintainInsertOnlyExtremes(spark,
-            m.targetTable, df.observe(obs, count(lit(1)).as("rows")),
-            m.primaryKeys, m.minColumns, m.maxColumns, epochId = Some(epoch))
-          if (folded) obs.get("rows").asInstanceOf[Long] else 0L
+          // insert-only MIN/MAX fold (least/greatest per key). The
+          // INSERT-ONLY feed contract is declared at the config
+          // (parseModel) — a retraction can strand a stale extreme,
+          // which is exactly the wholesale recompute this path avoids
+          foldCounted(batch => graft.io.Maintenance.maintainInsertOnlyExtremes(
+            spark, m.targetTable, batch, m.primaryKeys, m.minColumns,
+            m.maxColumns, epochId = Some(epoch)))
         } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted

@@ -162,8 +162,10 @@ object Curation {
       cap: Int, mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     require(cap > 0, s"quota cap must be positive, got $cap")
     // the emitted rank column must not silently clobber a caller's
-    // column of the same name (review finding — act or fail)
-    require(!df.columns.contains("rk"),
+    // column of the same name (review finding — act or fail);
+    // case-INSENSITIVE like Spark's own default column resolution,
+    // which would otherwise replace a caller's "RK" anyway
+    require(!df.columns.exists(_.equalsIgnoreCase("rk")),
       "input already has an 'rk' column — the quota emits its rank " +
         "under that name; rename or drop the existing column first")
     val rk = mode match {

@@ -445,9 +445,16 @@ class PipelineSpec extends SparkSpec {
     assert(split.count() == bronze.count())
     assert(split.select("split").distinct().as[String].collect().toSet
       .subsetOf(Set("train", "val", "test")))
+    // the reference pairs mirror the verb's contract EXACTLY, including
+    // the max_posting boilerplate exception (no >64-doc hash exists at
+    // this SF, so the filter is vacuous here — but the spec must assert
+    // the documented contract, not a stronger one)
     val ch = graft.operators.Chunking.slidingChunks(bronze, "doc_id", "text")
-      .select(col("doc_id"), col("chunk_hash"))
-    val sharingPairs = ch.as("a").join(ch.as("b"),
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val hotRef = ch.groupBy("chunk_hash").count().filter($"count" > 64)
+      .select("chunk_hash")
+    val chKept = ch.join(hotRef, Seq("chunk_hash"), "left_anti")
+    val sharingPairs = chKept.as("a").join(chKept.as("b"),
         $"a.chunk_hash" === $"b.chunk_hash" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
     val labels = split.select(col("doc_id"), col("split"))
