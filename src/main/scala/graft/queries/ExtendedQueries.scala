@@ -963,7 +963,36 @@ object ExtendedQueries extends QuerySet {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Snapshot-diff changelog ([[graft.operators.Diff.snapshotDiff]]):
+    * two deterministic keyed snapshots of orders — "old" is the
+    * pre-1997 extract; "new" is the 1996–1997 extract with URGENT
+    * orders repriced one cent up — diffed into I/U/D rows. Every op
+    * class is non-vacuously populated at every SF (pre-1996 keys → D,
+    * 1997 keys → I, 1996 URGENT → U; 1996 non-urgent drops as
+    * unchanged), and the per-column null-safe compare is spelled
+    * IS DISTINCT FROM in the oracle. One full-outer join shuffled on
+    * the key — the sort-merge reconciliation shape (plan-pinned:
+    * never a cartesian).
+    */
+  def cd1SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val oldSnap = orders.filter(col("d") < lit("1997-01-01"))
+      .select("o_orderkey", "cents")
+    val newSnap = orders
+      .filter(col("d") >= lit("1996-01-01") && col("d") < lit("1998-01-01"))
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+    graft.operators.Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, Q] = Map(
+    "cd1_snapshot_diff" -> cd1SnapshotDiff _,
     "fi1_item_pairs" -> fi1ItemPairs _,
     "fi2_association_rules" -> fi2AssociationRules _,
     "gr2_reach3" -> gr2Reach3 _,
@@ -1033,6 +1062,33 @@ object ExtendedQueries extends QuerySet {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
 
   val oracles: Map[String, String] = Map(
+    // the operator's derivation: full outer on the key, per-column
+    // IS DISTINCT FROM. Absence is detected via key-nullness here —
+    // equivalent to the operator's presence markers because order keys
+    // are never NULL in this corpus (the markers exist for the
+    // null-key generality the unit spec covers)
+    "cd1_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |o AS (SELECT o_orderkey, cents FROM base WHERE d < DATE '1997-01-01'),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 1
+        |             ELSE cents END AS cents
+        |      FROM base
+        |      WHERE d >= DATE '1996-01-01' AND d < DATE '1998-01-01'),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN o.cents IS DISTINCT FROM n.cents THEN 'U'
+        |    END AS op,
+        |    o.cents AS cents_old, n.cents AS cents_new
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op, cents_old, cents_new FROM j
+        |WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     "rc1_amortization" ->
       """WITH RECURSIVE am(region, month, balance_cents, pay) AS (
         |  SELECT r_name, 0,
