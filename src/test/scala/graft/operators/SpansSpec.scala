@@ -70,6 +70,31 @@ class SpansSpec extends SparkSpec {
       "hash family must not change which spans are found")
   }
 
+  test("winnowed fingerprints are a COMPLETE candidate filter for exact spans (the scale path)") {
+    // the documented sub-linear path for 100 TB: winnow (t5's k=8, w=4
+    // character fingerprints) as the candidate stage, exact shared-span
+    // verification on the candidates only. Schleimer/Wilkerson/Aiken's
+    // guarantee: any shared substring of >= k + w - 1 chars shares a
+    // selected fingerprint — and a shared 50-TOKEN span is hundreds of
+    // chars, so recall over the exact pairs must be 1.0, not just high
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Spans.sharedSpans(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fps = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions
+          .winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .distinct()
+    val cands = fps.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(cands),
+      s"winnowing missed exact-span pairs: ${(exact -- cands).take(5)}")
+    info(s"funnel: ${cands.size} winnowed candidates -> " +
+      s"${exact.size} confirmed >=50-token pairs")
+  }
+
   test("degenerate knobs fail loudly") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
