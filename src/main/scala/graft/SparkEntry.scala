@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(Relational, TextQueries, EventQueries, DedupQueries, VectorQueries,
-      ExtendedQueries, TemporalQueries, SketchQueries)
+      ExtendedQueries, TemporalQueries, SketchQueries, SeriesQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-dimensional Pareto frontier — the skyline operator (reference
+  * scope: none — beyond-reference, SURVEY §2.13; Börzsönyi et al.'s
+  * "The Skyline Operator", ICDE 2001). "Cheapest for its capability":
+  * a row survives iff no other row is at least as good on both axes
+  * and strictly better on one. The selection every catalog/offer/
+  * candidate-pruning query wants, and one SQL can only spell as a
+  * quadratic NOT EXISTS.
+  */
+object Skyline {
+
+  /** Skyline of `df` under (minimize `costCol`, maximize `gainCol`).
+    * Returns one row per surviving (cost, gain) point with `n_rows` =
+    * how many input rows sit exactly on it (duplicate points never
+    * dominate each other — they survive or fall together).
+    *
+    * Derivation, each step a dominance-preserving reduction:
+    * 1. group to distinct (cost, gain) points with multiplicity — one
+    *    keyed shuffle, map-side combined;
+    * 2. per cost keep only the max-gain point (same-cost lower-gain
+    *    rows are dominated by it) — a window on the grouped frame;
+    * 3. LOCAL skyline per hash bucket of the surviving points: the
+    *    2-D sweep (sort by cost asc, keep while gain strictly rises,
+    *    running-max window) inside each bucket. Sound because
+    *    dominance tested within ANY subset only ever under-prunes:
+    *    the global skyline is a subset of every union of local ones;
+    * 4. GLOBAL sweep over the bucket survivors — by then the frame is
+    *    skyline-sized (≤ distinct gain values, e.g. ≤ |p_size| ≈ 50),
+    *    so the single-partition window is over a provably tiny set,
+    *    not the data (the same funnel shape as [[Dedup]]'s
+    *    cluster-resolve).
+    *
+    * No step compares all pairs; the only full-data shuffle is step
+    * 1's aggregate. At 100 TB the funnel is: data → distinct points →
+    * per-cost maxima → Σ bucket-skylines → skyline.
+    */
+  def pareto2(df: DataFrame, costCol: String, gainCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val miss = Seq(costCol, gainCol).filterNot(df.columns.contains)
+    require(miss.isEmpty, s"columns missing: ${miss.mkString(",")}")
+    val pts = df.select(col(costCol).as("cost"), col(gainCol).as("gain"))
+      .groupBy("cost", "gain").agg(count(lit(1)).as("n_rows"))
+    val perCost = Window.partitionBy("cost").orderBy(col("gain").desc)
+    val maxPerCost = pts
+      .withColumn("_rk", row_number().over(perCost))
+      .filter(col("_rk") === 1).drop("_rk")
+    def sweep(frame: DataFrame, part: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(col("cost"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      frame.withColumn("_pm", max(col("gain")).over(w))
+        .filter(col("_pm").isNull || col("gain") > col("_pm"))
+        .drop("_pm")
+    }
+    val local = sweep(
+      maxPerCost.withColumn("_bk", pmod(hash(col("cost")), lit(buckets))),
+      Seq("_bk")).drop("_bk")
+    sweep(local.coalesce(1), Seq.empty)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit + adversarial coverage for the round-12 series/graph operators:
+  * gap fill (spine bounds, presence vs value-null, span cap), interval
+  * join (boundary exactness, multi-bin no-dup, empty intervals, bin
+  * cap), triangle counting (known censuses, hub safety), skyline
+  * (brute-force dominance cross-check, bucket neutrality).
+  */
+class SeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- TimeSeries.gapFillForward ---
+
+  test("gapFill: generated days carry the last observation forward") {
+    val daily = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 20L),
+      ("a", "2024-01-05", 50L), ("b", "2024-03-01", 7L))
+      .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+    val out = TimeSeries.gapFillForward(daily, Seq("k"), "day", Seq("v"))
+      .orderBy("k", "day")
+      .select(col("k"), col("day").cast("string"), col("v_filled"),
+        col("is_gap"))
+      .as[(String, String, Long, Int)].collect.toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01", 10L, 0), ("a", "2024-01-02", 20L, 0),
+      ("a", "2024-01-03", 20L, 1), ("a", "2024-01-04", 20L, 1),
+      ("a", "2024-01-05", 50L, 0),
+      ("b", "2024-03-01", 7L, 0)))
+  }
+
+  test("gapFill: an observed NULL value is an observation, not a gap") {
+    val daily = Seq(("a", "2024-01-01", Some(3L)), ("a", "2024-01-02", None))
+      .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+    val out = TimeSeries.gapFillForward(daily, Seq("k"), "day", Seq("v"))
+      .orderBy("day").select("is_gap", "v_filled")
+      .as[(Int, Option[Long])].collect.toSeq
+    // day 2 is present (is_gap 0); its fill still carries day 1's value
+    assert(out == Seq((0, Some(3L)), (0, Some(3L))))
+  }
+
+  test("gapFill: a key span beyond maxSpanDays fails loudly") {
+    val daily = Seq(("a", "2000-01-01", 1L), ("a", "2024-01-01", 2L))
+      .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+    val e = intercept[Exception] {
+      TimeSeries.gapFillForward(daily, Seq("k"), "day", Seq("v"),
+        maxSpanDays = 365).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  // --- RangeJoins.pointInInterval ---
+
+  private def ivFrame(rows: Seq[(String, String, String, Long)]) =
+    rows.toDF("scope", "st", "en", "iv_id")
+      .withColumn("st", col("st").cast("date"))
+      .withColumn("en", col("en").cast("date"))
+
+  test("rangeJoin: half-open boundaries, scope isolation") {
+    val iv = ivFrame(Seq(
+      ("x", "2024-01-10", "2024-01-20", 1L),
+      ("y", "2024-01-10", "2024-01-20", 2L)))
+    val probe = Seq(
+      ("x", "2024-01-09"), ("x", "2024-01-10"), ("x", "2024-01-19"),
+      ("x", "2024-01-20"), ("y", "2024-01-15"))
+      .toDF("scope", "d").withColumn("d", col("d").cast("date"))
+    val got = RangeJoins.pointInInterval(probe, iv, Seq("scope"), "d",
+        "st", "en")
+      .select(col("iv_id"), col("d").cast("string"))
+      .as[(Long, String)].collect.toSet
+    // start day in, end day out, scopes never cross
+    assert(got == Set((1L, "2024-01-10"), (1L, "2024-01-19"),
+      (2L, "2024-01-15")))
+  }
+
+  test("rangeJoin: an interval spanning many bins matches a point ONCE") {
+    val iv = ivFrame(Seq(("x", "2024-01-01", "2024-12-01", 9L)))
+    val probe = Seq(("x", "2024-06-15")).toDF("scope", "d")
+      .withColumn("d", col("d").cast("date"))
+    val got = RangeJoins.pointInInterval(probe, iv, Seq("scope"), "d",
+      "st", "en", binDays = 7)
+    assert(got.count() == 1L)
+  }
+
+  test("rangeJoin: empty and inverted intervals match nothing") {
+    val iv = ivFrame(Seq(
+      ("x", "2024-01-10", "2024-01-10", 1L),
+      ("x", "2024-02-10", "2024-01-10", 2L)))
+    val probe = Seq(("x", "2024-01-10"), ("x", "2024-01-20"))
+      .toDF("scope", "d").withColumn("d", col("d").cast("date"))
+    assert(RangeJoins.pointInInterval(probe, iv, Seq("scope"), "d",
+      "st", "en").count() == 0L)
+  }
+
+  test("rangeJoin: an interval wider than maxBins bins fails loudly") {
+    val iv = ivFrame(Seq(("x", "2000-01-01", "2024-01-01", 1L)))
+    val probe = Seq(("x", "2010-01-01")).toDF("scope", "d")
+      .withColumn("d", col("d").cast("date"))
+    val e = intercept[Exception] {
+      RangeJoins.pointInInterval(probe, iv, Seq("scope"), "d",
+        "st", "en", binDays = 1, maxBins = 100).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  // --- Triangles.triangleStats ---
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val e = edges.toDF("a", "b")
+    val r = Triangles.triangleStats(e, "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    r
+  }
+
+  test("triangles: K4 has 4, a square has 0, a star has 0") {
+    // K4 on {1,2,3,4}
+    assert(tri(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+      == ((4L, 6L, 4L)))
+    // 4-cycle: no chord, no triangle
+    assert(tri(Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L))) == ((4L, 4L, 0L)))
+    // star: hub 1 with 5 leaves — the adversarial hub degree case
+    assert(tri(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L),(1L,6L))) == ((6L, 5L, 0L)))
+  }
+
+  test("triangles: two triangles sharing an edge count as 2") {
+    assert(tri(Seq((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L)))._3 == 2L)
+  }
+
+  // --- Skyline.pareto2 ---
+
+  private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val grouped = pts.groupBy(identity).map { case ((c, g), v) =>
+      (c, g, v.size.toLong) }.toSeq
+    grouped.filter { case (c, g, _) =>
+      !grouped.exists { case (c2, g2, _) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.toSet
+  }
+
+  test("skyline: matches brute-force dominance on a mixed point set") {
+    val pts = Seq((5L,3L), (5L,3L), (5L,7L), (4L,7L), (6L,9L), (6L,9L),
+      (7L,9L), (3L,1L), (8L,2L), (4L,4L))
+    val df = pts.toDF("cost", "gain")
+    val got = Skyline.pareto2(df, "cost", "gain")
+      .as[(Long, Long, Long)].collect.toSet
+    assert(got == brute(pts))
+  }
+
+  test("skyline: result is bucket-count neutral") {
+    val pts = (1L to 200L).map(i => (i % 37, (i * 7) % 23))
+    val df = pts.toDF("cost", "gain")
+    val one = Skyline.pareto2(df, "cost", "gain", buckets = 1)
+      .as[(Long, Long, Long)].collect.toSet
+    val many = Skyline.pareto2(df, "cost", "gain", buckets = 13)
+      .as[(Long, Long, Long)].collect.toSet
+    assert(one == many)
+    assert(one == brute(pts))
+  }
+
+  test("skyline: duplicate frontier points survive together with counts") {
+    val df = Seq((1L, 5L), (1L, 5L), (2L, 9L)).toDF("cost", "gain")
+    val got = Skyline.pareto2(df, "cost", "gain")
+      .as[(Long, Long, Long)].collect.toSet
+    assert(got == Set((1L, 5L, 2L), (2L, 9L, 1L)))
+  }
+}

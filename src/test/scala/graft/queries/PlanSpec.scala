@@ -539,6 +539,53 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("ts1: spine join is equi; the fill window is key-partitioned") {
+    val p = plan("ts1_gap_fill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val sp = graft.SparkEntry.queries("ts1_gap_fill")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
+  test("rj1: binned interval join is hash-equi — never a nested loop") {
+    val p = plan("rj1_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the range predicate must ride the bin equi-join as a filter:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("gr3: triangle census stays equi; only the two 1-row count frames cross") {
+    val p = plan("gr3_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the scalar edge/triangle counts may nested-loop:\n$p")
+  }
+
+  test("sl1: skyline's only global window sits above a 1-partition funnel") {
+    val sp = graft.SparkEntry.queries("sl1_pareto_frontier")(spark, dir)
+      .queryExecution.sparkPlan
+    val ws = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val unpart = ws.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size <= 1, s"at most one global sweep: $ws")
+    assert(sp.toString.contains("Coalesce 1"),
+      "the global sweep must run over the coalesced candidate funnel")
+    val p = plan("sl1_pareto_frontier")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dp3: MAD profile is ordered-set aggregates + broadcast stats joins") {
+    val p = plan("dp3_mad_outliers")
+    assert(!p.contains("Window"),
+      s"percentile_disc must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row stats frames must broadcast:\n$p")
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
