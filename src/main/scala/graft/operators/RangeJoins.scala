@@ -71,4 +71,58 @@ object RangeJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bin")
   }
+
+  /** Interval×interval OVERLAP join: pairs of a `left` and a `right`
+    * interval (half-open `[start, end)` dates, both frames) that share
+    * at least one day, under optional equality scope keys. Column name
+    * collisions between the two frames are the caller's to avoid
+    * (standard join hygiene — rename before calling).
+    *
+    * The bin trick needs one extra idea here: an overlapping pair
+    * shares EVERY bin their intersection touches, so a naive bin join
+    * would emit duplicates. The dedup rule is ownership, not DISTINCT
+    * (a distinct would shuffle the matched mass a second time): a pair
+    * is claimed exactly by the bin containing the intersection's first
+    * day, `greatest(left.start, right.start)` — a match surviving the
+    * overlap filter always has both sides registered in that bin, and
+    * in exactly one bin the equality holds.
+    *
+    * Same cap (`maxBins`, loud) and scale shape as
+    * [[pointInInterval]]: map-side bin replication on both sides, one
+    * hash equi-join on `eqKeys :+ bin`, residual predicates fused into
+    * the join projection. Cost rides Σ bins + true-overlap candidate
+    * mass, never |left|×|right|.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      eqKeys: Seq[String], leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binDays: Int = 32,
+      maxBins: Int = 4096): DataFrame = {
+    require(binDays >= 1, s"binDays must be >= 1, got $binDays")
+    val missL = (eqKeys :+ leftStart :+ leftEnd)
+      .filterNot(left.columns.contains)
+    val missR = (eqKeys :+ rightStart :+ rightEnd)
+      .filterNot(right.columns.contains)
+    require(missL.isEmpty, s"left lacks columns: ${missL.mkString(",")}")
+    require(missR.isEmpty, s"right lacks columns: ${missR.mkString(",")}")
+    def binOf(d: Column): Column =
+      floor(datediff(d, lit("1970-01-01")) / binDays)
+    def binned(df: DataFrame, st: String, en: String): DataFrame = {
+      val lo = binOf(col(st))
+      val hi = binOf(date_sub(col(en), 1))
+      val nb = hi - lo + 1
+      df.filter(col(en) > col(st))
+        .withColumn("_bin", explode(sequence(lo,
+          when(nb > maxBins, raise_error(concat(
+            lit(s"[overlapJoin] interval spans more than maxBins=$maxBins " +
+              s"bins of $binDays days: "),
+            col(st), lit(" .. "), col(en))))
+            .otherwise(hi))))
+    }
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), eqKeys :+ "_bin")
+      .filter(col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd) &&
+        binOf(greatest(col(leftStart), col(rightStart))) === col("_bin"))
+      .drop("_bin")
+  }
 }

@@ -59,6 +59,25 @@ object TemporalJoins {
       .select(col(key), col(leftId),
         (-col("_us")).as("_us"), (-col("_matched_us")).as("_matched_us"))
 
+  /** Bounded-staleness as-of: [[asofMatchTs]] restricted to matches at
+    * most `maxLagUs` old — "the most recent state, unless it has gone
+    * stale" (the sensor-readout / feature-freshness contract; an
+    * unbounded as-of happily joins a year-old purchase to today's
+    * error). Left rows whose best match is older than the bound drop
+    * like unmatched rows (inner semantics). Composition, not a new
+    * window: the lag filter runs AFTER the carry-forward resolves, so
+    * it cannot un-hide an older in-window match — "most recent, if
+    * fresh", not "most recent fresh" (that distinction is the
+    * semantics every feature store documents; the spec pins it).
+    */
+  def asofMatchTsWithin(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, leftTsUs: Column, rightTsUs: Column,
+      maxLagUs: Long): DataFrame = {
+    require(maxLagUs >= 0, s"maxLagUs must be >= 0, got $maxLagUs")
+    asofMatchTs(left, right, key, leftId, leftTsUs, rightTsUs)
+      .filter(col("_us") - col("_matched_us") <= maxLagUs)
+  }
+
   /** Pairs (l, r) with the same `key` and `rightTsUs - leftTsUs` in
     * [0, windowUs]: bucket both sides by `windowUs`, join each left
     * bucket to right buckets {b, b+1}, then apply the exact bound.

@@ -6,12 +6,14 @@ import graft.Tables
 import graft.operators.{RangeJoins, Skyline, TimeSeries, Triangles}
 
 /** Round-12 engine-completeness rows (beyond the reference surface):
-  * calendar-spine gap fill, bin-bucketed interval joins, degree-ordered
-  * triangle counting, the skyline operator, and robust (median/MAD)
-  * outlier profiling. Each oracle states the SEMANTICS declaratively —
-  * generate_series spines, inequality range joins, triple-join
-  * triangles, NOT-EXISTS dominance — while the Spark side runs the
-  * scalable formulation and must produce identical rows.
+  * calendar-spine gap fill + OHLC bars, bin-bucketed interval and
+  * overlap joins, degree-ordered triangle counting, the skyline
+  * operator, robust (median/MAD) outlier profiling, equi-width
+  * histograms, and grouped OLS regression. Each oracle states the
+  * SEMANTICS declaratively — generate_series spines, inequality range
+  * joins, triple-join triangles, NOT-EXISTS dominance, HUGEINT-free
+  * normal equations — while the Spark side runs the scalable
+  * formulation and must produce identical rows.
   */
 object SeriesQueries extends QuerySet {
 
@@ -54,7 +56,7 @@ object SeriesQueries extends QuerySet {
     * bin-bucketed equi-join reformulation (plan-pinned: hash join,
     * never BroadcastNestedLoop).
     */
-  def rj1IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+  def rj2IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val iv = t(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("nk"),
         explode(sequence(lit(0L), lit(19L))).as("i"))
@@ -147,15 +149,201 @@ object SeriesQueries extends QuerySet {
         |GROUP BY d.pri ORDER BY d.pri""".stripMargin)
   }
 
+  /** OHLC bars — the downsampling twin of ts1's upsampling: per
+    * (customer bucket, month), open/high/low/close/volume over order
+    * cents. Open and close are MIN_BY/MAX_BY over a single BIGINT
+    * total-order key (epoch-day · 10⁸ + orderkey — unique, so no tie
+    * roulette for either engine's arg extremum), which keeps the whole
+    * bar ONE map-side-combinable aggregate — no window, no self-join,
+    * the shape that folds a 100 TB tick table into bars in one pass.
+    */
+  def ts2OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT o_custkey % 8 AS bucket,
+        |  TRUNC(CAST(o_orderdate AS DATE), 'month') AS month,
+        |  MIN_BY(cents, ok) AS open_cents,
+        |  MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents,
+        |  MAX_BY(cents, ok) AS close_cents,
+        |  COUNT(*) AS n_orders
+        |FROM (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        |      AS BIGINT) * 100000000 + o_orderkey AS ok
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY bucket, month""".stripMargin)
+  }
+
+  /** Interval×interval overlap join ([[RangeJoins.intervalOverlap]]):
+    * the rj2 campaign windows against a second per-nation interval set
+    * (20-day "freeze" windows on a 61-day cadence, 7-day national
+    * stagger) — which campaigns collide with which freezes, and for
+    * how many days. The oracle is the two-sided inequality join; the
+    * Spark side must match through the binned equi-join with the
+    * ownership dedup rule (a pair is claimed only by the bin holding
+    * the intersection's first day — never a DISTINCT over duplicates).
+    */
+  def rj3OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val nk = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val campaigns = nk
+      .select(col("nk"), explode(sequence(lit(0L), lit(19L))).as("i"))
+      .select(col("nk"), (col("nk") * 100 + col("i")).as("id_a"),
+        date_add(lit("1995-01-01").cast("date"),
+          (col("nk") * 13 + col("i") * 97).cast("int")).as("st_a"))
+      .withColumn("en_a", date_add(col("st_a"), 45))
+    val freezes = nk
+      .select(col("nk"), explode(sequence(lit(0L), lit(29L))).as("j"))
+      .select(col("nk"), (col("nk") * 100 + col("j")).as("id_b"),
+        date_add(lit("1995-03-01").cast("date"),
+          (col("nk") * 7 + col("j") * 61).cast("int")).as("st_b"))
+      .withColumn("en_b", date_add(col("st_b"), 20))
+    RangeJoins.intervalOverlap(campaigns, freezes, Seq("nk"),
+        "st_a", "en_a", "st_b", "en_b", binDays = 32)
+      .select(col("id_a"), col("id_b"), col("nk"),
+        datediff(least(col("en_a"), col("en_b")),
+          greatest(col("st_a"), col("st_b"))).cast("long")
+          .as("overlap_days"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Equi-width histogram of the order-price distribution — the
+    * profiling family's binned view (dp1 summarizes, dp2 scores
+    * entropy, dp3 flags outliers, dp4 shows the SHAPE). 20 bins
+    * between the global [min, max], bin edges and assignment in EXACT
+    * integer arithmetic (`(c−mn)·20 DIV (mx−mn+1)` — the +1 keeps the
+    * max value in bin 19 without a special case). The 1-row min/max
+    * frame broadcasts back (the repo's scalar crossJoin pattern, never
+    * a collect); one map-side-combined count per bin.
+    */
+  def dp4Histogram(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "orders").select(cents("o_totalprice").as("c"))
+    val mm = c.agg(min("c").as("mn"), max("c").as("mx"))
+    c.crossJoin(broadcast(mm))
+      .select(expr("((c - mn) * 20) DIV (mx - mn + 1)").as("bin"), col("c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), sum("c").as("sum_cents"),
+        min("c").as("min_cents"), max("c").as("max_cents"))
+      .orderBy("bin")
+  }
+
+  /** Grouped OLS regression, the rc3 playbook: AGGREGATE BEFORE
+    * REGRESSING. The quarterly per-order average (integer cents DIV)
+    * is the series; the regression is five closed-form sums over ≤ 28
+    * points per group — all-integer, slope/intercept in permille via
+    * the normal equations, overflow-safe BECAUSE the aggregation
+    * happened first (regressing raw orders would push n·Σxy past
+    * BIGINT at sf0.1). Corpus mass rides one map-side-combined
+    * aggregate; the regression itself is O(groups).
+    */
+  def st1RegrSlope(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH q AS (
+        |  SELECT o_orderpriority AS pri,
+        |    (YEAR(CAST(o_orderdate AS DATE)) - 1995) * 4 +
+        |      QUARTER(CAST(o_orderdate AS DATE)) - 1 AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      DIV COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT pri, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM q GROUP BY pri)
+        |SELECT pri AS o_orderpriority, n AS n_quarters,
+        |  (1000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)
+        |    AS slope_permille,
+        |  (1000 * sy - ((1000 * (n * sxy - sx * sy))
+        |      DIV (n * sxx - sx * sx)) * sx) DIV n
+        |    AS intercept_permille
+        |FROM s ORDER BY pri""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "ts1_gap_fill" -> ts1GapFill _,
-    "rj1_interval_join" -> rj1IntervalJoin _,
+    "ts2_ohlc_bars" -> ts2OhlcBars _,
+    "rj2_interval_join" -> rj2IntervalJoin _,
+    "rj3_overlap_join" -> rj3OverlapJoin _,
     "gr3_triangles" -> gr3Triangles _,
     "sl1_pareto_frontier" -> sl1ParetoFrontier _,
     "dp3_mad_outliers" -> dp3MadOutliers _,
+    "dp4_histogram" -> dp4Histogram _,
+    "st1_regr_slope" -> st1RegrSlope _,
   )
 
   val oracles: Map[String, String] = Map(
+    // arg extrema over the same unique BIGINT order key — tie-free by
+    // construction, so arg_min/arg_max and MIN_BY/MAX_BY must agree
+    "ts2_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT o_custkey % 8 AS bucket,
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) * 100000000
+        |      + o_orderkey AS ok
+        |  FROM orders)
+        |SELECT bucket, month,
+        |  arg_min(cents, ok) AS open_cents,
+        |  MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents,
+        |  arg_max(cents, ok) AS close_cents,
+        |  COUNT(*) AS n_orders
+        |FROM b GROUP BY 1, 2 ORDER BY bucket, month""".stripMargin,
+    "rj3_overlap_join" ->
+      """WITH nk AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+        |a AS (
+        |  SELECT nk, nk * 100 + t.i AS id_a,
+        |    DATE '1995-01-01' + CAST(nk * 13 + t.i * 97 AS INTEGER) AS st_a
+        |  FROM nk, (SELECT UNNEST(range(0, 20)) AS i) t),
+        |a2 AS (SELECT nk, id_a, st_a, st_a + 45 AS en_a FROM a),
+        |b AS (
+        |  SELECT nk, nk * 100 + t.j AS id_b,
+        |    DATE '1995-03-01' + CAST(nk * 7 + t.j * 61 AS INTEGER) AS st_b
+        |  FROM nk, (SELECT UNNEST(range(0, 30)) AS j) t),
+        |b2 AS (SELECT nk, id_b, st_b, st_b + 20 AS en_b FROM b)
+        |SELECT a2.id_a, b2.id_b, a2.nk,
+        |  CAST(LEAST(en_a, en_b) - GREATEST(st_a, st_b) AS BIGINT)
+        |    AS overlap_days
+        |FROM a2 JOIN b2 ON a2.nk = b2.nk
+        |  AND st_a < en_b AND st_b < en_a
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dp4_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM c)
+        |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |  MIN(c) AS min_cents, MAX(c) AS max_cents
+        |FROM c, mm GROUP BY 1 ORDER BY bin""".stripMargin,
+    // the same closed-form normal equations, every sum CAST back to
+    // BIGINT (DuckDB SUM widens to HUGEINT) and // matching Spark's
+    // DIV (both truncate toward zero — checked on negative operands)
+    "st1_regr_slope" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS pri,
+        |    (YEAR(CAST(o_orderdate AS DATE)) - 1995) * 4 +
+        |      QUARTER(CAST(o_orderdate AS DATE)) - 1 AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT pri, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY pri)
+        |SELECT pri AS o_orderpriority, n AS n_quarters,
+        |  (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |    AS slope_permille,
+        |  (1000 * sy - ((1000 * (n * sxy - sx * sy))
+        |      // (n * sxx - sx * sx)) * sx) // n
+        |    AS intercept_permille
+        |FROM s ORDER BY pri""".stripMargin,
     // the grp-of-non-nulls trick spells forward fill portably: within
     // a (bucket, run-since-last-observation) group only the FIRST row
     // carries a value, so MAX over the group IS last-non-null
@@ -184,7 +372,7 @@ object SeriesQueries extends QuerySet {
         |  MAX(c) OVER (PARTITION BY bucket, grp) AS cents_filled,
         |  CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
         |FROM g ORDER BY bucket, day""".stripMargin,
-    "rj1_interval_join" ->
+    "rj2_interval_join" ->
       """WITH iv AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
         |    CAST(n_nationkey AS BIGINT) * 100 + t.i AS interval_id,

@@ -84,13 +84,60 @@ object TemporalQueries extends QuerySet {
       .orderBy("event_id")
   }
 
+  /** Bounded-staleness as-of ([[TemporalJoins.asofMatchTsWithin]]):
+    * aj1's state lookup with a 24-hour freshness contract — the most
+    * recent purchase, UNLESS it has gone stale ("most recent, if
+    * fresh": an older in-window purchase is never un-hidden by the
+    * bound; the operator spec pins that distinction). Discriminates at
+    * every SF (~37% of aj1's matches survive the bound). Same
+    * single-shuffle carry-forward shape; the lag filter fuses into the
+    * window's output projection.
+    */
+  def aj3AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = graft.operators.FrameCaches.track(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("value")).persist())
+    val matched = TemporalJoins.asofMatchTsWithin(errors, purchases,
+      "user_id", "event_id", col("us"), col("us"), 86400000000L)
+    matched
+      .join(purchases.withColumnRenamed("us", "_matched_us"),
+        Seq("user_id", "_matched_us"))
+      .groupBy("event_id", "user_id", "_matched_us")
+      .agg(max("value").as("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("_matched_us")).as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "aj1_asof_join" -> aj1AsofJoin _,
     "aj2_asof_forward" -> aj2AsofForward _,
+    "aj3_asof_tolerance" -> aj3AsofTolerance _,
     "rj1_range_join" -> rj1RangeJoin _,
   )
 
   val oracles: Map[String, String] = Map(
+    // aj1's correlated MAX with the staleness bound applied AFTER the
+    // match resolves — the "most recent, if fresh" spelling
+    "aj3_asof_tolerance" ->
+      """WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |             FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, epoch_us(ts) AS us, value
+        |        FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT e.event_id, e.user_id, e.us,
+        |        (SELECT MAX(p.us) FROM pur p
+        |         WHERE p.user_id = e.user_id AND p.us <= e.us) AS m_us
+        |      FROM err e)
+        |SELECT m.event_id, m.user_id, make_timestamp(m.m_us) AS purchase_ts,
+        |  (SELECT MAX(p.value) FROM pur p
+        |   WHERE p.user_id = m.user_id AND p.us = m.m_us) AS purchase_value
+        |FROM m
+        |WHERE m.m_us IS NOT NULL AND m.us - m.m_us <= 86400000000
+        |ORDER BY event_id""".stripMargin,
     "aj1_asof_join" ->
       """WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS us
         |             FROM events WHERE event_type = 'error'),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *   the daily aggregate sees N× rows but the spine, join, and fill
   *   window ride the (bucket, day) cell count, which is invariant.
   *   Expected exponent ≈ the bare-scan floor.
-  * - rj1 interval join: orders replicate N× with fresh keys — probe
+  * - rj2 interval join: orders replicate N× with fresh keys — probe
   *   mass and matched pairs grow N×, intervals stay fixed. Expected
   *   ≈ 1 (output-proportional), the claim being NO probe×interval
   *   term (a nested-loop would show the same exponent but a 500×
@@ -77,7 +77,7 @@ object ProfileR12bScale {
       operators.TimeSeries.gapFillForward(
         daily, Seq("bucket"), "day", Seq("cents")).count()
     }
-    def rj1(o: org.apache.spark.sql.DataFrame): Long = {
+    def rj2(o: org.apache.spark.sql.DataFrame): Long = {
       val iv = nation
         .select(col("n_nationkey").cast("long").as("nk"),
           explode(sequence(lit(0L), lit(19L))).as("i"))
@@ -105,9 +105,9 @@ object ProfileR12bScale {
     val t1a = time("ts1 gap fill 1x")(ts1(orders))
     val tNa = time(s"ts1 gap fill ${mult}x")(ts1(ordN))
     exp("ts1", t1a, tNa)
-    val t1b = time("rj1 interval join 1x")(rj1(orders))
-    val tNb = time(s"rj1 interval join ${mult}x")(rj1(ordN))
-    exp("rj1", t1b, tNb)
+    val t1b = time("rj2 interval join 1x")(rj2(orders))
+    val tNb = time(s"rj2 interval join ${mult}x")(rj2(ordN))
+    exp("rj2", t1b, tNb)
     val t1c = time("gr3 triangles 1x")(gr3(lineitem.select("l_orderkey", "l_partkey")))
     val tNc = time(s"gr3 triangles ${mult}x")(gr3(liN))
     exp("gr3", t1c, tNc)

@@ -105,6 +105,58 @@ class SeriesOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  // --- RangeJoins.intervalOverlap ---
+
+  test("overlapJoin: overlap pairs exact, touching endpoints excluded") {
+    val a = Seq(("x", "2024-01-01", "2024-01-10", 1L),
+      ("x", "2024-02-01", "2024-02-10", 2L))
+      .toDF("scope", "st_a", "en_a", "ida")
+      .withColumn("st_a", col("st_a").cast("date"))
+      .withColumn("en_a", col("en_a").cast("date"))
+    val b = Seq(
+      ("x", "2024-01-05", "2024-01-20", 10L), // overlaps 1
+      ("x", "2024-01-10", "2024-01-15", 11L), // touches 1's end: no
+      ("y", "2024-01-05", "2024-01-08", 12L)) // wrong scope
+      .toDF("scope", "st_b", "en_b", "idb")
+      .withColumn("st_b", col("st_b").cast("date"))
+      .withColumn("en_b", col("en_b").cast("date"))
+    val got = RangeJoins.intervalOverlap(a, b, Seq("scope"),
+        "st_a", "en_a", "st_b", "en_b")
+      .select("ida", "idb").as[(Long, Long)].collect.toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("overlapJoin: a many-bin overlap emits the pair exactly once") {
+    val a = Seq(("x", "2024-01-01", "2024-12-01", 1L))
+      .toDF("scope", "st_a", "en_a", "ida")
+      .withColumn("st_a", col("st_a").cast("date"))
+      .withColumn("en_a", col("en_a").cast("date"))
+    val b = Seq(("x", "2024-03-01", "2024-09-01", 2L))
+      .toDF("scope", "st_b", "en_b", "idb")
+      .withColumn("st_b", col("st_b").cast("date"))
+      .withColumn("en_b", col("en_b").cast("date"))
+    // intersection spans many 7-day bins — the ownership rule must
+    // claim the pair in exactly one
+    assert(RangeJoins.intervalOverlap(a, b, Seq("scope"),
+      "st_a", "en_a", "st_b", "en_b", binDays = 7).count() == 1L)
+  }
+
+  // --- TemporalJoins.asofMatchTsWithin ---
+
+  test("asofWithin: most recent IF fresh — stale matches drop, not hide") {
+    val left = Seq((1L, "u", 1000L), (2L, "u", 5000L))
+      .toDF("id", "k", "lts")
+    val right = Seq(("u", 900L), ("u", 4000L)).toDF("k", "rts")
+    // id=1 matches 900 (lag 100, fresh); id=2's most recent is 4000
+    // (lag 1000 > 500): it DROPS — the bound must not fall back to the
+    // older 900 (that would be "most recent fresh", a different join)
+    val got = TemporalJoins.asofMatchTsWithin(left, right, "k", "id",
+        col("lts"), col("rts"), maxLagUs = 500L)
+      .select(col("id"), col("_matched_us")).as[(Long, Long)]
+      .collect.toSet
+    assert(got == Set((1L, 900L)))
+  }
+
   // --- Triangles.triangleStats ---
 
   private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {

@@ -549,8 +549,8 @@ class PlanSpec extends SparkSpec {
       .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
   }
 
-  test("rj1: binned interval join is hash-equi — never a nested loop") {
-    val p = plan("rj1_interval_join")
+  test("rj2: binned interval join is hash-equi — never a nested loop") {
+    val p = plan("rj2_interval_join")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"the range predicate must ride the bin equi-join as a filter:\n$p")
@@ -584,6 +584,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"),
       s"the 5-row stats frames must broadcast:\n$p")
+  }
+
+  test("ts2: OHLC bars are ONE partial+final aggregate — no window, no join") {
+    val p = plan("ts2_ohlc_bars")
+    assert(!p.contains("Window"), s"min_by/max_by must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"bars must not self-join:\n$p")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("rj3: overlap join is hash-equi on (scope, bin) — never a nested loop") {
+    val p = plan("rj3_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the two-sided range predicate must ride the bin equi-join:\n$p")
+  }
+
+  test("dp4: histogram's only nested-loop is the 1-row min/max broadcast") {
+    val p = plan("dp4_histogram")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar bounds frame may nested-loop:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bin counting must map-side combine")
+  }
+
+  test("st1: regression is aggregates only — no window, no join") {
+    val p = plan("st1_regr_slope")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("aj3: bounded as-of keeps aj1's single-shuffle carry-forward shape") {
+    val sp = graft.SparkEntry.queries("aj3_asof_tolerance")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("aj3_asof_tolerance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("IVF cell assignment is pure map work — no shuffle exchange") {
