@@ -636,6 +636,70 @@ object Dedup {
     * dominated by boilerplate). The capped run remains a strict subset
     * of the exact answer with every returned score exact.
     */
+  /** EXACT n-gram CONTAINMENT join — the ASYMMETRIC sibling of
+    * [[ngramJaccardPairs]]: ordered pairs (a, b) where at least
+    * `thresholdPermille`/1000 of a's distinct shingles appear in b
+    * (`|A∩B| / |A|` — quote detection, truncated-crawl recovery,
+    * subset-document pruning; Jaccard misses exactly these because a
+    * large |B| dilutes the union). Both directions are judged
+    * independently: a near-dup pair emits twice, a strict quote once.
+    *
+    * The threshold is an integer permille so the predicate
+    * `1000·|A∩B| ≥ t·|A|` (and the derived minimum overlap
+    * `ceil(t·|A|/1000)` = `(t·|A|+999) DIV 1000`) is EXACT in both
+    * engines — no epsilon anywhere, unlike d9's real-valued Jaccard
+    * bounds.
+    *
+    * Prefix filtering adapts asymmetrically: only the PROBE side can
+    * prune (B's requirement depends on each A it meets), so the probe
+    * keeps its `|A| − minOverlap(A) + 1` rarest-first shingles —
+    * lossless: if none of those is shared, the overlap is at most
+    * `minOverlap − 1` — while the index side stays the full posting
+    * list. That full index is the hot-key exposure, so
+    * `maxPostingSize` caps it by document frequency (same subset trade
+    * as d9's cap, documented there); the length filter
+    * `|B| ≥ minOverlap(A)` rides the join condition.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, thresholdPermille: Int = 700,
+      mode: HashMode = XxHash,
+      maxPostingSize: Option[Long] = None): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0,1000], got $thresholdPermille")
+    val tp = thresholdPermille
+    val sh = track(docs
+      .select(col(idCol), hashedShingles(col(textCol), shingleN, mode).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist())
+    val posting = sh.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("_df"))
+    val withDf = track(posting.join(dfreq, "s").persist())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("_df"), col("s"))
+    val probe = withDf
+      .withColumn("_p", row_number().over(w))
+      .filter(col("_p") <= col("sz") - expr(s"(sz * $tp + 999) DIV 1000") + 1)
+      .select(col(idCol).as("doc_a"), col("sz").as("sz_a"), col("s"))
+    val index = withDf
+      .filter(maxPostingSize.map(cap => col("_df") <= cap).getOrElse(lit(true)))
+      .select(col(idCol).as("doc_b"), col("sz").as("sz_b"), col("s"))
+    // USING-column join: probe and index share lineage (both derive
+    // from withDf), so qualified s === s would resolve trivially true
+    val cands = probe.join(index, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b")
+        && col("sz_b") >= expr(s"(sz_a * $tp + 999) DIV 1000"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(count(lit(1)).as("_nc"))
+    val left = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val right = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    cands.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("_i", graft.functions.TextExpressions
+        .sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .filter(col("_i") * 1000 >= col("sz_a") * tp)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000 * _i) DIV sz_a").as("containment_permille"),
+        col("sz_a"), col("sz_b"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       mode: HashMode = XxHash,

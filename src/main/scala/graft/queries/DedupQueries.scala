@@ -226,7 +226,23 @@ object DedupQueries extends QuerySet {
         minSpanTokens = 50, maxPostingSize = 32)
       .orderBy("doc_a", "doc_b")
 
+  /** EXACT n-gram CONTAINMENT pairs at t=0.7 permille-exact — the
+    * ASYMMETRIC member of the dedup family (d9's Jaccard misses a
+    * short doc quoted inside a long one because the union dilutes;
+    * containment |A∩B|/|A| is the quote/truncation/subset detector).
+    * Ordered pairs, both directions judged independently. The oracle
+    * is the definitionally-quadratic DuckDB join over identically
+    * md5-hashed shingle sets with the same integer-permille predicate,
+    * so the hash-match proves the asymmetric probe-prefix index is
+    * lossless on real data.
+    */
+  def d13ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+      "doc_id", "text", N, thresholdPermille = 700, mode = Md5Hash)
+      .orderBy("doc_a", "doc_b")
+
   val entries: Map[String, Q] = Map(
+    "d13_containment_pairs" -> d13ContainmentPairs _,
     "d12_shared_spans" -> d12SharedSpans _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
     "d2_minhash_bands" -> d2MinhashBands _,
@@ -480,6 +496,21 @@ object DedupQueries extends QuerySet {
     // shingle sets hashed exactly like the Spark side (60-bit md5
     // slice), and the length filter (J >= t forces t*|b| <= |a| when
     // |a| <= |b|) is exact and keeps the 500x500 oracle join cheap
+    // quadratic by definition like d9; the containment predicate and
+    // score are INTEGER permille (i*1000 >= 700*|A|, (1000*i) // |A|)
+    // so no epsilon is needed anywhere; len(b) >= ceil(0.7*|A|) is the
+    // exact length filter spelled with the same +999 DIV trick
+    "d13_containment_pairs" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
+         |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  (1000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+         |    AS containment_permille,
+         |  len(a.sh) AS sz_a, len(b.sh) AS sz_b
+         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         | AND len(b.sh) >= (700 * len(a.sh) + 999) // 1000
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= 700 * len(a.sh)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d9_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
          |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)

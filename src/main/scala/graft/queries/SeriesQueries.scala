@@ -261,7 +261,35 @@ object SeriesQueries extends QuerySet {
         |FROM s ORDER BY pri""".stripMargin)
   }
 
+  /** Per-source KL divergence — how far each source's language mix
+    * sits from the corpus mix (the drift/imbalance statistic a mixing
+    * plan monitors; dp2's entropy says "how spread", KL says "how
+    * UNLIKE the whole"). KL(P_source ‖ Q_corpus) over integer counts:
+    * q > 0 wherever p > 0 by construction (every source lang is a
+    * corpus lang), division-then-ln per term is IEEE-identical
+    * cross-engine, and the ≤|langs|-term sum rides dp2's round-to-6
+    * convention. Scale shape: one (source, lang) count shuffle, then
+    * broadcast-sized marginal joins — aggregates only.
+    */
+  def dp5KlDivergence(s: SparkSession, dir: String): DataFrame = {
+    val sl = t(s, dir, "documents").select("source", "lang")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val srcTot = sl.groupBy("source").agg(sum("c").as("ns"))
+    val langTot = sl.groupBy("lang").agg(sum("c").as("cl"))
+    val tot = sl.agg(sum("c").as("n"))
+    sl.join(broadcast(srcTot), "source")
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"), count(lit(1)).as("n_langs"),
+        round(sum((col("c") / col("ns")) *
+          log((col("c") / col("ns")) / (col("cl") / col("n")))), 6)
+          .as("kl_nats"))
+      .orderBy("source")
+  }
+
   val entries: Map[String, Q] = Map(
+    "dp5_kl_divergence" -> dp5KlDivergence _,
     "ts1_gap_fill" -> ts1GapFill _,
     "ts2_ohlc_bars" -> ts2OhlcBars _,
     "rj2_interval_join" -> rj2IntervalJoin _,
@@ -274,6 +302,22 @@ object SeriesQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // same term shape as the Spark side: divide THEN ln per (source,
+    // lang) cell — IEEE-identical — with dp2's ROUND(…, 6) absorbing
+    // the ≤|langs|-term sum-order difference
+    "dp5_kl_divergence" ->
+      """WITH sl AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+        |       FROM sl GROUP BY 1),
+        |lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM sl GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sl)
+        |SELECT sl.source, MAX(st.ns) AS n_docs, COUNT(*) AS n_langs,
+        |  ROUND(SUM((sl.c / CAST(st.ns AS DOUBLE)) *
+        |    ln((sl.c / CAST(st.ns AS DOUBLE))
+        |       / (lt.cl / CAST(nt.n AS DOUBLE)))), 6) AS kl_nats
+        |FROM sl JOIN st USING (source) JOIN lt USING (lang), nt
+        |GROUP BY sl.source ORDER BY sl.source""".stripMargin,
     // arg extrema over the same unique BIGINT order key — tie-free by
     // construction, so arg_min/arg_max and MIN_BY/MAX_BY must agree
     "ts2_ohlc_bars" ->

@@ -117,6 +117,39 @@ class DedupSpec extends SparkSpec {
     assert(nulls.getSeq[Long](1).isEmpty)
   }
 
+  test("containmentPairs: a quote is one-directional; near-dups both ways") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 2 QUOTES 1 inside extra framing: 1-in-2 high, 2-in-1 low
+      (2L, "intro words first alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa then much more trailing content follows here at length " +
+        "with many additional framing tokens around the quoted passage"),
+      (3L, "unrelated content about entirely different things altogether now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text",
+        shingleN = 3, thresholdPermille = 700)
+      .select("doc_a", "doc_b", "containment_permille")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(got.contains((1L, 2L)), s"the quote must be found: $got")
+    assert(got((1L, 2L)) == 1000L, "every shingle of 1 appears in 2")
+    assert(!got.contains((2L, 1L)), "the long doc is NOT contained in the quote")
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("containmentPairs: posting cap is a subset trade, never an inflation") {
+    val d = (1L to 30L).map(i =>
+      (i, "shared boiler plate tokens common to all docs here " +
+        s"unique$i tail$i piece$i")).toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(d, "doc_id", "text", 3, 700)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", 3, 700,
+        maxPostingSize = Some(5L))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact),
+      s"capped must be a subset: ${capped -- exact}")
+  }
+
   test("jaccard is exact on known sets") {
     val j = spark.range(1)
       .select(Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))))

@@ -626,6 +626,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d13: containment join is equi-on-shingle; prefix windows partitioned") {
+    val p = plan("d13_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val sp = graft.SparkEntry.queries("d13_containment_pairs")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
+  test("dp5: KL profile is aggregates + broadcast marginals; no window") {
+    val p = plan("dp5_kl_divergence")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the marginal frames must broadcast:\n$p")
+    // only the 1-row corpus total may nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")

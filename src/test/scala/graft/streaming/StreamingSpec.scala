@@ -200,6 +200,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming OHLC bars converge to the batch ts2 answer") {
+    // MIN_BY/MAX_BY over the unique total-order key are plain
+    // declarative aggregates, so the bar fold works unchanged as a
+    // streaming groupBy in complete mode — the downsampling path a
+    // tick feed would take, producing bit-identical bars to batch
+    val src = s"$dir/orders.parquet"
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir") + "/graft_stream_orders_sf0001")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      stage.resolve("orders.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    stream.createOrReplaceTempView("orders_stream")
+    val bars = spark.sql(
+      """SELECT o_custkey % 8 AS bucket,
+        |  TRUNC(CAST(o_orderdate AS DATE), 'month') AS month,
+        |  MIN_BY(cents, ok) AS open_cents, MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents, MAX_BY(cents, ok) AS close_cents,
+        |  COUNT(*) AS n_orders
+        |FROM (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        |      AS BIGINT) * 100000000 + o_orderkey AS ok
+        |  FROM orders_stream)
+        |GROUP BY 1, 2""".stripMargin)
+    val q = bars.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val streamed = spark.table("ohlc_out").collect().map(key).toSet
+    val batch = graft.queries.SeriesQueries.ts2OhlcBars(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("stratified sampling is stream/batch identical (stateless + deterministic)") {
     // the curation primitive must compose into streaming ingest: the
     // hash-bucket keep decision is a stateless per-row filter, so the
