@@ -288,7 +288,48 @@ object SeriesQueries extends QuerySet {
       .orderBy("source")
   }
 
+  /** Bitemporal as-of — BOTH time axes at once: "the state at
+    * valid-time V, as the system KNEW it at transaction-time T" (the
+    * audit/backtest question SCD2 alone cannot answer; w8 builds
+    * valid-time history, cd1 diffs snapshots — this row composes the
+    * two axes). Facts: every order as originally booked, plus a
+    * RETROACTIVE repricing correction for URGENT orders (same
+    * validity, known 60 days later). Two T snapshots straddle the
+    * corrections' arrival, so the same V reads DIFFERENT totals —
+    * early reads original cents, late reads corrected. Per-key
+    * version resolution is MAX_BY over the transaction date (exact —
+    * version tx dates are distinct by construction); one aggregate
+    * per (snapshot, priority) after a 2-row broadcast of the snapshot
+    * frame.
+    */
+  def bt1BitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS vd,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |facts AS (
+        |  SELECT k, pri, vd, cents, vd AS txd FROM base
+        |  UNION ALL
+        |  SELECT k, pri, vd, cents + 1, DATE_ADD(vd, 60)
+        |  FROM base WHERE pri = '1-URGENT'),
+        |snaps AS (
+        |  SELECT 'early' AS snap, DATE '1996-07-15' AS t
+        |  UNION ALL SELECT 'late', DATE '1998-01-01'),
+        |visible AS (
+        |  SELECT s.snap, f.pri, f.k, MAX_BY(f.cents, f.txd) AS cents
+        |  FROM facts f JOIN snaps s ON f.txd <= s.t
+        |  WHERE f.vd <= DATE '1996-07-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT snap, pri AS o_orderpriority, COUNT(*) AS n_orders,
+        |  SUM(cents) AS sum_cents
+        |FROM visible GROUP BY 1, 2 ORDER BY snap, o_orderpriority""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
+    "bt1_bitemporal_asof" -> bt1BitemporalAsof _,
     "dp5_kl_divergence" -> dp5KlDivergence _,
     "ts1_gap_fill" -> ts1GapFill _,
     "ts2_ohlc_bars" -> ts2OhlcBars _,
@@ -302,6 +343,30 @@ object SeriesQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // arg_max over distinct tx dates = MAX_BY; the two T snapshots
+    // straddle the corrections so early/late totals MUST differ
+    "bt1_bitemporal_asof" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS vd,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |facts AS (
+        |  SELECT k, pri, vd, cents, vd AS txd FROM base
+        |  UNION ALL
+        |  SELECT k, pri, vd, cents + 1, vd + 60
+        |  FROM base WHERE pri = '1-URGENT'),
+        |snaps AS (
+        |  SELECT 'early' AS snap, DATE '1996-07-15' AS t
+        |  UNION ALL SELECT 'late', DATE '1998-01-01'),
+        |visible AS (
+        |  SELECT s.snap, f.pri, f.k, arg_max(f.cents, f.txd) AS cents
+        |  FROM facts f JOIN snaps s ON f.txd <= s.t
+        |  WHERE f.vd <= DATE '1996-07-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT snap, pri AS o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM visible GROUP BY 1, 2 ORDER BY snap, o_orderpriority""".stripMargin,
     // same term shape as the Spark side: divide THEN ln per (source,
     // lang) cell — IEEE-identical — with dp2's ROUND(…, 6) absorbing
     // the ≤|langs|-term sum-order difference

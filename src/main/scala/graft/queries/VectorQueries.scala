@@ -259,7 +259,46 @@ object VectorQueries extends QuerySet {
   private val RefSplit = 400L
   private val MatchScore = 24000L
 
+  /** Embedding-space outlier scoring — the curation signal "this doc
+    * does not look like its label's cluster" ([[Similarity]] int8
+    * machinery end-to-end): unit-normalize, quantize against the
+    * global scale, INTEGER centroid per label (`SUM DIV n` per
+    * dimension), squared L2 code distance to own centroid, top-5
+    * farthest per label. All-integer after quantization, so the full
+    * ranking is hash-exact. Scale shape: one explode + map-side
+    * combined centroid aggregate (labels×dims rows — broadcast back),
+    * one map-side combined distance aggregate, per-label ranking
+    * window. The corpus shuffles once, on (label, vec) for the
+    * distance fold.
+    */
+  def v14CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cu = Similarity.withUnitVector(emb(s, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("uv"))
+    val stats = Similarity.quantStats(cu, "uv")
+    val codes = Similarity.withQuantized(cu, stats, "uv")
+      .select(col("vec_id"), col("label"), col("qv"))
+    // persisted: ex feeds BOTH the centroid build and the distance
+    // fold — without it Catalyst re-runs the scan+quantization for
+    // each branch (and the 1-row scale broadcast twice with it)
+    val ex = graft.operators.FrameCaches.track(
+      codes.select(col("vec_id"), col("label"),
+        posexplode(col("qv")).as(Seq("pos", "code"))).persist())
+    val cent = ex.groupBy("label", "pos")
+      .agg(expr("CAST(SUM(code) AS BIGINT) DIV COUNT(*)").as("c"))
+    val dist = ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("code") - col("c")) * (col("code") - col("c")))
+        .as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist2").desc, col("vec_id"))
+    dist.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("label", "vec_id", "dist2", "rnk")
+      .orderBy("label", "rnk")
+  }
+
   val entries: Map[String, Q] = Map(
+    "v14_centroid_outliers" -> v14CentroidOutliers _,
     "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
     "v11_kmeans_quantized" -> v11KmeansQuantized _,
@@ -494,6 +533,40 @@ object VectorQueries extends QuerySet {
          |  FROM adc)
          |SELECT query_id, neighbor_id, adc_score, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // v9's quantization CTE verbatim; centroid DIV and the code
+    // distance are all-BIGINT (SUM cast back from HUGEINT), and the
+    // two parallel UNNESTs zip positionally (documented DuckDB
+    // behavior) to pair each code with its dimension
+    "v14_centroid_outliers" ->
+      s"""WITH unit AS ($unitCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM unit)),
+         |codes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |ex AS (
+         |  SELECT c.vec_id, e.label,
+         |    UNNEST(generate_series(1, len(qv))) AS pos,
+         |    UNNEST(qv) AS code
+         |  FROM codes c JOIN embeddings e USING (vec_id)),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(code) AS BIGINT) // COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT ex.label, ex.vec_id,
+         |    CAST(SUM((code - c) * (code - c)) AS BIGINT) AS dist2
+         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT label, vec_id, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY dist2 DESC, vec_id) AS rnk
+         |  FROM dist)
+         |SELECT label, vec_id, dist2, rnk FROM ranked
+         |WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
     // quantization mirrors Similarity.withQuantized exactly: unit
     // vectors, one global |v|max scale, symmetric code =
     // floor(v*127/amax + 0.5) clamped to [-127, 127]; scoring is

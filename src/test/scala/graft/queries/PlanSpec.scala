@@ -648,6 +648,35 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("v14: centroid frame broadcasts back; ranking window per label") {
+    val p = plan("v14_centroid_outliers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the labels×dims centroid frame must broadcast:\n$p")
+    // the only nested-loop is the 1-row quantization scale; the plan
+    // STRING can render it once per branch of the persisted code
+    // frame, but the persist executes it once
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("InMemoryTableScan"),
+      s"the exploded code frame must persist (it feeds two branches):\n$p")
+    val sp = graft.SparkEntry.queries("v14_centroid_outliers")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    spark.catalog.clearCache()
+  }
+
+  test("bt1: version resolution is an aggregate; only the 2-row snapshot frame nested-loops") {
+    val p = plan("bt1_bitemporal_asof")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      s"MAX_BY version pick must not plan a window:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 2-row snapshot frame may nested-loop:\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
