@@ -46,8 +46,12 @@ object TimeSeries {
       valueCols.filterNot(daily.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(",")}")
     val k = keys.map(col)
+    // the input feeds two plan instances (the bounds aggregate and the
+    // spine join-back) — persist so the caller's upstream pipeline
+    // materializes once, not per branch
+    val obs = FrameCaches.track(daily.persist())
     val span = datediff(col("_mx"), col("_mn"))
-    val bounds = daily.groupBy(k: _*)
+    val bounds = obs.groupBy(k: _*)
       .agg(min(col(dateCol)).as("_mn"), max(col(dateCol)).as("_mx"))
       .withColumn("_mx",
         when(span > maxSpanDays, raise_error(concat(
@@ -62,7 +66,7 @@ object TimeSeries {
     // presence marker, not value-nullness: an OBSERVED row whose value
     // column happens to be NULL is still an observation, not a gap
     val joined = spine
-      .join(daily.withColumn("_present", lit(1)), keys :+ dateCol, "left")
+      .join(obs.withColumn("_present", lit(1)), keys :+ dateCol, "left")
     valueCols.foldLeft(
       joined.withColumn("is_gap",
         when(col("_present").isNull, lit(1)).otherwise(lit(0)))) {

@@ -34,16 +34,24 @@ object Triangles {
     * and the closing LEFT SEMI equi-join — every shuffle keyed, no
     * cartesian anywhere, cost riding Σ out_deg² ≤ O(m^1.5) (the
     * output-optimal bound for triangle listing), not Σ deg².
+    *
+    * The edge frame is consumed by five plan instances (both degree
+    * branches, the orientation join, the closing semi-join, the edge
+    * count) and `oriented` by the wedge self-join's two sides — each
+    * is persisted (tracked in [[FrameCaches]]) so the caller's edge
+    * pipeline (often itself a multi-shuffle aggregation, e.g.
+    * [[Itemsets.itemPairs]]) materializes once, not per branch.
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
     require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = FrameCaches.track(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")).persist())
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient low → high under the (degree, id) total order
-    val oriented = e
+    val oriented = FrameCaches.track(e
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
       .select(
@@ -53,6 +61,7 @@ object Triangles {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("dst"))
+      .persist())
     // wedges at src: unordered out-neighbor pairs, canonicalized so the
     // closing probe can hit the a<b edge table directly
     val o1 = oriented.withColumnRenamed("dst", "d1")

@@ -492,14 +492,12 @@ object DedupQueries extends QuerySet {
          |SELECT e.doc_id FROM ex e
          |WHERE e.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
          |ORDER BY doc_id""".stripMargin,
-    // definitionally quadratic (the point: the Spark side must NOT be);
-    // shingle sets hashed exactly like the Spark side (60-bit md5
-    // slice), and the length filter (J >= t forces t*|b| <= |a| when
-    // |a| <= |b|) is exact and keeps the 500x500 oracle join cheap
     // quadratic by definition like d9; the containment predicate and
     // score are INTEGER permille (i*1000 >= 700*|A|, (1000*i) // |A|)
     // so no epsilon is needed anywhere; len(b) >= ceil(0.7*|A|) is the
-    // exact length filter spelled with the same +999 DIV trick
+    // ASYMMETRIC length filter (containment divides by |A| only, so
+    // only B's size is bounded below) spelled with the same +999 DIV
+    // trick
     "d13_containment_pairs" ->
       s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
          |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)
@@ -511,6 +509,10 @@ object DedupQueries extends QuerySet {
          | AND len(b.sh) >= (700 * len(a.sh) + 999) // 1000
          |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= 700 * len(a.sh)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // definitionally quadratic (the point: the Spark side must NOT be);
+    // shingle sets hashed exactly like the Spark side (60-bit md5
+    // slice), and the length filter (J >= t forces t*|b| <= |a| when
+    // |a| <= |b|) is exact and keeps the 500x500 oracle join cheap
     "d9_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
          |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)

@@ -16,18 +16,21 @@ object TemporalQueries extends QuerySet {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
-  /** Each error event matched to the user's most recent purchase at or
-    * before it (same-ts purchase ties resolved by MAX(value)).
+  /** The purchase plane every as-of variant probes: persisted because it
+    * feeds both the match engine and the value read-back join.
     */
-  def aj1AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("us"))
-    val purchases = graft.operators.FrameCaches.track(
+  private def purchasePlane(ev: DataFrame): DataFrame =
+    graft.operators.FrameCaches.track(
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("us"), col("value")).persist())
-    val matched = TemporalJoins.asofMatchTs(errors, purchases, "user_id",
-      "event_id", col("us"), col("us"))
+
+  /** Shared resolve stage for the as-of family: join the matched
+    * timestamps back to the purchase plane, break same-ts ties by
+    * MAX(value), and surface the (event, user, purchase_ts, value)
+    * output row. aj1/aj2/aj3 differ ONLY in the match engine call.
+    */
+  private def resolveMatches(matched: DataFrame,
+      purchases: DataFrame): DataFrame =
     matched
       .join(purchases.withColumnRenamed("us", "_matched_us"),
         Seq("user_id", "_matched_us"))
@@ -37,6 +40,19 @@ object TemporalQueries extends QuerySet {
         timestamp_micros(col("_matched_us")).as("purchase_ts"),
         col("purchase_value"))
       .orderBy("event_id")
+
+  /** Each error event matched to the user's most recent purchase at or
+    * before it (same-ts purchase ties resolved by MAX(value)).
+    */
+  def aj1AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = purchasePlane(ev)
+    resolveMatches(
+      TemporalJoins.asofMatchTs(errors, purchases, "user_id",
+        "event_id", col("us"), col("us")),
+      purchases)
   }
 
   /** Signup→purchase conversion pairs: purchases by the same user
@@ -68,20 +84,11 @@ object TemporalQueries extends QuerySet {
     val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("event_id"), col("user_id"), col("us"))
-    val purchases = graft.operators.FrameCaches.track(
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("us"), col("value")).persist())
-    val matched = TemporalJoins.asofMatchTsForward(signups, purchases,
-      "user_id", "event_id", col("us"), col("us"))
-    matched
-      .join(purchases.withColumnRenamed("us", "_matched_us"),
-        Seq("user_id", "_matched_us"))
-      .groupBy("event_id", "user_id", "_matched_us")
-      .agg(max("value").as("purchase_value"))
-      .select(col("event_id"), col("user_id"),
-        timestamp_micros(col("_matched_us")).as("purchase_ts"),
-        col("purchase_value"))
-      .orderBy("event_id")
+    val purchases = purchasePlane(ev)
+    resolveMatches(
+      TemporalJoins.asofMatchTsForward(signups, purchases,
+        "user_id", "event_id", col("us"), col("us")),
+      purchases)
   }
 
   /** Bounded-staleness as-of ([[TemporalJoins.asofMatchTsWithin]]):
@@ -97,20 +104,11 @@ object TemporalQueries extends QuerySet {
     val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("us"))
-    val purchases = graft.operators.FrameCaches.track(
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("us"), col("value")).persist())
-    val matched = TemporalJoins.asofMatchTsWithin(errors, purchases,
-      "user_id", "event_id", col("us"), col("us"), 86400000000L)
-    matched
-      .join(purchases.withColumnRenamed("us", "_matched_us"),
-        Seq("user_id", "_matched_us"))
-      .groupBy("event_id", "user_id", "_matched_us")
-      .agg(max("value").as("purchase_value"))
-      .select(col("event_id"), col("user_id"),
-        timestamp_micros(col("_matched_us")).as("purchase_ts"),
-        col("purchase_value"))
-      .orderBy("event_id")
+    val purchases = purchasePlane(ev)
+    resolveMatches(
+      TemporalJoins.asofMatchTsWithin(errors, purchases,
+        "user_id", "event_id", col("us"), col("us"), 86400000000L),
+      purchases)
   }
 
   val entries: Map[String, Q] = Map(

@@ -224,8 +224,10 @@ class StreamingSpec extends SparkSpec {
         |FROM (
         |  SELECT o_custkey, o_orderdate,
         |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        |    CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
-        |      AS BIGINT) * 100000000 + o_orderkey AS ok
+        |    CASE WHEN o_orderkey >= 10000000000000 THEN
+        |      RAISE_ERROR('[ts2] o_orderkey exceeds the day-major key domain (1e13)')
+        |    ELSE CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        |      AS BIGINT) * 10000000000000 + o_orderkey END AS ok
         |  FROM orders_stream)
         |GROUP BY 1, 2""".stripMargin)
     val q = bars.writeStream.outputMode("complete")
