@@ -152,10 +152,13 @@ object SeriesQueries extends QuerySet {
   /** OHLC bars — the downsampling twin of ts1's upsampling: per
     * (customer bucket, month), open/high/low/close/volume over order
     * cents. Open and close are MIN_BY/MAX_BY over a single BIGINT
-    * total-order key (epoch-day · 10⁸ + orderkey — unique, so no tie
-    * roulette for either engine's arg extremum), which keeps the whole
-    * bar ONE map-side-combinable aggregate — no window, no self-join,
-    * the shape that folds a 100 TB tick table into bars in one pass.
+    * total-order key (epoch-day · 10¹³ + orderkey — unique AND
+    * day-major while orderkey < 10¹³, i.e. through TPC-H SF ~1.5M;
+    * a key at or past the bound fails LOUDLY via raise_error, spelled
+    * in both engines, rather than silently picking an open/close from
+    * the wrong day), which keeps the whole bar ONE map-side-combinable
+    * aggregate — no window, no self-join, the shape that folds a
+    * 100 TB tick table into bars in one pass.
     */
   def ts2OhlcBars(s: SparkSession, dir: String): DataFrame = {
     Tables.register(s, dir, Seq("orders"))
@@ -170,8 +173,10 @@ object SeriesQueries extends QuerySet {
         |FROM (
         |  SELECT o_custkey, o_orderdate,
         |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        |    CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
-        |      AS BIGINT) * 100000000 + o_orderkey AS ok
+        |    CASE WHEN o_orderkey >= 10000000000000 THEN
+        |      RAISE_ERROR('[ts2] o_orderkey exceeds the day-major key domain (1e13)')
+        |    ELSE CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        |      AS BIGINT) * 10000000000000 + o_orderkey END AS ok
         |  FROM orders)
         |GROUP BY 1, 2 ORDER BY bucket, month""".stripMargin)
   }
@@ -272,8 +277,11 @@ object SeriesQueries extends QuerySet {
     * broadcast-sized marginal joins — aggregates only.
     */
   def dp5KlDivergence(s: SparkSession, dir: String): DataFrame = {
-    val sl = t(s, dir, "documents").select("source", "lang")
-      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    // the cell-count frame feeds four plan instances (three marginals
+    // + the join) — persist so the documents scan runs once
+    val sl = graft.operators.FrameCaches.track(
+      t(s, dir, "documents").select("source", "lang")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c")).persist())
     val srcTot = sl.groupBy("source").agg(sum("c").as("ns"))
     val langTot = sl.groupBy("lang").agg(sum("c").as("cl"))
     val tot = sl.agg(sum("c").as("n"))
@@ -328,8 +336,180 @@ object SeriesQueries extends QuerySet {
         |FROM visible GROUP BY 1, 2 ORDER BY snap, o_orderpriority""".stripMargin)
   }
 
+  /** First-order Markov transition profile over per-user event
+    * sequences: how users MOVE between event types (the funnel's
+    * free-form sibling — e9 checks one ordered path, sq1 measures the
+    * whole transition matrix). Successor via LEAD over the unique
+    * (ts, event_id) per-user total order — deterministic, no tie
+    * roulette; transition probability in integer permille of the
+    * from-state's outgoing mass. Scale shape: one per-user window
+    * (partitioned — never global), one |types|²-sized count aggregate
+    * (map-side combined), and a broadcast-sized row-marginal join.
+    */
+  def sq1MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("events"))
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n_transitions
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, SUM(n_transitions) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n_transitions,
+        |  (1000 * tr.n_transitions) DIV f.tot AS permille
+        |FROM tr JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)
+  }
+
+  /** Mutual information between the source and language columns — the
+    * pairwise-dependency statistic of the profiling family (dp2:
+    * per-column spread; dp5: per-source drift; dp6: how much one
+    * column PREDICTS another — the signal that flags a redundant
+    * stratification key or a leaking label). I(source; lang) =
+    * Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats over exact integer cell
+    * counts, divide-then-ln per term spelled identically in both
+    * engines (dp5's round-6 convention). Scale shape: one (source,
+    * lang) count shuffle — the cell frame persists and feeds the two
+    * broadcast-sized marginals and the 1-row total, aggregates only.
+    */
+  def dp6MutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.operators.FrameCaches.track(
+      t(s, dir, "documents").select("source", "lang")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n")).persist())
+    val sTot = c.groupBy("source").agg(sum("n").as("ns"))
+    val lTot = c.groupBy("lang").agg(sum("n").as("nl"))
+    val tot = c.agg(sum("n").as("nt"))
+    c.join(broadcast(sTot), "source")
+      .join(broadcast(lTot), "lang")
+      .crossJoin(broadcast(tot))
+      .agg(
+        round(sum((col("n") / col("nt")) *
+          log((col("n") / col("nt")) /
+            ((col("ns") / col("nt")) * (col("nl") / col("nt"))))), 6)
+          .as("mi_nats"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        count(lit(1)).as("n_cells"),
+        max("nt").as("n_docs"))
+  }
+
+  /** CUSUM level-shift profile over each bucket's daily revenue series
+    * — the classic change-point statistic (cumulative sum of
+    * deviations from the series mean drifts away from zero exactly
+    * when the level shifts). All-integer by scaling each deviation by
+    * the bucket's day count: cusum_i = Σ(n·x_j − T), so no FP mean
+    * enters the running sum; a day is flagged when |cusum| exceeds 5%
+    * of n·T (spelled `ABS(cusum)·20 > n·T`). Magnitudes are bounded by
+    * n·T ≲ 2500 days · bucket revenue — within BIGINT through ~SF
+    * 10k per 16-way bucket. Scale shape: one (bucket, day) aggregate,
+    * a 16-row broadcast of the bucket stats, and one window
+    * partitioned on the bucket the aggregate just shuffled on.
+    */
+  def ts3CusumShift(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH d AS (
+        |  SELECT o_custkey % 16 AS bucket, CAST(o_orderdate AS DATE) AS dy,
+        |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT bucket, COUNT(*) AS n, SUM(c) AS tt FROM d GROUP BY 1),
+        |cs AS (
+        |  SELECT d.bucket AS bucket, st.n AS n, st.tt AS tt,
+        |    SUM(d.c * st.n - st.tt) OVER (PARTITION BY d.bucket
+        |      ORDER BY d.dy) AS cusum
+        |  FROM d JOIN st ON d.bucket = st.bucket)
+        |SELECT bucket, MAX(n) AS n_days,
+        |  SUM(CASE WHEN ABS(cusum) * 20 > n * tt THEN 1 ELSE 0 END)
+        |    AS n_shift_days,
+        |  MAX(ABS(cusum)) AS max_abs_cusum
+        |FROM cs GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    * customer bucket — the canonical streak/run-length idiom (ts1
+    * materializes the gaps; w9 measures the islands without
+    * materializing anything): day-as-integer minus its per-bucket
+    * row_number is constant exactly across a consecutive run, so one
+    * window + one aggregate read every streak off. Scale shape: a
+    * DISTINCT (bucket, day) aggregate, one window partitioned on the
+    * same bucket key, two cheap folds — no join at all.
+    */
+  def w9StreakIslands(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey % 16 AS bucket,
+        |    CAST(o_orderdate AS DATE) AS dy
+        |  FROM orders),
+        |r AS (
+        |  SELECT bucket,
+        |    CAST(DATEDIFF(dy, DATE '1970-01-01') AS BIGINT)
+        |      - ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY dy)
+        |      AS island
+        |  FROM d),
+        |i AS (SELECT bucket, island, COUNT(*) AS run_len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT bucket, COUNT(*) AS n_islands, MAX(run_len) AS max_streak_days,
+        |  SUM(run_len) AS n_days
+        |FROM i GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** RFM segmentation — the classic customer-value cube (recency /
+    * frequency / monetary), built the SCALE-SAFE way: quartile
+    * boundaries via ordered-set aggregates (PERCENTILE_DISC, exact on
+    * integers) broadcast back as ONE row, never a global ntile window
+    * over the customer table (the textbook spelling that dies at 10⁹
+    * customers). Recency quartiles score in reverse (recent = high).
+    * Scale shape: one per-customer aggregate (persisted — it feeds
+    * the anchor, the boundary aggregate, and the final scoring pass),
+    * two 1-row broadcasts, one segment-count aggregate.
+    */
+  def rfm1Segments(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.FrameCaches.track(
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents("o_totalprice")).as("money")).persist())
+    val anchor = m.agg(max("last_day").as("anchor"))
+    val r = m.crossJoin(broadcast(anchor))
+      .select(col("ck"),
+        datediff(col("anchor"), col("last_day")).cast("long").as("rec"),
+        col("freq"), col("money"))
+    def qd(p: String, c: String, as: String) =
+      expr(s"CAST(PERCENTILE_DISC($p) WITHIN GROUP (ORDER BY $c) AS BIGINT)")
+        .as(as)
+    val q = r.agg(
+      qd("0.25", "rec", "r1"), qd("0.50", "rec", "r2"), qd("0.75", "rec", "r3"),
+      qd("0.25", "freq", "f1"), qd("0.50", "freq", "f2"), qd("0.75", "freq", "f3"),
+      qd("0.25", "money", "m1"), qd("0.50", "money", "m2"), qd("0.75", "money", "m3"))
+    def score(c: String, b1: String, b2: String, b3: String, lowIsGood: Boolean) = {
+      val asc = when(col(c) <= col(b1), 1L).when(col(c) <= col(b2), 2L)
+        .when(col(c) <= col(b3), 3L).otherwise(4L)
+      if (lowIsGood) lit(5L) - asc else asc
+    }
+    r.crossJoin(broadcast(q))
+      .select(
+        score("rec", "r1", "r2", "r3", lowIsGood = true).as("r_score"),
+        score("freq", "f1", "f2", "f3", lowIsGood = false).as("f_score"),
+        score("money", "m1", "m2", "m3", lowIsGood = false).as("m_score"),
+        col("money"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("money").as("sum_money_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val entries: Map[String, Q] = Map(
     "bt1_bitemporal_asof" -> bt1BitemporalAsof _,
+    "sq1_markov_transitions" -> sq1MarkovTransitions _,
+    "dp6_mutual_information" -> dp6MutualInformation _,
+    "ts3_cusum_shift" -> ts3CusumShift _,
+    "w9_streak_islands" -> w9StreakIslands _,
+    "rfm1_segments" -> rfm1Segments _,
     "dp5_kl_divergence" -> dp5KlDivergence _,
     "ts1_gap_fill" -> ts1GapFill _,
     "ts2_ohlc_bars" -> ts2OhlcBars _,
@@ -343,6 +523,121 @@ object SeriesQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // LEAD over the unique (ts, event_id) order — deterministic in
+    // both engines; permille is integer DIV of the row marginal
+    "sq1_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n_transitions
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        |      FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n_transitions,
+        |  (1000 * tr.n_transitions) // f.tot AS permille
+        |FROM tr JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // divide-then-ln spelled exactly like the Spark side (dp5's
+    // IEEE-identical convention); marginals from the same cell counts
+    "dp6_mutual_information" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+        |SELECT
+        |  ROUND(SUM((c.n / CAST(t.nt AS DOUBLE)) *
+        |    ln((c.n / CAST(t.nt AS DOUBLE)) /
+        |       ((s.ns / CAST(t.nt AS DOUBLE)) * (l.nl / CAST(t.nt AS DOUBLE))))),
+        |    6) AS mi_nats,
+        |  COUNT(DISTINCT c.source) AS n_sources,
+        |  COUNT(DISTINCT c.lang) AS n_langs,
+        |  COUNT(*) AS n_cells,
+        |  MAX(t.nt) AS n_docs
+        |FROM c JOIN s USING (source) JOIN l USING (lang), t""".stripMargin,
+    // integer CUSUM: every deviation scaled by the bucket's day count
+    // so no FP mean enters the running sum; HUGEINT folds cast back
+    "ts3_cusum_shift" ->
+      """WITH d AS (
+        |  SELECT o_custkey % 16 AS bucket, CAST(o_orderdate AS DATE) AS dy,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT bucket, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS tt
+        |       FROM d GROUP BY 1),
+        |cs AS (
+        |  SELECT d.bucket AS bucket, st.n AS n, st.tt AS tt,
+        |    CAST(SUM(d.c * st.n - st.tt) OVER (PARTITION BY d.bucket
+        |      ORDER BY d.dy) AS BIGINT) AS cusum
+        |  FROM d JOIN st ON d.bucket = st.bucket)
+        |SELECT bucket, MAX(n) AS n_days,
+        |  CAST(SUM(CASE WHEN ABS(cusum) * 20 > n * tt THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shift_days,
+        |  MAX(ABS(cusum)) AS max_abs_cusum
+        |FROM cs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // day-as-integer minus row_number is constant across a
+    // consecutive run in both engines
+    "w9_streak_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey % 16 AS bucket,
+        |    CAST(o_orderdate AS DATE) AS dy
+        |  FROM orders),
+        |r AS (
+        |  SELECT bucket,
+        |    CAST(date_diff('day', DATE '1970-01-01', dy) AS BIGINT)
+        |      - ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY dy)
+        |      AS island
+        |  FROM d),
+        |i AS (SELECT bucket, island, COUNT(*) AS run_len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT bucket, COUNT(*) AS n_islands, MAX(run_len) AS max_streak_days,
+        |  CAST(SUM(run_len) AS BIGINT) AS n_days
+        |FROM i GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // quartile boundaries via the SQL-standard MIN-over-cume_dist
+    // PERCENTILE_DISC definition (a13/dp3's spelling), then the same
+    // CASE scoring; recency scores reversed
+    "rfm1_segments" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS ck, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS money
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(last_day) AS anchor FROM m),
+        |r AS (SELECT ck, date_diff('day', last_day, a.anchor) AS rec,
+        |        freq, money
+        |      FROM m, a),
+        |cd AS (SELECT rec, freq, money,
+        |        CUME_DIST() OVER (ORDER BY rec) AS cr,
+        |        CUME_DIST() OVER (ORDER BY freq) AS cf,
+        |        CUME_DIST() OVER (ORDER BY money) AS cm
+        |       FROM r),
+        |q AS (SELECT
+        |    MIN(rec) FILTER (WHERE cr >= 0.25) AS r1,
+        |    MIN(rec) FILTER (WHERE cr >= 0.50) AS r2,
+        |    MIN(rec) FILTER (WHERE cr >= 0.75) AS r3,
+        |    MIN(freq) FILTER (WHERE cf >= 0.25) AS f1,
+        |    MIN(freq) FILTER (WHERE cf >= 0.50) AS f2,
+        |    MIN(freq) FILTER (WHERE cf >= 0.75) AS f3,
+        |    MIN(money) FILTER (WHERE cm >= 0.25) AS m1,
+        |    MIN(money) FILTER (WHERE cm >= 0.50) AS m2,
+        |    MIN(money) FILTER (WHERE cm >= 0.75) AS m3
+        |  FROM cd)
+        |SELECT
+        |  5 - (CASE WHEN rec <= q.r1 THEN 1 WHEN rec <= q.r2 THEN 2
+        |       WHEN rec <= q.r3 THEN 3 ELSE 4 END) AS r_score,
+        |  CASE WHEN freq <= q.f1 THEN 1 WHEN freq <= q.f2 THEN 2
+        |       WHEN freq <= q.f3 THEN 3 ELSE 4 END AS f_score,
+        |  CASE WHEN money <= q.m1 THEN 1 WHEN money <= q.m2 THEN 2
+        |       WHEN money <= q.m3 THEN 3 ELSE 4 END AS m_score,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(money) AS BIGINT) AS sum_money_cents
+        |FROM r, q
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // arg_max over distinct tx dates = MAX_BY; the two T snapshots
     // straddle the corrections so early/late totals MUST differ
     "bt1_bitemporal_asof" ->
@@ -384,15 +679,18 @@ object SeriesQueries extends QuerySet {
         |FROM sl JOIN st USING (source) JOIN lt USING (lang), nt
         |GROUP BY sl.source ORDER BY sl.source""".stripMargin,
     // arg extrema over the same unique BIGINT order key — tie-free by
-    // construction, so arg_min/arg_max and MIN_BY/MAX_BY must agree
+    // construction, so arg_min/arg_max and MIN_BY/MAX_BY must agree;
+    // the 1e13 domain guard is spelled here too (DuckDB error())
     "ts2_ohlc_bars" ->
       """WITH b AS (
         |  SELECT o_custkey % 8 AS bucket,
         |    date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
         |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        |    CAST(date_diff('day', DATE '1970-01-01',
-        |      CAST(o_orderdate AS DATE)) AS BIGINT) * 100000000
-        |      + o_orderkey AS ok
+        |    CASE WHEN o_orderkey >= 10000000000000 THEN
+        |      CAST(error('[ts2] o_orderkey exceeds the day-major key domain (1e13)') AS BIGINT)
+        |    ELSE CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) * 10000000000000
+        |      + o_orderkey END AS ok
         |  FROM orders)
         |SELECT bucket, month,
         |  arg_min(cents, ok) AS open_cents,

@@ -677,6 +677,63 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).nonEmpty, p)
   }
 
+  test("sq1: successor window is per-user partitioned; marginal join broadcasts") {
+    val sp = graft.SparkEntry.queries("sq1_markov_transitions")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("sq1_markov_transitions")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "transition counting must map-side combine")
+  }
+
+  test("dp6: MI is aggregates + broadcast marginals; no window") {
+    val p = plan("dp6_mutual_information")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the marginal frames must broadcast:\n$p")
+    // only the 1-row corpus total may nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    spark.catalog.clearCache()
+  }
+
+  test("ts3: CUSUM window is bucket-partitioned; bucket stats broadcast") {
+    val sp = graft.SparkEntry.queries("ts3_cusum_shift")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("ts3_cusum_shift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the 16-row stats frame must hash-broadcast:\n$p")
+  }
+
+  test("w9: islands are one partitioned window + aggregates — no join") {
+    val sp = graft.SparkEntry.queries("w9_streak_islands")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("w9_streak_islands")
+    assert(!p.contains("Join"), s"streak readback must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rfm1: segmentation is aggregates + two 1-row broadcasts — no global window") {
+    val p = plan("rfm1_segments")
+    assert(!p.contains("Window"),
+      s"quartile boundaries must be ordered-set aggregates, not ntile:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop broadcasts are single-row frames: the
+    // anchor date (rendered once per branch of the persisted
+    // per-customer aggregate — the boundary pass and the scoring
+    // pass) and the 9-boundary quartile frame
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+    spark.catalog.clearCache()
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
