@@ -74,6 +74,57 @@ object Curation {
     df.filter(bucket < thresh)
   }
 
+  /** Weighted stratified sampling without replacement — the
+    * Efraimidis–Spirakis exponential race (A-ES): each row draws a
+    * deterministic uniform u from its id hash and competes on
+    * `key = -ln(u) / w`; the k SMALLEST keys per stratum win, which
+    * selects each row with probability proportional to its weight
+    * (the "token-budget-aware" sampler: weight by n_chars/tokens and
+    * long documents are kept in proportion to the mass they
+    * contribute). No RNG: u re-derives bit-identically on every
+    * run/engine/retry (`Md5Hash` mode re-derives in SQL oracles;
+    * `XxHash` is the cheaper production family), and `-ln(u)/w` is a
+    * per-row pure function of (id, w), so the FP ordering is
+    * reproducible cross-engine too.
+    *
+    * Non-positive weights fail LOUDLY (executor-side raise_error, the
+    * family's degenerate-knob discipline) — a zero weight would win
+    * every race backwards and a silent filter would under-sample.
+    *
+    * Scale shape: one window shuffle on the stratum key (at 100 TB a
+    * per-stratum top-k heap replaces the full sort — same selection);
+    * everything else is scan-fused map work. Emits the kept rows with
+    * their `ws_rank` (1-based).
+    */
+  def weightedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      weightCol: Column, k: Int,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    require(!df.columns.exists(_.equalsIgnoreCase("ws_rank")),
+      "input already has a 'ws_rank' column — the sampler emits its " +
+        "rank under that name; rename or drop the existing column first")
+    val twoTo52 = 4503599627370496L
+    val slice = mode match {
+      case Dedup.Md5Hash =>
+        graft.functions.VectorExpressions
+          .hexSliceToLong(md5(concat(lit("ws:"), idCol.cast("string"))), 1, 13)
+      case Dedup.XxHash =>
+        pmod(xxhash64(concat(lit("ws:"), idCol.cast("string"))), lit(twoTo52))
+    }
+    // u ∈ (0, 1]: 52 hash bits + 1, over 2^52 — never 0, so ln(u) is
+    // finite; u = 1 gives key 0 (the best possible draw), not -0.0
+    val u = (slice + lit(1L)) / lit(twoTo52.toDouble)
+    val w = when(weightCol <= 0, raise_error(concat(
+        lit("[weightedSample] non-positive weight for id "),
+        idCol.cast("string"))))
+      .otherwise(weightCol.cast("double"))
+    val key = -log(u) / w
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(key.asc, idCol)
+    df.withColumn("ws_rank", row_number().over(win))
+      .filter(col("ws_rank") <= k)
+  }
+
   /** `rate * 1000` computed in exact DECIMAL on the driver, rounded
     * half-up to the integer per-mille threshold the bucket compares
     * against. `BigDecimal(d)` goes through the shortest decimal

@@ -301,6 +301,36 @@ object ExtendedQueries extends QuerySet {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Zipf slope of the corpus vocabulary — the text-statistics row
+    * behind every tokenizer-budget and vocabulary-truncation decision
+    * (natural text runs slope ≈ −1 on log rank/log freq; a corpus
+    * that deviates hard is boilerplate- or spam-shaped). Hash-exact
+    * DESPITE the logs: ln(rank) and ln(count) are per-row pure
+    * functions of small integers (IEEE-identical cross-engine — the
+    * dp2 convention), quantized to integer permille BEFORE any
+    * aggregation, so the OLS normal equations run in exact BIGINT
+    * arithmetic (st1's playbook: never sum floats across rows). Top
+    * 100 ranks via TakeOrdered — the only global window ranks a
+    * pinned 100-row funnel, never the vocabulary.
+    */
+  def tw4ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val top = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    top.coalesce(1).withColumn("rnk", row_number().over(w))
+      .selectExpr(
+        "CAST(FLOOR(LN(rnk) * 1000 + 0.5) AS BIGINT) AS x",
+        "CAST(FLOOR(LN(n) * 1000 + 0.5) AS BIGINT) AS y")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr("k AS n_terms",
+        "(1000 * (k * sxy - sx * sy)) DIV (k * sxx - sx * sx) AS slope_permille",
+        "(1000 * sy - ((1000 * (k * sxy - sx * sy)) DIV (k * sxx - sx * sx)) * sx) DIV k AS intercept_permille")
+  }
+
   /** Multimodal feature extraction over the deterministic synthetic
     * binary corpus — a FULL oracle row: the synthetic payload bytes are
     * md5-derived (`Multimodal.syntheticMedia` — byte 16k+j = byte j of
@@ -1031,6 +1061,7 @@ object ExtendedQueries extends QuerySet {
     "tw1_top_words" -> tw1TopWords _,
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "tw3_pmi_collocations" -> tw3PmiCollocations _,
+    "tw4_zipf_slope" -> tw4ZipfSlope _,
     "fz1_fuzzy_pairs" -> fz1FuzzyPairs _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
@@ -1453,6 +1484,32 @@ object ExtendedQueries extends QuerySet {
       s"""SELECT word, COUNT(*) AS n FROM (
          |  SELECT unnest($toksLowerSql) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // ln of small integers is IEEE-identical cross-engine; permille
+    // quantization happens per-row, so the OLS sums are exact BIGINT
+    "tw4_zipf_slope" ->
+      s"""WITH c AS (
+         |  SELECT word, COUNT(*) AS n FROM (
+         |    SELECT unnest($toksLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100),
+         |r AS (SELECT n,
+         |        ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+         |      FROM top),
+         |p AS (SELECT CAST(FLOOR(ln(rnk) * 1000 + 0.5) AS BIGINT) AS x,
+         |             CAST(FLOOR(ln(n) * 1000 + 0.5) AS BIGINT) AS y
+         |      FROM r),
+         |s AS (SELECT COUNT(*) AS k,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx
+         |      FROM p)
+         |SELECT k AS n_terms,
+         |  (1000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx)
+         |    AS slope_permille,
+         |  (1000 * sy - ((1000 * (k * sxy - sx * sy))
+         |      // (k * sxx - sx * sx)) * sx) // k
+         |    AS intercept_permille
+         |FROM s""".stripMargin,
     // mirrors StubCodecs.decodeImage over Multimodal.syntheticMedia(200):
     // images are i % 3 <> 2; payload byte p = byte p%16 of
     // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the

@@ -486,7 +486,27 @@ object TextQueries extends QuerySet {
 
   private val BpeRounds = 3
 
+  /** Token-budget-aware weighted sampling
+    * ([[graft.operators.Curation.weightedSample]], Efraimidis–Spirakis
+    * A-ES): top-5 docs per language selected with probability
+    * proportional to n_chars — long documents kept in proportion to
+    * the training mass they contribute, the sampler a mixture recipe
+    * uses when the budget is tokens, not documents. Md5 mode so the
+    * oracle re-derives the exponential-race key bit-identically; the
+    * FP key is a per-row pure function of (id, weight), so the
+    * ordering (ties broken by doc_id) hash-checks.
+    */
+  def t21WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    Curation.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("lang"), col("doc_id"), col("n_chars"), 5, Dedup.Md5Hash)
+      .select("lang", "doc_id", "n_chars", "ws_rank")
+      .orderBy("lang", "ws_rank")
+  }
+
   val entries: Map[String, Q] = Map(
+    "t21_weighted_sample" -> t21WeightedSample _,
     "bpe2_encode" -> bpe2Encode _,
     "t12_chunking" -> t12Chunking _,
     "t13_ngram_novelty" -> t13NgramNovelty _,
@@ -589,6 +609,24 @@ object TextQueries extends QuerySet {
        | x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the exponential race re-derived: u from the same 52-bit md5
+    // slice (+1 over 2^52, never 0), key = -ln(u)/weight, k smallest
+    // per stratum with the doc_id tie-break
+    "t21_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+        |          1, 13))::BIGINT + 1) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id)
+        |      AS ws_rank
+        |  FROM keyed)
+        |SELECT lang, doc_id, n_chars, ws_rank
+        |FROM r WHERE ws_rank <= 5
+        |ORDER BY lang, ws_rank""".stripMargin,
     "bpe2_encode" -> {
       // bpe1's unrolled training rounds, with the WORD carried through
       // each fuse so the final sequences encode the vocabulary; the

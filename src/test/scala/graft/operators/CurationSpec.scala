@@ -217,4 +217,50 @@ class CurationSpec extends SparkSpec {
     assert(leakedNaive > 0,
       "expected the id-keyed split to divide at least one duplicate pair")
   }
+
+  test("weightedSample: selection tracks weight, is deterministic, and rejects bad weights") {
+    // 2000 rows in one stratum: 100 heavy (weight 1000) + 1900 light
+    // (weight 1) — heavy mass is 1000*100 / (1000*100 + 1900) ≈ 98%,
+    // so a weight-proportional top-200 must be dominated by heavy rows
+    // while a uniform sampler would pick ~10 of them
+    val df = spark.range(0, 2000)
+      .select(col("id").as("doc_id"), lit("s").as("st"),
+        when(col("id") < 100, lit(1000L)).otherwise(lit(1L)).as("w"))
+    val kept = Curation.weightedSample(df, col("st"), col("doc_id"),
+      col("w"), 200)
+    assert(kept.count() == 200)
+    val heavy = kept.filter(col("doc_id") < 100).count()
+    assert(heavy >= 80, s"weight-proportional sample kept only $heavy/100 heavy rows")
+    // deterministic under repartitioning, and md5/xx modes each
+    // self-consistent
+    val again = Curation.weightedSample(df.repartition(13), col("st"),
+      col("doc_id"), col("w"), 200)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    val md5Once = Curation.weightedSample(df, col("st"), col("doc_id"),
+      col("w"), 200, Dedup.Md5Hash).select("doc_id").as[Long].collect().toSet
+    val md5Again = Curation.weightedSample(df.repartition(7), col("st"),
+      col("doc_id"), col("w"), 200, Dedup.Md5Hash)
+      .select("doc_id").as[Long].collect().toSet
+    assert(md5Once == md5Again)
+    // per-stratum k: two strata each yield their own k rows
+    val two = df.withColumn("st",
+      when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+    val perStratum = Curation.weightedSample(two, col("st"), col("doc_id"),
+      col("w"), 7).groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(perStratum == Map("a" -> 7L, "b" -> 7L), perStratum.toString)
+    // degenerate knobs fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, col("st"), col("doc_id"), col("w"), 0)
+    }
+    val bad = df.withColumn("w", when(col("doc_id") === 42, lit(0L)).otherwise(col("w")))
+    val e = intercept[Exception] {
+      Curation.weightedSample(bad, col("st"), col("doc_id"), col("w"), 5).count()
+    }
+    // raise_error surfaces as SparkRuntimeException locally, wrapped in
+    // SparkException on a cluster — assert on the message, not the type
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("non-positive weight")), msgs.mkString(" | "))
+  }
 }

@@ -734,6 +734,24 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("t21: the exponential race is one per-stratum window — no join, no cartesian") {
+    val sp = graft.SparkEntry.queries("t21_weighted_sample")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("t21_weighted_sample")
+    assert(!p.contains("Join"), s"the sampler must not join:\n$p")
+  }
+
+  test("tw4: vocabulary ranks via TakeOrdered; the OLS window sits on a 1-partition funnel") {
+    val p = plan("tw4_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a heap top-k, never a full vocabulary sort:\n$p")
+    assert(p.contains("Coalesce 1"),
+      s"the global rank window must run over the coalesced 100-row funnel:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
