@@ -87,9 +87,18 @@ object Curation {
     * per-row pure function of (id, w), so the FP ordering is
     * reproducible cross-engine too.
     *
-    * Non-positive weights fail LOUDLY (executor-side raise_error, the
-    * family's degenerate-knob discipline) — a zero weight would win
-    * every race backwards and a silent filter would under-sample.
+    * Non-positive AND NULL weights (and NULL ids) fail LOUDLY
+    * (executor-side raise_error, the family's degenerate-knob
+    * discipline) — a zero weight would win every race backwards, a
+    * NULL key would sort NULLS-FIRST into guaranteed selection, and a
+    * silent filter would under-sample.
+    *
+    * Precondition: `idCol` must be unique within each stratum — the
+    * uniform u derives from the id, so duplicate ids draw identical
+    * keys and the (key, id) tiebreak cannot order them; which
+    * duplicate takes a rank at the k boundary would then be
+    * partition-order dependent. Sample at the grain the id names
+    * (distinct first if the input carries duplicates).
     *
     * Scale shape: one window shuffle on the stratum key (at 100 TB a
     * per-stratum top-k heap replaces the full sort — same selection);
@@ -104,18 +113,26 @@ object Curation {
       "input already has a 'ws_rank' column — the sampler emits its " +
         "rank under that name; rename or drop the existing column first")
     val twoTo52 = 4503599627370496L
+    val id = when(idCol.isNull,
+        raise_error(lit("[weightedSample] NULL id — the uniform " +
+          "derives from the id, so a NULL row cannot race")))
+      .otherwise(idCol.cast("string"))
     val slice = mode match {
       case Dedup.Md5Hash =>
         graft.functions.VectorExpressions
-          .hexSliceToLong(md5(concat(lit("ws:"), idCol.cast("string"))), 1, 13)
+          .hexSliceToLong(md5(concat(lit("ws:"), id)), 1, 13)
       case Dedup.XxHash =>
-        pmod(xxhash64(concat(lit("ws:"), idCol.cast("string"))), lit(twoTo52))
+        pmod(xxhash64(concat(lit("ws:"), id)), lit(twoTo52))
     }
     // u ∈ (0, 1]: 52 hash bits + 1, over 2^52 — never 0, so ln(u) is
-    // finite; u = 1 gives key 0 (the best possible draw), not -0.0
+    // finite (u = 1 draws key -0.0, which orders with 0 — the best
+    // possible draw either way)
     val u = (slice + lit(1L)) / lit(twoTo52.toDouble)
-    val w = when(weightCol <= 0, raise_error(concat(
-        lit("[weightedSample] non-positive weight for id "),
+    // isNull is checked EXPLICITLY: `NULL <= 0` is NULL, so a bare
+    // when() would fall through to otherwise and the NULL key would
+    // sort NULLS-FIRST into guaranteed selection
+    val w = when(weightCol.isNull || weightCol <= 0, raise_error(concat(
+        lit("[weightedSample] non-positive or NULL weight for id "),
         idCol.cast("string"))))
       .otherwise(weightCol.cast("double"))
     val key = -log(u) / w

@@ -611,13 +611,16 @@ object TextQueries extends QuerySet {
   val oracles: Map[String, String] = Map(
     // the exponential race re-derived: u from the same 52-bit md5
     // slice (+1 over 2^52, never 0), key = -ln(u)/weight, k smallest
-    // per stratum with the doc_id tie-break
+    // per stratum with the doc_id tie-break; the operator's
+    // bad-weight guard is spelled here too (DuckDB error())
     "t21_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT lang, doc_id, n_chars,
         |    -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
         |          1, 13))::BIGINT + 1) / 4503599627370496.0)
-        |      / CAST(n_chars AS DOUBLE) AS k
+        |      / CASE WHEN n_chars IS NULL OR n_chars <= 0
+        |        THEN CAST(error('[t21] non-positive or NULL weight') AS DOUBLE)
+        |        ELSE CAST(n_chars AS DOUBLE) END AS k
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id, n_chars,

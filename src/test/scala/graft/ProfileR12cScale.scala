@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-12 scale rehearsal, third batch (not part of the library
+/** Round-12 scale rehearsal, fourth batch (not part of the library
   * API): the sequence/profile operators measured at N× mass so their
   * BASELINE.md scale claims are measured, not argued.
   *

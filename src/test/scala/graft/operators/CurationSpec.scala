@@ -261,6 +261,17 @@ class CurationSpec extends SparkSpec {
     // SparkException on a cluster — assert on the message, not the type
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
-    assert(msgs.exists(_.contains("non-positive weight")), msgs.mkString(" | "))
+    assert(msgs.exists(_.contains("non-positive or NULL weight")), msgs.mkString(" | "))
+    // a NULL weight must ALSO raise — `NULL <= 0` is NULL, and an
+    // unguarded NULL key would sort NULLS-FIRST into guaranteed
+    // selection instead of failing
+    val nullW = df.withColumn("w",
+      when(col("doc_id") === 7, lit(null).cast("long")).otherwise(col("w")))
+    val e2 = intercept[Exception] {
+      Curation.weightedSample(nullW, col("st"), col("doc_id"), col("w"), 5).count()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs2.exists(_.contains("non-positive or NULL weight")), msgs2.mkString(" | "))
   }
 }
