@@ -118,6 +118,21 @@ final case class SplitStepConfig(
     // mega-component assigned to a single split
     maxPosting: Int = 64)
 
+/** Declarative weighted sampling (silver `transform_type:
+  * weighted_sample`) — the YAML surface over
+  * [[graft.operators.Curation.weightedSample]]: keep the
+  * `samples_per_stratum` rows per stratum that win the deterministic
+  * Efraimidis–Spirakis exponential race, selection proportional to
+  * `weight_column` (the token-budget-aware sampler: weight by a
+  * length/token column and long documents are kept by the mass they
+  * contribute).
+  */
+final case class WeightedSampleStepConfig(
+    idColumn: String,
+    stratumColumn: String,
+    weightColumn: String,
+    samplesPerStratum: Int)
+
 /** Declarative decontamination (silver `transform_type: decontaminate`)
   * — the YAML surface over [[graft.operators.Curation
   * .contaminationScores]] + anti-join: drop every doc sharing any word
@@ -137,7 +152,8 @@ final case class TransformConfig(
     partitionBy: Seq[String],
     dataQuality: Seq[DqRuleConfig],
     enabled: Boolean,
-    // sql | dedup | curation | chunk | quota | mix | split | decontaminate
+    // sql | dedup | curation | chunk | quota | mix | split |
+    // decontaminate | weighted_sample
     transformType: String = "sql",
     dedup: Option[DedupStepConfig] = None,
     curation: Option[CurationStepConfig] = None,
@@ -145,7 +161,8 @@ final case class TransformConfig(
     quota: Option[QuotaStepConfig] = None,
     mix: Option[MixStepConfig] = None,
     split: Option[SplitStepConfig] = None,
-    decontaminate: Option[DecontaminateStepConfig] = None)
+    decontaminate: Option[DecontaminateStepConfig] = None,
+    weightedSample: Option[WeightedSampleStepConfig] = None)
 
 final case class ModelConfig(
     modelId: String,
@@ -253,6 +270,11 @@ object ConfigJson {
       t.decontaminate.toSeq.map(x => "decontaminate" -> jobj(
         "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
         "probe_table" -> js(x.probeTable), "ngram" -> x.ngram.toString)) ++
+      t.weightedSample.toSeq.map(x => "weighted_sample" -> jobj(
+        "id_column" -> js(x.idColumn),
+        "stratum_column" -> js(x.stratumColumn),
+        "weight_column" -> js(x.weightColumn),
+        "samples_per_stratum" -> x.samplesPerStratum.toString)) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
@@ -365,14 +387,17 @@ object EtlConfig {
       mix = m.get("mix").map(x => parseMix(asMap(x))),
       split = m.get("split").map(x => parseSplit(asMap(x))),
       decontaminate = m.get("decontaminate")
-        .map(x => parseDecontaminate(asMap(x))))
+        .map(x => parseDecontaminate(asMap(x))),
+      weightedSample = m.get("weighted_sample")
+        .map(x => parseWeightedSample(asMap(x))))
     // config shape errors fail at PARSE time, not at run time inside a
     // per-item catch: a verb step without its params block (or vice
     // versa) is an authoring bug, never a data error
     val blocks: Map[String, Option[_]] = Map(
       "dedup" -> t.dedup, "curation" -> t.curation, "chunk" -> t.chunk,
       "quota" -> t.quota, "mix" -> t.mix, "split" -> t.split,
-      "decontaminate" -> t.decontaminate)
+      "decontaminate" -> t.decontaminate,
+      "weighted_sample" -> t.weightedSample)
     for ((verb, block) <- blocks) {
       require(t.transformType != verb || block.nonEmpty,
         s"transform '${t.transformId}': transform_type $verb needs a $verb: block")
@@ -496,6 +521,20 @@ object EtlConfig {
       s"split needs 0 < train_pct, 0 < val_pct, train_pct+val_pct < 100; " +
         s"got ${s.trainPct}/${s.valPct}")
     s
+  }
+
+  private def parseWeightedSample(m: Map[String, Object]): WeightedSampleStepConfig = {
+    val w = WeightedSampleStepConfig(
+      idColumn = str(m, "id_column"),
+      stratumColumn = str(m, "stratum_column"),
+      weightColumn = str(m, "weight_column"),
+      samplesPerStratum = num(m, "samples_per_stratum", 0))
+    require(w.idColumn.nonEmpty && w.stratumColumn.nonEmpty
+        && w.weightColumn.nonEmpty,
+      "weighted_sample needs id_column, stratum_column, and weight_column")
+    require(w.samplesPerStratum > 0,
+      s"samples_per_stratum must be positive, got ${w.samplesPerStratum}")
+    w
   }
 
   private def parseDecontaminate(m: Map[String, Object]): DecontaminateStepConfig = {

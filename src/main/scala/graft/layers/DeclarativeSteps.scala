@@ -139,6 +139,24 @@ object DeclarativeSteps {
       cfg.maxPerStratum)
   }
 
+  /** Weight-proportional per-stratum sampling
+    * ([[Curation.weightedSample]]) — the token-budget-aware selection
+    * as a metadata step; one window shuffle on the stratum key,
+    * everything else scan-fused. Non-positive/NULL weights fail
+    * loudly (the operator's own guard), which is the correct
+    * per-item-isolation behavior: a corrupt weight column is a data
+    * error the audit bracket should record, not silently under-sample.
+    */
+  def weightedSampleFrame(df: DataFrame,
+      cfg: WeightedSampleStepConfig): DataFrame = {
+    val missing = Seq(cfg.idColumn, cfg.stratumColumn, cfg.weightColumn)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"weighted_sample columns not in input: ${missing.mkString(", ")}")
+    Curation.weightedSample(df, col(cfg.stratumColumn), col(cfg.idColumn),
+      col(cfg.weightColumn), cfg.samplesPerStratum)
+  }
+
   /** Fractional-epoch upsampling/downsampling per source
     * ([[Curation.epochMix]]) — one row per (doc, epoch), the epoch
     * index as a column; pure map work.

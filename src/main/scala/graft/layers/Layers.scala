@@ -118,6 +118,9 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
         case "decontaminate" =>
           DeclarativeSteps.decontaminateFrame(spark.table(t.sourceTable),
             spark.table(t.decontaminate.get.probeTable), t.decontaminate.get)
+        case "weighted_sample" =>
+          DeclarativeSteps.weightedSampleFrame(spark.table(t.sourceTable),
+            t.weightedSample.get)
         case _ =>
           val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
           spark.sql(sql)

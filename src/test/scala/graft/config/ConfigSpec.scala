@@ -69,7 +69,8 @@ class ConfigSpec extends AnyFunSuite {
     // a verb step without its params block (or a params block on the
     // wrong step type) is an authoring bug — it must fail at parse
     // time, never run as a silent no-op
-    for (verb <- Seq("chunk", "quota", "mix", "split", "decontaminate")) {
+    for (verb <- Seq("chunk", "quota", "mix", "split", "decontaminate",
+        "weighted_sample")) {
       val e = intercept[IllegalArgumentException] {
         EtlConfig.fromYaml(transformYaml(s"    transform_type: $verb\n"))
       }
@@ -101,6 +102,10 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
       """    transform_type: decontaminate
         |    decontaminate: {id_column: doc_id, text_column: text}
+        |""".stripMargin)) }
+    intercept[IllegalArgumentException] { EtlConfig.fromYaml(transformYaml(
+      """    transform_type: weighted_sample
+        |    weighted_sample: {id_column: doc_id, stratum_column: lang, weight_column: n_chars, samples_per_stratum: 0}
         |""".stripMargin)) }
     // the happy path parses with defaults filled
     val ok = EtlConfig.fromYaml(transformYaml(

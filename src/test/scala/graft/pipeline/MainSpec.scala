@@ -83,6 +83,11 @@ class MainSpec extends SparkSpec {
       val chunks = spark.table("silver_corpus.docs_chunks")
       assert(chunks.columns.contains("chunk_hash") && chunks.count() >= mixed,
         "every mixed doc copy must chunk")
+      // the weighted sample keeps at most k per language, ranked
+      val wsample = spark.table("silver_corpus.docs_wsample")
+      assert(wsample.groupBy("lang").count()
+        .agg(max("count")).head.getLong(0) <= 10L)
+      assert(wsample.columns.contains("ws_rank"))
       // the additive gold model exists with the declared shape
       val gold = spark.table("gold_corpus.source_token_budget")
       assert(gold.columns.toSet ==

@@ -332,7 +332,7 @@ class PipelineSpec extends SparkSpec {
     assert(dqm.count() == 1)
   }
 
-  test("declarative quota/mix/chunk/split/decontaminate verbs run through the metadata plane") {
+  test("declarative quota/mix/chunk/weighted_sample/split/decontaminate verbs run through the metadata plane") {
     // round-11 verdict item 2: the rest of the corpus-pipeline family a
     // config author wants — per-source quota (t18), epoch mixing (t19),
     // chunking (t12), leakage-free split (t17), decontamination (t15)
@@ -379,6 +379,15 @@ class PipelineSpec extends SparkSpec {
         |      chunk_tokens: 64
         |      stride: 48
         |      carry_columns: [source, epoch]
+        |  - transform_id: docs_wsample
+        |    transform_type: weighted_sample
+        |    source_table: silver_verbs.docs_quota
+        |    target_table: silver_verbs.docs_wsample
+        |    weighted_sample:
+        |      id_column: doc_id
+        |      stratum_column: lang
+        |      weight_column: n_chars
+        |      samples_per_stratum: 3
         |  - transform_id: docs_split
         |    transform_type: split
         |    source_table: bronze_verbs.documents
@@ -395,7 +404,8 @@ class PipelineSpec extends SparkSpec {
         |      text_column: text
         |      probe_table: probe_verbs.eval_probes
         |""".stripMargin
-    Seq("docs_quota", "docs_mix", "docs_chunks", "docs_split", "docs_decon")
+    Seq("docs_quota", "docs_mix", "docs_chunks", "docs_wsample",
+        "docs_split", "docs_decon")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS silver_verbs.$t"))
     spark.sql("DROP TABLE IF EXISTS bronze_verbs.documents")
     val pipeline = new Pipeline(spark, "2024-04-01", new FixedClock(1800000000000L))
@@ -438,6 +448,16 @@ class PipelineSpec extends SparkSpec {
       mix, "doc_id", "text", 64, 48, Seq("source", "epoch")).count()
     assert(chunks.count() == chunksDirect && chunks.count() >= mix.count(),
       "every mixed doc copy must chunk")
+
+    // weighted_sample: at most k per stratum, and plane = direct API
+    val ws = spark.table("silver_verbs.docs_wsample")
+    assert(ws.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0) <= 3L)
+    val wsDirect = graft.operators.Curation.weightedSample(
+        quota, col("lang"), col("doc_id"), col("n_chars"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ws.select("doc_id").as[Long].collect().toSet == wsDirect,
+      "declarative weighted_sample must match the operator API")
 
     // split: labels are total, and two docs sharing ANY chunk hash can
     // never straddle splits (the leakage-free contract)
@@ -484,7 +504,9 @@ class PipelineSpec extends SparkSpec {
     assert(snaps("silver_verbs.docs_chunks").contains("\"chunk_tokens\":64"))
     assert(snaps("silver_verbs.docs_split").contains("\"train_pct\":90"))
     assert(snaps("silver_verbs.docs_decon").contains("\"ngram\":5"))
-    assert(control.filter($"status" === "SUCCESS").count() == 5)
+    assert(snaps("silver_verbs.docs_wsample")
+      .contains("\"samples_per_stratum\":3"))
+    assert(control.filter($"status" === "SUCCESS").count() == 6)
     graft.operators.FrameCaches.release(spark)
   }
 
