@@ -24,6 +24,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionState(start: java.sql.Timestamp,
     last: java.sql.Timestamp, n: Long, total: Double)
 
+/** Per-user transition state: only the previous event TYPE — the
+  * ordering key is consumed at emission time, so the store carries the
+  * minimum a Markov derivation needs.
+  */
+final case class TransState(lastType: String)
+
 object EventsStreaming {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -31,6 +37,9 @@ object EventsStreaming {
 
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
+
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
 
 
   /** Streaming reader for an events parquet directory. The files carry
@@ -121,6 +130,51 @@ object EventsStreaming {
       .select(col("click_id"), col("view_id"), col("user_id"),
         expr("(unix_micros(c_ts) - unix_micros(v_ts)) DIV 1000000")
           .as("lag_sec"))
+  }
+
+  /** Stateful Markov-transition derivation — the streaming analog of
+    * the batch `sq1_markov_transitions` sequence profile: each user's
+    * PREVIOUS event rides the state store, so consecutive-pair
+    * emission works across micro-batch boundaries (the first event of
+    * batch N pairs with the last event of batch N−1 — the carry a
+    * per-batch window could never see). Within a micro-batch the
+    * group iterator is state-store order, not arrival order, so the
+    * batch sorts on the full (ts, event_id) total order — seconds +
+    * nanos, matching the batch query's microsecond-exact ordering.
+    *
+    * Contract: per-user arrival must be in event-time order ACROSS
+    * micro-batches (the replay / ordered-ingest case every parity row
+    * assumes) — within a batch any disorder is absorbed by the sort,
+    * but a batch-N event older than batch-N−1's last would chain in
+    * arrival position. State is ONE tiny record per user — bounded by
+    * the key cardinality, not the stream; callers with unbounded key
+    * churn should wrap with an event-time timeout like
+    * [[sessionize]]'s. Downstream, the transition rows fold into the
+    * same (from, to) counts as batch (parity pinned in
+    * StreamingSpec, including a forced two-batch split).
+    */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[TransState]): Iterator[Transition] = {
+      var out = List.empty[Transition]
+      var prev = state.getOption
+      for (e <- batch.toSeq.sortBy(e =>
+          (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))) {
+        prev.foreach(p => out ::= Transition(userId, p.lastType, e.event_type))
+        prev = Some(TransState(e.event_type))
+      }
+      prev.foreach(state.update)
+      out.reverseIterator
+    }
+
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Stateful sessionization: a session closes after `gapMinutes` of

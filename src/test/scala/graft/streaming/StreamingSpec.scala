@@ -431,4 +431,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSessions.nonEmpty)
     assert(streamedSessions.size >= batchSessions.size / 2)
   }
+
+  test("stateful transition derivation carries state across micro-batches") {
+    // the streaming analog of sq1: per-user previous event rides the
+    // state store, so consecutive pairs straddle batch boundaries. The
+    // corpus is SPLIT AT THE MEDIAN ts into two files fed one per
+    // micro-batch (maxFilesPerTrigger=1, mtimes ordered) — if the carry
+    // were missing, every user's boundary-straddling pair would vanish
+    // and the counts below could not match the batch query.
+    val batchEvents = Tables.load(spark, dir, "events")
+    val med = batchEvents.selectExpr(
+      "CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)")
+      .head.getLong(0)
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir") + "/graft_stream_trans_split")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    java.nio.file.Files.createDirectories(stage)
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = stage.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    writeHalf(batchEvents.filter(expr(s"unix_micros(ts) <= ${med}L")),
+      "00_early", 1000000000000L)
+    writeHalf(batchEvents.filter(expr(s"unix_micros(ts) > ${med}L")),
+      "01_late", 1000000600000L)
+    val schema = spark.read.parquet(stage.resolve("00_early.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = EventsStreaming.transitions(stream)
+      .groupBy("from_type", "to_type").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trans_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("trans_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // batch reference: sq1's transition counts (drop the permille col)
+    val batch = graft.queries.SeriesQueries
+      .sq1MarkovTransitions(spark, dir)
+      .select("from_type", "to_type", "n_transitions")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} cells vs batch ${batch.size}")
+    // and the split really exercised the carry: both halves non-empty
+    assert(spark.read.parquet(stage.resolve("00_early.parquet").toString).count() > 0)
+    assert(spark.read.parquet(stage.resolve("01_late.parquet").toString).count() > 0)
+  }
 }
