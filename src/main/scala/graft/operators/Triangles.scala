@@ -42,6 +42,48 @@ object Triangles {
     * pipeline (often itself a multi-shuffle aggregation, e.g.
     * [[Itemsets.itemPairs]]) materializes once, not per branch.
     */
+  /** Per-vertex triangle participation: `(v, deg, tri)` for every
+    * vertex of degree ≥ 1 — the row local clustering coefficients,
+    * transitivity, and triangle-dense-subgraph mining read off. Same
+    * degree-oriented engine as [[triangleStats]], but the closing
+    * step is an INNER join (the triangle rows are needed, not just
+    * their count) and each triangle is credited to all three corners
+    * via one explode + a map-side-combined count. Vertices in no
+    * triangle emit `tri = 0` (left join from the degree side — they
+    * must appear: a coefficient denominator exists for every deg ≥ 2
+    * vertex whether or not it closes anything).
+    */
+  def vertexTriangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
+    require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")
+    val e = FrameCaches.track(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")).persist())
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = FrameCaches.track(e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .persist())
+    val o1 = oriented.withColumnRenamed("dst", "d1")
+    val o2 = oriented.withColumnRenamed("dst", "d2")
+    val triRows = o1.join(o2, "src").filter(col("d1") < col("d2"))
+      .select(col("src"), col("d1").as("a"), col("d2").as("b"))
+      .join(e, Seq("a", "b"), "inner")
+    val perVertex = triRows
+      .select(explode(array(col("src"), col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
   def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
     require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")

@@ -503,8 +503,86 @@ object SeriesQueries extends QuerySet {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Local clustering-coefficient profile of the co-purchase graph
+    * ([[Triangles.vertexTriangles]] over the same capped
+    * [[graft.operators.Itemsets]] pairs as gr3): per deg≥2 vertex,
+    * `coeff = 2·tri / (deg·(deg−1))` in integer permille, folded into
+    * an 11-bucket histogram — the transitivity SHAPE (how much of the
+    * graph is cliquey vs star-like), which one global triangle count
+    * cannot show. All-integer after the census, so hash-exact; the
+    * oracle lists triangles via the plain canonical triple join and
+    * credits corners with UNION ALL.
+    */
+  def gr4ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val edges = graft.operators.Itemsets.itemPairs(li,
+      "l_orderkey", "l_partkey", minSupport = 1L, maxBasketSize = Some(64))
+    Triangles.vertexTriangles(edges, "p1", "p2")
+      .filter(col("deg") >= 2)
+      .selectExpr("(2000 * tri) DIV (deg * (deg - 1)) AS cp", "tri", "deg")
+      .selectExpr("cp DIV 100 AS bucket", "cp", "tri", "deg")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vertices"), sum("tri").as("sum_tri"),
+        min("cp").as("min_cp"), max("cp").as("max_cp"),
+        sum("deg").as("sum_deg"))
+      .orderBy("bucket")
+  }
+
+  /** Monthly seasonal index of the revenue series — the seasonality
+    * statistic a forecast or capacity plan starts from: per
+    * month-of-year, the average (year, month) cell revenue relative
+    * to the grand cell average, in integer permille (1000 = an
+    * average month). Cell averages use integer division on BOTH
+    * levels, spelled identically in both engines, which also keeps
+    * every product inside BIGINT (avg-cents magnitudes, never
+    * total·cells). One (year, month) aggregate — 84 cells at any SF —
+    * plus a 1-row total; aggregates only.
+    */
+  def ts4SeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH mc AS (
+        |  SELECT YEAR(CAST(o_orderdate AS DATE)) AS y,
+        |    MONTH(CAST(o_orderdate AS DATE)) AS m,
+        |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS nc, SUM(c) AS total FROM mc)
+        |SELECT m AS month, COUNT(*) AS n_cells, SUM(c) AS sum_cents,
+        |  (1000 * (SUM(c) DIV COUNT(*)))
+        |    DIV (MAX(tot.total) DIV MAX(tot.nc)) AS index_permille
+        |FROM mc, tot GROUP BY m ORDER BY month""".stripMargin)
+  }
+
+  /** Benford first-digit profile of order totals — the digit-law
+    * screen an audit runs over any financial column (organic amounts
+    * track ln(1+1/d)/ln(10); fabricated ones don't). Digit via the
+    * decimal-string head (identical spelling both engines — no
+    * log/pow roundtrip), share in integer permille, the Benford
+    * reference a per-digit pure function (round-6, the dp2
+    * convention). One map-side-combined 9-group aggregate + a 1-row
+    * total.
+    */
+  def dp7BenfordDigits(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    s.sql(
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT)
+        |        AS digit
+        |      FROM c),
+        |tot AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT digit, COUNT(*) AS n_orders,
+        |  (1000 * COUNT(*)) DIV MAX(tot.n) AS share_permille,
+        |  ROUND(LN(1 + 1 / CAST(digit AS DOUBLE)) / LN(10), 6) AS benford_ref
+        |FROM d, tot GROUP BY digit ORDER BY digit""".stripMargin)
+  }
+
   val entries: Map[String, Q] = Map(
     "bt1_bitemporal_asof" -> bt1BitemporalAsof _,
+    "gr4_clustering_coeff" -> gr4ClusteringCoeff _,
+    "ts4_seasonal_index" -> ts4SeasonalIndex _,
+    "dp7_benford_digits" -> dp7BenfordDigits _,
     "sq1_markov_transitions" -> sq1MarkovTransitions _,
     "dp6_mutual_information" -> dp6MutualInformation _,
     "ts3_cusum_shift" -> ts3CusumShift _,
@@ -799,6 +877,69 @@ object SeriesQueries extends QuerySet {
         |  ON probe.nk = iv2.nk
         |  AND probe.d >= iv2.start_day AND probe.d < iv2.end_day
         |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
+    // gr3's CTEs extended: triangles LISTED by the canonical triple
+    // join, corners credited via UNION ALL, zero-triangle deg>=2
+    // vertices kept through the LEFT JOIN
+    "gr4_clustering_coeff" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+        |        AS rk
+        |    FROM ip) WHERE rk <= 64),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT v, COUNT(*) AS tri FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY v),
+        |c AS (
+        |  SELECT deg.v, deg.d, COALESCE(tv.tri, 0) AS tri
+        |  FROM deg LEFT JOIN tv USING (v) WHERE deg.d >= 2),
+        |b AS (SELECT ((2000 * tri) // (d * (d - 1))) AS cp, tri, d FROM c)
+        |SELECT cp // 100 AS bucket, COUNT(*) AS n_vertices,
+        |  CAST(SUM(tri) AS BIGINT) AS sum_tri,
+        |  MIN(cp) AS min_cp, MAX(cp) AS max_cp,
+        |  CAST(SUM(d) AS BIGINT) AS sum_deg
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // both division LEVELS integer and spelled identically — the
+    // avg-of-cells grain keeps every product in BIGINT range
+    "ts4_seasonal_index" ->
+      """WITH mc AS (
+        |  SELECT YEAR(CAST(o_orderdate AS DATE)) AS y,
+        |    MONTH(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS nc, CAST(SUM(c) AS BIGINT) AS total
+        |        FROM mc)
+        |SELECT m AS month, COUNT(*) AS n_cells,
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |  (1000 * (CAST(SUM(c) AS BIGINT) // COUNT(*)))
+        |    // (MAX(tot.total) // MAX(tot.nc)) AS index_permille
+        |FROM mc, tot GROUP BY m ORDER BY month""".stripMargin,
+    // digit via the decimal-string head — no log/pow roundtrip; the
+    // Benford reference is a per-digit pure function (round-6)
+    "dp7_benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit
+        |      FROM c),
+        |tot AS (SELECT COUNT(*) AS n FROM d)
+        |SELECT digit, COUNT(*) AS n_orders,
+        |  (1000 * COUNT(*)) // MAX(tot.n) AS share_permille,
+        |  ROUND(ln(1 + 1 / CAST(digit AS DOUBLE)) / ln(10), 6) AS benford_ref
+        |FROM d, tot GROUP BY digit ORDER BY digit""".stripMargin,
     // basket cap spelled verbatim (the fi2 keep rule); the triple join
     // counts each triangle once through the canonical a<b ordering
     "gr3_triangles" ->

@@ -180,6 +180,28 @@ class SeriesOpsSpec extends SparkSpec {
     assert(tri(Seq((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L)))._3 == 2L)
   }
 
+  test("vertexTriangles: per-corner credit on K4, bowtie, and star") {
+    def vt(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      Triangles.vertexTriangles(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long)].collect
+        .map { case (v, d, t) => v -> (d, t) }.toMap
+    // K4: every vertex deg 3, in 3 of the 4 triangles (coeff = 1)
+    val k4 = vt(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    assert(k4 == Map(1L->(3L,3L), 2L->(3L,3L), 3L->(3L,3L), 4L->(3L,3L)))
+    // bowtie: center 3 sits in both triangles, wings in one each
+    val bow = vt(Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(3L,5L),(4L,5L)))
+    assert(bow == Map(1L->(2L,1L), 2L->(2L,1L), 3L->(4L,2L),
+      4L->(2L,1L), 5L->(2L,1L)))
+    // star: triangle-free vertices still emit tri = 0 (the left join)
+    val star = vt(Seq((1L,2L),(1L,3L),(1L,4L)))
+    assert(star == Map(1L->(3L,0L), 2L->(1L,0L), 3L->(1L,0L), 4L->(1L,0L)))
+    // consistency with the census: per-corner credits sum to 3x count
+    val k4Total = Triangles.triangleStats(
+      Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("a", "b"),
+      "a", "b").as[(Long, Long, Long)].collect.head._3
+    assert(k4.values.map(_._2).sum == 3 * k4Total)
+  }
+
   // --- Skyline.pareto2 ---
 
   private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {

@@ -752,6 +752,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("gr4: per-vertex census stays equi-joined — no cartesian, no nested loop") {
+    val p = plan("gr4_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("ts4/dp7: profile rows are aggregates + one 1-row scalar cross each") {
+    for (name <- Seq("ts4_seasonal_index", "dp7_benford_digits")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name must not plan a window:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"$name: only the 1-row total may nested-loop:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name must map-side combine")
+    }
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
