@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *   source/lang/text — cells and vocabulary are invariant, cost
   *   rides the count shuffle over N× scan/token mass. Expected ≈ 1
   *   on input mass with a flat tail.
+  * - gr4 clustering: the co-purchase graph replicates as N DISJOINT
+  *   copies (gr3's model) — vertices, wedges, and listed triangles
+  *   all grow N×; the inner-join close's output rides triangle mass.
+  *   Expected ≈ 1 (a cross-copy term would push toward 2).
   *
   * Usage: Test/runMain graft.ProfileR12cScale [mult] [sfDir].
   * Measured numbers recorded in BASELINE.md §round-12.
@@ -200,6 +204,27 @@ object ProfileR12cScale {
     val m1 = time("dp6 mi 1x")(dp6(documents))
     val mN = time(s"dp6 mi ${mult}x")(dp6(docN))
     exp("dp6", m1, mN)
+
+    // gr4 over disjoint graph copies (gr3's growth model: shift both
+    // the basket and the item space so copies never share a vertex)
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    def gr4(li: DataFrame): Long = {
+      val edges = graft.operators.Itemsets.itemPairs(li,
+        "l_orderkey", "l_partkey", minSupport = 1L, maxBasketSize = Some(64))
+      graft.operators.Triangles.vertexTriangles(edges, "p1", "p2")
+        .filter(col("deg") >= 2)
+        .selectExpr("(2000 * tri) DIV (deg * (deg - 1)) DIV 100 AS bucket",
+          "tri", "deg")
+        .groupBy("bucket").agg(count(lit(1)), sum("tri"), sum("deg"))
+        .count()
+    }
+    val li1 = lineitem.select("l_orderkey", "l_partkey")
+    val liN = spark.range(mult).toDF("rep").crossJoin(li1)
+      .select((col("l_orderkey") + col("rep") * shift).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * shift).as("l_partkey"))
+    val g1 = time("gr4 clustering 1x")(gr4(li1))
+    val gN = time(s"gr4 clustering ${mult}x")(gr4(liN))
+    exp("gr4", g1, gN)
     spark.stop()
   }
 }
