@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{RangeJoins, Skyline, TimeSeries, Triangles}
+import graft.operators.{RangeJoins, SeriesStats, Skyline, TimeSeries, Triangles}
 
 /** Round-12 engine-completeness rows (beyond the reference surface):
   * calendar-spine gap fill + OHLC bars, bin-bucketed interval and
@@ -578,7 +578,57 @@ object SeriesQueries extends QuerySet {
         |FROM d, tot GROUP BY digit ORDER BY digit""".stripMargin)
   }
 
+  /** Gini concentration of customer revenue per nation
+    * ([[SeriesStats.giniPermille]]) — the inequality statistic behind
+    * "how head-heavy is this market": 0 = every buying customer
+    * contributes equally, →1000 = one customer is the whole nation.
+    * Micro-share quantization keeps the rank-sum identity's products
+    * in BIGINT at any magnitude (bound: group rows ≤ ~4.6e9); ranks
+    * come from a window PARTITIONED by nation (never global), tied
+    * revenues broken by custkey for the oracle's benefit only. The
+    * oracle spells the same identity over the same quantized grid.
+    */
+  def dp8GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents("o_totalprice")).as("x"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), col("o_custkey").as("ck"),
+        col("x"))
+    SeriesStats.giniPermille(rev, Seq("nk"), "x", "ck")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"), col("n_rows").as("n_customers"),
+        col("total").as("sum_cents"), col("gini_permille"))
+      .orderBy("n_name")
+  }
+
+  /** Monthly-revenue autocorrelation function
+    * ([[SeriesStats.acfPermille]], lags 1–12) — the memory statistic a
+    * forecaster reads before ts4's seasonal index means anything: does
+    * this month predict the next (lag 1), the same quarter (lag 3),
+    * the same month next year (lag 12)? The series is the (absolute
+    * month index → cents) aggregate — `y·12 + m − 1`, no min-year
+    * anchor to mis-seed (the rc3 lesson) — and the ACF runs permille-
+    * normalized deviations so the products never leave BIGINT at any
+    * SF. The +den/−1000 shift keeps the DIV's operands non-negative:
+    * identical truncation on both engines even for anti-correlated
+    * lags.
+    */
+  def ts5AcfMonthly(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir, Seq("orders"))
+    val mc = s.sql(
+      """SELECT (YEAR(CAST(o_orderdate AS DATE)) * 12
+        |      + MONTH(CAST(o_orderdate AS DATE)) - 1) AS mi,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |FROM orders GROUP BY 1""".stripMargin)
+    SeriesStats.acfPermille(mc, "mi", "c", maxLag = 12)
+  }
+
   val entries: Map[String, Q] = Map(
+    "dp8_gini_concentration" -> dp8GiniConcentration _,
+    "ts5_acf_monthly" -> ts5AcfMonthly _,
     "bt1_bitemporal_asof" -> bt1BitemporalAsof _,
     "gr4_clustering_coeff" -> gr4ClusteringCoeff _,
     "ts4_seasonal_index" -> ts4SeasonalIndex _,
@@ -910,6 +960,72 @@ object SeriesQueries extends QuerySet {
         |  MIN(cp) AS min_cp, MAX(cp) AS max_cp,
         |  CAST(SUM(d) AS BIGINT) AS sum_deg
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the rank-sum Gini over micro-share-quantized revenues: every
+    // ratio quantized BEFORE aggregation, guards spelled verbatim
+    // (negative value errors, zero totals emit 0)
+    "dp8_gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey AS nk, o_custkey AS ck,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |chk AS (
+        |  SELECT nk, ck,
+        |    CASE WHEN x < 0 THEN error('[gini] negative value') ELSE x END
+        |      AS x
+        |  FROM rev),
+        |tot AS (SELECT nk, CAST(SUM(x) AS BIGINT) AS t, COUNT(*) AS n
+        |        FROM chk GROUP BY 1),
+        |rk AS (SELECT nk, x,
+        |         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x, ck) AS i
+        |       FROM chk),
+        |sh AS (
+        |  SELECT rk.nk, i, t, n,
+        |    CASE WHEN t = 0 THEN 0 ELSE (1000000 * x) // t END AS s_
+        |  FROM rk JOIN tot ON rk.nk = tot.nk),
+        |ag AS (
+        |  SELECT nk, MAX(n) AS n, MAX(t) AS t,
+        |    CAST(SUM(i * s_) AS BIGINT) AS is_,
+        |    CAST(SUM(s_) AS BIGINT) AS ss
+        |  FROM sh GROUP BY 1)
+        |SELECT n_name, n AS n_customers, t AS sum_cents,
+        |  CASE WHEN ss = 0 THEN 0
+        |    ELSE (1000 * (2 * is_ - (n + 1) * ss)) // (n * ss)
+        |  END AS gini_permille
+        |FROM ag JOIN nation ON nk = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    // permille-normalized deviations from the integer mean; the
+    // +den/-1000 shift keeps the DIV operands non-negative so the
+    // truncation direction matches on anti-correlated lags
+    "ts5_acf_monthly" ->
+      """WITH mc AS (
+        |  SELECT (YEAR(CAST(o_orderdate AS DATE)) * 12
+        |        + MONTH(CAST(o_orderdate AS DATE)) - 1) AS mi,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) // COUNT(*) AS mu FROM mc),
+        |v AS (SELECT mi,
+        |        CASE WHEN mu = 0 THEN 0 ELSE (1000 * c) // mu END AS v
+        |      FROM mc, g),
+        |vb AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS vbar FROM v),
+        |d AS (SELECT mi, v - vbar AS d FROM v, vb),
+        |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM d),
+        |p AS (
+        |  SELECT t.lag_k, a.d AS da, b.d AS db
+        |  FROM range(1, 13) t(lag_k)
+        |  CROSS JOIN d a
+        |  JOIN d b ON b.mi = a.mi + t.lag_k),
+        |ag AS (
+        |  SELECT lag_k, COUNT(*) AS n_pairs,
+        |    CAST(SUM(da * db) AS BIGINT) AS num
+        |  FROM p GROUP BY 1)
+        |SELECT lag_k, n_pairs,
+        |  CASE WHEN den = 0 THEN 0
+        |    ELSE (1000 * (num + den)) // den - 1000
+        |  END AS acf_permille
+        |FROM ag, den ORDER BY lag_k""".stripMargin,
     // both division LEVELS integer and spelled identically — the
     // avg-of-cells grain keeps every product in BIGINT range
     "ts4_seasonal_index" ->

@@ -771,6 +771,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dp8: Gini ranks on a nation-partitioned window; totals and names broadcast") {
+    val sp = graft.SparkEntry.queries("dp8_gini_concentration")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+    val p = plan("dp8_gini_concentration")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join in the Gini pipeline is keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 25-row totals / nation-name frames must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("ts5: ACF is windowless — scalar reductions broadcast, the lag close is equi") {
+    // node-collect, not string-match: the persisted stages re-print
+    // their build plans inside InMemoryRelation, inflating text counts
+    val sp = graft.SparkEntry.queries("ts5_acf_monthly")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"ACF must not plan a window:\n$sp")
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian anywhere:\n$sp")
+    // at the top level only the 12-row lag frame and the 1-row
+    // denominator may nested-loop (the mean/v-bar scalar crosses sit
+    // inside the persisted stages)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.size <= 2, s"only tiny hinted frames may nested-loop:\n$sp")
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"the lag close must be an equi hash join:\n$sp")
+    spark.catalog.clearCache()
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
