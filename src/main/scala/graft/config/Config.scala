@@ -183,7 +183,20 @@ final case class ModelConfig(
     // contract is declared here: a retraction-capable source must use
     // additive or full — extremes cannot un-see a deleted row's min
     minColumns: Seq[String] = Nil,
-    maxColumns: Seq[String] = Nil)
+    maxColumns: Seq[String] = Nil,
+    // join_view only: the standing base tables, the equi-join keys,
+    // and the per-run DELTA batch queries (at least one side per run;
+    // both may be absent on the creation run). The gold layer runs
+    // AFTER silver appended today's rows, so the fold uses the
+    // post-append delta rule (Maintenance.maintainJoinView with
+    // basesIncludeBatches = true) — the batch queries must select
+    // EXACTLY the rows this run added to each base (INSERT-ONLY feed,
+    // same contract family as extremes)
+    leftTable: Option[String] = None,
+    rightTable: Option[String] = None,
+    joinKeys: Seq[String] = Nil,
+    leftBatchSql: Option[String] = None,
+    rightBatchSql: Option[String] = None)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -283,6 +296,9 @@ object ConfigJson {
     "refresh_type" -> js(m.refreshType), "primary_keys" -> jarr(m.primaryKeys),
     "sum_columns" -> jarr(m.sumColumns),
     "min_columns" -> jarr(m.minColumns), "max_columns" -> jarr(m.maxColumns),
+    "left_table" -> js(m.leftTable.getOrElse("")),
+    "right_table" -> js(m.rightTable.getOrElse("")),
+    "join_keys" -> jarr(m.joinKeys),
     "enabled" -> m.enabled.toString)
 }
 
@@ -561,9 +577,32 @@ object EtlConfig {
       enabled = bool(m, "enabled"),
       sumColumns = strSeq(m, "sum_columns"),
       minColumns = strSeq(m, "min_columns"),
-      maxColumns = strSeq(m, "max_columns"))
-    require(Set("full", "incremental", "additive", "extremes")(mc.refreshType),
+      maxColumns = strSeq(m, "max_columns"),
+      leftTable = opt(m, "left_table"),
+      rightTable = opt(m, "right_table"),
+      joinKeys = strSeq(m, "join_keys"),
+      leftBatchSql = opt(m, "left_batch_sql"),
+      rightBatchSql = opt(m, "right_batch_sql"))
+    require(Set("full", "incremental", "additive", "extremes",
+      "join_view")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "join_view" || (mc.leftTable.nonEmpty &&
+      mc.rightTable.nonEmpty && mc.joinKeys.nonEmpty),
+      s"model '${mc.modelId}': refresh_type join_view needs left_table, " +
+        "right_table and join_keys — and INSERT-ONLY batch queries " +
+        "selecting exactly this run's appended base rows (a retraction " +
+        "needs a keyed delete, not a join fold)")
+    require(mc.refreshType == "join_view" || (mc.leftTable.isEmpty &&
+      mc.rightTable.isEmpty && mc.joinKeys.isEmpty &&
+      mc.leftBatchSql.isEmpty && mc.rightBatchSql.isEmpty),
+      s"model '${mc.modelId}': left_table/right_table/join_keys/" +
+        "left_batch_sql/right_batch_sql are only used by refresh_type " +
+        "join_view")
+    require(mc.refreshType != "join_view" || mc.sqlQuery.isEmpty,
+      s"model '${mc.modelId}': join_view derives the view from its base " +
+        "tables — sql_query is unused and would silently diverge")
+    require(mc.refreshType == "join_view" || mc.sqlQuery.nonEmpty,
+      s"model '${mc.modelId}': sql_query is required")
     require(mc.refreshType != "additive" ||
       (mc.primaryKeys.nonEmpty && mc.sumColumns.nonEmpty),
       s"model '${mc.modelId}': refresh_type additive needs primary_keys " +

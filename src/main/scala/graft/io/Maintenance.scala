@@ -302,4 +302,127 @@ object Maintenance {
     spark.catalog.refreshTable(table)
     true
   }
+
+  /** Incremental maintenance of an INNER EQUI-JOIN view — the third
+    * member of the materialized-view family ([[maintainAdditiveAggregate]]
+    * sums, [[maintainInsertOnlyExtremes]] min/max, this one joins):
+    * instead of re-joining two full base tables per refresh, fold the
+    * INSERT-ONLY delta batches through the classic delta rule
+    *
+    *   ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (A, B = the STANDING base tables, pre-batch) and APPEND ΔV — the
+    * view is never rescanned, never rewritten. N maintenance steps ≡
+    * one full recompute over the final bases (pinned in
+    * MaintenanceSpec, including the ΔA ⋈ ΔB term a naive two-term
+    * rule silently drops when both sides batch in the same step).
+    * Insert-only is the contract, same as the extremes fold: a
+    * retraction would need a keyed delete against the view (the CDC
+    * sink's business, not this fold's).
+    *
+    * CALLER SEQUENCING CONTRACT — `basesIncludeBatches` names which
+    * side of the append the caller stands on, because the delta rule
+    * differs and the wrong one double-counts silently:
+    * - `false` (library default): the standing bases do NOT yet
+    *   contain the batches — maintain first, append after. The rule
+    *   is the three-term union above.
+    * - `true` (the declarative gold path, where silver already
+    *   appended today's rows before gold runs): B ⊇ ΔB and A ⊇ ΔA,
+    *   so ΔA⋈B and A⋈ΔB EACH contain ΔA⋈ΔB — the fold subtracts one
+    *   bag-copy of that term (`exceptAll` on the join OUTPUT, which
+    *   rides Δ mass, never a base-table anti-join which would rescan
+    *   |A|).
+    *
+    * Join semantics are PLAIN equality (null keys never match) — the
+    * invariant is parity with `A JOIN B` recomputed wholesale, and
+    * that is what a plain inner join does on every engine. Non-key
+    * column names must be disjoint across the two sides (checked).
+    *
+    * Scale shape: each delta term is a keyed equi-join of a BATCH
+    * against a standing table (AQE broadcasts small batch sides on
+    * its own) plus the batch ⋈ batch term — cost rides |Δ| and the
+    * join's true output mass, never |V| or |A|+|B|. The view append
+    * is file-append, not rewrite.
+    *
+    * `epochId` carries the family's replay-idempotence contract: the
+    * appended rows are stamped, the committed epoch is
+    * `max(_last_epoch)` over the view, a same-epoch batch skips
+    * (returns false), an older epoch throws. A batch-path call
+    * (None) against an epoch-built view stamps its append with the
+    * standing max so the marker survives; an epoch'd call against a
+    * view built WITHOUT the marker column throws (parquet appends
+    * cannot retrofit a column — recreate the view with an epoch).
+    */
+  def maintainJoinView(spark: SparkSession, table: String,
+      leftTable: String, rightTable: String, joinKeys: Seq[String],
+      leftBatch: Option[DataFrame], rightBatch: Option[DataFrame],
+      epochId: Option[Long] = None,
+      basesIncludeBatches: Boolean = false): Boolean = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    require(leftBatch.nonEmpty || rightBatch.nonEmpty ||
+      !spark.catalog.tableExists(table),
+      "need a batch on at least one side to maintain an existing view")
+    val a = spark.table(leftTable)
+    val b = spark.table(rightTable)
+    val overlap = a.columns.toSet.intersect(b.columns.toSet) -- joinKeys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across sides: ${overlap.mkString(",")}")
+    for (d <- leftBatch) {
+      val miss = a.columns.filterNot(d.columns.contains)
+      require(miss.isEmpty, s"left batch missing columns: ${miss.mkString(",")}")
+    }
+    for (d <- rightBatch) {
+      val miss = b.columns.filterNot(d.columns.contains)
+      require(miss.isEmpty, s"right batch missing columns: ${miss.mkString(",")}")
+    }
+    def pick(d: DataFrame, cols: Array[String]) =
+      d.select(cols.map(col).toIndexedSeq: _*)
+    val dA = leftBatch.map(pick(_, a.columns))
+    val dB = rightBatch.map(pick(_, b.columns))
+    if (!spark.catalog.tableExists(table)) {
+      // first run: the view is the full join of bases + pending batches
+      // (post-append callers' bases already carry them)
+      val aAll = if (basesIncludeBatches) a else dA.fold(a)(a.unionByName(_))
+      val bAll = if (basesIncludeBatches) b else dB.fold(b)(b.unionByName(_))
+      val v0 = aAll.join(bAll, joinKeys)
+      epochId.fold(v0)(id => v0.withColumn("_last_epoch", lit(id)))
+        .write.saveAsTable(table)
+      return true
+    }
+    val hasMarker = spark.table(table).columns.contains("_last_epoch")
+    if (epochId.isDefined && !hasMarker) throw new IllegalStateException(
+      s"join-view fold for '$table': the view was built without epoch " +
+        "fencing and parquet appends cannot retrofit the marker column — " +
+        "recreate the view with an epoch to fence replays")
+    val standingEpoch: Option[Long] =
+      if (hasMarker) {
+        val m = spark.table(table).agg(max(col("_last_epoch"))).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      } else None
+    for (id <- epochId; committed <- standingEpoch) {
+      if (committed == id) return false
+      if (committed > id) throw new IllegalStateException(
+        s"join-view fold for '$table': batch epoch $id is OLDER than the " +
+          s"committed epoch $committed — a late backfill cannot append " +
+          "without double-join risk; recompute the view or re-stamp the " +
+          "batch with a current epoch")
+    }
+    val ddTerm = for (x <- dA; y <- dB) yield x.join(y, joinKeys)
+    val dV = if (basesIncludeBatches) {
+      // bases already hold the batches: ΔA⋈B and A⋈ΔB each contain
+      // ΔA⋈ΔB — subtract the extra bag-copy on the (small) output
+      val two = Seq(dA.map(_.join(b, joinKeys)), dB.map(a.join(_, joinKeys)))
+        .flatten.reduce(_.unionByName(_))
+      ddTerm.fold(two)(two.exceptAll)
+    } else {
+      (Seq(dA.map(_.join(b, joinKeys)), dB.map(a.join(_, joinKeys)))
+        .flatten ++ ddTerm).reduce(_.unionByName(_))
+    }
+    val keepEpoch = epochId.orElse(standingEpoch)
+    val stamped = keepEpoch.filter(_ => hasMarker || epochId.isDefined)
+      .fold(dV)(id => dV.withColumn("_last_epoch", lit(id)))
+    stamped.write.mode(SaveMode.Append).saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    true
+  }
 }

@@ -157,12 +157,14 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
 
   def build(m: ModelConfig): Unit =
     audit.bracket(layerName, "model", "GoldLayer", m.modelId, m.targetTable) {
-      val sql = EtlConfig.substitute(m.sqlQuery, Map("PROCESSING_DATE" -> runDate))
-      val df0 = spark.sql(sql)
+      // lazy: a join_view model has no sql_query — its view derives
+      // from the base tables, never from a model query
+      lazy val sql = EtlConfig.substitute(m.sqlQuery, Map("PROCESSING_DATE" -> runDate))
+      lazy val df0 = spark.sql(sql)
       // additive/extremes models skip the audit timestamp: the standing
       // table's schema is (keys, folds, n_rows) and the fold would try
       // to fold timestamps; the control table carries the run bookkeeping
-      val df =
+      lazy val df =
         if (m.refreshType == "additive" || m.refreshType == "extremes") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
@@ -187,7 +189,29 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       }
       lazy val epoch = java.time.LocalDate.parse(runDate).toEpochDay
       val rows =
-        if (m.refreshType == "additive") {
+        if (m.refreshType == "join_view") {
+          // incremental JOIN view: fold this run's base-table deltas
+          // through the delta rule instead of re-joining full bases.
+          // The gold layer runs AFTER silver appended today's rows, so
+          // this is the POST-APPEND sequencing (basesIncludeBatches) —
+          // the batch queries re-select exactly the rows this run added
+          val obsL = new Observation()
+          val obsR = new Observation()
+          def batch(q: String, obs: Observation) =
+            spark.sql(EtlConfig.substitute(q, Map("PROCESSING_DATE" -> runDate)))
+              .observe(obs, count(lit(1)).as("rows"))
+          val lb = m.leftBatchSql.map(batch(_, obsL))
+          val rb = m.rightBatchSql.map(batch(_, obsR))
+          val existed = spark.catalog.tableExists(m.targetTable)
+          val folded = graft.io.Maintenance.maintainJoinView(spark,
+            m.targetTable, m.leftTable.get, m.rightTable.get, m.joinKeys,
+            lb, rb, epochId = Some(epoch), basesIncludeBatches = true)
+          // creation joins the bases wholesale — the batch frames were
+          // never consumed, so their Observations must not be read
+          if (!folded || !existed) 0L
+          else lb.map(_ => obsL.get("rows").asInstanceOf[Long]).getOrElse(0L) +
+            rb.map(_ => obsR.get("rows").asInstanceOf[Long]).getOrElse(0L)
+        } else if (m.refreshType == "additive") {
           foldCounted(batch => graft.io.Maintenance.maintainAdditiveAggregate(
             spark, m.targetTable, batch, m.primaryKeys, m.sumColumns,
             epochId = Some(epoch)))

@@ -280,4 +280,102 @@ class MaintenanceSpec extends SparkSpec {
     val rows = spark.table(t).as[(String, Long, Long)].collect().toSet
     assert(rows == Set(("x", 1L, 1L), ("y", 2L, 1L)), s"got $rows")
   }
+
+  test("join view: N delta steps equal the wholesale re-join, including ΔA⋈ΔB") {
+    val ta = table("t_jv_a"); val tb = table("t_jv_b"); val v = table("t_jv")
+    Seq(ta, tb, v).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a1"), (2L, "a2")).toDF("k", "av").write.saveAsTable(ta)
+    Seq((1L, 10L), (3L, 30L)).toDF("k", "bv").write.saveAsTable(tb)
+    // step 1: create with a pending left batch (bases pre-append)
+    val dA1 = Seq((3L, "a3")).toDF("k", "av")
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(dA1), None))
+    dA1.write.mode("append").saveAsTable(ta)
+    // step 2: both sides batch; key 4 joins ONLY within the step (the
+    // ΔA⋈ΔB term a two-term delta rule drops), key 2 joins standing A
+    val dA2 = Seq((4L, "a4"), (5L, "a5")).toDF("k", "av")
+    val dB2 = Seq((4L, 40L), (2L, 20L)).toDF("k", "bv")
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(dA2), Some(dB2)))
+    dA2.write.mode("append").saveAsTable(ta)
+    dB2.write.mode("append").saveAsTable(tb)
+    val wholesale = spark.table(ta).join(spark.table(tb), Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    val maintained = spark.table(v).as[(Long, String, Long)].collect().toSet
+    assert(maintained == wholesale, s"$maintained != $wholesale")
+    assert(wholesale.map(_._1) == Set(1L, 2L, 3L, 4L), "scenario sanity")
+  }
+
+  test("join view post-append mode: bases already holding the batches don't double-count") {
+    val ta = table("t_jvp_a"); val tb = table("t_jvp_b"); val v = table("t_jvp")
+    Seq(ta, tb, v).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a1"), (2L, "a2")).toDF("k", "av").write.saveAsTable(ta)
+    Seq((1L, 10L)).toDF("k", "bv").write.saveAsTable(tb)
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      None, None, basesIncludeBatches = true))
+    // the declarative sequencing: silver appends FIRST, gold folds after.
+    // key 4 exists only in this step's two batches — the ΔA⋈ΔB overlap
+    // that the post-append rule must subtract exactly once
+    val dA = Seq((4L, "a4")).toDF("k", "av")
+    val dB = Seq((4L, 40L), (2L, 20L)).toDF("k", "bv")
+    dA.write.mode("append").saveAsTable(ta)
+    dB.write.mode("append").saveAsTable(tb)
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(dA), Some(dB), basesIncludeBatches = true))
+    val wholesale = spark.table(ta).join(spark.table(tb), Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    val maintained = spark.table(v).as[(Long, String, Long)].collect().toSeq
+    assert(maintained.toSet == wholesale, s"$maintained != $wholesale")
+    assert(maintained.size == wholesale.size,
+      s"no bag-duplicates either: $maintained")
+  }
+
+  test("join view: epoch fence — replay skips, older throws, batch path keeps marker") {
+    val ta = table("t_jve_a"); val tb = table("t_jve_b"); val v = table("t_jve")
+    Seq(ta, tb, v).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a1")).toDF("k", "av").write.saveAsTable(ta)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "bv").write.saveAsTable(tb)
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(Seq((2L, "a2")).toDF("k", "av")), None, epochId = Some(7L)))
+    val afterCreate = spark.table(v).count()
+    // same epoch re-delivered (foreachBatch crash replay): no-op
+    assert(!Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(Seq((2L, "a2")).toDF("k", "av")), None, epochId = Some(7L)))
+    assert(spark.table(v).count() == afterCreate, "replay must not append")
+    // older epoch: loud failure, never a silent drop
+    val e = intercept[IllegalStateException] {
+      Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+        Some(Seq((9L, "a9")).toDF("k", "av")), None, epochId = Some(3L))
+    }
+    assert(e.getMessage.contains("OLDER"))
+    // batch path (no epoch) against the epoch-built view keeps the marker
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      None, Some(Seq((1L, 11L)).toDF("k", "bv"))))
+    val marks = spark.table(v).select(max(col("_last_epoch")))
+      .as[Long].head()
+    assert(marks == 7L, "the committed epoch must survive a batch-path append")
+  }
+
+  test("join view: epoch'd fold on a marker-less view and column overlap both refuse") {
+    val ta = table("t_jvr_a"); val tb = table("t_jvr_b"); val v = table("t_jvr")
+    Seq(ta, tb, v).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "x")).toDF("k", "av").write.saveAsTable(ta)
+    Seq((1L, 5L)).toDF("k", "bv").write.saveAsTable(tb)
+    assert(Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+      Some(Seq((2L, "y")).toDF("k", "av")), None))
+    val e = intercept[IllegalStateException] {
+      Maintenance.maintainJoinView(spark, v, ta, tb, Seq("k"),
+        Some(Seq((3L, "z")).toDF("k", "av")), None, epochId = Some(1L))
+    }
+    assert(e.getMessage.contains("without epoch fencing"))
+    // overlapping non-key columns: refuse, never silently disambiguate
+    val tc = table("t_jvr_c")
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+    Seq((1L, "w")).toDF("k", "av").write.saveAsTable(tc)
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.maintainJoinView(spark, table("t_jvr2"), ta, tc, Seq("k"),
+        Some(Seq((2L, "q")).toDF("k", "av")), None)
+    }
+    assert(e2.getMessage.contains("disjoint"))
+  }
 }

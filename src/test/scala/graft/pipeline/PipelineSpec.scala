@@ -626,6 +626,104 @@ class PipelineSpec extends SparkSpec {
       "a skipped epoch reports 0 records processed")
   }
 
+  test("join_view gold model folds base-table deltas instead of re-joining bases") {
+    val jvYaml =
+      """models:
+        |  - model_id: cust_orders_view
+        |    target_table: gold_e2e.cust_orders_view
+        |    refresh_type: join_view
+        |    left_table: bronze_e2e.jv_orders
+        |    right_table: bronze_e2e.jv_cust
+        |    join_keys: [ck]
+        |    left_batch_sql: >
+        |      SELECT * FROM bronze_e2e.jv_orders WHERE pd_l = '${PROCESSING_DATE}'
+        |    right_batch_sql: >
+        |      SELECT * FROM bronze_e2e.jv_cust WHERE pd_r = '${PROCESSING_DATE}'
+        |""".stripMargin
+    Seq("gold_e2e.cust_orders_view", "bronze_e2e.jv_orders",
+      "bronze_e2e.jv_cust").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    Seq((1L, 10L, "2024-06-01")).toDF("ok", "ck", "pd_l")
+      .write.saveAsTable("bronze_e2e.jv_orders")
+    Seq((10L, "A", "2024-06-01")).toDF("ck", "seg", "pd_r")
+      .write.saveAsTable("bronze_e2e.jv_cust")
+    val p1 = new Pipeline(spark, "2024-06-01", new FixedClock(1800100000000L))
+    val r1 = p1.run(Map("gold" -> EtlConfig.fromYaml(jvYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    assert(spark.table("gold_e2e.cust_orders_view").count() == 1L)
+    // run 2: silver-style appends land FIRST (the post-append
+    // sequencing); order 3 and customer 11 exist only in this run's
+    // batches — the ΔA⋈ΔB overlap the post-append rule must emit
+    // exactly once
+    Seq((2L, 10L, "2024-06-02"), (3L, 11L, "2024-06-02"))
+      .toDF("ok", "ck", "pd_l")
+      .write.mode("append").saveAsTable("bronze_e2e.jv_orders")
+    Seq((11L, "B", "2024-06-02")).toDF("ck", "seg", "pd_r")
+      .write.mode("append").saveAsTable("bronze_e2e.jv_cust")
+    val p2 = new Pipeline(spark, "2024-06-02", new FixedClock(1800200000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(jvYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    val wholesale = spark.table("bronze_e2e.jv_orders")
+      .join(spark.table("bronze_e2e.jv_cust"), Seq("ck"))
+      .select("ck", "ok", "seg").as[(Long, Long, String)].collect().toSeq
+    val maintained = spark.table("gold_e2e.cust_orders_view")
+      .select("ck", "ok", "seg").as[(Long, Long, String)].collect().toSeq
+    assert(maintained.sorted == wholesale.sorted,
+      s"$maintained != $wholesale")
+    // records_processed = this run's batch rows (2 orders + 1 customer)
+    val recs = spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.cust_orders_view")
+      .select("records_processed").as[Long].head()
+    assert(recs == 3L, s"batch rows expected, got $recs")
+    // same-date retry: the epoch fence must no-op, never re-append ΔV
+    val p2retry = new Pipeline(spark, "2024-06-02", new FixedClock(1800300000000L))
+    val r3 = p2retry.run(Map("gold" -> EtlConfig.fromYaml(jvYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(spark.table("gold_e2e.cust_orders_view").count() ==
+      wholesale.size.toLong, "same-date retry re-appended the delta")
+    assert(spark.table(p2retry.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.cust_orders_view")
+      .select("records_processed").as[Long].head() == 0L,
+      "a skipped epoch reports 0 records processed")
+  }
+
+  test("join_view config: missing plumbing, stray fields, and sql_query all refuse at parse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_jv
+          |    target_table: g.t
+          |    refresh_type: join_view
+          |    left_table: a.l
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("join_view needs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    join_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: divergent
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: join_view
+          |    left_table: a.l
+          |    right_table: a.r
+          |    join_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("silently diverge"), e3.getMessage)
+  }
+
   test("extremes config without fold columns (or with sum_columns) fails at parse time") {
     // the insert-only-feed contract is enforced where it is declared:
     // an extremes model must name its min/max columns, and fold columns
