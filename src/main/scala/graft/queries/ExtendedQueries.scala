@@ -331,6 +331,55 @@ object ExtendedQueries extends QuerySet {
         "(1000 * sy - ((1000 * (k * sxy - sx * sy)) DIV (k * sxx - sx * sx)) * sx) DIV k AS intercept_permille")
   }
 
+  /** BM25 relevance ranking (Robertson–Spärck Jones; the Lucene
+    * `k1 = 1.2, b = 0.75` parameterization) for a fixed query term set
+    * — the search/retrieval scorer a corpus pipeline uses to mine
+    * topic-relevant documents at 100 TB without an index: one
+    * tokenize→explode pass filtered to the query terms BEFORE the
+    * groupBy (the shuffle carries only query-term hits, never the
+    * vocabulary), document frequencies and the (N, total_len) corpus
+    * stats broadcast as scalar frames, top-k via TakeOrdered. Nothing
+    * FP crosses a row boundary: idf and the length norm are per-row
+    * pure functions of integer counts (IEEE-identical cross-engine,
+    * the tw2/dp5 convention), the per-document score is a FIXED-ORDER
+    * three-term sum (one addend per query term — never a SUM over
+    * rows), and ranking uses the 6dp-ROUNDED score with doc_id
+    * tie-break. Constants are spelled as literals in both engines
+    * (`2.2`, never `k1 + 1` — the computed sum is a different double).
+    */
+  def tw5Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "stream")
+    val docs = graft.operators.FrameCaches.track(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+        .persist())
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("norm", lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") * col("n_docs") / col("total_len"))))
+      .withColumn("sc",
+        col("idf") * (col("tf").cast("double") * lit(2.2) / (col("tf") + col("norm"))))
+    def termScore(tm: String) =
+      coalesce(max(when(col("term") === tm, col("sc"))), lit(0.0))
+    scored.groupBy("doc_id")
+      .agg(round(terms.map(termScore).reduce(_ + _), 6).as("score"),
+        sum("tf").as("n_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Multimodal feature extraction over the deterministic synthetic
     * binary corpus — a FULL oracle row: the synthetic payload bytes are
     * md5-derived (`Multimodal.syntheticMedia` — byte 16k+j = byte j of
@@ -1062,6 +1111,7 @@ object ExtendedQueries extends QuerySet {
     "tw2_tfidf_top_terms" -> tw2TfidfTopTerms _,
     "tw3_pmi_collocations" -> tw3PmiCollocations _,
     "tw4_zipf_slope" -> tw4ZipfSlope _,
+    "tw5_bm25" -> tw5Bm25 _,
     "fz1_fuzzy_pairs" -> fz1FuzzyPairs _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
@@ -1510,6 +1560,38 @@ object ExtendedQueries extends QuerySet {
          |      // (k * sxx - sx * sx)) * sx) // k
          |    AS intercept_permille
          |FROM s""".stripMargin,
+    // FP discipline: e-notation literals (0.5e0 …) force DOUBLE in
+    // DuckDB (a bare 0.5 is DECIMAL and would change the arithmetic);
+    // idf/norm are per-row pure functions, the doc score a fixed-order
+    // 3-addend sum, ranking on the 6dp round — all mirroring the Spark
+    // side operation for operation
+    "tw5_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $toksLowerSql AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |docs AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+         |       FROM docs),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+         |  WHERE term IN ('spark', 'join', 'stream')
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id, term, tf,
+         |    ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+         |      * (CAST(tf AS DOUBLE) * 2.2e0
+         |         / (tf + 1.2e0 * (0.25e0
+         |            + 0.75e0 * (CAST(dl AS DOUBLE) * n_docs / total_len))))
+         |      AS sc
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+         |p AS (SELECT doc_id,
+         |    ROUND(COALESCE(MAX(CASE WHEN term = 'spark' THEN sc END), 0.0e0)
+         |        + COALESCE(MAX(CASE WHEN term = 'join' THEN sc END), 0.0e0)
+         |        + COALESCE(MAX(CASE WHEN term = 'stream' THEN sc END), 0.0e0),
+         |      6) AS score,
+         |    CAST(SUM(tf) AS BIGINT) AS n_hits
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, score, n_hits FROM p
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // mirrors StubCodecs.decodeImage over Multimodal.syntheticMedia(200):
     // images are i % 3 <> 2; payload byte p = byte p%16 of
     // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the

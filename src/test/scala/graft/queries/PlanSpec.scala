@@ -533,6 +533,18 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("tw5: BM25 broadcasts df + corpus stats; top-k is TakeOrdered, windowless") {
+    val p = plan("tw5_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // only the 1-row (N, total_len) stats frame may nested-loop; the
+    // per-term df join stays broadcast-hash
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never global-sort: " + p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("dp2: entropy profile is aggregates only — no window, no join") {
     val p = plan("dp2_column_entropy")
     assert(!p.contains("Window") && !p.contains("Join"), p)
