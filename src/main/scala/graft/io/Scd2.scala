@@ -1,0 +1,222 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Outcome of one [[Scd2.merge]] run.
+  *
+  * @param rawRows     rows the source batch delivered (pre-dedup) — the
+  *                    "records processed" number the control table
+  *                    records, same contract as `Upsert.upsertTable`.
+  * @param newVersions version rows this run added (a brand-new key's
+  *                    first version, a changed key's new version, or a
+  *                    same-date restatement that replaced the current
+  *                    version in place).
+  * @param closed      previously-current rows that received a
+  *                    `valid_to` this run.
+  * @param unchanged   batch rows that survived dedup but produced no
+  *                    new version (their tracked attributes null-safe
+  *                    matched the version in force at their effective
+  *                    date) — the no-op mass that makes a replay of the
+  *                    latest batch converge without bookkeeping.
+  */
+final case class Scd2Stats(rawRows: Long, newVersions: Long, closed: Long,
+    unchanged: Long)
+
+/** Slowly-changing-dimension TYPE 2 writer — the versioned-history sink
+  * the whole-row-replace upsert cannot express (reference merge:
+  * /root/reference/src/modules/gold_layer.py:184-213 is SCD type 1 —
+  * the old attribute values are destroyed; this operator keeps them as
+  * closed interval rows, the dimension shape every warehouse needs for
+  * as-of joins and audits).
+  *
+  * Table schema: `keys ++ tracked ++ (valid_from, valid_to,
+  * is_current)`, where `valid_from`/`valid_to` take the effective
+  * column's type, `valid_to IS NULL` ⇔ `is_current`. Exactly one
+  * current row per key; consecutive versions abut (`valid_to` =
+  * successor's `valid_from`).
+  *
+  * Merge semantics per batch row (after deduping exact (key,
+  * effective) duplicates deterministically):
+  *   - new key → first version opens (valid_from = effective);
+  *   - tracked attributes null-safe EQUAL to the version in force →
+  *     no-op (re-observations and replays of the latest batch
+  *     converge: re-merging the same batch leaves the table
+  *     bit-identical — pinned in Scd2Spec);
+  *   - attributes differ, effective AFTER the current valid_from →
+  *     current row closes (valid_to = effective), new version opens;
+  *   - attributes differ, effective EQUAL to the current valid_from →
+  *     same-date RESTATEMENT: the current version is replaced in
+  *     place (never a zero-length interval);
+  *   - effective BEFORE the current valid_from → throws. A late
+  *     backfill cannot splice into closed history without rewriting
+  *     intervals that downstream as-of joins already read — silently
+  *     folding it would corrupt them, silently dropping it is data
+  *     loss recorded as success (the additive family's older-epoch
+  *     contract, applied to time itself).
+  *
+  * A batch may carry SEVERAL effective dates for one key: versions
+  * chain within the batch (earliest compares against the standing
+  * current row), consecutive-equal versions compress away.
+  *
+  * Scale shape: the chain window partitions on the key columns and
+  * orders by effective date — it runs over the TOUCHED keys' current
+  * rows plus the batch, never over history (closed rows pass through
+  * untouched, current rows of untouched keys ride one anti-join). The
+  * full-table rewrite is parquet's price for row-level change, exactly
+  * as in `Upsert`; a real table format swaps a version pointer instead.
+  */
+object Scd2 {
+
+  private val intervalCols = Seq("valid_from", "valid_to", "is_current")
+
+  /** Fold one batch of (keys, tracked attributes, effective date/time)
+    * observations into the SCD2 history table. See object doc for
+    * semantics; returns the per-run [[Scd2Stats]].
+    */
+  def merge(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], tracked: Seq[String],
+      effectiveCol: String): Scd2Stats = {
+    require(keys.nonEmpty, "scd2 merge needs key columns")
+    require(tracked.nonEmpty, "scd2 merge needs tracked columns")
+    val declared = keys ++ tracked :+ effectiveCol
+    require(declared.distinct.size == declared.size,
+      s"keys/tracked/effective overlap: ${declared.mkString(", ")}")
+    require(intervalCols.forall(c => !declared.contains(c)),
+      s"${intervalCols.mkString("/")} are derived — rename the input column")
+    val missing = declared.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"batch is missing: ${missing.mkString(", ")}")
+    val extra = batch.columns.filterNot(declared.contains)
+    require(extra.isEmpty,
+      s"batch carries undeclared columns (silently dropping them would " +
+        s"hide a config mistake): ${extra.mkString(", ")}")
+
+    val scratch =
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/__scd2_stage/" +
+        table.replace('.', '_')
+    // stage the raw batch FIRST: one evaluation of the (arbitrarily
+    // expensive) source plan; validation, dedup and the chain all read
+    // the staged copy
+    batch.select(declared.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/raw")
+    val raw = spark.read.parquet(s"$scratch/raw")
+    val rawRows = raw.count()
+    // a NULL effective date has no place on a time axis — it would sort
+    // first and silently pre-date every real version; producer bug,
+    // fail loudly (the applyChangeLog op-validation discipline)
+    val nullEff = raw.filter(col(effectiveCol).isNull).count()
+    require(nullEff == 0L,
+      s"scd2 merge for '$table': $nullEff batch rows carry a NULL " +
+        s"$effectiveCol — a version needs an effective date")
+
+    // exact (key, effective) duplicates: keep one deterministically
+    // (highest tracked tuple — replays reproduce the same pick)
+    val dupW = Window.partitionBy((keys :+ effectiveCol).map(col): _*)
+      .orderBy(tracked.map(c => col(c).desc): _*)
+    raw.withColumn("_rn", row_number().over(dupW)).filter(col("_rn") === 1)
+      .drop("_rn")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/deduped")
+    val deduped = spark.read.parquet(s"$scratch/deduped")
+    val dedupedRows = deduped.count()
+
+    val exists = spark.catalog.tableExists(table)
+    if (exists) {
+      val t = spark.table(table)
+      val expect = (declared.dropRight(1) ++ intervalCols).sorted
+      require(t.columns.sorted.sameElements(expect),
+        s"'$table' is not this merge's SCD2 shape: has " +
+          s"[${t.columns.sorted.mkString(", ")}], expected " +
+          s"[${expect.mkString(", ")}]")
+    }
+
+    def keyCond(a: DataFrame, b: DataFrame) =
+      keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+
+    // chain input: standing CURRENT rows of touched keys + the batch.
+    // _standing orders the same-date restatement dedup (batch wins).
+    val batchSide = deduped
+      .select((keys ++ tracked).map(col) :+
+        col(effectiveCol).as("_eff") :+ lit(false).as("_standing"): _*)
+    val chainIn = if (!exists) batchSide else {
+      val target = spark.table(table)
+      val touched = deduped.select(keys.map(col): _*).distinct()
+      val curBase = target.filter(col("is_current"))
+      val cur = curBase.join(touched, keyCond(curBase, touched), "left_semi")
+      // out-of-order guard BEFORE anything merges: a batch version that
+      // pre-dates the key's current valid_from splices into closed
+      // history — rebuild the dimension instead
+      val curK = cur.select(keys.map(col) :+ col("valid_from"): _*).alias("c")
+      val bK = deduped.alias("b")
+      val stale = bK.join(curK,
+          keys.map(k => bK(k) <=> curK(k)).reduce(_ && _))
+        .filter(bK(effectiveCol) < curK("valid_from"))
+        .select(keys.map(bK(_)) :+ bK(effectiveCol) :+ curK("valid_from"): _*)
+        .limit(3).collect()
+      require(stale.isEmpty,
+        s"scd2 merge for '$table': batch rows pre-date their key's " +
+          s"current valid_from (late backfill cannot splice into closed " +
+          s"history): ${stale.mkString("; ")}")
+      // batch rows IDENTICAL to a standing current row (same effective
+      // date, same tracked values) drop out here: a replay of the
+      // latest batch must be a no-op in the STATS too, not just in the
+      // rewritten bytes (without this, the same-date restatement rule
+      // would count the replacement as a new version)
+      val curChain = cur.select((keys ++ tracked).map(col) :+
+        col("valid_from").as("_eff") :+ lit(true).as("_standing"): _*)
+      val curProj = curChain.drop("_standing")
+      val identicalCond = (keys ++ tracked :+ "_eff")
+        .map(c => batchSide(c) <=> curProj(c)).reduce(_ && _)
+      curChain.unionByName(
+        batchSide.join(curProj, identicalCond, "left_anti"))
+    }
+
+    // same-date restatement: one survivor per (key, _eff), batch first
+    val restateW = Window.partitionBy((keys :+ "_eff").map(col): _*)
+      .orderBy(col("_standing").asc)
+    // change compression + interval derivation, one key-partitioned pass
+    val chainW = Window.partitionBy(keys.map(col): _*).orderBy(col("_eff"))
+    val attrChanged = tracked.map(c => !(col(c) <=> lag(col(c), 1).over(chainW)))
+      .reduce(_ || _)
+    val chained = chainIn
+      .withColumn("_rs", row_number().over(restateW)).filter(col("_rs") === 1)
+      .drop("_rs")
+      .withColumn("_keep",
+        lag(col("_eff"), 1).over(chainW).isNull || attrChanged)
+      .filter(col("_keep")).drop("_keep")
+      .withColumn("valid_from", col("_eff"))
+      .withColumn("valid_to", lead(col("_eff"), 1).over(chainW))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_eff")
+    chained.write.mode(SaveMode.Overwrite).parquet(s"$scratch/chained")
+    val survivors = spark.read.parquet(s"$scratch/chained")
+
+    val counts = survivors.agg(
+      sum(when(!col("_standing"), 1L).otherwise(0L)).as("nv"),
+      sum(when(col("_standing") && col("valid_to").isNotNull, 1L)
+        .otherwise(0L)).as("cl")).head()
+    val newVersions = counts.getLong(0)
+    val closed = counts.getLong(1)
+
+    val outCols = (keys ++ tracked) ++ intervalCols
+    val out = survivors.select(outCols.map(col): _*)
+    val merged = if (!exists) out else {
+      val target = spark.table(table)
+      val touched = survivors.select(keys.map(col): _*).distinct()
+      // history (non-current) rows pass through; current rows of
+      // untouched keys ride the anti-join — both null-safe on the key
+      val curBase = target.filter(col("is_current"))
+      val untouchedCur =
+        curBase.join(touched, keyCond(curBase, touched), "left_anti")
+      target.filter(!col("is_current"))
+        .unionByName(untouchedCur)
+        .select(outCols.map(col): _*)
+        .unionByName(out)
+    }
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
+    spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    Scd2Stats(rawRows, newVersions, closed, dedupedRows - newVersions)
+  }
+}
