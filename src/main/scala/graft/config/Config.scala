@@ -196,7 +196,13 @@ final case class ModelConfig(
     rightTable: Option[String] = None,
     joinKeys: Seq[String] = Nil,
     leftBatchSql: Option[String] = None,
-    rightBatchSql: Option[String] = None)
+    rightBatchSql: Option[String] = None,
+    // scd2 only: the attribute columns whose changes open a new
+    // version row (graft.io.Scd2.merge), and the batch column carrying
+    // each observation's effective date — the model's sql_query output
+    // must be exactly primaryKeys ++ trackedColumns :+ effectiveColumn
+    trackedColumns: Seq[String] = Nil,
+    effectiveColumn: Option[String] = None)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -299,6 +305,8 @@ object ConfigJson {
     "left_table" -> js(m.leftTable.getOrElse("")),
     "right_table" -> js(m.rightTable.getOrElse("")),
     "join_keys" -> jarr(m.joinKeys),
+    "tracked_columns" -> jarr(m.trackedColumns),
+    "effective_column" -> js(m.effectiveColumn.getOrElse("")),
     "enabled" -> m.enabled.toString)
 }
 
@@ -582,10 +590,22 @@ object EtlConfig {
       rightTable = opt(m, "right_table"),
       joinKeys = strSeq(m, "join_keys"),
       leftBatchSql = opt(m, "left_batch_sql"),
-      rightBatchSql = opt(m, "right_batch_sql"))
+      rightBatchSql = opt(m, "right_batch_sql"),
+      trackedColumns = strSeq(m, "tracked_columns"),
+      effectiveColumn = opt(m, "effective_column"))
     require(Set("full", "incremental", "additive", "extremes",
-      "join_view")(mc.refreshType),
+      "join_view", "scd2")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "scd2" || (mc.primaryKeys.nonEmpty &&
+      mc.trackedColumns.nonEmpty && mc.effectiveColumn.nonEmpty),
+      s"model '${mc.modelId}': refresh_type scd2 needs primary_keys, " +
+        "tracked_columns and effective_column — the model's query must " +
+        "emit exactly those columns (versioning anything else would " +
+        "silently widen the dimension)")
+    require(mc.refreshType == "scd2" ||
+      (mc.trackedColumns.isEmpty && mc.effectiveColumn.isEmpty),
+      s"model '${mc.modelId}': tracked_columns/effective_column are only " +
+        "used by refresh_type scd2")
     require(mc.refreshType != "join_view" || (mc.leftTable.nonEmpty &&
       mc.rightTable.nonEmpty && mc.joinKeys.nonEmpty),
       s"model '${mc.modelId}': refresh_type join_view needs left_table, " +

@@ -164,8 +164,11 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       // additive/extremes models skip the audit timestamp: the standing
       // table's schema is (keys, folds, n_rows) and the fold would try
       // to fold timestamps; the control table carries the run bookkeeping
+      // (scd2 likewise: its table shape is keys ++ tracked ++ interval
+      // columns — an audit timestamp would version itself)
       lazy val df =
-        if (m.refreshType == "additive" || m.refreshType == "extremes") df0
+        if (m.refreshType == "additive" || m.refreshType == "extremes" ||
+          m.refreshType == "scd2") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -223,6 +226,15 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           foldCounted(batch => graft.io.Maintenance.maintainInsertOnlyExtremes(
             spark, m.targetTable, batch, m.primaryKeys, m.minColumns,
             m.maxColumns, epochId = Some(epoch)))
+        } else if (m.refreshType == "scd2") {
+          // type-2 dimension fold: close + open version rows per key
+          // (graft.io.Scd2). No epoch fence needed — the merge is
+          // naturally idempotent (replaying the latest batch is a
+          // bit-identical no-op) and an out-of-order backfill fails
+          // loudly inside the merge itself. records_processed = the
+          // batch's raw rows, the upsert family's contract.
+          graft.io.Scd2.merge(spark, m.targetTable, df, m.primaryKeys,
+            m.trackedColumns, m.effectiveColumn.get).rawRows
         } else if (m.refreshType == "incremental" && m.primaryKeys.nonEmpty
           && spark.catalog.tableExists(m.targetTable)) {
           // records_processed = this batch's deduped source rows (counted

@@ -64,6 +64,7 @@ class MainSpec extends SparkSpec {
     sys.props("GRAFT_DATA_DIR") = "/root/testdata/sf0.001"
     try {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_token_budget")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.source_profile_history")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold"),
           "/root/repo/configs/corpus", None))
@@ -94,6 +95,13 @@ class MainSpec extends SparkSpec {
         Set("source", "n_docs", "n_chars", "n_rows", "_last_epoch"))
       assert(gold.agg(sum("n_docs")).head.getLong(0) == curated,
         "token budget must cover exactly the curated docs")
+      // the scd2 model opened one current interval per source
+      val scd2 = spark.table("gold_corpus.source_profile_history")
+      assert(scd2.columns.toSet == Set("source", "n_docs_curated",
+        "valid_from", "valid_to", "is_current"))
+      assert(scd2.filter($"is_current").count() == scd2.count() &&
+        scd2.agg(sum("n_docs_curated")).head.getLong(0) == curated,
+        "first run: every version current, covering the curated docs")
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")

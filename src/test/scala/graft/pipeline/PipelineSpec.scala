@@ -752,6 +752,86 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("only used by"), e2.getMessage)
   }
 
+  test("scd2 gold model versions attribute changes across runs") {
+    val scd2Yaml =
+      """models:
+        |  - model_id: customer_tier_history
+        |    sql_query: >
+        |      SELECT customer_id, tier,
+        |             CAST('${PROCESSING_DATE}' AS DATE) AS observed_on
+        |      FROM bronze_e2e.tier_snapshot
+        |    target_table: gold_e2e.tier_scd2
+        |    refresh_type: scd2
+        |    primary_keys: [customer_id]
+        |    tracked_columns: [tier]
+        |    effective_column: observed_on
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.tier_scd2")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tier_snapshot")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    def snapshot(rows: (String, String)*): Unit =
+      rows.toDF("customer_id", "tier")
+        .write.mode("overwrite").saveAsTable("bronze_e2e.tier_snapshot")
+    snapshot(("C1", "gold"), ("C2", "bronze"))
+    val r1 = new Pipeline(spark, "2024-03-01", new FixedClock(1790000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(scd2Yaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    // C1 upgrades, C2 re-observed unchanged
+    snapshot(("C1", "platinum"), ("C2", "bronze"))
+    val p2 = new Pipeline(spark, "2024-03-02", new FixedClock(1790100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(scd2Yaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    val hist = spark.table("gold_e2e.tier_scd2")
+      .select($"customer_id", $"tier", $"valid_from".cast("string"),
+        coalesce($"valid_to".cast("string"), lit("-")), $"is_current")
+      .as[(String, String, String, String, Boolean)].collect().toSet
+    assert(hist == Set(
+      ("C1", "gold", "2024-03-01", "2024-03-02", false),
+      ("C1", "platinum", "2024-03-02", "-", true),
+      ("C2", "bronze", "2024-03-01", "-", true)), hist.toString)
+    // re-running the same date replays the same snapshot — table
+    // converges bit-identically (scd2 is naturally idempotent; no
+    // epoch fence involved)
+    val r3 = new Pipeline(spark, "2024-03-02", new FixedClock(1790200000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(scd2Yaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    val histRetry = spark.table("gold_e2e.tier_scd2")
+      .select($"customer_id", $"tier", $"valid_from".cast("string"),
+        coalesce($"valid_to".cast("string"), lit("-")), $"is_current")
+      .as[(String, String, String, String, Boolean)].collect().toSet
+    assert(histRetry == hist, "same-date replay must not move intervals")
+    // records_processed = the batch's raw rows, even on the no-op replay
+    val recs = spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.tier_scd2")
+      .select("records_processed").as[Long].head()
+    assert(recs == 2L, s"expected raw batch rows, got $recs")
+  }
+
+  test("scd2 config: missing plumbing and stray version fields refuse at parse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_scd2
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: scd2
+          |    primary_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("scd2 needs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray_scd2
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    tracked_columns: [v]
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by refresh_type scd2"), e2.getMessage)
+  }
+
   test("dedup method: spans clusters contained duplicates LSH whole-doc Jaccard misses") {
     import org.apache.spark.sql.functions._
     // doc 2 CONTAINS doc 1's 60-token span inside 140 tokens of its own
