@@ -202,7 +202,15 @@ final case class ModelConfig(
     // each observation's effective date — the model's sql_query output
     // must be exactly primaryKeys ++ trackedColumns :+ effectiveColumn
     trackedColumns: Seq[String] = Nil,
-    effectiveColumn: Option[String] = None)
+    effectiveColumn: Option[String] = None,
+    // distinct_view only: the column whose per-key distinct count the
+    // view approximates (graft.io.Maintenance.maintainDistinctView —
+    // the standing table holds HLL registers, each run max-merges the
+    // batch in; replays/out-of-order runs are no-ops by algebra), and
+    // the register count (16/32/64 — the exact-integer estimator's
+    // alpha table)
+    distinctColumn: Option[String] = None,
+    hllM: Int = 64)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -307,6 +315,8 @@ object ConfigJson {
     "join_keys" -> jarr(m.joinKeys),
     "tracked_columns" -> jarr(m.trackedColumns),
     "effective_column" -> js(m.effectiveColumn.getOrElse("")),
+    "distinct_column" -> js(m.distinctColumn.getOrElse("")),
+    "hll_m" -> m.hllM.toString,
     "enabled" -> m.enabled.toString)
 }
 
@@ -592,10 +602,24 @@ object EtlConfig {
       leftBatchSql = opt(m, "left_batch_sql"),
       rightBatchSql = opt(m, "right_batch_sql"),
       trackedColumns = strSeq(m, "tracked_columns"),
-      effectiveColumn = opt(m, "effective_column"))
+      effectiveColumn = opt(m, "effective_column"),
+      distinctColumn = opt(m, "distinct_column"),
+      hllM = num(m, "hll_m", 64))
     require(Set("full", "incremental", "additive", "extremes",
-      "join_view", "scd2")(mc.refreshType),
+      "join_view", "scd2", "distinct_view")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "distinct_view" || (mc.primaryKeys.nonEmpty &&
+      mc.distinctColumn.nonEmpty),
+      s"model '${mc.modelId}': refresh_type distinct_view needs " +
+        "primary_keys and distinct_column")
+    require(mc.refreshType == "distinct_view" ||
+      (mc.distinctColumn.isEmpty && !m.contains("hll_m")),
+      s"model '${mc.modelId}': distinct_column/hll_m are only used by " +
+        "refresh_type distinct_view")
+    require(mc.refreshType != "distinct_view" ||
+      Set(16, 32, 64)(mc.hllM),
+      s"model '${mc.modelId}': hll_m must be 16, 32 or 64 (the " +
+        s"exact-integer estimator's alpha table), got ${mc.hllM}")
     require(mc.refreshType != "scd2" || (mc.primaryKeys.nonEmpty &&
       mc.trackedColumns.nonEmpty && mc.effectiveColumn.nonEmpty),
       s"model '${mc.modelId}': refresh_type scd2 needs primary_keys, " +

@@ -425,4 +425,65 @@ object Maintenance {
     spark.catalog.refreshTable(table)
     true
   }
+
+  /** Incremental DISTINCT-COUNT view — the sketch member of the
+    * materialized-view taxonomy ([[maintainAdditiveAggregate]] sums,
+    * [[maintainInsertOnlyExtremes]] min/max, [[maintainJoinView]]
+    * joins): COUNT(DISTINCT x) per key is not additive and cannot fold
+    * exactly from batches, so the standing table holds per-key
+    * HyperLogLog REGISTERS ([[graft.operators.Sketches
+    * .hllRegistersBy]]) and each batch max-merges into them. Because
+    * `max` is associative, commutative AND IDEMPOTENT, this is the one
+    * view family that needs NO epoch fence at all: a crash-replayed
+    * batch, a reordered batch, even a late backfill all max-merge to
+    * the registers of the union — replays and out-of-order arrivals
+    * are harmless by algebra, not by bookkeeping (pinned in
+    * MaintenanceSpec). Deletions remain out of scope, as for every
+    * sketch (an HLL cannot un-see an item).
+    *
+    * Scale shape: per batch, one map-side-combined register build of
+    * the BATCH + one ≤ m-rows-per-key merge against the standing table
+    * — cost rides the batch; the standing table is ≤ m rows per key
+    * forever, independent of history size. Read the view back with
+    * [[distinctViewEstimate]].
+    */
+  def maintainDistinctView(spark: SparkSession, table: String,
+      batch: DataFrame, keys: Seq[String], itemCol: String,
+      m: Int = 64): Unit = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(graft.operators.Sketches.hllAlphaMs.contains(m),
+      s"m must be one of ${graft.operators.Sketches.hllAlphaMs.sorted}, got $m" +
+        " (the exact-integer estimator's alpha table)")
+    val regCols = keys ++ Seq("bucket", "rho")
+    val regs = graft.operators.Sketches.hllRegistersBy(
+      batch, keys, col(itemCol), m)
+    if (!spark.catalog.tableExists(table)) {
+      regs.write.saveAsTable(table)
+      return
+    }
+    val t = spark.table(table)
+    require(t.columns.sorted.sameElements(regCols.sorted.toArray[String]),
+      s"'$table' is not this view's register shape: has " +
+        s"[${t.columns.sorted.mkString(", ")}], expected " +
+        s"[${regCols.sorted.mkString(", ")}]")
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    regs.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+    val staged = spark.read.parquet(s"$scratch/batch")
+    t.select(regCols.map(col): _*).unionByName(staged)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("rho"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
+    spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Per-key approximate distinct count from a [[maintainDistinctView]]
+    * table: `(keys…, m, n_empty, est)` via the exact-integer raw HLL
+    * estimator — bit-identical in any engine, so the VIEW readback is
+    * hash-checkable even though the count is approximate.
+    */
+  def distinctViewEstimate(spark: SparkSession, table: String,
+      keys: Seq[String], m: Int = 64): DataFrame =
+    graft.operators.Sketches.hllEstimateBy(spark.table(table), keys, m)
 }

@@ -168,7 +168,7 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       // columns — an audit timestamp would version itself)
       lazy val df =
         if (m.refreshType == "additive" || m.refreshType == "extremes" ||
-          m.refreshType == "scd2") df0
+          m.refreshType == "scd2" || m.refreshType == "distinct_view") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -226,6 +226,15 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           foldCounted(batch => graft.io.Maintenance.maintainInsertOnlyExtremes(
             spark, m.targetTable, batch, m.primaryKeys, m.minColumns,
             m.maxColumns, epochId = Some(epoch)))
+        } else if (m.refreshType == "distinct_view") {
+          // per-key HLL registers max-merge the batch in; no epoch
+          // fence — max is idempotent, so replays/out-of-order runs
+          // converge by algebra (see Maintenance.maintainDistinctView)
+          val obs = new Observation()
+          graft.io.Maintenance.maintainDistinctView(spark, m.targetTable,
+            df.observe(obs, count(lit(1)).as("rows")), m.primaryKeys,
+            m.distinctColumn.get, m.hllM)
+          obs.get("rows").asInstanceOf[Long]
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

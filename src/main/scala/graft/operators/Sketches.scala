@@ -135,7 +135,21 @@ object Sketches {
     * and DuckDB print `bin()` without leading zeros.
     */
   def hllRegisters(items: DataFrame, itemCol: Column, m: Int,
-      mode: HashMode = XxHash): DataFrame = {
+      mode: HashMode = XxHash): DataFrame =
+    hllRegistersBy(items, Nil, itemCol, m, mode)
+
+  /** Per-GROUP HLL register table: [[hllRegisters]] keyed by the
+    * caller's group columns — the building block of the incremental
+    * distinct-count view
+    * ([[graft.io.Maintenance.maintainDistinctView]]). Still ONE
+    * map-side-combined groupBy over the raw stream (duplicates of an
+    * item collapse into the identical (group, bucket, rho) row before
+    * the shuffle); per-group tables from different corpus slices
+    * max-merge per (group, bucket), the same union law as
+    * [[hllMerge]].
+    */
+  def hllRegistersBy(items: DataFrame, keys: Seq[String], itemCol: Column,
+      m: Int, mode: HashMode = XxHash): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val x = itemCol.cast("string")
     val (bucket, w) = mode match {
@@ -147,10 +161,10 @@ object Sketches {
       case XxHash => (pmod(xxhash64(lit("b"), x), lit(m.toLong)),
         pmod(xxhash64(lit("r"), x), lit(1L << 40)))
     }
-    items.select(bucket.as("bucket"),
+    items.select(keys.map(col) :+ bucket.as("bucket") :+
         when(w === 0, lit(41)).otherwise(lit(41) - length(bin(w)))
-          .cast("long").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+          .cast("long").as("rho"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("rho"))
   }
 
   /** Max-merge HLL register tables into the register table of the
@@ -403,6 +417,9 @@ object Sketches {
     */
   private val HllAlpha1000 = Map(16 -> 673L, 32 -> 697L, 64 -> 709L)
 
+  /** The register counts the exact-integer estimator supports. */
+  val hllAlphaMs: Seq[Int] = HllAlpha1000.keys.toSeq.sorted
+
   /** Raw HLL estimate from a register table, in EXACT integer
     * arithmetic: `E = alpha_m * m^2 / sum(2^-rho)` becomes
     * `(alpha1000 * m^2 * 2^41) DIV (1000 * S)` with
@@ -413,19 +430,32 @@ object Sketches {
     * estimator (no small/large-range correction — callers see
     * `n_empty` and can apply linear counting themselves).
     */
-  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    hllEstimateBy(registers, Nil, m).select("m", "n_empty", "est")
+
+  /** [[hllEstimate]] per GROUP over a [[hllRegistersBy]] table: one
+    * `(keys…, m, n_empty, est)` row per group, same exact-integer
+    * estimator (bit-identical in any engine). A group whose registers
+    * were never touched simply has no row — the caller's join decides
+    * whether that reads as 0 or as absent.
+    */
+  def hllEstimateBy(registers: DataFrame, keys: Seq[String], m: Int)
+      : DataFrame = {
     val alpha = HllAlpha1000.getOrElse(m,
       throw new IllegalArgumentException(s"m must be one of ${HllAlpha1000.keys.toSeq.sorted}, got $m"))
-    registers
+    val grouped =
+      if (keys.isEmpty) registers.groupBy()
+      else registers.groupBy(keys.map(col): _*)
+    grouped
       .agg(count(lit(1)).as("_n_present"),
         coalesce(sum(expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(41 - rho AS INT))")), lit(0L))
           .as("_s_present"))
-      .select(lit(m.toLong).as("m"),
+      .select(keys.map(col) ++ Seq(lit(m.toLong).as("m"),
         (lit(m.toLong) - col("_n_present")).as("n_empty"),
         expr(s"(${alpha}L * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), 41))" +
           s" DIV (1000 * (_s_present + (${m.toLong} - _n_present)" +
-          " * shiftleft(CAST(1 AS BIGINT), 41)))").as("est"))
+          " * shiftleft(CAST(1 AS BIGINT), 41)))").as("est")): _*)
   }
 
   // ---- SQL mirrors (DuckDB oracle fragments) ----

@@ -378,4 +378,72 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("disjoint"))
   }
+
+  private def dvBatch(rows: (String, Long)*) = rows.toDF("g", "item")
+
+  test("distinct view folds to the one-shot registers in ANY order; replays and backfills are no-ops by algebra") {
+    val t1 = table("t_dv"); val t2 = table("t_dv_rev")
+    Seq(t1, t2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val b1 = dvBatch(("a", 1L), ("a", 2L), ("b", 1L))
+    val b2 = dvBatch(("a", 2L), ("a", 3L), ("c", 9L))
+    val b3 = dvBatch(("b", 7L), ("a", 1L))
+    Seq(b1, b2, b3).foreach(b =>
+      Maintenance.maintainDistinctView(spark, t1, b, Seq("g"), "item"))
+    Seq(b3, b1, b2).foreach(b =>
+      Maintenance.maintainDistinctView(spark, t2, b, Seq("g"), "item"))
+    def regs(t: String) = spark.table(t)
+      .as[(String, Long, Long)].collect().toSet
+    val oneShot = graft.operators.Sketches.hllRegistersBy(
+        b1.unionByName(b2).unionByName(b3), Seq("g"), col("item"), 64)
+      .as[(String, Long, Long)].collect().toSet
+    assert(regs(t1) == oneShot && regs(t2) == oneShot,
+      "N batches in any order must equal the one-shot register build")
+    // max-merge is idempotent: replaying an OLD batch (not just the
+    // latest) leaves the registers bit-identical — the reason this
+    // family needs no epoch fence
+    Maintenance.maintainDistinctView(spark, t1, b1, Seq("g"), "item")
+    assert(regs(t1) == oneShot, "an out-of-order replay must be a no-op")
+  }
+
+  test("distinct view estimate tracks the exact per-key distinct count") {
+    val t = table("t_dv_est")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // key 'hi' sees 400 distinct items across two overlapping batches,
+    // 'lo' sees 12
+    val b1 = (1 to 250).map(i => ("hi", i.toLong)) ++
+      (1 to 8).map(i => ("lo", i.toLong))
+    val b2 = (151 to 400).map(i => ("hi", i.toLong)) ++
+      (5 to 12).map(i => ("lo", i.toLong))
+    Maintenance.maintainDistinctView(spark, t, b1.toDF("g", "item"), Seq("g"), "item")
+    Maintenance.maintainDistinctView(spark, t, b2.toDF("g", "item"), Seq("g"), "item")
+    val est = Maintenance.distinctViewEstimate(spark, t, Seq("g"))
+      .select("g", "est", "n_empty").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(est("hi")._1 - 400.0) / 400.0 < 0.35,
+      s"raw HLL at m=64 should land within ~3 standard errors: ${est("hi")._1}")
+    // the raw estimator overshoots far below m — that is WHY n_empty is
+    // exposed: linear counting m*ln(m/n_empty) is the small-range read
+    val lc = 64.0 * math.log(64.0 / est("lo")._2)
+    assert(math.abs(lc - 12.0) < 6.0,
+      s"linear counting should land near the 12 true distincts: $lc")
+    // the registers stay bounded: at most m rows per key, forever
+    val maxRegs = spark.table(t).groupBy("g").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxRegs <= 64, s"register table must stay <= m rows/key, got $maxRegs")
+  }
+
+  test("distinct view refuses a standing table that is not its register shape") {
+    val t = table("t_dv_shape")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.maintainDistinctView(spark, t, dvBatch(("a", 1L)), Seq("g"), "item")
+    }
+    assert(e.getMessage.contains("register shape"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.maintainDistinctView(spark, table("t_dv_m"),
+        dvBatch(("a", 1L)), Seq("g"), "item", m = 128)
+    }
+    assert(e2.getMessage.contains("alpha"), e2.getMessage)
+  }
 }

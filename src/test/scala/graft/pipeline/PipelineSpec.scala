@@ -807,6 +807,90 @@ class PipelineSpec extends SparkSpec {
     assert(recs == 2L, s"expected raw batch rows, got $recs")
   }
 
+  test("distinct_view gold model max-merges per-key HLL registers across runs") {
+    val dvYaml =
+      """models:
+        |  - model_id: buyers_per_product
+        |    sql_query: >
+        |      SELECT product_id, customer_id
+        |      FROM bronze_e2e.tx_distinct
+        |    target_table: gold_e2e.buyers_dv
+        |    refresh_type: distinct_view
+        |    primary_keys: [product_id]
+        |    distinct_column: customer_id
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.buyers_dv")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tx_distinct")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    def batch(rows: (String, String)*): Unit =
+      rows.toDF("product_id", "customer_id")
+        .write.mode("overwrite").saveAsTable("bronze_e2e.tx_distinct")
+    batch(("P01", "C1"), ("P01", "C2"), ("P02", "C1"))
+    val r1 = new Pipeline(spark, "2024-03-01", new FixedClock(1790000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(dvYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    // run 2 re-delivers C2 (a duplicate across runs) and adds C3
+    batch(("P01", "C2"), ("P01", "C3"))
+    val r2 = new Pipeline(spark, "2024-03-02", new FixedClock(1790100000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(dvYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    // the standing registers equal a one-shot build over both batches
+    val oneShot = graft.operators.Sketches.hllRegistersBy(
+        Seq(("P01", "C1"), ("P01", "C2"), ("P02", "C1"),
+          ("P01", "C2"), ("P01", "C3")).toDF("product_id", "customer_id"),
+        Seq("product_id"), $"customer_id", 64)
+      .as[(String, Long, Long)].collect().toSet
+    val standing = spark.table("gold_e2e.buyers_dv")
+      .as[(String, Long, Long)].collect().toSet
+    assert(standing == oneShot, "view must equal the one-shot register build")
+    // at tiny cardinality every item occupies its own register, so the
+    // readback's occupancy is exact: P01 saw 3 buyers, P02 saw 1
+    val occ = graft.io.Maintenance.distinctViewEstimate(spark,
+        "gold_e2e.buyers_dv", Seq("product_id"))
+      .select($"product_id", lit(64) - $"n_empty")
+      .as[(String, Long)].collect().toMap
+    assert(occ == Map("P01" -> 3L, "P02" -> 1L), occ.toString)
+  }
+
+  test("distinct_view config: missing distinct_column, stray fields, bad m refuse at parse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_dv
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: distinct_view
+          |    primary_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("distinct_view needs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray_dv
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    hll_m: 32
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by refresh_type distinct_view"),
+      e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: bad_m
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: distinct_view
+          |    primary_keys: [k]
+          |    distinct_column: v
+          |    hll_m: 128
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("alpha table"), e3.getMessage)
+  }
+
   test("scd2 config: missing plumbing and stray version fields refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
