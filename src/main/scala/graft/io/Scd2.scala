@@ -40,10 +40,12 @@ final case class Scd2Stats(rawRows: Long, newVersions: Long, closed: Long,
   * Merge semantics per batch row (after deduping exact (key,
   * effective) duplicates deterministically):
   *   - new key → first version opens (valid_from = effective);
-  *   - tracked attributes null-safe EQUAL to the version in force →
-  *     no-op (re-observations and replays of the latest batch
-  *     converge: re-merging the same batch leaves the table
-  *     bit-identical — pinned in Scd2Spec);
+  *   - tracked attributes null-safe EQUAL to the version IN FORCE at
+  *     the row's effective date (current OR closed interval) → no-op:
+  *     re-observations converge, and replaying a batch — even one
+  *     that chained several versions, now closed, or carried rows the
+  *     change compression dropped — leaves the table bit-identical
+  *     (pinned in Scd2Spec and the streaming sink's spec);
   *   - attributes differ, effective AFTER the current valid_from →
   *     current row closes (valid_to = effective), new version opens;
   *   - attributes differ, effective EQUAL to the current valid_from →
@@ -143,32 +145,42 @@ object Scd2 {
       val touched = deduped.select(keys.map(col): _*).distinct()
       val curBase = target.filter(col("is_current"))
       val cur = curBase.join(touched, keyCond(curBase, touched), "left_semi")
-      // out-of-order guard BEFORE anything merges: a batch version that
-      // pre-dates the key's current valid_from splices into closed
-      // history — rebuild the dimension instead
-      val curK = cur.select(keys.map(col) :+ col("valid_from"): _*).alias("c")
-      val bK = deduped.alias("b")
-      val stale = bK.join(curK,
-          keys.map(k => bK(k) <=> curK(k)).reduce(_ && _))
-        .filter(bK(effectiveCol) < curK("valid_from"))
-        .select(keys.map(bK(_)) :+ bK(effectiveCol) :+ curK("valid_from"): _*)
+      // a batch row whose tracked values null-safe equal the version
+      // IN FORCE at its effective date is a RE-OBSERVATION — a no-op
+      // whether that version is current or closed. This is what makes
+      // a replayed batch converge even when it chained several
+      // versions (now closed) or carried rows the change compression
+      // dropped (their in-force version absorbs them), instead of
+      // tripping the stale guard below. The anti-join is equi on the
+      // keys (null-safe) with the interval test as a residual filter.
+      val histProj = target.select((keys ++ tracked).map(col) :+
+        col("valid_from").as("_vf") :+ col("valid_to").as("_vt"): _*)
+      val inForce = (keys ++ tracked)
+        .map(c => batchSide(c) <=> histProj(c)).reduce(_ && _) &&
+        batchSide("_eff") >= histProj("_vf") &&
+        (histProj("_vt").isNull || batchSide("_eff") < histProj("_vt"))
+      val batchNew = batchSide.join(histProj, inForce, "left_anti")
+      // out-of-order guard BEFORE anything merges: a GENUINELY NEW
+      // batch version that pre-dates the key's current valid_from
+      // splices into closed history — rebuild the dimension instead
+      // (this also catches a different-attrs restatement of a CLOSED
+      // version, which is the same splice)
+      // renamed projection: batchNew embeds target lineage through the
+      // anti-join, so unqualified target columns would be ambiguous
+      val curK = cur.select(keys.map(k => col(k).as(s"_cur_$k")) :+
+        col("valid_from").as("_cur_vf"): _*)
+      val stale = batchNew.join(curK,
+          keys.map(k => batchNew(k) <=> col(s"_cur_$k")).reduce(_ && _))
+        .filter(col("_eff") < col("_cur_vf"))
+        .select(keys.map(col) :+ col("_eff") :+ col("_cur_vf"): _*)
         .limit(3).collect()
       require(stale.isEmpty,
         s"scd2 merge for '$table': batch rows pre-date their key's " +
           s"current valid_from (late backfill cannot splice into closed " +
           s"history): ${stale.mkString("; ")}")
-      // batch rows IDENTICAL to a standing current row (same effective
-      // date, same tracked values) drop out here: a replay of the
-      // latest batch must be a no-op in the STATS too, not just in the
-      // rewritten bytes (without this, the same-date restatement rule
-      // would count the replacement as a new version)
       val curChain = cur.select((keys ++ tracked).map(col) :+
         col("valid_from").as("_eff") :+ lit(true).as("_standing"): _*)
-      val curProj = curChain.drop("_standing")
-      val identicalCond = (keys ++ tracked :+ "_eff")
-        .map(c => batchSide(c) <=> curProj(c)).reduce(_ && _)
-      curChain.unionByName(
-        batchSide.join(curProj, identicalCond, "left_anti"))
+      curChain.unionByName(batchNew)
     }
 
     // same-date restatement: one survivor per (key, _eff), batch first

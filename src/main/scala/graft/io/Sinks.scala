@@ -156,6 +156,65 @@ object Sinks {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming twin of [[Maintenance.maintainDistinctView]]: per-key
+    * HLL registers maintained from a stream. The exactly-once story is
+    * the SIMPLEST of the sink family and worth stating as the
+    * contrast: max-merge is idempotent, so a crash-replayed micro-batch
+    * converges with NO epoch column, no fence, no bookkeeping — the
+    * at-least-once hazard the additive/extremes sinks must fence
+    * against simply does not exist for a sketch whose merge is a
+    * semilattice join. Per-batch cost rides the batch (one
+    * map-side-combined register build) plus a keys·m-bounded merge.
+    */
+  def streamDistinctView(stream: DataFrame, table: String,
+      keys: Seq[String], itemCol: String, checkpoint: String,
+      m: Int = 64, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Maintenance.maintainDistinctView(
+          batch.sparkSession, table, batch, keys, itemCol, m)
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Streaming SCD2 sink: each micro-batch of (keys, tracked,
+    * effective) observations folds through [[Scd2.merge]], so an
+    * attribute-change feed maintains the versioned dimension
+    * continuously. Replay convergence holds by the merge's own
+    * algebra (re-merging the latest batch is a bit-identical no-op —
+    * Scd2Spec), which covers the only replay a checkpointed stream
+    * produces (the last uncommitted epoch). The stream owes the merge
+    * per-key event-time ORDER ACROSS batches — the same
+    * in-order-across-batches contract as the stateful transition
+    * derivation (within a batch, any order: versions chain by
+    * effective date) — and a violation fails loudly inside the merge
+    * rather than splicing closed history.
+    */
+  def streamScd2(stream: DataFrame, table: String, keys: Seq[String],
+      tracked: Seq[String], effectiveCol: String, checkpoint: String,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Scd2.merge(batch.sparkSession, table, batch, keys, tracked,
+          effectiveCol)
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }
 
 /** MERGE INTO emulation without Delta: `WHEN MATCHED UPDATE SET * WHEN

@@ -60,10 +60,19 @@ class Scd2Spec extends SparkSpec {
       (1, "b", "2024-03-01"), // equal to predecessor: compressed away
       (1, "c", "2024-04-01")), Seq("k"), Seq("v"), "eff")
     assert(s == Scd2Stats(4, 3, 0, 1), s)
-    assert(history(t) == Seq(
+    val once = history(t)
+    assert(once == Seq(
       (1, "a", "2024-01-01", "2024-02-01", false),
       (1, "b", "2024-02-01", "2024-04-01", false),
       (1, "c", "2024-04-01", "-", true)))
+    // replaying the multi-version batch re-delivers versions that are
+    // now CLOSED — they are no-ops, never "stale backfills"
+    val replay = Scd2.merge(spark, t, df(
+      (1, "a", "2024-01-01"), (1, "b", "2024-02-01"),
+      (1, "b", "2024-03-01"), (1, "c", "2024-04-01")),
+      Seq("k"), Seq("v"), "eff")
+    assert(replay == Scd2Stats(4, 0, 0, 4), replay)
+    assert(history(t) == once, "multi-version replay must converge")
   }
 
   test("same-date restatement replaces the current version in place — no zero-length interval") {

@@ -153,6 +153,92 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamDistinctView maintains per-key HLL registers; replay converges with no fence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_dv_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_dv"
+    val ms = MemoryStream[(String, Long)]
+    val q = Sinks.streamDistinctView(
+      ms.toDF.toDF("g", "item"), table, Seq("g"), "item", ckpt,
+      availableNow = false)
+    try {
+      ms.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      ms.addData(("a", 2L), ("a", 3L), ("b", 9L))
+      q.processAllAvailable()
+      val oneShot = graft.operators.Sketches.hllRegistersBy(
+          Seq(("a", 1L), ("a", 2L), ("b", 1L), ("a", 2L), ("a", 3L),
+            ("b", 9L)).toDF("g", "item"), Seq("g"), $"item", 64)
+        .as[(String, Long, Long)].collect().toSet
+      val got = spark.table(table).as[(String, Long, Long)].collect().toSet
+      assert(got == oneShot, s"streamed registers must equal one-shot: $got")
+      // replay the last batch by hand — max-merge makes it a no-op
+      // WITHOUT any epoch column in the table
+      graft.io.Maintenance.maintainDistinctView(spark, table,
+        Seq(("a", 2L), ("a", 3L), ("b", 9L)).toDF("g", "item"),
+        Seq("g"), "item")
+      assert(spark.table(table).as[(String, Long, Long)].collect().toSet
+        == oneShot, "replay must converge by algebra")
+      assert(!spark.table(table).columns.contains("_last_epoch"),
+        "the sketch view needs no fence column")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("streamScd2 versions an attribute-change feed across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_scd2_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_scd2"
+    val ms = MemoryStream[(Int, String, String)]
+    val q = Sinks.streamScd2(
+      ms.toDF.toDF("k", "v", "d")
+        .select($"k", $"v", $"d".cast("date").as("eff")),
+      table, Seq("k"), Seq("v"), "eff", ckpt, availableNow = false)
+    try {
+      ms.addData((1, "gold", "2024-01-01"), (2, "bronze", "2024-01-01"))
+      q.processAllAvailable()
+      // k1 changes; k2 re-observed unchanged; k1 changes AGAIN within
+      // the same micro-batch (in-batch chaining)
+      ms.addData((1, "platinum", "2024-02-01"), (2, "bronze", "2024-02-01"),
+        (1, "iridium", "2024-03-01"))
+      q.processAllAvailable()
+      val hist = spark.table(table)
+        .select($"k", $"v", $"valid_from".cast("string"),
+          coalesce($"valid_to".cast("string"), lit("-")), $"is_current")
+        .as[(Int, String, String, String, Boolean)].collect().toSet
+      assert(hist == Set(
+        (1, "gold", "2024-01-01", "2024-02-01", false),
+        (1, "platinum", "2024-02-01", "2024-03-01", false),
+        (1, "iridium", "2024-03-01", "-", true),
+        (2, "bronze", "2024-01-01", "-", true)), hist.toString)
+      // replaying the latest batch converges (the only replay a
+      // checkpointed stream produces)
+      graft.io.Scd2.merge(spark, table,
+        Seq((1, "platinum", "2024-02-01"), (2, "bronze", "2024-02-01"),
+          (1, "iridium", "2024-03-01")).toDF("k", "v", "d")
+          .select($"k", $"v", $"d".cast("date").as("eff")),
+        Seq("k"), Seq("v"), "eff")
+      assert(spark.table(table)
+        .select($"k", $"v", $"valid_from".cast("string"),
+          coalesce($"valid_to".cast("string"), lit("-")), $"is_current")
+        .as[(Int, String, String, String, Boolean)].collect().toSet == hist,
+        "latest-batch replay must be a bit-identical no-op")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streamChangeLog applies a streamed CDC feed: upserts land, deletes remove, replay converges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.Sinks
