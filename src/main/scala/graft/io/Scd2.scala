@@ -231,4 +231,48 @@ object Scd2 {
     spark.catalog.refreshTable(table)
     Scd2Stats(rawRows, newVersions, closed, dedupedRows - newVersions)
   }
+
+  /** The dimension AS OF `at`: the one version per key whose interval
+    * covers the date — `valid_from <= at < valid_to` (NULL valid_to =
+    * open). A key first observed after `at` has no row. This is the
+    * read the whole type-2 shape exists for; pair it with an as-of
+    * join ([[graft.operators.TemporalJoins]]) when the probe side
+    * carries its own per-row date.
+    */
+  def asOf(spark: SparkSession, table: String, at: String): DataFrame = {
+    val t = spark.table(table)
+    val d = lit(at).cast(t.schema("valid_from").dataType)
+    t.filter(col("valid_from") <= d &&
+      (col("valid_to").isNull || d < col("valid_to")))
+  }
+
+  /** Retention pruning: drop CLOSED versions whose interval ended on
+    * or before `horizon`. The version in force AT the horizon survives
+    * by construction (`valid_to` is NULL or > horizon), so an [[asOf]]
+    * read at any date ≥ horizon returns exactly what it returned
+    * before the prune — history older than the retention window is
+    * forgotten, the present is never touched (pinned in Scd2Spec).
+    * This is the GDPR/retention counterpart of compaction: without it
+    * a busy dimension's history grows without bound.
+    *
+    * @return number of version rows dropped.
+    */
+  def pruneHistory(spark: SparkSession, table: String,
+      horizon: String): Long = {
+    val t = spark.table(table)
+    require(intervalCols.forall(t.columns.contains),
+      s"'$table' is not an SCD2 table: missing ${intervalCols.mkString("/")}")
+    val h = lit(horizon).cast(t.schema("valid_to").dataType)
+    val before = t.count()
+    val scratch =
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/__scd2_stage/" +
+        table.replace('.', '_')
+    t.filter(col("valid_to").isNull || col("valid_to") > h)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/pruned")
+    val kept = spark.read.parquet(s"$scratch/pruned")
+    val after = kept.count()
+    kept.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    before - after
+  }
 }

@@ -157,6 +157,28 @@ class Scd2Spec extends SparkSpec {
     assert(eShape.getMessage.contains("SCD2 shape"), eShape.getMessage)
   }
 
+  test("asOf reads the version in force; pruneHistory forgets the past without moving it") {
+    val t = table("t_prune")
+    Scd2.merge(spark, t, df(
+      (1, "a", "2024-01-01"), (1, "b", "2024-02-01"), (1, "c", "2024-03-01"),
+      (2, "x", "2024-01-15")), Seq("k"), Seq("v"), "eff")
+    def asOfRows(at: String) = Scd2.asOf(spark, t, at)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(asOfRows("2024-01-20") == Set((1, "a"), (2, "x")))
+    assert(asOfRows("2024-02-15") == Set((1, "b"), (2, "x")))
+    assert(asOfRows("2024-01-10") == Set((1, "a")),
+      "a key first observed later has no as-of row")
+    // prune at 2024-02-15: 'a' (closed 02-01) drops; 'b' is IN FORCE
+    // at the horizon and must survive
+    val before = asOfRows("2024-02-15")
+    val dropped = Scd2.pruneHistory(spark, t, "2024-02-15")
+    assert(dropped == 1L, s"only the fully-pre-horizon version drops: $dropped")
+    assert(asOfRows("2024-02-15") == before,
+      "an as-of read at the horizon must not change")
+    assert(asOfRows("2024-03-10") == Set((1, "c"), (2, "x")))
+    assert(spark.table(t).count() == 3)
+  }
+
   test("incremental SCD2 equals the one-shot chain derivation over the concatenated feed") {
     val t = table("t_parity")
     val feed = Seq(
