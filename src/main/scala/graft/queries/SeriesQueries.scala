@@ -626,7 +626,79 @@ object SeriesQueries extends QuerySet {
     SeriesStats.acfPermille(mc, "mi", "c", maxLag = 12)
   }
 
+  /** Pearson correlation profile over integer-quantized lineitem
+    * measures — the NUMERIC dependency statistic completing the
+    * profiling family (dp6 is mutual information over CATEGORICAL
+    * cells; this is its continuous sibling — flags collinear features
+    * and leaking labels before a training run). All five normal-
+    * equation sums run in exact BIGINT over quantized values
+    * (quantity units ≤ 50, price THOUSANDS ≤ ~110, discount
+    * percent ≤ 10), so every product is bounded by n·128² and every
+    * n·Σ term by n²·128² — BIGINT-safe to n ≈ 10⁷ rows (documented
+    * bound; ~SF 17, both engines fail loudly past it rather than
+    * drift). The only FP steps are CAST-to-double of exact integers
+    * (IEEE round-to-nearest, identical cross-engine even past 2⁵³),
+    * two correctly-rounded sqrts, one divide, and the FLOOR-rounding —
+    * all per-row pure functions of the aggregate row. One map-side-
+    * combined aggregate over a 3-column pruned scan; the 3-pair
+    * expansion explodes a 1-row array (plan-pinned aggregates-only).
+    */
+  def dp9CorrelationProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      floor(col("l_quantity")).cast("long").as("q"),
+      expr("CAST(FLOOR(l_extendedprice) AS BIGINT) DIV 1000").as("p"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d"))
+    val a = li.agg(
+      count(lit(1)).as("n"),
+      sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+      sum(expr("q * q")).as("sqq"), sum(expr("p * p")).as("spp"),
+      sum(expr("d * d")).as("sdd"), sum(expr("q * p")).as("sqp"),
+      sum(expr("q * d")).as("sqd"), sum(expr("p * d")).as("spd"))
+    def r(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+      round((col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+        (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
+          sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))), 6)
+    a.select(col("n"), explode(array(
+        struct(lit("price_disc").as("pair"),
+          r("sp", "sd", "spd", "spp", "sdd").as("r")),
+        struct(lit("qty_disc").as("pair"),
+          r("sq", "sd", "sqd", "sqq", "sdd").as("r")),
+        struct(lit("qty_price").as("pair"),
+          r("sq", "sp", "sqp", "sqq", "spp").as("r")))).as("x"))
+      .select(col("x.pair").as("pair"), col("n"), col("x.r").as("r"))
+      .orderBy("pair")
+  }
+
+  /** Cumulative distinct users per event type by day — the growth
+    * curve every funnel/adoption dashboard draws, spelled the
+    * scale-safe way: running COUNT(DISTINCT) is not a window Spark
+    * (or any engine) can fold incrementally, but "distinct so far" ≡
+    * "count of FIRST occurrences so far", so the query reduces each
+    * (type, user) to its first day (one map-side-combined aggregate),
+    * counts arrivals per day (a second, smaller aggregate), and runs
+    * ONE key-partitioned running sum over the tiny daily frame —
+    * the window never sees user grain. The sketch-backed alternative
+    * at retention scale is the distinct-view family
+    * ([[graft.io.Maintenance.maintainDistinctView]]); this row is the
+    * exact-grain batch twin.
+    */
+  def w10RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "user_id").agg(min("day").as("day"))
+    val daily = firstDay.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("event_type", "day")
+  }
+
   val entries: Map[String, Q] = Map(
+    "dp9_correlation_profile" -> dp9CorrelationProfile _,
+    "w10_running_distinct" -> w10RunningDistinct _,
     "dp8_gini_concentration" -> dp8GiniConcentration _,
     "ts5_acf_monthly" -> ts5AcfMonthly _,
     "bt1_bitemporal_asof" -> bt1BitemporalAsof _,
@@ -651,6 +723,57 @@ object SeriesQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-BIGINT normal equations (CAST(SUM .. AS BIGINT) keeps the
+    // arithmetic in checked 64-bit like Spark, never HUGEINT); the
+    // FLOOR spelling of round because r can be negative
+    "dp9_correlation_profile" ->
+      """WITH b AS (SELECT
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) // 1000 AS p,
+        |    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(q * q) AS BIGINT) AS sqq,
+        |    CAST(SUM(p * p) AS BIGINT) AS spp,
+        |    CAST(SUM(d * d) AS BIGINT) AS sdd,
+        |    CAST(SUM(q * p) AS BIGINT) AS sqp,
+        |    CAST(SUM(q * d) AS BIGINT) AS sqd,
+        |    CAST(SUM(p * d) AS BIGINT) AS spd
+        |  FROM b)
+        |SELECT pair, n, r FROM (
+        |  SELECT 'price_disc' AS pair, n,
+        |    FLOOR(CAST(n * spd - sp * sd AS DOUBLE)
+        |      / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+        |         * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000 AS r FROM s
+        |  UNION ALL
+        |  SELECT 'qty_disc' AS pair, n,
+        |    FLOOR(CAST(n * sqd - sq * sd AS DOUBLE)
+        |      / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+        |         * sqrt(CAST(n * sdd - sd * sd AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000 AS r FROM s
+        |  UNION ALL
+        |  SELECT 'qty_price' AS pair, n,
+        |    FLOOR(CAST(n * sqp - sq * sp AS DOUBLE)
+        |      / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+        |         * sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000 AS r FROM s)
+        |ORDER BY pair""".stripMargin,
+    // "distinct so far" = "first occurrences so far": user grain never
+    // reaches the window in either engine
+    "w10_running_distinct" ->
+      """WITH fd AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, day, COUNT(*) AS new_users
+        |  FROM fd GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     // LEAD over the unique (ts, event_id) order — deterministic in
     // both engines; permille is integer DIV of the row marginal
     "sq1_markov_transitions" ->

@@ -545,6 +545,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("dp9: correlation profile is one pruned-scan aggregate; the pair expansion explodes a 1-row array") {
+    val p = plan("dp9_correlation_profile")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("ReadSchema") && !p.contains("l_shipdate") &&
+      !p.contains("l_orderkey"), "scan must read only the 3 measure columns")
+  }
+
+  test("w10: running distinct never windows at user grain — aggregates first, key-partitioned sum after") {
+    val p = plan("w10_running_distinct")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val sp = graft.SparkEntry.queries("w10_running_distinct")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
   test("dp2: entropy profile is aggregates only — no window, no join") {
     val p = plan("dp2_column_entropy")
     assert(!p.contains("Window") && !p.contains("Join"), p)
