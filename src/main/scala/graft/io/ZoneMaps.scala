@@ -1,0 +1,93 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zone-map data skipping for plain parquet catalog tables — the
+  * no-Delta analog of file-level statistics pruning (Delta's
+  * `stats`/data-skipping, Iceberg's manifests; the reference has no
+  * counterpart — its scans always list every file). Spark's own
+  * parquet reader prunes ROW GROUPS from footer min/max once a task
+  * already has the file, but the DRIVER still lists and schedules
+  * every file of a 100 TB table; a zone-map manifest lets the scan
+  * plan skip whole files when the table is range-clustered on the
+  * predicate column (the layout [[Maintenance.compact]]'s
+  * `repartitionByRange`-style rewrites and Z-ORDER
+  * ([[graft.functions.ZOrder]]) exist to produce).
+  *
+  * The manifest is ONE aggregate scan per build (real table formats
+  * amortize this into the commit path — documented tradeoff), then
+  * pruning is metadata-only: a filter over one row per FILE, collected
+  * on the driver (bounded by file count, the same list the scan
+  * planner itself materializes).
+  */
+object ZoneMaps {
+
+  /** Build the manifest: one row per data file with row count and
+    * per-column min/max zones. NULL zones (an all-null file) prune
+    * away under any RANGE predicate — correctly, since no range
+    * predicate matches NULL.
+    */
+  def buildManifest(spark: SparkSession, table: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one zone column")
+    spark.table(table)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Build and persist the manifest as `<table>__zonemap`.
+    * @return (manifest table name, file count). */
+  def writeManifest(spark: SparkSession, table: String,
+      cols: Seq[String]): (String, Long) = {
+    val mt = s"${table}__zonemap"
+    buildManifest(spark, table, cols)
+      .write.mode(SaveMode.Overwrite).saveAsTable(mt)
+    spark.catalog.refreshTable(mt)
+    (mt, spark.table(mt).count())
+  }
+
+  /** Scan `table` reading ONLY the files whose `[min_col, max_col]`
+    * zone intersects `[lo, hi]`, then re-apply the exact range
+    * predicate to the survivors (zones are necessary, not sufficient).
+    * Result rows are therefore IDENTICAL to the full scan's filtered
+    * rows whatever the layout; the layout only decides how many files
+    * are skipped (pinned in ZoneMapsSpec).
+    *
+    * STALENESS is refused, not risked: the manifest's file set must
+    * equal the table's current file set — an append/compact/overwrite
+    * since the build would otherwise silently drop the new files from
+    * every pruned read.
+    *
+    * @return (rows, files read, files total).
+    */
+  def prunedScan(spark: SparkSession, table: String, manifestTable: String,
+      colName: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val manifest = spark.table(manifestTable)
+    require(manifest.columns.contains(s"min_$colName"),
+      s"manifest '$manifestTable' has no zones for '$colName'")
+    val manifestFiles = manifest.select("file")
+      .collect().map(_.getString(0)).toSet
+    val tableFiles = spark.table(table).inputFiles.toSet
+    require(manifestFiles == tableFiles,
+      s"manifest '$manifestTable' is STALE for '$table': " +
+        s"${(tableFiles -- manifestFiles).size} new / " +
+        s"${(manifestFiles -- tableFiles).size} removed files since the " +
+        "build — rebuild the manifest (writeManifest) after any write")
+    val overlaps = coalesce(
+      !(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)),
+      lit(false))
+    val keep = manifest.filter(overlaps).select("file")
+      .collect().map(_.getString(0))
+    val schema = spark.table(table).schema
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep.toIndexedSeq: _*).filter(pred)
+    (df, keep.length, manifestFiles.size)
+  }
+}

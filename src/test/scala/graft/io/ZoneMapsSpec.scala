@@ -1,0 +1,82 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS zm_test")
+    val t = s"zm_test.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    t
+  }
+
+  test("range-clustered layout: pruned scan reads few files, returns exactly the filtered rows") {
+    val t = table("t_clustered")
+    spark.range(1, 10001).toDF("k")
+      .withColumn("v", col("k") * 7 % 101)
+      .repartitionByRange(8, col("k"))
+      .write.saveAsTable(t)
+    assert(spark.table(t).inputFiles.length == 8, "setup: 8 range files")
+    val (mt, nFiles) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    assert(nFiles == 8L)
+    val (df, read, total) = ZoneMaps.prunedScan(spark, t, mt, "k", 2000L, 2400L)
+    assert(total == 8 && read <= 2,
+      s"a 4% range over 8 range-clustered files must prune most: read $read")
+    val want = spark.table(t).filter($"k" >= 2000 && $"k" <= 2400)
+      .as[(Long, Long)].collect().toSet
+    assert(df.as[(Long, Long)].collect().toSet == want,
+      "pruned scan must return exactly the full scan's filtered rows")
+  }
+
+  test("unclustered layout: zones prune nothing but results stay identical (zones are safe, not magic)") {
+    val t = table("t_shuffled")
+    spark.range(1, 2001).toDF("k")
+      .repartition(6) // round-robin: every file spans ~the full range
+      .write.saveAsTable(t)
+    val (mt, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (df, read, total) = ZoneMaps.prunedScan(spark, t, mt, "k", 500L, 600L)
+    assert(read == total, "round-robin zones overlap everything")
+    assert(df.as[Long].collect().toSet ==
+      (500L to 600L).toSet, "results identical regardless of layout")
+  }
+
+  test("a disjoint probe range reads zero files and returns an empty, correctly-typed frame") {
+    val t = table("t_empty")
+    spark.range(1, 101).toDF("k").write.saveAsTable(t)
+    val (mt, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (df, read, _) = ZoneMaps.prunedScan(spark, t, mt, "k", 5000L, 6000L)
+    assert(read == 0 && df.count() == 0)
+    assert(df.schema == spark.table(t).schema)
+  }
+
+  test("a stale manifest is refused, never silently wrong") {
+    val t = table("t_stale")
+    spark.range(1, 101).toDF("k").write.saveAsTable(t)
+    val (mt, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    Seq(999L).toDF("k").write.mode("append").saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedScan(spark, t, mt, "k", 1L, 50L)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // rebuild heals it — and the appended file is visible again
+    val (mt2, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (df, _, _) = ZoneMaps.prunedScan(spark, t, mt2, "k", 900L, 1000L)
+    assert(df.as[Long].collect().toSeq == Seq(999L))
+  }
+
+  test("an all-null zone prunes away under a range predicate — correctly") {
+    val t = table("t_nulls")
+    Seq[Option[Long]](None, None).toDF("k")
+      .write.saveAsTable(t)
+    Seq[Option[Long]](Some(5L), Some(7L)).toDF("k")
+      .write.mode("append").saveAsTable(t)
+    val (mt, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (df, read, total) = ZoneMaps.prunedScan(spark, t, mt, "k", 1L, 10L)
+    assert(read < total, "the all-null file must prune")
+    assert(df.as[Option[Long]].collect().flatten.toSet == Set(5L, 7L),
+      "no range predicate matches NULL, so dropping the null file is exact")
+  }
+}
