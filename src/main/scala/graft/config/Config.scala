@@ -210,7 +210,13 @@ final case class ModelConfig(
     // the register count (16/32/64 — the exact-integer estimator's
     // alpha table)
     distinctColumn: Option[String] = None,
-    hllM: Int = 64)
+    hllM: Int = 64,
+    // any refresh type: percent deviation from the trailing-median run
+    // volume beyond which this model FAILS (graft.dq.VolumeGuard over
+    // the audit history; 0 = disabled). The trend check no per-row DQ
+    // rule can express — a 40×-fewer-rows run is the silent-failure
+    // signature of a broken upstream.
+    volumeGuardPct: Int = 0)
 
 final case class EtlConfig(
     sparkConf: Map[String, String],
@@ -317,6 +323,7 @@ object ConfigJson {
     "effective_column" -> js(m.effectiveColumn.getOrElse("")),
     "distinct_column" -> js(m.distinctColumn.getOrElse("")),
     "hll_m" -> m.hllM.toString,
+    "volume_guard_pct" -> m.volumeGuardPct.toString,
     "enabled" -> m.enabled.toString)
 }
 
@@ -604,7 +611,8 @@ object EtlConfig {
       trackedColumns = strSeq(m, "tracked_columns"),
       effectiveColumn = opt(m, "effective_column"),
       distinctColumn = opt(m, "distinct_column"),
-      hllM = num(m, "hll_m", 64))
+      hllM = num(m, "hll_m", 64),
+      volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
       "join_view", "scd2", "distinct_view")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
@@ -620,6 +628,9 @@ object EtlConfig {
       Set(16, 32, 64)(mc.hllM),
       s"model '${mc.modelId}': hll_m must be 16, 32 or 64 (the " +
         s"exact-integer estimator's alpha table), got ${mc.hllM}")
+    require(mc.volumeGuardPct >= 0,
+      s"model '${mc.modelId}': volume_guard_pct must be >= 0 " +
+        s"(0 disables), got ${mc.volumeGuardPct}")
     require(mc.refreshType != "scd2" || (mc.primaryKeys.nonEmpty &&
       mc.trackedColumns.nonEmpty && mc.effectiveColumn.nonEmpty),
       s"model '${mc.modelId}': refresh_type scd2 needs primary_keys, " +

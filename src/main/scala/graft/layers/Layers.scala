@@ -253,6 +253,16 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
         } else {
           writeCounted(df, Sinks.overwrite(_, m.targetTable, m.partitionBy))
         }
+      // trend gate BEFORE this run's SUCCESS lands anywhere: a breach
+      // throws here, so per-item isolation records an ERROR audit row
+      // and neither the control watermark nor the history advances.
+      // DETECTION, not rollback — the model's write has already
+      // happened (rows is its Observation); the failed run stops the
+      // watermark and downstream trust, and a same-date retry re-runs
+      // the model (every refresh type is same-date idempotent)
+      if (m.volumeGuardPct > 0)
+        graft.dq.VolumeGuard.enforce(spark, meta.auditTable, m.targetTable,
+          rows, m.volumeGuardPct)
       meta.updateControl(m.targetTable, layerName, runDate, rows, "SUCCESS",
         ConfigJson(m))
       meta.updateDictionary(m.targetTable, m.modelId)

@@ -891,6 +891,42 @@ class PipelineSpec extends SparkSpec {
     assert(e3.getMessage.contains("alpha table"), e3.getMessage)
   }
 
+  test("volume_guard_pct fails a run whose volume collapses vs the trailing median") {
+    val vgYaml =
+      """models:
+        |  - model_id: guarded_daily
+        |    sql_query: SELECT * FROM bronze_e2e.vg_feed
+        |    target_table: gold_e2e.vg_out
+        |    refresh_type: full
+        |    volume_guard_pct: 60
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.vg_out")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.vg_feed")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    def feed(n: Int): Unit = (1 to n).map(i => (i.toLong, s"r$i"))
+      .toDF("k", "v").write.mode("overwrite").saveAsTable("bronze_e2e.vg_feed")
+    // three healthy runs build the history (minHistory = 3)
+    Seq("2024-04-01", "2024-04-02", "2024-04-03").zipWithIndex.foreach {
+      case (d, i) =>
+        feed(100 + i)
+        val r = new Pipeline(spark, d, new FixedClock(1791000000000L + i))
+          .run(Map("gold" -> EtlConfig.fromYaml(vgYaml)))
+        assert(r.forall(_.failed.isEmpty), r.flatMap(_.failed).toString)
+    }
+    // the collapsed run FAILS (per-item isolation), and the control
+    // watermark stays at the last healthy date
+    feed(2)
+    val r4 = new Pipeline(spark, "2024-04-04", new FixedClock(1791100000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(vgYaml)))
+    val failed = r4.flatMap(_.failed)
+    assert(failed.exists(_._2.contains("volume anomaly")), failed.toString)
+    val p = new Pipeline(spark, "x", new FixedClock(1L))
+    val ctl = spark.table(p.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.vg_out")
+      .select("last_run_date").as[String].head()
+    assert(ctl == "2024-04-03", s"watermark must not advance past a breach: $ctl")
+  }
+
   test("scd2 config: missing plumbing and stray version fields refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
