@@ -77,6 +77,43 @@ object VectorQueries extends QuerySet {
       .orderBy("query_id", "rnk")
   }
 
+  /** ANN quality EVALUATION — recall@k of the IVF index against the
+    * exact brute-force neighbors, per query and probe width. Shipping
+    * an approximate index without its measured recall is how silent
+    * retrieval degradation ships with it; this row makes the
+    * quality/cost dial (nprobe) a hash-checked number: both engines
+    * compute both sides with the same IEEE dot folds, so the top-k
+    * SETS agree and the intersection is exact integer arithmetic.
+    * nprobe=2 recall dominates nprobe=1 by construction (a superset of
+    * candidates). The exact side reuses v2's brute-force engine, the
+    * approximate side v5's batched probe join; zero-hit queries keep
+    * their row through the left fold (never silently vanish).
+    */
+  def v15IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+    val assigned = graft.operators.FrameCaches.track(
+      Similarity.assignCells(e, centroids).persist())
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val exact = graft.operators.FrameCaches.track(
+      Similarity.bruteForceTopK(e, queries, K)
+        .select(col("query_id"), col("neighbor_id")).persist())
+    def hitsAt(np: Int) =
+      Similarity.ivfTopKBatch(assigned, centroids, queries, K, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .withColumn("nprobe", lit(np))
+    val base = queries.select(col("vec_id").as("query_id"),
+      explode(array(lit(1), lit(2))).as("nprobe"))
+    base.join(hitsAt(1).unionByName(hitsAt(2)),
+        Seq("query_id", "nprobe"), "left")
+      .select(col("query_id"), col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0) * 1000 DIV $K").as("recall_permille"))
+      .orderBy("query_id", "nprobe")
+  }
+
   /** Embedding near-dup pairs via sign-random-projection LSH banding —
     * the LSH-bucketed scale path next to v4's IVF-cell blocking. The
     * ±1 hyperplanes ([[Similarity.rpSigns]]) are deterministic from md5,
@@ -309,6 +346,7 @@ object VectorQueries extends QuerySet {
     "v3_ivf_topk" -> v3IvfTopK _,
     "v4_neardup_cosine" -> v4NearDupCosine _,
     "v5_ivf_batch" -> v5IvfBatch _,
+    "v15_ivf_recall" -> v15IvfRecall _,
     "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
     "v7_embedding_clusters" -> v7EmbeddingClusters _,
   )
@@ -701,6 +739,49 @@ object VectorQueries extends QuerySet {
          |  FROM scored)
          |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // both sides recomputed with the SAME IEEE dot folds as the Spark
+    // engine, so the top-k sets agree and recall is exact integers
+    "v15_ivf_recall" ->
+      s"""WITH unit AS ($unitCte),
+         |assigned AS ($assignedCte),
+         |cent AS (SELECT vec_id AS centroid_id, uv AS centv
+         |         FROM unit WHERE vec_id < $NumCentroids),
+         |q AS (SELECT vec_id AS query_id, uv AS qv FROM unit
+         |      WHERE vec_id >= 100 AND vec_id < 105),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, u.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dotDSql("q.qv", "u.uv")} DESC, u.vec_id) AS rnk
+         |    FROM unit u JOIN q ON q.query_id <> u.vec_id)
+         |  WHERE rnk <= $K),
+         |ranked_cent AS (
+         |  SELECT q.query_id, q.qv, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${dotDSql("q.qv", "c.centv")} DESC, c.centroid_id)
+         |      AS crank
+         |  FROM q, cent c),
+         |approx AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT np.nprobe, p.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, p.query_id
+         |        ORDER BY ${dotDSql("p.qv", "a.uv")} DESC, a.vec_id) AS rnk
+         |    FROM (VALUES (1), (2)) AS np(nprobe)
+         |    JOIN ranked_cent p ON p.crank <= np.nprobe
+         |    JOIN assigned a ON a.cell = p.centroid_id
+         |    WHERE a.vec_id <> p.query_id)
+         |  WHERE rnk <= $K),
+         |hits AS (
+         |  SELECT nprobe, query_id, COUNT(*) AS hits
+         |  FROM approx JOIN exact USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2),
+         |base AS (SELECT query_id, nprobe
+         |         FROM q, (VALUES (1), (2)) AS v(nprobe))
+         |SELECT query_id, nprobe,
+         |  CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(hits, 0) * 1000 // $K AS BIGINT) AS recall_permille
+         |FROM base LEFT JOIN hits USING (query_id, nprobe)
+         |ORDER BY query_id, nprobe""".stripMargin,
     "v7_embedding_clusters" ->
       s"""WITH RECURSIVE unit AS ($unitCte),
          |assigned AS ($assignedCte),

@@ -545,6 +545,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("v15: recall eval stays broadcast-equi with per-query windows — never cartesian") {
+    val p = plan("v15_ivf_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val sp = graft.SparkEntry.queries("v15_ivf_recall")(spark, dir)
+      .queryExecution.sparkPlan
+    sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w"))
+  }
+
   test("dp9: correlation profile is one pruned-scan aggregate; the pair expansion explodes a 1-row array") {
     val p = plan("dp9_correlation_profile")
     assert(!p.contains("Window") && !p.contains("Join"), p)
