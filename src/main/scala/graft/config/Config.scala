@@ -211,6 +211,12 @@ final case class ModelConfig(
     // alpha table)
     distinctColumn: Option[String] = None,
     hllM: Int = 64,
+    // quantile_view only: the POSITIVE integer column (cents-style)
+    // whose per-key distribution the view sketches
+    // (graft.io.Maintenance.maintainQuantileView — per-key HDR bucket
+    // counts, 6.25% relative error; bucket counts ADD, so the run-date
+    // epoch fence applies exactly as for additive/extremes)
+    quantileColumn: Option[String] = None,
     // any refresh type: percent deviation from the trailing-median run
     // volume beyond which this model FAILS (graft.dq.VolumeGuard over
     // the audit history; 0 = disabled). The trend check no per-row DQ
@@ -323,6 +329,7 @@ object ConfigJson {
     "effective_column" -> js(m.effectiveColumn.getOrElse("")),
     "distinct_column" -> js(m.distinctColumn.getOrElse("")),
     "hll_m" -> m.hllM.toString,
+    "quantile_column" -> js(m.quantileColumn.getOrElse("")),
     "volume_guard_pct" -> m.volumeGuardPct.toString,
     "enabled" -> m.enabled.toString)
 }
@@ -612,10 +619,18 @@ object EtlConfig {
       effectiveColumn = opt(m, "effective_column"),
       distinctColumn = opt(m, "distinct_column"),
       hllM = num(m, "hll_m", 64),
+      quantileColumn = opt(m, "quantile_column"),
       volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
-      "join_view", "scd2", "distinct_view")(mc.refreshType),
+      "join_view", "scd2", "distinct_view", "quantile_view")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "quantile_view" || (mc.primaryKeys.nonEmpty &&
+      mc.quantileColumn.nonEmpty),
+      s"model '${mc.modelId}': refresh_type quantile_view needs " +
+        "primary_keys and quantile_column")
+    require(mc.refreshType == "quantile_view" || mc.quantileColumn.isEmpty,
+      s"model '${mc.modelId}': quantile_column is only used by " +
+        "refresh_type quantile_view")
     require(mc.refreshType != "distinct_view" || (mc.primaryKeys.nonEmpty &&
       mc.distinctColumn.nonEmpty),
       s"model '${mc.modelId}': refresh_type distinct_view needs " +

@@ -486,4 +486,79 @@ object Maintenance {
   def distinctViewEstimate(spark: SparkSession, table: String,
       keys: Seq[String], m: Int = 64): DataFrame =
     graft.operators.Sketches.hllEstimateBy(spark.table(table), keys, m)
+
+  /** Incremental QUANTILE view — the fifth member of the
+    * materialized-view taxonomy (sums, min/max, joins, distinct
+    * counts, and now distributions): percentiles are not additive and
+    * exact ones need the full data, so the standing table holds
+    * per-key HDR log-bucket counts
+    * ([[graft.operators.Sketches.hdrSketchBy]], 6.25% relative error,
+    * ≤ ~2k buckets per key forever) and each batch SUM-merges in.
+    * Unlike the distinct view's max (idempotent — no fence), bucket
+    * counts ADD, so a replay double-counts: this fold carries the
+    * additive family's epoch fence verbatim — same epoch skips
+    * (returns false), an older epoch throws, a batch-path call
+    * preserves a standing marker. Read back with
+    * [[quantileViewEstimate]].
+    *
+    * Scale shape: one map-side-combined sketch build of the BATCH +
+    * one keys·buckets-bounded merge — cost rides the batch, state is
+    * invariant in history size.
+    */
+  def maintainQuantileView(spark: SparkSession, table: String,
+      batch: DataFrame, keys: Seq[String], centsCol: String,
+      epochId: Option[Long] = None): Boolean = {
+    require(keys.nonEmpty, "need at least one key column")
+    val regCols = keys ++ Seq("bkey", "cnt")
+    val regs0 = graft.operators.Sketches.hdrSketchBy(batch, keys, col(centsCol))
+    val regs = epochId.fold(regs0)(id =>
+      regs0.withColumn("_last_epoch", lit(id)))
+    if (!spark.catalog.tableExists(table)) {
+      regs.write.saveAsTable(table)
+      return true
+    }
+    val t = spark.table(table)
+    require((regCols.sorted sameElements
+        t.columns.filter(_ != "_last_epoch").sorted.toIndexedSeq),
+      s"'$table' is not this view's sketch shape: has " +
+        s"[${t.columns.sorted.mkString(", ")}], expected " +
+        s"[${regCols.sorted.mkString(", ")}] (+ optional _last_epoch)")
+    val standingEpoch: Option[Long] =
+      if (t.columns.contains("_last_epoch")) {
+        val m = t.agg(max(col("_last_epoch"))).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      } else None
+    for (id <- epochId; committed <- standingEpoch) {
+      if (committed == id) return false
+      if (committed > id) throw new IllegalStateException(
+        s"quantile fold for '$table': batch epoch $id is OLDER than the " +
+          s"committed epoch $committed — bucket counts add, a late " +
+          "backfill cannot fold without double-count risk; recompute " +
+          "the table or re-stamp the batch with a current epoch")
+    }
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    regs0.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+    val staged = spark.read.parquet(s"$scratch/batch")
+    val keepEpoch = epochId.orElse(standingEpoch)
+    val merged0 = t.select(regCols.map(col): _*).unionByName(staged)
+      .groupBy((keys :+ "bkey").map(col): _*).agg(sum("cnt").as("cnt"))
+    val merged = keepEpoch.fold(merged0)(id =>
+      merged0.withColumn("_last_epoch", lit(id)))
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
+    spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    true
+  }
+
+  /** Per-key quantile estimates from a [[maintainQuantileView]] table:
+    * `(keys…, q_permille, est_lo_cents)` — deterministic integers, at
+    * most 6.25% below the true discrete quantile.
+    */
+  def quantileViewEstimate(spark: SparkSession, table: String,
+      keys: Seq[String], qPermille: Seq[Int]): DataFrame =
+    graft.operators.Sketches.hdrQuantilesBy(
+      spark.table(table).select((keys ++ Seq("bkey", "cnt")).map(col): _*),
+      keys, qPermille)
 }

@@ -185,6 +185,31 @@ object Sinks {
      else writer).start()
   }
 
+  /** Streaming twin of [[Maintenance.maintainQuantileView]]: per-key
+    * HDR bucket counts maintained from a stream. Bucket counts ADD
+    * (unlike the distinct view's idempotent max), so this sink carries
+    * the additive family's epoch fence — the batchId commits with the
+    * fold and a crash-replayed epoch no-ops.
+    */
+  def streamQuantileView(stream: DataFrame, table: String,
+      keys: Seq[String], centsCol: String, checkpoint: String,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Maintenance.maintainQuantileView(
+          batch.sparkSession, table, batch, keys, centsCol,
+          epochId = Some(batchId))
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Streaming SCD2 sink: each micro-batch of (keys, tracked,
     * effective) observations folds through [[Scd2.merge]], so an
     * attribute-change feed maintains the versioned dimension

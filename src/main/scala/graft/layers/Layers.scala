@@ -168,7 +168,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       // columns — an audit timestamp would version itself)
       lazy val df =
         if (m.refreshType == "additive" || m.refreshType == "extremes" ||
-          m.refreshType == "scd2" || m.refreshType == "distinct_view") df0
+          m.refreshType == "scd2" || m.refreshType == "distinct_view" ||
+          m.refreshType == "quantile_view") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -226,6 +227,12 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           foldCounted(batch => graft.io.Maintenance.maintainInsertOnlyExtremes(
             spark, m.targetTable, batch, m.primaryKeys, m.minColumns,
             m.maxColumns, epochId = Some(epoch)))
+        } else if (m.refreshType == "quantile_view") {
+          // per-key HDR bucket counts; counts ADD, so the run date is
+          // the epoch fence exactly as for additive/extremes
+          foldCounted(batch => graft.io.Maintenance.maintainQuantileView(
+            spark, m.targetTable, batch, m.primaryKeys,
+            m.quantileColumn.get, epochId = Some(epoch)))
         } else if (m.refreshType == "distinct_view") {
           // per-key HLL registers max-merge the batch in; no epoch
           // fence — max is idempotent, so replays/out-of-order runs

@@ -366,12 +366,22 @@ object Sketches {
     * [[hdrMerge]]'s per-bucket sum — the same law CMS uses.
     */
   def hdrSketch(items: DataFrame, centsCol: Column): DataFrame =
-    items.select(centsCol.as("cents"))
+    hdrSketchBy(items, Nil, centsCol)
+
+  /** Per-GROUP HDR sketch: [[hdrSketch]] keyed by the caller's group
+    * columns — the building block of the incremental quantile view
+    * ([[graft.io.Maintenance.maintainQuantileView]]). Per-group
+    * sketches from corpus slices SUM-merge per (group, bkey); the
+    * standing state is ≤ ~2k buckets per key regardless of input size.
+    */
+  def hdrSketchBy(items: DataFrame, keys: Seq[String],
+      centsCol: Column): DataFrame =
+    items.select(keys.map(col) :+ centsCol.as("cents"): _*)
       .filter(col("cents") > 0)
       .withColumn("nbits", length(bin(col("cents"))))
       .withColumn("bkey", col("nbits").cast("long") * 32 +
         expr("shiftright(cents, CAST(GREATEST(nbits - 5, 0) AS INT))"))
-      .groupBy("bkey").agg(count(lit(1)).as("cnt"))
+      .groupBy((keys :+ "bkey").map(col): _*).agg(count(lit(1)).as("cnt"))
 
   /** Sum-merge HDR sketches — per bucket, counts add, exactly what
     * [[hdrSketch]]'s own groupBy computes over the concatenated input
@@ -409,6 +419,35 @@ object Sketches {
       .groupBy("q_permille").agg(min("bkey").as("bkey"))
       .withColumn("est_lo_cents", expr(hdrLoExpr))
       .select("q_permille", "est_lo_cents")
+  }
+
+  /** [[hdrQuantiles]] per GROUP over a [[hdrSketchBy]] table: one
+    * `(keys…, q_permille, est_lo_cents)` row per group × quantile.
+    * The cumulative window partitions on the group key over the
+    * ≤ ~2k-buckets-per-key sketch (never the data); the rank probe is
+    * an equi join on the keys with the rank test as residual.
+    */
+  def hdrQuantilesBy(sketch: DataFrame, keys: Seq[String],
+      qPermille: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "use hdrQuantiles for the ungrouped sketch")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cum = sketch.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy("bkey")
+        .rowsBetween(Long.MinValue, 0)))
+    val tot = sketch.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
+    val probes = tot.crossJoin(broadcast(qPermille.toDF("q_permille")))
+      .withColumn("r", expr("(q_permille * n + 999) DIV 1000"))
+      .select(keys.map(k => col(k).as(s"_p_$k")) :+
+        col("q_permille") :+ col("r"): _*)
+    cum.join(probes,
+        keys.map(k => cum(k) <=> col(s"_p_$k")).reduce(_ && _) &&
+          col("cum") >= col("r"))
+      .groupBy((keys :+ "q_permille").map(col): _*)
+      .agg(min("bkey").as("bkey"))
+      .withColumn("est_lo_cents", expr(hdrLoExpr))
+      .select((keys :+ "q_permille" :+ "est_lo_cents").map(col): _*)
   }
 
   /** Scaled-integer alpha numerators: `round(alpha_m * 1000)` for the

@@ -432,6 +432,56 @@ class MaintenanceSpec extends SparkSpec {
     assert(maxRegs <= 64, s"register table must stay <= m rows/key, got $maxRegs")
   }
 
+  test("quantile view folds to the one-shot sketch in any order; fence skips replays, rejects backfills") {
+    val t1 = table("t_qv"); val t2 = table("t_qv_rev")
+    Seq(t1, t2).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val b1 = Seq(("a", 100L), ("a", 250L), ("b", 7L)).toDF("g", "cents")
+    val b2 = Seq(("a", 9000L), ("b", 7L), ("b", 60L)).toDF("g", "cents")
+    val b3 = Seq(("a", 100L), ("c", 12345L)).toDF("g", "cents")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      assert(Maintenance.maintainQuantileView(spark, t1, b, Seq("g"), "cents",
+        epochId = Some(i.toLong)))
+    }
+    // order flip (no epochs — library batch path) still equals one-shot
+    Seq(b3, b1, b2).foreach(b =>
+      Maintenance.maintainQuantileView(spark, t2, b, Seq("g"), "cents"))
+    val oneShot = graft.operators.Sketches.hdrSketchBy(
+        b1.unionByName(b2).unionByName(b3), Seq("g"), col("cents"))
+      .as[(String, Long, Long)].collect().toSet
+    def regs(t: String) = spark.table(t).select("g", "bkey", "cnt")
+      .as[(String, Long, Long)].collect().toSet
+    assert(regs(t1) == oneShot && regs(t2) == oneShot)
+    // same-epoch replay no-ops; older epoch throws (counts ADD)
+    assert(!Maintenance.maintainQuantileView(spark, t1, b3, Seq("g"), "cents",
+      epochId = Some(2L)))
+    assert(regs(t1) == oneShot, "replayed epoch must not double-count")
+    val e = intercept[IllegalStateException] {
+      Maintenance.maintainQuantileView(spark, t1, b1, Seq("g"), "cents",
+        epochId = Some(0L))
+    }
+    assert(e.getMessage.contains("OLDER"), e.getMessage)
+  }
+
+  test("quantile view readback: exact in the singleton region, within 6.25% above it") {
+    val t = table("t_qv_est")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // key 'x': 1..1000 cents uniformly; key 'y': small exact values
+    val b1 = (1L to 500L).map(("x", _)) ++ Seq(("y", 3L), ("y", 9L))
+    val b2 = (501L to 1000L).map(("x", _)) ++ Seq(("y", 27L))
+    Maintenance.maintainQuantileView(spark, t, b1.toDF("g", "cents"), Seq("g"), "cents")
+    Maintenance.maintainQuantileView(spark, t, b2.toDF("g", "cents"), Seq("g"), "cents")
+    val est = Maintenance.quantileViewEstimate(spark, t, Seq("g"), Seq(500, 900))
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(est(("x", 500)) - 500.0) / 500.0 <= 0.0625,
+      s"p50 of 1..1000 within the 6.25% envelope: ${est(("x", 500))}")
+    assert(math.abs(est(("x", 900)) - 900.0) / 900.0 <= 0.0625,
+      s"p90 within the envelope: ${est(("x", 900))}")
+    // values < 2^5 sit in exact singleton buckets
+    assert(est(("y", 500)) == 9L && est(("y", 900)) == 27L,
+      s"singleton region is exact: ${est.filter(_._1._1 == "y")}")
+  }
+
   test("distinct view refuses a standing table that is not its register shape") {
     val t = table("t_dv_shape")
     spark.sql(s"DROP TABLE IF EXISTS $t")

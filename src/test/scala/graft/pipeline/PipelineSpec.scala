@@ -852,6 +852,78 @@ class PipelineSpec extends SparkSpec {
     assert(occ == Map("P01" -> 3L, "P02" -> 1L), occ.toString)
   }
 
+  test("quantile_view gold model sum-merges HDR buckets across runs; same-date retry no-ops") {
+    val qvYaml =
+      """models:
+        |  - model_id: price_quantiles
+        |    sql_query: >
+        |      SELECT product_id, cents FROM bronze_e2e.tx_quantile
+        |    target_table: gold_e2e.price_qv
+        |    refresh_type: quantile_view
+        |    primary_keys: [product_id]
+        |    quantile_column: cents
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.price_qv")
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.tx_quantile")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    def batch(rows: (String, Long)*): Unit = rows.toDF("product_id", "cents")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.tx_quantile")
+    batch(("P01", 100L), ("P01", 900L), ("P02", 7L))
+    val r1 = new Pipeline(spark, "2024-05-01", new FixedClock(1792000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(qvYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    batch(("P01", 500L), ("P02", 9L))
+    val r2 = new Pipeline(spark, "2024-05-02", new FixedClock(1792100000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(qvYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    val oneShot = graft.operators.Sketches.hdrSketchBy(
+        Seq(("P01", 100L), ("P01", 900L), ("P02", 7L), ("P01", 500L),
+          ("P02", 9L)).toDF("product_id", "cents"),
+        Seq("product_id"), $"cents")
+      .as[(String, Long, Long)].collect().toSet
+    def regs = spark.table("gold_e2e.price_qv")
+      .select("product_id", "bkey", "cnt")
+      .as[(String, Long, Long)].collect().toSet
+    assert(regs == oneShot, "two folded runs must equal the one-shot sketch")
+    // same-date retry: the run-date epoch fence makes it a no-op
+    val r3 = new Pipeline(spark, "2024-05-02", new FixedClock(1792200000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(qvYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(regs == oneShot, "same-date retry must not double-count")
+    // readback: small cents sit in exact singleton buckets
+    val p50 = graft.io.Maintenance.quantileViewEstimate(spark,
+        "gold_e2e.price_qv", Seq("product_id"), Seq(500))
+      .filter($"product_id" === "P02")
+      .select("est_lo_cents").as[Long].head()
+    assert(p50 == 7L, s"P02 median of (7, 9) reads 7 exactly: $p50")
+  }
+
+  test("quantile_view config: missing quantile_column and stray fields refuse at parse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_qv
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: quantile_view
+          |    primary_keys: [k]
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("quantile_view needs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray_qv
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    quantile_column: cents
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by refresh_type quantile_view"),
+      e2.getMessage)
+  }
+
   test("distinct_view config: missing distinct_column, stray fields, bad m refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(

@@ -191,6 +191,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamQuantileView maintains per-key HDR buckets; the epoch fence stops a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.Sinks
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_qv_out"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_qv"
+    val ms = MemoryStream[(String, Long)]
+    val q = Sinks.streamQuantileView(
+      ms.toDF.toDF("g", "cents"), table, Seq("g"), "cents", ckpt,
+      availableNow = false)
+    try {
+      ms.addData(("a", 100L), ("a", 250L), ("b", 7L))
+      q.processAllAvailable()
+      ms.addData(("a", 9000L), ("b", 60L))
+      q.processAllAvailable()
+      val oneShot = graft.operators.Sketches.hdrSketchBy(
+          Seq(("a", 100L), ("a", 250L), ("b", 7L), ("a", 9000L),
+            ("b", 60L)).toDF("g", "cents"), Seq("g"), $"cents")
+        .as[(String, Long, Long)].collect().toSet
+      def regs = spark.table(table).select("g", "bkey", "cnt")
+        .as[(String, Long, Long)].collect().toSet
+      assert(regs == oneShot, "streamed sketch must equal one-shot")
+      // manual replay of the last epoch: counts ADD, so only the
+      // committed batchId fence keeps it a no-op
+      assert(!graft.io.Maintenance.maintainQuantileView(spark, table,
+        Seq(("a", 9000L), ("b", 60L)).toDF("g", "cents"), Seq("g"), "cents",
+        epochId = Some(1L)))
+      assert(regs == oneShot, "replayed epoch must not double-count")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streamScd2 versions an attribute-change feed across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.Sinks
