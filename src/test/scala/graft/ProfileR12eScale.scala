@@ -97,6 +97,20 @@ object ProfileR12eScale {
       hitsAt(1).unionByName(hitsAt(2)).count()
     }
 
+    // quantile-view fold: N× batch mass onto the SAME key set — the
+    // sketch build is map-side combined, the merge keys·buckets-bounded.
+    // Expected ≈ flat (the dv shape).
+    def qv(d: DataFrame, tag: String): Long = {
+      val t = s"r12e.qv_$tag"
+      spark.sql("CREATE DATABASE IF NOT EXISTS r12e")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val b = d.select(col("source"),
+        (col("n_chars").cast("long") + 1).as("cents"))
+      graft.io.Maintenance.maintainQuantileView(spark, t, b, Seq("source"), "cents")
+      graft.io.Maintenance.maintainQuantileView(spark, t, b, Seq("source"), "cents")
+      spark.table(t).count()
+    }
+
     println(s"[r12e-scale] mult=$mult dir=$dir")
     val c1 = time("dp9 correlation 1x")(dp9(lineitem))
     val cN = time(s"dp9 correlation ${mult}x")(dp9(liN))
@@ -107,6 +121,11 @@ object ProfileR12eScale {
     val r1 = time("v15 recall eval 1x")(v15(embeddings))
     val rN = time(s"v15 recall eval ${mult}x")(v15(embN))
     exp("v15", r1, rN)
+    val documents = Tables.load(spark, dir, "documents")
+    val docN = repl(documents, Nil)
+    val q1 = time("qv fold 1x")(qv(documents, "1x"))
+    val qN = time(s"qv fold ${mult}x")(qv(docN, "nx"))
+    exp("qv", q1, qN)
     spark.stop()
   }
 }
