@@ -144,6 +144,19 @@ final case class DecontaminateStepConfig(
     probeTable: String,
     ngram: Int)
 
+/** Declarative BM25 relevance filter (silver `transform_type:
+  * relevance_filter`) — the YAML surface over
+  * [[graft.operators.Relevance.bm25]]: keep only documents scoring at
+  * least `minScoreMicro` (the 6dp-rounded score × 10⁶ — an exact
+  * integer threshold, so the keep set is deterministic) for the query
+  * terms. The topic-mining step of a corpus pipeline.
+  */
+final case class RelevanceFilterStepConfig(
+    idColumn: String,
+    textColumn: String,
+    terms: Seq[String],
+    minScoreMicro: Long)
+
 final case class TransformConfig(
     transformId: String,
     sourceTable: String,
@@ -162,7 +175,8 @@ final case class TransformConfig(
     mix: Option[MixStepConfig] = None,
     split: Option[SplitStepConfig] = None,
     decontaminate: Option[DecontaminateStepConfig] = None,
-    weightedSample: Option[WeightedSampleStepConfig] = None)
+    weightedSample: Option[WeightedSampleStepConfig] = None,
+    relevanceFilter: Option[RelevanceFilterStepConfig] = None)
 
 final case class ModelConfig(
     modelId: String,
@@ -314,6 +328,10 @@ object ConfigJson {
         "stratum_column" -> js(x.stratumColumn),
         "weight_column" -> js(x.weightColumn),
         "samples_per_stratum" -> x.samplesPerStratum.toString)) ++
+      t.relevanceFilter.toSeq.map(x => "relevance_filter" -> jobj(
+        "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
+        "terms" -> jarr(x.terms),
+        "min_score_micro" -> x.minScoreMicro.toString)) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
@@ -437,7 +455,9 @@ object EtlConfig {
       decontaminate = m.get("decontaminate")
         .map(x => parseDecontaminate(asMap(x))),
       weightedSample = m.get("weighted_sample")
-        .map(x => parseWeightedSample(asMap(x))))
+        .map(x => parseWeightedSample(asMap(x))),
+      relevanceFilter = m.get("relevance_filter")
+        .map(x => parseRelevanceFilter(asMap(x))))
     // config shape errors fail at PARSE time, not at run time inside a
     // per-item catch: a verb step without its params block (or vice
     // versa) is an authoring bug, never a data error
@@ -445,7 +465,8 @@ object EtlConfig {
       "dedup" -> t.dedup, "curation" -> t.curation, "chunk" -> t.chunk,
       "quota" -> t.quota, "mix" -> t.mix, "split" -> t.split,
       "decontaminate" -> t.decontaminate,
-      "weighted_sample" -> t.weightedSample)
+      "weighted_sample" -> t.weightedSample,
+      "relevance_filter" -> t.relevanceFilter)
     for ((verb, block) <- blocks) {
       require(t.transformType != verb || block.nonEmpty,
         s"transform '${t.transformId}': transform_type $verb needs a $verb: block")
@@ -569,6 +590,23 @@ object EtlConfig {
       s"split needs 0 < train_pct, 0 < val_pct, train_pct+val_pct < 100; " +
         s"got ${s.trainPct}/${s.valPct}")
     s
+  }
+
+  private def parseRelevanceFilter(m: Map[String, Object])
+      : RelevanceFilterStepConfig = {
+    val r = RelevanceFilterStepConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      terms = strSeq(m, "terms"),
+      minScoreMicro = num(m, "min_score_micro", -1).toLong)
+    require(r.idColumn.nonEmpty && r.textColumn.nonEmpty,
+      "relevance_filter needs id_column and text_column")
+    require(r.terms.nonEmpty, "relevance_filter needs terms")
+    require(r.terms.distinct.size == r.terms.size,
+      s"relevance_filter terms repeat: ${r.terms.mkString(", ")}")
+    require(r.minScoreMicro >= 0,
+      "relevance_filter needs min_score_micro >= 0 (the 6dp score x 1e6)")
+    r
   }
 
   private def parseWeightedSample(m: Map[String, Object]): WeightedSampleStepConfig = {

@@ -157,6 +157,28 @@ object DeclarativeSteps {
       col(cfg.weightColumn), cfg.samplesPerStratum)
   }
 
+  /** BM25 relevance filter ([[graft.operators.Relevance.bm25]]) — the
+    * topic-mining step as a metadata verb: keep documents whose
+    * 6dp-rounded score × 10⁶ reaches `minScoreMicro` for the query
+    * terms (exact integer threshold — the keep set is deterministic).
+    * Scoring shuffles only query-term hits; the keep set comes back as
+    * one semi join on the id. A document with no hits has no score row
+    * and is kept only when the threshold is 0.
+    */
+  def relevanceFilterFrame(df: DataFrame,
+      cfg: RelevanceFilterStepConfig): DataFrame = {
+    val missing = Seq(cfg.idColumn, cfg.textColumn)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"relevance_filter columns not in input: ${missing.mkString(", ")}")
+    if (cfg.minScoreMicro == 0L) return df
+    val keep = graft.operators.Relevance
+      .bm25(df, cfg.idColumn, cfg.textColumn, cfg.terms)
+      .filter(floor(col("score") * 1000000L + lit(0.5)) >= cfg.minScoreMicro)
+      .select(cfg.idColumn)
+    df.join(keep, Seq(cfg.idColumn), "left_semi")
+  }
+
   /** Fractional-epoch upsampling/downsampling per source
     * ([[Curation.epochMix]]) — one row per (doc, epoch), the epoch
     * index as a column; pure map work.

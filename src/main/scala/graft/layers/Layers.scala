@@ -121,6 +121,9 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
         case "weighted_sample" =>
           DeclarativeSteps.weightedSampleFrame(spark.table(t.sourceTable),
             t.weightedSample.get)
+        case "relevance_filter" =>
+          DeclarativeSteps.relevanceFilterFrame(spark.table(t.sourceTable),
+            t.relevanceFilter.get)
         case _ =>
           val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
           spark.sql(sql)

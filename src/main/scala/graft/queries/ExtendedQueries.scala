@@ -347,38 +347,13 @@ object ExtendedQueries extends QuerySet {
     * tie-break. Constants are spelled as literals in both engines
     * (`2.2`, never `k1 + 1` — the computed sum is a different double).
     */
-  def tw5Bm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "join", "stream")
-    val docs = graft.operators.FrameCaches.track(
-      t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          TextFunctions.tokens(lower(col("text"))).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-        .persist())
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum("dl").as("total_len"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("norm", lit(1.2) * (lit(0.25) +
-        lit(0.75) * (col("dl").cast("double") * col("n_docs") / col("total_len"))))
-      .withColumn("sc",
-        col("idf") * (col("tf").cast("double") * lit(2.2) / (col("tf") + col("norm"))))
-    def termScore(tm: String) =
-      coalesce(max(when(col("term") === tm, col("sc"))), lit(0.0))
-    scored.groupBy("doc_id")
-      .agg(round(terms.map(termScore).reduce(_ + _), 6).as("score"),
-        sum("tf").as("n_hits"))
+  def tw5Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relevance.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "join", "stream"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"),
+        col("n_hits"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-  }
 
   /** Multimodal feature extraction over the deterministic synthetic
     * binary corpus — a FULL oracle row: the synthetic payload bytes are

@@ -963,6 +963,94 @@ class PipelineSpec extends SparkSpec {
     assert(e3.getMessage.contains("alpha table"), e3.getMessage)
   }
 
+  test("relevance_filter verb keeps exactly the docs the BM25 operator scores past the threshold") {
+    writeFixtures()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$stage/documents_rel")
+    val bronzeYaml =
+      s"""sources:
+         |  - source_id: docs_rel
+         |    source_path: $stage/documents_rel
+         |    file_format: parquet
+         |    target_table: bronze_rel.documents
+         |""".stripMargin
+    val th = 300000L // rounded score >= 0.3
+    val silverYaml =
+      s"""transformations:
+         |  - transform_id: docs_topical
+         |    transform_type: relevance_filter
+         |    source_table: bronze_rel.documents
+         |    target_table: silver_rel.docs_topical
+         |    relevance_filter:
+         |      id_column: doc_id
+         |      text_column: text
+         |      terms: [spark, stream]
+         |      min_score_micro: $th
+         |""".stripMargin
+    val p = new Pipeline(spark, "2024-06-01", new FixedClock(1793000000000L))
+    val r = p.run(Map(
+      "bronze" -> EtlConfig.fromYaml(bronzeYaml),
+      "silver" -> EtlConfig.fromYaml(silverYaml)))
+    assert(r.forall(_.failed.isEmpty), r.flatMap(_.failed).toString)
+    val kept = spark.table("silver_rel.docs_topical")
+      .select("doc_id").as[Long].collect().toSet
+    val want = graft.operators.Relevance
+      .bm25(spark.table("bronze_rel.documents"), "doc_id", "text",
+        Seq("spark", "stream"))
+      .filter(floor($"score" * 1000000L + lit(0.5)) >= th)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == want && kept.nonEmpty &&
+      kept.size < docs.count(), s"kept ${kept.size} of ${docs.count()}")
+    // the verb rides the same audit/control plane as every other step
+    val snap = spark.table(p.meta.controlTable)
+      .filter($"table_name" === "silver_rel.docs_topical")
+      .select("config_snapshot").as[String].head()
+    assert(snap.contains("\"min_score_micro\":300000"), snap)
+    graft.operators.FrameCaches.release(spark)
+  }
+
+  test("relevance_filter config refusals: missing block, repeated terms, missing threshold") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """transformations:
+          |  - transform_id: broken_rel
+          |    transform_type: relevance_filter
+          |    source_table: a.b
+          |    target_table: c.d
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("needs a relevance_filter: block"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """transformations:
+          |  - transform_id: dup_terms
+          |    transform_type: relevance_filter
+          |    source_table: a.b
+          |    target_table: c.d
+          |    relevance_filter:
+          |      id_column: doc_id
+          |      text_column: text
+          |      terms: [spark, spark]
+          |      min_score_micro: 1
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("terms repeat"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """transformations:
+          |  - transform_id: no_th
+          |    transform_type: relevance_filter
+          |    source_table: a.b
+          |    target_table: c.d
+          |    relevance_filter:
+          |      id_column: doc_id
+          |      text_column: text
+          |      terms: [spark]
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("min_score_micro"), e3.getMessage)
+  }
+
   test("volume_guard_pct fails a run whose volume collapses vs the trailing median") {
     val vgYaml =
       """models:
