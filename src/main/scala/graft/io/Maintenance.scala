@@ -26,7 +26,8 @@ object Maintenance {
     * @return (files before, files after).
     */
   def compact(spark: SparkSession, table: String,
-      targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+      targetRowsPerFile: Long = 1000000L,
+      clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val before = spark.table(table).inputFiles.length
     val n = spark.table(table).count()
@@ -40,6 +41,13 @@ object Maintenance {
       .filter(_.isPartition).map(_.name).toSeq
     val bucketSpec = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+    // a partition spec clusters the rewrite by ITS columns and a bucket
+    // spec prescribes its own placement — a caller-requested range
+    // clustering would silently fight either; refuse, never reorder
+    require(clusterBy.isEmpty || (partCols.isEmpty && bucketSpec.isEmpty),
+      s"clusterBy is only for unpartitioned, unbucketed tables; " +
+        s"'$table' has partition=[${partCols.mkString(",")}] " +
+        s"bucket=${bucketSpec.isDefined}")
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__compact_stage/" +
       table.replace('.', '_')
     // partitioned tables cluster the rewrite BY the partition columns so
@@ -79,13 +87,34 @@ object Maintenance {
               greatest(col("_nf"), lit(1))).cast("int"))
           .repartition(parts, (partCols.map(col) :+ col("_salt")): _*)
           .drop("_salt" +: "_nf" +: partCols.map(c => s"_pc_$c"): _*)
-      } else spark.table(table).repartition(parts)
+      } else if (clusterBy.nonEmpty)
+        // RANGE-cluster the rewrite: each file covers a narrow value
+        // range of the cluster columns, which is exactly the layout
+        // [[ZoneMaps]] manifest pruning needs to skip whole files (and
+        // what parquet's own row-group min/max pruning rewards). Range
+        // placement is a deterministic function of the row's own key
+        // against driver-computed boundaries — retry-safe, unlike a
+        // round-robin repartition (the SPARK-23207 class)
+        spark.table(table)
+          .repartitionByRange(parts, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else spark.table(table).repartition(parts)
     clustered.write.mode(SaveMode.Overwrite).parquet(scratch)
     // the salt gives the hot value TASK parallelism; hash collisions can
     // still co-locate salt groups in one task, so the FILE-size contract
     // is enforced directly by the writer — a task holding k·target rows
     // of one value rolls k files
-    val w0 = spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+    val reread = spark.read.parquet(scratch)
+    // the scratch read may PACK several small files into one task
+    // (maxPartitionBytes), which would mix ranges back together in the
+    // final files — re-apply the range placement on the final write so
+    // the on-disk layout, not just the scratch, is clustered
+    val finalFrame =
+      if (clusterBy.nonEmpty)
+        reread.repartitionByRange(parts, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else reread
+    val w0 = finalFrame.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
     val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
     val w = bucketSpec.fold(w1) { bs =>

@@ -52,6 +52,35 @@ class ZoneMapsSpec extends SparkSpec {
     assert(df.schema == spark.table(t).schema)
   }
 
+  test("compact(clusterBy) produces the layout pruning rewards: shuffled table -> pruned scans") {
+    val t = table("t_recluster")
+    // round-robin layout first: zones overlap everything
+    spark.range(1, 10001).toDF("k").withColumn("v", col("k") % 13)
+      .repartition(8).write.saveAsTable(t)
+    val (mt0, _) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (_, read0, total0) = ZoneMaps.prunedScan(spark, t, mt0, "k", 2000L, 2400L)
+    assert(read0 == total0, "setup: shuffled zones must not prune")
+    // range-clustering compaction + a fresh manifest turn the same
+    // probe into a few-file read, rows intact
+    val rowsBefore = spark.table(t).as[(Long, Long)].collect().toSet
+    Maintenance.compact(spark, t, targetRowsPerFile = 1250, clusterBy = Seq("k"))
+    assert(spark.table(t).as[(Long, Long)].collect().toSet == rowsBefore)
+    val (mt1, nf) = ZoneMaps.writeManifest(spark, t, Seq("k"))
+    val (df, read1, _) = ZoneMaps.prunedScan(spark, t, mt1, "k", 2000L, 2400L)
+    assert(read1 <= 2 && nf >= 6,
+      s"a 4% range over the re-clustered files must prune: $read1 of $nf")
+    assert(df.as[(Long, Long)].collect().toSet ==
+      rowsBefore.filter(r => r._1 >= 2000 && r._1 <= 2400))
+    // clusterBy fights a partition/bucket spec: refused, never reordered
+    val tp = table("t_recluster_part")
+    spark.range(1, 101).toDF("k").withColumn("p", col("k") % 2)
+      .write.partitionBy("p").saveAsTable(tp)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, tp, 50, clusterBy = Seq("k"))
+    }
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+
   test("a stale manifest is refused, never silently wrong") {
     val t = table("t_stale")
     spark.range(1, 101).toDF("k").write.saveAsTable(t)

@@ -84,6 +84,10 @@ class MainSpec extends SparkSpec {
       val chunks = spark.table("silver_corpus.docs_chunks")
       assert(chunks.columns.contains("chunk_hash") && chunks.count() >= mixed,
         "every mixed doc copy must chunk")
+      // the relevance filter narrows the curated docs to the topical set
+      val topical = spark.table("silver_corpus.docs_topical").count()
+      assert(topical > 0 && topical < curated,
+        s"topic filter must narrow: $curated -> $topical")
       // the weighted sample keeps at most k per language, ranked
       val wsample = spark.table("silver_corpus.docs_wsample")
       assert(wsample.groupBy("lang").count()
