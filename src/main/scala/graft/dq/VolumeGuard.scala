@@ -43,7 +43,11 @@ object VolumeGuard {
     val hist = spark.table(auditTable)
       .filter(col("target_table") === targetTable &&
         col("status") === "SUCCESS" && col("rows_processed") > 0)
-      .orderBy(col("event_timestamp").desc)
+      // log_id tie-break: back-to-back runs can share a timestamp, and
+      // an untied desc sort would make the WINDOW's composition (and
+      // the median) nondeterministic at the boundary — the same
+      // (event_timestamp, log_id) order every audit reader uses
+      .orderBy(col("event_timestamp").desc, col("log_id").desc)
       .select(col("rows_processed")).limit(window)
       .collect().map(_.getLong(0))
     if (observed == 0L || hist.length < minHistory)

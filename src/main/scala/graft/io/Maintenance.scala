@@ -478,43 +478,64 @@ object Maintenance {
     */
   def maintainDistinctView(spark: SparkSession, table: String,
       batch: DataFrame, keys: Seq[String], itemCol: String,
-      m: Int = 64): Unit = {
+      m: Int = 64): Boolean = {
     require(keys.nonEmpty, "need at least one key column")
     require(graft.operators.Sketches.hllAlphaMs.contains(m),
       s"m must be one of ${graft.operators.Sketches.hllAlphaMs.sorted}, got $m" +
         " (the exact-integer estimator's alpha table)")
-    val regCols = keys ++ Seq("bucket", "rho")
+    // m is PERSISTED with the registers: registers built with different
+    // m live in different bucket spaces, and a config drift (hll_m
+    // edited between runs) would otherwise max-merge them silently into
+    // garbage estimates (review finding) — the fold validates it, the
+    // readback derives it
+    val regCols = keys ++ Seq("bucket", "rho", "_m")
     val regs = graft.operators.Sketches.hllRegistersBy(
-      batch, keys, col(itemCol), m)
+        batch, keys, col(itemCol), m)
+      .withColumn("_m", lit(m.toLong))
     if (!spark.catalog.tableExists(table)) {
       regs.write.saveAsTable(table)
-      return
+      return true
     }
     val t = spark.table(table)
     require(t.columns.sorted.sameElements(regCols.sorted.toArray[String]),
       s"'$table' is not this view's register shape: has " +
         s"[${t.columns.sorted.mkString(", ")}], expected " +
         s"[${regCols.sorted.mkString(", ")}]")
+    val standingM = t.agg(max(col("_m"))).head().getLong(0)
+    if (standingM != m.toLong) throw new IllegalStateException(
+      s"distinct view '$table' was built with m=$standingM but this " +
+        s"fold uses m=$m — different register spaces cannot merge; " +
+        "recreate the view or restore the original hll_m")
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
     regs.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
     val staged = spark.read.parquet(s"$scratch/batch")
     t.select(regCols.map(col): _*).unionByName(staged)
       .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("rho"))
+      .withColumn("_m", lit(m.toLong))
       .write.mode(SaveMode.Overwrite).parquet(s"$scratch/merged")
     spark.read.parquet(s"$scratch/merged").write.mode(SaveMode.Overwrite)
       .saveAsTable(table)
     spark.catalog.refreshTable(table)
+    true
   }
 
   /** Per-key approximate distinct count from a [[maintainDistinctView]]
     * table: `(keys…, m, n_empty, est)` via the exact-integer raw HLL
     * estimator — bit-identical in any engine, so the VIEW readback is
-    * hash-checkable even though the count is approximate.
+    * hash-checkable even though the count is approximate. The register
+    * count is DERIVED from the table's persisted `_m` — a caller
+    * cannot read a view with the wrong m.
     */
   def distinctViewEstimate(spark: SparkSession, table: String,
-      keys: Seq[String], m: Int = 64): DataFrame =
-    graft.operators.Sketches.hllEstimateBy(spark.table(table), keys, m)
+      keys: Seq[String]): DataFrame = {
+    val t = spark.table(table)
+    require(t.columns.contains("_m"),
+      s"'$table' is not a maintainDistinctView table (no _m column)")
+    val m = t.agg(max(col("_m"))).head().getLong(0).toInt
+    graft.operators.Sketches.hllEstimateBy(
+      t.select((keys ++ Seq("bucket", "rho")).map(col): _*), keys, m)
+  }
 
   /** Incremental QUANTILE view — the fifth member of the
     * materialized-view taxonomy (sums, min/max, joins, distinct

@@ -40,12 +40,16 @@ final case class Scd2Stats(rawRows: Long, newVersions: Long, closed: Long,
   * Merge semantics per batch row (after deduping exact (key,
   * effective) duplicates deterministically):
   *   - new key → first version opens (valid_from = effective);
-  *   - tracked attributes null-safe EQUAL to the version IN FORCE at
-  *     the row's effective date (current OR closed interval) → no-op:
-  *     re-observations converge, and replaying a batch — even one
-  *     that chained several versions, now closed, or carried rows the
-  *     change compression dropped — leaves the table bit-identical
-  *     (pinned in Scd2Spec and the streaming sink's spec);
+  *   - tracked attributes null-safe EQUAL to the version in force at
+  *     the row's effective date → no-op: matches against CLOSED
+  *     intervals (and exact matches of the current version) drop
+  *     before the chain; matches against the current version at a
+  *     later date compress inside the chain, where in-batch
+  *     predecessors are visible — so a B-then-back-to-A batch keeps
+  *     its reversion, while replaying a batch (even one that chained
+  *     several versions, now closed, or carried rows the compression
+  *     dropped) leaves the table bit-identical (pinned in Scd2Spec and
+  *     the streaming sink's spec);
   *   - attributes differ, effective AFTER the current valid_from →
   *     current row closes (valid_to = effective), new version opens;
   *   - attributes differ, effective EQUAL to the current valid_from →
@@ -103,11 +107,16 @@ object Scd2 {
     batch.select(declared.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$scratch/raw")
     val raw = spark.read.parquet(s"$scratch/raw")
-    val rawRows = raw.count()
-    // a NULL effective date has no place on a time axis — it would sort
-    // first and silently pre-date every real version; producer bug,
-    // fail loudly (the applyChangeLog op-validation discipline)
-    val nullEff = raw.filter(col(effectiveCol).isNull).count()
+    // one pass for both metadata counts (review finding: this runs per
+    // streaming micro-batch). A NULL effective date has no place on a
+    // time axis — it would sort first and silently pre-date every real
+    // version; producer bug, fail loudly (the applyChangeLog
+    // op-validation discipline)
+    val rawStats = raw.agg(count(lit(1)).as("n"),
+      sum(when(col(effectiveCol).isNull, 1L).otherwise(0L)).as("null_eff"))
+      .head()
+    val rawRows = rawStats.getLong(0)
+    val nullEff = if (rawRows == 0L) 0L else rawStats.getLong(1)
     require(nullEff == 0L,
       s"scd2 merge for '$table': $nullEff batch rows carry a NULL " +
         s"$effectiveCol — a version needs an effective date")
@@ -145,21 +154,36 @@ object Scd2 {
       val touched = deduped.select(keys.map(col): _*).distinct()
       val curBase = target.filter(col("is_current"))
       val cur = curBase.join(touched, keyCond(curBase, touched), "left_semi")
-      // a batch row whose tracked values null-safe equal the version
-      // IN FORCE at its effective date is a RE-OBSERVATION — a no-op
-      // whether that version is current or closed. This is what makes
-      // a replayed batch converge even when it chained several
-      // versions (now closed) or carried rows the change compression
-      // dropped (their in-force version absorbs them), instead of
-      // tripping the stale guard below. The anti-join is equi on the
-      // keys (null-safe) with the interval test as a residual filter.
-      val histProj = target.select((keys ++ tracked).map(col) :+
-        col("valid_from").as("_vf") :+ col("valid_to").as("_vt"): _*)
-      val inForce = (keys ++ tracked)
-        .map(c => batchSide(c) <=> histProj(c)).reduce(_ && _) &&
-        batchSide("_eff") >= histProj("_vf") &&
-        (histProj("_vt").isNull || batchSide("_eff") < histProj("_vt"))
-      val batchNew = batchSide.join(histProj, inForce, "left_anti")
+      // Re-observation no-ops — TWO targeted prefilters, deliberately
+      // NOT one "matches the version in force" test against the whole
+      // table: a batch row matching the CURRENT version with a LATER
+      // effective date must still chain, because another row of the
+      // same batch may change the key in between (a B-then-back-to-A
+      // batch — absorbing the reversion here would silently lose it;
+      // review finding). Chain compression below handles that case
+      // with full in-batch context.
+      //   (a) rows matching a CLOSED version in force at their date:
+      //       pure re-deliveries of history (a replayed multi-version
+      //       batch) — they must neither chain nor trip the stale
+      //       guard;
+      val closedProj = target.filter(col("valid_to").isNotNull)
+        .select((keys ++ tracked).map(col) :+
+          col("valid_from").as("_vf") :+ col("valid_to").as("_vt"): _*)
+      val closedHit = (keys ++ tracked)
+        .map(c => batchSide(c) <=> closedProj(c)).reduce(_ && _) &&
+        batchSide("_eff") >= closedProj("_vf") &&
+        batchSide("_eff") < closedProj("_vt")
+      //   (b) rows IDENTICAL to the current version including its
+      //       valid_from: the same-date restatement rule would count
+      //       the replacement as a new version on a replay.
+      val curProj = target.filter(col("is_current"))
+        .select((keys ++ tracked).map(col) :+ col("valid_from").as("_vf"): _*)
+      val curHit = (keys ++ tracked)
+        .map(c => batchSide(c) <=> curProj(c)).reduce(_ && _) &&
+        batchSide("_eff") <=> curProj("_vf")
+      val batchNew = batchSide
+        .join(closedProj, closedHit, "left_anti")
+        .join(curProj, curHit, "left_anti")
       // out-of-order guard BEFORE anything merges: a GENUINELY NEW
       // batch version that pre-dates the key's current valid_from
       // splices into closed history — rebuild the dimension instead

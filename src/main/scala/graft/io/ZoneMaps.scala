@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMaps {
 
+  /** Partition columns live in DIRECTORY NAMES, not in the leaf
+    * parquet files — [[prunedScan]]'s direct file read would fill them
+    * with NULL on every row (wrong data, silently) or return zero rows
+    * when probing on the partition column itself. Refuse loudly, the
+    * same contract as [[Maintenance.compact]]'s clusterBy; partitioned
+    * tables already have DIRECTORY-level pruning, which is what their
+    * layout is for.
+    */
+  private def requireUnpartitioned(spark: SparkSession, table: String,
+      what: String): Unit = {
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    require(partCols.isEmpty,
+      s"$what is only for unpartitioned tables: '$table' is " +
+        s"partitioned by [${partCols.mkString(", ")}] — partition values " +
+        "live in directory names, and a direct file read would return " +
+        "them as NULL; use partition pruning instead")
+  }
+
   /** Build the manifest: one row per data file with row count and
     * per-column min/max zones. NULL zones (an all-null file) prune
     * away under any RANGE predicate — correctly, since no range
@@ -31,6 +50,7 @@ object ZoneMaps {
   def buildManifest(spark: SparkSession, table: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one zone column")
+    requireUnpartitioned(spark, table, "a zone-map manifest")
     spark.table(table)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
@@ -65,6 +85,7 @@ object ZoneMaps {
     */
   def prunedScan(spark: SparkSession, table: String, manifestTable: String,
       colName: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    requireUnpartitioned(spark, table, "a zone-map pruned scan")
     val manifest = spark.table(manifestTable)
     require(manifest.columns.contains(s"min_$colName"),
       s"manifest '$manifestTable' has no zones for '$colName'")

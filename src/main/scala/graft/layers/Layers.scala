@@ -239,12 +239,12 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
         } else if (m.refreshType == "distinct_view") {
           // per-key HLL registers max-merge the batch in; no epoch
           // fence — max is idempotent, so replays/out-of-order runs
-          // converge by algebra (see Maintenance.maintainDistinctView)
-          val obs = new Observation()
-          graft.io.Maintenance.maintainDistinctView(spark, m.targetTable,
-            df.observe(obs, count(lit(1)).as("rows")), m.primaryKeys,
-            m.distinctColumn.get, m.hllM)
-          obs.get("rows").asInstanceOf[Long]
+          // converge by algebra (see Maintenance.maintainDistinctView,
+          // which returns true always: the fence-free family never
+          // skips — foldCounted keeps the Observation contract shared)
+          foldCounted(batch => graft.io.Maintenance.maintainDistinctView(
+            spark, m.targetTable, batch, m.primaryKeys,
+            m.distinctColumn.get, m.hllM))
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

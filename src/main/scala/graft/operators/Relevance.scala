@@ -34,10 +34,16 @@ object Relevance {
     * row — a filter caller treats absence as score 0.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String]): DataFrame = {
+      rawTerms: Seq[String]): DataFrame = {
+    // the token stream is lowercased, so a capitalized query term would
+    // silently match NOTHING (a relevance filter dropping every doc as
+    // a SUCCESS run — review finding): normalize here, and dedup AFTER
+    // normalizing so 'Spark'/'spark' cannot double-count either
+    val terms = rawTerms.map(_.toLowerCase)
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.size == terms.size,
-      s"duplicate query terms would double-count: ${terms.mkString(", ")}")
+      s"duplicate query terms (case-insensitive) would double-count: " +
+        s"${rawTerms.mkString(", ")}")
     val base = FrameCaches.track(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol),

@@ -654,10 +654,15 @@ object SeriesQueries extends QuerySet {
       sum(expr("q * q")).as("sqq"), sum(expr("p * p")).as("spp"),
       sum(expr("d * d")).as("sdd"), sum(expr("q * p")).as("sqp"),
       sum(expr("q * d")).as("sqd"), sum(expr("p * d")).as("spd"))
+    // FLOOR(x*1e6 + 0.5)/1e6 on BOTH sides, not Spark round(x, 6): the
+    // two roundings disagree for negative r at representable half-
+    // boundaries (HALF_UP is half-away-from-zero; the FLOOR spelling is
+    // half-toward-+inf) — the oracle must be mirrored, not approximated
     def r(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
-      round((col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+      floor((col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
         (sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) *
-          sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))), 6)
+          sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double"))) *
+        lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     a.select(col("n"), explode(array(
         struct(lit("price_disc").as("pair"),
           r("sp", "sd", "spd", "spp", "sdd").as("r")),

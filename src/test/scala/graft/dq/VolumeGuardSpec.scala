@@ -15,13 +15,14 @@ class VolumeGuardSpec extends SparkSpec {
     spark.sql("CREATE DATABASE IF NOT EXISTS vg_test")
     spark.sql(s"DROP TABLE IF EXISTS $audit")
     val ok = rowCounts.zipWithIndex.map { case (n, i) =>
-      (target, "SUCCESS", n, s"2024-01-${"%02d".format(i + 1)} 00:00:00")
+      (target, "SUCCESS", n, s"2024-01-${"%02d".format(i + 1)} 00:00:00",
+        s"log-${"%03d".format(i)}")
     }
     val noise = Seq(
-      (target, "ERROR", 0L, "2024-01-20 00:00:00"),
-      (target, "STARTED", 0L, "2024-01-21 00:00:00"),
-      ("other.t", "SUCCESS", 999999L, "2024-01-22 00:00:00"))
-    (ok ++ noise).toDF("target_table", "status", "rows_processed", "ts_s")
+      (target, "ERROR", 0L, "2024-01-20 00:00:00", "log-e"),
+      (target, "STARTED", 0L, "2024-01-21 00:00:00", "log-s"),
+      ("other.t", "SUCCESS", 999999L, "2024-01-22 00:00:00", "log-o"))
+    (ok ++ noise).toDF("target_table", "status", "rows_processed", "ts_s", "log_id")
       .withColumn("event_timestamp", to_timestamp(col("ts_s"))).drop("ts_s")
       .write.saveAsTable(audit)
   }

@@ -391,7 +391,7 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.maintainDistinctView(spark, t1, b, Seq("g"), "item"))
     Seq(b3, b1, b2).foreach(b =>
       Maintenance.maintainDistinctView(spark, t2, b, Seq("g"), "item"))
-    def regs(t: String) = spark.table(t)
+    def regs(t: String) = spark.table(t).select("g", "bucket", "rho")
       .as[(String, Long, Long)].collect().toSet
     val oneShot = graft.operators.Sketches.hllRegistersBy(
         b1.unionByName(b2).unionByName(b3), Seq("g"), col("item"), 64)
@@ -495,5 +495,16 @@ class MaintenanceSpec extends SparkSpec {
         dvBatch(("a", 1L)), Seq("g"), "item", m = 128)
     }
     assert(e2.getMessage.contains("alpha"), e2.getMessage)
+    // a config drift in m between runs must refuse, never merge two
+    // register spaces into garbage estimates (review finding)
+    val td = table("t_dv_drift")
+    spark.sql(s"DROP TABLE IF EXISTS $td")
+    Maintenance.maintainDistinctView(spark, td, dvBatch(("a", 1L)), Seq("g"),
+      "item", m = 64)
+    val e3 = intercept[IllegalStateException] {
+      Maintenance.maintainDistinctView(spark, td, dvBatch(("a", 2L)), Seq("g"),
+        "item", m = 16)
+    }
+    assert(e3.getMessage.contains("register spaces"), e3.getMessage)
   }
 }

@@ -75,6 +75,26 @@ class Scd2Spec extends SparkSpec {
     assert(history(t) == once, "multi-version replay must converge")
   }
 
+  test("a batch reverting to the standing current value keeps the reversion") {
+    // the in-force no-op test must NOT absorb a row that matches the
+    // standing current version at a LATER date when the same batch
+    // changes the key in between — A -> (B, back to A) is three
+    // versions, and replaying the batch afterwards must be a no-op
+    val t = table("t_revert")
+    Scd2.merge(spark, t, df((1, "a", "2024-01-01")), Seq("k"), Seq("v"), "eff")
+    val b = df((1, "b", "2024-02-01"), (1, "a", "2024-03-01"))
+    val s = Scd2.merge(spark, t, b, Seq("k"), Seq("v"), "eff")
+    assert(s == Scd2Stats(2, 2, 1, 0), s)
+    val once = history(t)
+    assert(once == Seq(
+      (1, "a", "2024-01-01", "2024-02-01", false),
+      (1, "b", "2024-02-01", "2024-03-01", false),
+      (1, "a", "2024-03-01", "-", true)))
+    val replay = Scd2.merge(spark, t, b, Seq("k"), Seq("v"), "eff")
+    assert(replay == Scd2Stats(2, 0, 0, 2), replay)
+    assert(history(t) == once, "replaying the reversion batch must converge")
+  }
+
   test("same-date restatement replaces the current version in place — no zero-length interval") {
     val t = table("t_restate")
     Scd2.merge(spark, t, df((1, "a", "2024-01-01"), (1, "typo", "2024-02-01")),

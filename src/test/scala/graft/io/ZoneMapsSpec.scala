@@ -96,6 +96,24 @@ class ZoneMapsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(999L))
   }
 
+  test("a partitioned table is refused: partition values live in directory names") {
+    // a direct leaf-file read fills partition columns with NULL — the
+    // manifest build and the pruned scan must both refuse, never
+    // silently return wrong rows (partitioned tables already have
+    // directory pruning)
+    val t = table("t_partitioned")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .write.partitionBy("p").saveAsTable(t)
+    val eBuild = intercept[IllegalArgumentException] {
+      ZoneMaps.buildManifest(spark, t, Seq("k"))
+    }
+    assert(eBuild.getMessage.contains("partitioned by [p]"), eBuild.getMessage)
+    val eScan = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedScan(spark, t, "zm_test.no_such_manifest", "k", 1L, 2L)
+    }
+    assert(eScan.getMessage.contains("partitioned by [p]"), eScan.getMessage)
+  }
+
   test("an all-null zone prunes away under a range predicate — correctly") {
     val t = table("t_nulls")
     Seq[Option[Long]](None, None).toDF("k")

@@ -841,6 +841,7 @@ class PipelineSpec extends SparkSpec {
         Seq("product_id"), $"customer_id", 64)
       .as[(String, Long, Long)].collect().toSet
     val standing = spark.table("gold_e2e.buyers_dv")
+      .select("product_id", "bucket", "rho")
       .as[(String, Long, Long)].collect().toSet
     assert(standing == oneShot, "view must equal the one-shot register build")
     // at tiny cardinality every item occupies its own register, so the
