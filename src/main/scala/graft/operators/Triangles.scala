@@ -11,49 +11,59 @@ import org.apache.spark.sql.functions._
   * the classic fix (Suri & Vassilvitskii's MR-NodeIterator++ family)
   * is DEGREE ORIENTATION, which this operator implements with plain
   * equi-joins.
+  *
+  * Every edge is oriented from its LOWER-degree endpoint to the
+  * higher (ties broken by vertex id — a total order, so each
+  * triangle has exactly one vertex with two out-edges and is counted
+  * exactly once). Out-degrees under this orientation are bounded by
+  * O(√m) regardless of how skewed the raw degree distribution is —
+  * the hub that would emit degree² wedges as a join key instead
+  * receives edges and emits none. Wedges (pairs of out-neighbors)
+  * are generated per source vertex and closed by one equi-join back
+  * against the canonical edge set.
+  *
+  * Scale shape: two degree aggregates (map-side combined), the
+  * orientation join (degree side auto-broadcast by AQE — ≤ one row
+  * per vertex), a wedge self-join keyed on the oriented source, and
+  * the closing equi-join — every shuffle keyed, no cartesian
+  * anywhere, cost riding Σ out_deg² ≤ O(m^1.5) (the output-optimal
+  * bound for triangle listing), not Σ deg².
+  *
+  * The closing join is the operator's dominant cost when spelled as
+  * a shuffle: the WEDGE mass (Σ out_deg², e.g. 41M wedges over the
+  * sf0.1 co-purchase graph's 1.2M edges) must move to the reducers
+  * while the edge side is ~30× smaller. At or under
+  * [[maxBroadcastEdges]] the edge set broadcasts instead and wedges
+  * are probed map-side where they are generated — no 41M-row
+  * shuffle, only triangles survive (1.9M on that same graph). Above
+  * the cap the shuffle path keeps the 100 TB posture: a
+  * billion-edge graph cannot broadcast, and Σ out_deg² riding a
+  * keyed shuffle is still the right plan there.
   */
 object Triangles {
 
-  /** Count triangles in the undirected simple graph given as canonical
-    * edges (`aCol < bCol`, one row per edge — [[Itemsets.itemPairs]]
-    * emits exactly this shape). Returns one row:
-    * `(n_nodes, n_edges, n_triangles)`.
-    *
-    * Every edge is oriented from its LOWER-degree endpoint to the
-    * higher (ties broken by vertex id — a total order, so each
-    * triangle has exactly one vertex with two out-edges and is counted
-    * exactly once). Out-degrees under this orientation are bounded by
-    * O(√m) regardless of how skewed the raw degree distribution is —
-    * the hub that would emit degree² wedges as a join key instead
-    * receives edges and emits none. Wedges (pairs of out-neighbors)
-    * are generated per source vertex and closed by one semi-join back
-    * against the canonical edge set.
-    *
-    * Scale shape: two degree aggregates (map-side combined), the
-    * orientation join, a wedge self-join keyed on the oriented source,
-    * and the closing LEFT SEMI equi-join — every shuffle keyed, no
-    * cartesian anywhere, cost riding Σ out_deg² ≤ O(m^1.5) (the
-    * output-optimal bound for triangle listing), not Σ deg².
-    *
-    * The edge frame is consumed by five plan instances (both degree
-    * branches, the orientation join, the closing semi-join, the edge
-    * count) and `oriented` by the wedge self-join's two sides — each
-    * is persisted (tracked in [[FrameCaches]]) so the caller's edge
-    * pipeline (often itself a multi-shuffle aggregation, e.g.
+  /** Edge sets at or under this row count close wedges via a
+    * BROADCAST hash join (≈ 100 MB hashed at the cap — safe under
+    * every executor sizing this library targets); larger edge sets
+    * fall back to the keyed shuffle close. Results are identical on
+    * both paths (pinned in SeriesOpsSpec with the cap forced to 0).
+    */
+  val defaultBroadcastCloseMax: Long = 4L * 1000 * 1000
+
+  /** Canonical edge frame (persisted), its degree frame, and the
+    * wedge frame under the (degree, id) orientation — the shared
+    * engine of [[triangleStats]] and [[vertexTriangles]]. The edge
+    * frame is consumed by several plan instances (both degree
+    * branches, the orientation join, the closing join, the caller's
+    * counts) and `oriented` by the wedge self-join's two sides —
+    * each is persisted (tracked in [[FrameCaches]]) so the caller's
+    * edge pipeline (often itself a multi-shuffle aggregation, e.g.
     * [[Itemsets.itemPairs]]) materializes once, not per branch.
+    * Wedges are canonicalized (`a < b`) so the closing probe hits
+    * the `a < b` edge table directly.
     */
-  /** Per-vertex triangle participation: `(v, deg, tri)` for every
-    * vertex of degree ≥ 1 — the row local clustering coefficients,
-    * transitivity, and triangle-dense-subgraph mining read off. Same
-    * degree-oriented engine as [[triangleStats]], but the closing
-    * step is an INNER join (the triangle rows are needed, not just
-    * their count) and each triangle is credited to all three corners
-    * via one explode + a map-side-combined count. Vertices in no
-    * triangle emit `tri = 0` (left join from the degree side — they
-    * must appear: a coefficient denominator exists for every deg ≥ 2
-    * vertex whether or not it closes anything).
-    */
-  def vertexTriangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  private def wedgeEngine(edges: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
     require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")
     val e = FrameCaches.track(
@@ -74,9 +84,35 @@ object Triangles {
       .persist())
     val o1 = oriented.withColumnRenamed("dst", "d1")
     val o2 = oriented.withColumnRenamed("dst", "d2")
-    val triRows = o1.join(o2, "src").filter(col("d1") < col("d2"))
+    val wedges = o1.join(o2, "src").filter(col("d1") < col("d2"))
       .select(col("src"), col("d1").as("a"), col("d2").as("b"))
-      .join(e, Seq("a", "b"), "inner")
+    (e, deg, wedges)
+  }
+
+  /** The closing side: broadcast when the (already persisted) edge
+    * set is small enough, keyed shuffle otherwise. The count is one
+    * cheap action over the persisted frame — and both public entry
+    * points need it anyway (n_edges / the caller's stats).
+    */
+  private def closer(e: DataFrame, nEdges: Long, cap: Long): DataFrame =
+    if (nEdges <= cap) broadcast(e) else e
+
+  /** Per-vertex triangle participation: `(v, deg, tri)` for every
+    * vertex of degree ≥ 1 — the row local clustering coefficients,
+    * transitivity, and triangle-dense-subgraph mining read off. The
+    * closing step is an INNER join (the triangle rows are needed,
+    * not just their count) and each triangle is credited to all
+    * three corners via one explode + a map-side-combined count.
+    * Vertices in no triangle emit `tri = 0` (left join from the
+    * degree side — they must appear: a coefficient denominator
+    * exists for every deg ≥ 2 vertex whether or not it closes
+    * anything).
+    */
+  def vertexTriangles(edges: DataFrame, aCol: String, bCol: String,
+      broadcastCloseMax: Long = defaultBroadcastCloseMax): DataFrame = {
+    val (e, deg, wedges) = wedgeEngine(edges, aCol, bCol)
+    val triRows = wedges.join(closer(e, e.count(), broadcastCloseMax),
+      Seq("a", "b"), "inner")
     val perVertex = triRows
       .select(explode(array(col("src"), col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("tri"))
@@ -84,36 +120,20 @@ object Triangles {
       .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
-    require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")
-    val e = FrameCaches.track(
-      edges.select(col(aCol).as("a"), col(bCol).as("b")).persist())
-    val deg = e.select(col("a").as("v"))
-      .unionByName(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    // orient low → high under the (degree, id) total order
-    val oriented = FrameCaches.track(e
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a"))
-          .otherwise(col("b")).as("src"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("dst"))
-      .persist())
-    // wedges at src: unordered out-neighbor pairs, canonicalized so the
-    // closing probe can hit the a<b edge table directly
-    val o1 = oriented.withColumnRenamed("dst", "d1")
-    val o2 = oriented.withColumnRenamed("dst", "d2")
-    val wedges = o1.join(o2, "src").filter(col("d1") < col("d2"))
-      .select(col("d1").as("a"), col("d2").as("b"))
-    val tri = wedges.join(e, Seq("a", "b"), "left_semi")
+  /** Count triangles in the undirected simple graph given as canonical
+    * edges (`aCol < bCol`, one row per edge — [[Itemsets.itemPairs]]
+    * emits exactly this shape). Returns one row:
+    * `(n_nodes, n_edges, n_triangles)`.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+      broadcastCloseMax: Long = defaultBroadcastCloseMax): DataFrame = {
+    val (e, deg, wedges) = wedgeEngine(edges, aCol, bCol)
+    val nEdges = e.count()
+    val tri = wedges.join(closer(e, nEdges, broadcastCloseMax),
+      Seq("a", "b"), "left_semi")
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val em = e.agg(count(lit(1)).as("n_edges"))
     val tm = tri.agg(count(lit(1)).as("n_triangles"))
-    nodes.crossJoin(broadcast(em)).crossJoin(broadcast(tm))
+    nodes.select(col("n_nodes"), lit(nEdges).as("n_edges"))
+      .crossJoin(broadcast(tm))
   }
 }

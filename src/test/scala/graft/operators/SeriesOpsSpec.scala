@@ -202,6 +202,25 @@ class SeriesOpsSpec extends SparkSpec {
     assert(k4.values.map(_._2).sum == 3 * k4Total)
   }
 
+  test("triangles: the shuffle-close path (cap 0) equals the broadcast close") {
+    // the closing join broadcasts the edge set when it fits under the
+    // wired cap and falls back to a keyed shuffle above it — both
+    // paths must produce identical censuses (results-neutrality pin)
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(4L,6L),(7L,8L))
+    val e = edges.toDF("a", "b")
+    val bStats = Triangles.triangleStats(e, "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    val sStats = Triangles.triangleStats(e, "a", "b", broadcastCloseMax = 0L)
+      .as[(Long, Long, Long)].collect.head
+    assert(bStats == sStats && bStats == ((8L, 10L, 5L)), (bStats, sStats))
+    val bVt = Triangles.vertexTriangles(e, "a", "b")
+      .as[(Long, Long, Long)].collect.toSet
+    val sVt = Triangles.vertexTriangles(e, "a", "b", broadcastCloseMax = 0L)
+      .as[(Long, Long, Long)].collect.toSet
+    assert(bVt == sVt, s"broadcast $bVt vs shuffle $sVt")
+  }
+
   // --- Skyline.pareto2 ---
 
   private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
