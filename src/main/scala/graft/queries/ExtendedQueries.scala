@@ -355,6 +355,22 @@ object ExtendedQueries extends QuerySet {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** Sparse TF-IDF cosine pairs over word trigrams
+    * ([[graft.operators.SparseSim.cosinePairs]]) — the COSINE member
+    * of the sparse near-dup family (d9's Jaccard treats terms as a
+    * SET; this weights them by tf·idf, so boilerplate-sharing and
+    * distinctive-content-sharing pairs separate). Inverted-index
+    * self-join on term, pair mass capped by `maxDf` vector
+    * truncation (spelled in the oracle — the cap IS the vector
+    * semantics); IDF integer-quantized at birth, norms/dots exact
+    * BIGINT, cosine a per-pair pure FP function floor-rounded to
+    * micros.
+    */
+  def tw6SparseCosine(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SparseSim.cosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, maxDf = 1000L, minCosMicro = 200000L)
+      .orderBy("d1", "d2")
+
   /** Multimodal feature extraction over the deterministic synthetic
     * binary corpus — a FULL oracle row: the synthetic payload bytes are
     * md5-derived (`Multimodal.syntheticMedia` — byte 16k+j = byte j of
@@ -1087,6 +1103,7 @@ object ExtendedQueries extends QuerySet {
     "tw3_pmi_collocations" -> tw3PmiCollocations _,
     "tw4_zipf_slope" -> tw4ZipfSlope _,
     "tw5_bm25" -> tw5Bm25 _,
+    "tw6_sparse_cosine" -> tw6SparseCosine _,
     "fz1_fuzzy_pairs" -> fz1FuzzyPairs _,
     "x1_sql_functions" -> x1SqlFunctions _,
   )
@@ -1567,6 +1584,38 @@ object ExtendedQueries extends QuerySet {
          |  FROM sc GROUP BY doc_id)
          |SELECT doc_id, score, n_hits FROM p
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // word-trigram TF-IDF cosine pairs — the maxDf=1000 vector
+    // truncation and the df<=maxDf norm semantics spelled exactly as
+    // the Spark side; idf quantized to integer millis at birth, SUMs
+    // CAST BIGINT (never HUGEINT), the cosine a per-pair pure FP
+    // function floor-rounded to micros
+    "tw6_sparse_cosine" ->
+      s"""WITH d AS (SELECT doc_id, $toksLowerSql AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+         |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM d),
+         |w AS (SELECT doc_id, term,
+         |    tf * CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |        * 1000 + 0.5e0) AS BIGINT) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE df <= 1000),
+         |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+         |          FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot, COUNT(*) AS n_shared
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cosv AS (SELECT d1, d2, n_shared,
+         |    CAST(FLOOR(CAST(dot AS DOUBLE)
+         |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |        * 1000000 + 0.5e0) AS BIGINT) AS cos_micro
+         |  FROM dots JOIN norms na ON na.doc_id = d1
+         |            JOIN norms nb ON nb.doc_id = d2)
+         |SELECT d1, d2, n_shared, cos_micro FROM cosv
+         |WHERE cos_micro >= 200000 ORDER BY d1, d2""".stripMargin,
     // mirrors StubCodecs.decodeImage over Multimodal.syntheticMedia(200):
     // images are i % 3 <> 2; payload byte p = byte p%16 of
     // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the

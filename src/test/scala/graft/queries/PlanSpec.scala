@@ -792,6 +792,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("tw6: sparse cosine is equi-only; only the 1-row corpus size crosses") {
+    val p = plan("tw6_sparse_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar n_docs frame may nested-loop:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf/df/norms/dots must all map-side combine:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("gr4: per-vertex census stays equi-joined — no cartesian, no nested loop") {
     val p = plan("gr4_clustering_coeff")
     assert(!p.contains("CartesianProduct"), p)
