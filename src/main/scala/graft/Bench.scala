@@ -32,6 +32,22 @@ object Bench {
     if (ok.nonEmpty) Some(median(ok)) else None
   }
 
+  /** Environment stamp riding the JSON line: worker-thread count and
+    * the 1-minute OS load average at emit time. The round-12 verdict
+    * burned a re-measurement session proving twelve driver-bench
+    * "regressions" were machine-load windows; with `load1` on the line
+    * a hot box self-adjudicates (load1 >> cpus ⇒ the numbers measured
+    * contention, not code). −1.0 when the platform can't report load
+    * (the MX bean's own sentinel), never an exception.
+    */
+  private[graft] def envStamp(cpus: Int): String = {
+    val load1 = try {
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    s""""cpus":$cpus,"load1":$load1"""
+  }
+
   /** (min, median, max) over the successful repeats — the SPREAD the
     * round-10 verdict asked for: a regression moves the whole envelope,
     * a VM load spike widens it (round-10 burned judge time proving
@@ -98,7 +114,7 @@ object Bench {
       s"\"" + k + s"\":[$mn,$med,$mx]" }.mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","queries":$qs,"spread":$spread,"failed":$fails,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat",${envStamp(cpus.toInt)},"queries":$qs,"spread":$spread,"failed":$fails,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a truncated tail of this
     // line (~63 of 140+ per-query medians), which blinded cross-round

@@ -602,8 +602,13 @@ object EtlConfig {
     require(r.idColumn.nonEmpty && r.textColumn.nonEmpty,
       "relevance_filter needs id_column and text_column")
     require(r.terms.nonEmpty, "relevance_filter needs terms")
-    require(r.terms.distinct.size == r.terms.size,
-      s"relevance_filter terms repeat: ${r.terms.mkString(", ")}")
+    // distinctness must match Relevance.bm25's own check, which
+    // lowercases terms first — a config with ["Spark", "spark"] must
+    // fail HERE (config shape errors fail at parse time), not inside
+    // the per-item run bracket
+    require(r.terms.map(_.toLowerCase).distinct.size == r.terms.size,
+      s"relevance_filter terms repeat (case-insensitive): " +
+        s"${r.terms.mkString(", ")}")
     require(r.minScoreMicro >= 0,
       "relevance_filter needs min_score_micro >= 0 (the 6dp score x 1e6)")
     r

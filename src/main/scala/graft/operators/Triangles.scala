@@ -66,8 +66,26 @@ object Triangles {
       : (DataFrame, DataFrame, DataFrame) = {
     val miss = Seq(aCol, bCol).filterNot(edges.columns.contains)
     require(miss.isEmpty, s"edge columns missing: ${miss.mkString(",")}")
+    // canonical-form guard (map-side, rides the scan): every edge must
+    // satisfy a < b, the precondition the whole census rests on — a
+    // graph fed with BOTH orientations of each edge would silently
+    // double degrees and mis-count triangles, and its reversed copies
+    // all violate a < b, so this raise catches exactly that corruption
+    // loudly (NULL endpoints fail the test too and raise). A literal
+    // repeat of the same (a, b) row is the one bad shape no map-side
+    // check can see; one-row-per-edge stays the documented contract —
+    // detecting it would cost a full extra shuffle per call.
     val e = FrameCaches.track(
-      edges.select(col(aCol).as("a"), col(bCol).as("b")).persist())
+      edges.select(col(aCol).as("a"), col(bCol).as("b"))
+        .select(
+          when(col("a") < col("b"), col("a"))
+            .otherwise(raise_error(concat(
+              lit("[graft.triangles] non-canonical edge ("),
+              col("a").cast("string"), lit(", "), col("b").cast("string"),
+              lit(") — edges must satisfy a < b, one row per undirected edge"))))
+            .as("a"),
+          col("b"))
+        .persist())
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

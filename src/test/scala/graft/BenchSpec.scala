@@ -28,4 +28,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.successfulStats(runs).contains((5.0, 6.0, 7.0)))
     assert(Bench.successfulStats(Seq((0.1, false))).isEmpty)
   }
+
+  test("env stamp carries cpus and the 1-minute load average") {
+    val stamp = Bench.envStamp(32)
+    // must splice into the JSON line as two numeric fields: the
+    // round-12 verdict's load-window adjudication needs both on-line
+    assert(stamp.startsWith("\"cpus\":32,\"load1\":"), stamp)
+    val load1 = stamp.split(":").last.toDouble // parses as a number
+    assert(load1 >= 0.0 || load1 == -1.0, s"load1 sentinel contract: $load1")
+  }
 }

@@ -221,6 +221,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(bVt == sVt, s"broadcast $bVt vs shuffle $sVt")
   }
 
+  test("triangles: non-canonical edges raise loudly instead of mis-counting") {
+    // both orientations of an edge present: the reversed copy (3,1)
+    // violates a < b — before the guard this silently doubled degrees
+    val bad = Seq((1L, 3L), (3L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Triangles.triangleStats(bad, "a", "b").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString("\n")
+    assert(rootMsg(ex).contains("non-canonical edge"), ex.getMessage)
+    // a self-loop (a == b) is equally non-canonical
+    val loop = Seq((1L, 2L), (2L, 2L)).toDF("a", "b")
+    val ex2 = intercept[Exception] {
+      Triangles.vertexTriangles(loop, "a", "b").collect()
+    }
+    assert(rootMsg(ex2).contains("non-canonical edge"), ex2.getMessage)
+  }
+
   // --- Skyline.pareto2 ---
 
   private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {

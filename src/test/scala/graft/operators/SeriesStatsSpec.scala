@@ -85,4 +85,63 @@ class SeriesStatsSpec extends SparkSpec {
     val out = acf(Seq((0L, 10L), (1L, 30L), (3L, 20L)), 3)
     assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
   }
+
+  // --- SeriesStats.ols2Permille ---
+
+  private def ols2(rows: Seq[(String, Long, Long, Long)],
+      maxAbs: Long = 1000000L, maxObs: Long = 1000L)
+      : Map[String, (Long, Long, Long, Long)] = {
+    val df = rows.toDF("g", "y", "x1", "x2")
+    SeriesStats.ols2Permille(df, Seq("g"), "y", "x1", "x2", maxAbs, maxObs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (g, n, b1, b2, b0) => g -> (n, b1, b2, b0) }.toMap
+  }
+
+  private def rootMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .flatMap(m => Option(m.getMessage)).mkString("\n")
+
+  test("ols2: an exact plane y = 2 + 3*x1 + 5*x2 recovers all three coefficients") {
+    // zero-residual fit: Cramer's numerators are exact integer
+    // multiples of the determinant, so the permille round is exact
+    val out = ols2(Seq(
+      ("p", 2L, 0L, 0L), ("p", 5L, 1L, 0L), ("p", 7L, 0L, 1L),
+      ("p", 10L, 1L, 1L), ("p", 13L, 2L, 1L)))
+    assert(out("p") == ((5L, 3000L, 5000L, 2000L)), out.toString)
+  }
+
+  test("ols2: groups fit independently; negative slopes round half-toward-+inf") {
+    val out = ols2(Seq(
+      ("up", 2L, 0L, 0L), ("up", 5L, 1L, 0L), ("up", 7L, 0L, 1L),
+      ("up", 10L, 1L, 1L), ("up", 13L, 2L, 1L),
+      // y = 1 - 2*x1 + 0*x2 (exact; floor(-2000 + 0.5) = -2000)
+      ("dn", 1L, 0L, 0L), ("dn", -1L, 1L, 0L), ("dn", 1L, 0L, 1L),
+      ("dn", -3L, 2L, 1L), ("dn", -1L, 1L, 2L)))
+    assert(out("up") == ((5L, 3000L, 5000L, 2000L)), out.toString)
+    assert(out("dn") == ((5L, -2000L, 0L, 1000L)), out.toString)
+  }
+
+  test("ols2: guards raise loudly — range, group size, singular system") {
+    val plane = Seq(("p", 2L, 0L, 0L), ("p", 5L, 1L, 0L), ("p", 7L, 0L, 1L),
+      ("p", 10L, 1L, 1L), ("p", 13L, 2L, 1L))
+    // |y| past maxAbs
+    val e1 = intercept[Exception] {
+      ols2(plane.map { case (g, y, a, b) => (g, y * 1000000L, a, b) })
+    }
+    assert(rootMsg(e1).contains("out of checked range"), rootMsg(e1))
+    // group larger than maxObs
+    val e2 = intercept[Exception] { ols2(plane, maxObs = 4L) }
+    assert(rootMsg(e2).contains("exceeds maxObs"), rootMsg(e2))
+    // collinear features (x2 = 2*x1): det = 0 must refuse, not emit junk
+    val e3 = intercept[Exception] {
+      ols2(Seq(("s", 1L, 0L, 0L), ("s", 2L, 1L, 2L),
+        ("s", 3L, 2L, 4L), ("s", 4L, 3L, 6L)))
+    }
+    assert(rootMsg(e3).contains("singular"), rootMsg(e3))
+    // the constructor bound that keeps centered terms inside BIGINT
+    val e4 = intercept[IllegalArgumentException] {
+      ols2(plane, maxAbs = 1000000L, maxObs = 1000000L)
+    }
+    assert(e4.getMessage.contains("2^63"), e4.getMessage)
+  }
 }

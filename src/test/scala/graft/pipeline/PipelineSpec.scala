@@ -1036,6 +1036,24 @@ class PipelineSpec extends SparkSpec {
           |""".stripMargin)
     }
     assert(e2.getMessage.contains("terms repeat"), e2.getMessage)
+    // case-INSENSITIVE repeat: bm25 lowercases before scoring, so
+    // [Spark, spark] is the same duplicate — it must fail at parse
+    // time, not inside the per-item run bracket (round-12 advice)
+    val e2b = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """transformations:
+          |  - transform_id: dup_terms_ci
+          |    transform_type: relevance_filter
+          |    source_table: a.b
+          |    target_table: c.d
+          |    relevance_filter:
+          |      id_column: doc_id
+          |      text_column: text
+          |      terms: [Spark, spark]
+          |      min_score_micro: 1
+          |""".stripMargin)
+    }
+    assert(e2b.getMessage.contains("terms repeat"), e2b.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
         """transformations:

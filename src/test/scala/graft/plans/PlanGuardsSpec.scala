@@ -89,6 +89,30 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("tiny-funnel operators pass the window guard via constant partition keys") {
+    withGuardedSession { s =>
+      import s.implicits._
+      // before round 13 these three planned a PARTITION-BY-less window
+      // and a guarded session could not run the library's own
+      // operators without the session-wide opt-out (round-12 advice);
+      // the constant partition key survives analysis (where the guard
+      // checks) and the optimizer then strips it, so the physical plan
+      // is unchanged
+      val sky = graft.operators.Skyline.pareto2(
+        Seq((10L, 1L), (20L, 5L), (30L, 3L)).toDF("cost", "gain"),
+        "cost", "gain").collect()
+      assert(sky.length == 2, sky.mkString(","))
+      val sketch = Seq((1L, 4L), (2L, 6L)).toDF("bkey", "cnt")
+      val q = graft.operators.Sketches
+        .hdrQuantiles(sketch, Seq(500)).collect()
+      assert(q.length == 1, q.mkString(","))
+      val cb = graft.operators.Similarity.pqCodebook(
+        Seq((1L, Array(1, 2, 3, 4)), (2L, Array(5, 6, 7, 8)))
+          .toDF("vec_id", "qv"), m = 2, sub = 2, k = 2).collect()
+      assert(cb.length == 4, cb.mkString(","))
+    }
+  }
+
   test("a real library query runs clean under the guards") {
     withGuardedSession { s =>
       // dp4's bounds frame crosses as a broadcast-hinted 1-row scalar

@@ -17,6 +17,22 @@ class PlanSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  /** Count physical operators named `op` in the executed-plan TREE
+    * (subquery plans included), not its explain TEXT: a persisted
+    * frame's InMemoryTableScan reprints the cached plan — and every
+    * operator inside it — once per scan in the text, so one legitimate
+    * node can count N times (the round-12 red tw6 pin: the single
+    * scalar n_docs cross counted 4× across three scans of the weight
+    * frame). The tree walk sees each node exactly once;
+    * InMemoryTableScan is a leaf, so a cached subtree's operators
+    * count zero times here and are pinned where the frame is built.
+    */
+  private def countInTree(name: String, op: String): Int =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan
+      .collectWithSubqueries { case n if n.nodeName.contains(op) => n }
+      .size
+
   test("s1: predicate pushdown and column pruning reach the scan") {
     val p = plan("s1_parquet_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1000)]"), p)
@@ -688,15 +704,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("st2: multivariate fit is two stacked aggregates — no window, no join") {
+    val p = plan("st2_ols_multi")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), s"aggregate-before-regress must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // quarterly reduction + per-group sums, each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("v14: centroid frame broadcasts back; ranking window per label") {
     val p = plan("v14_centroid_outliers")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"),
       s"the labels×dims centroid frame must broadcast:\n$p")
-    // the only nested-loop is the 1-row quantization scale; the plan
-    // STRING can render it once per branch of the persisted code
-    // frame, but the persist executes it once
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    // the only nested-loop is the 1-row quantization scale — counted
+    // in the TREE so the persisted code frame's per-branch text
+    // rendering can't inflate it (the round-12 tw6 lesson)
+    assert(countInTree("v14_centroid_outliers", "BroadcastNestedLoopJoin") <= 1, p)
     assert(p.contains("InMemoryTableScan"),
       s"the exploded code frame must persist (it feeds two branches):\n$p")
     val sp = graft.SparkEntry.queries("v14_centroid_outliers")(spark, dir)
@@ -767,10 +792,11 @@ class PlanSpec extends SparkSpec {
       s"quartile boundaries must be ordered-set aggregates, not ntile:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loop broadcasts are single-row frames: the
-    // anchor date (rendered once per branch of the persisted
-    // per-customer aggregate — the boundary pass and the scoring
-    // pass) and the 9-boundary quartile frame
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+    // anchor date (once per branch of the persisted per-customer
+    // aggregate — the boundary pass and the scoring pass) and the
+    // 9-boundary quartile frame; counted in the TREE so persisted-
+    // frame text rendering can't inflate it (the round-12 tw6 lesson)
+    assert(countInTree("rfm1_segments", "BroadcastNestedLoopJoin") <= 3, p)
     spark.catalog.clearCache()
   }
 
@@ -795,7 +821,7 @@ class PlanSpec extends SparkSpec {
   test("tw6: sparse cosine is equi-only; only the 1-row corpus size crosses") {
     val p = plan("tw6_sparse_cosine")
     assert(!p.contains("CartesianProduct"), p)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+    assert(countInTree("tw6_sparse_cosine", "BroadcastNestedLoopJoin") <= 1,
       s"only the scalar n_docs frame may nested-loop:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"tf/df/norms/dots must all map-side combine:\n$p")
@@ -814,7 +840,7 @@ class PlanSpec extends SparkSpec {
       val p = plan(name)
       assert(!p.contains("Window"), s"$name must not plan a window:\n$p")
       assert(!p.contains("CartesianProduct"), p)
-      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      assert(countInTree(name, "BroadcastNestedLoopJoin") <= 1,
         s"$name: only the 1-row total may nested-loop:\n$p")
       assert("HashAggregate".r.findAllIn(p).size >= 2,
         s"$name must map-side combine")
