@@ -56,7 +56,14 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
+    // Production sessions run with the plan-hygiene guards installed:
+    // configs execute arbitrary SQL, and the two plans that take a
+    // shared cluster down — the accidental cartesian and the
+    // unpartitioned window — are refused at planning time. Deliberate
+    // uses opt out per session via spark.graft.guards.allowCartesian /
+    // allowGlobalWindow (the violation message names the key).
     val builder = SparkSession.builder().appName("graft-etl")
+      .withExtensions(new graft.plans.GraftGuards)
     if (sys.props.get("spark.master").isEmpty) builder.master("local[*]")
     args.warehouse.foreach(w => builder.config("spark.sql.warehouse.dir", w))
     val spark = builder.getOrCreate()

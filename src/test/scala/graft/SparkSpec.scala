@@ -18,6 +18,40 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Runs `f` with a session carrying the [[graft.plans.GraftGuards]]
+    * extensions — the session `Main.main` builds in production. Check
+    * rules inject at session CREATION, so the guarded session is built
+    * fresh over the shared SparkContext (same SharedState → same
+    * warehouse and catalog tables) and the shared session is restored
+    * afterwards so other suites are unaffected.
+    */
+  def withGuardedSession(f: SparkSession => Unit): Unit = {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val guarded = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftGuards)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        // fresh SharedState → fresh in-memory catalog; the warehouse
+        // must be fresh too, or CREATE TABLE collides with the shared
+        // session's managed-table locations it cannot see
+        .config("spark.sql.warehouse.dir",
+          s"/root/repo/target/test-warehouse-guarded-${System.nanoTime()}")
+        .getOrCreate()
+      try f(guarded)
+      finally {
+        guarded.conf.unset(graft.plans.PlanGuards.AllowCartesianKey)
+        guarded.conf.unset(graft.plans.PlanGuards.AllowGlobalWindowKey)
+      }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
 
 abstract class SparkSpec extends AnyFunSuite {

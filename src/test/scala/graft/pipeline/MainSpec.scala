@@ -136,4 +136,19 @@ class MainSpec extends SparkSpec {
     assert(exit == 1, "failing layer's exit code must propagate")
     assert(sys.props.get("GRAFT_DEMO_DIR").isEmpty)
   }
+
+  test("checked-in configs run green under the production guard extensions") {
+    // Main.main installs GraftGuards on every CLI session; this drives
+    // the same checked-in configs through Main.run on a session built
+    // the way main() builds it, proving the production funnel's own
+    // plans pass under the firewall (no allow-key set anywhere).
+    sys.props("GRAFT_DATA_DIR") = "/root/testdata/sf0.001"
+    try graft.TestSpark.withGuardedSession { guarded =>
+      val exit = Main.run(guarded,
+        Main.Args("2031-08-08", Seq("bronze", "silver", "gold"),
+          "/root/repo/configs", None))
+      assert(exit == 0, "guarded production run must stay green")
+      assert(guarded.table("gold.daily_orders").count() > 0)
+    } finally sys.props.remove("GRAFT_DATA_DIR")
+  }
 }

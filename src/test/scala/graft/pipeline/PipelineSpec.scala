@@ -1256,6 +1256,46 @@ class PipelineSpec extends SparkSpec {
     assert(reports.head.failed.map(_._1) == Seq("missing_path"))
     assert(reports.head.succeeded == Seq("customers_ok"))
   }
+
+  test("hostile cartesian config SQL is refused under the production guards") {
+    // Main.main installs GraftGuards on every production session;
+    // configs execute arbitrary SQL, so an accidental (or hostile)
+    // comma-cartesian between two fact tables must be refused at
+    // planning time, land as a per-model FAILURE (isolation intact),
+    // and name the documented opt-out key in its message.
+    writeFixtures()
+    val hostileGold =
+      """models:
+        |  - model_id: cartesian_bomb
+        |    sql_query: >
+        |      SELECT a.transaction_id, b.transaction_id AS other_id
+        |      FROM bronze_e2e.sales_transactions a,
+        |           bronze_e2e.sales_transactions b
+        |    target_table: gold_e2e.cartesian_bomb
+        |    refresh_type: full
+        |""".stripMargin
+    graft.TestSpark.withGuardedSession { guarded =>
+      // bronze runs under the guard too — real plans pass untouched
+      val p = new Pipeline(guarded, "2024-02-02", new FixedClock())
+      val boot = p.run(Map("bronze" -> EtlConfig.fromYaml(bronzeYaml)))
+      assert(boot.head.failed.isEmpty, boot.head.failed.toString)
+
+      val reports = p.run(Map("gold" -> EtlConfig.fromYaml(hostileGold)))
+      val failed = reports.head.failed
+      assert(failed.map(_._1) == Seq("cartesian_bomb"),
+        s"the guard must fail the model, got $reports")
+      assert(failed.head._2.contains("[graft.guards]") &&
+        failed.head._2.contains(graft.plans.PlanGuards.AllowCartesianKey),
+        s"violation must name the opt-out key: ${failed.head._2}")
+      assert(!guarded.catalog.tableExists("gold_e2e.cartesian_bomb"))
+
+      // the documented session opt-out unlocks a deliberate run
+      guarded.conf.set(graft.plans.PlanGuards.AllowCartesianKey, "true")
+      val allowed = p.run(Map("gold" -> EtlConfig.fromYaml(hostileGold)))
+      assert(allowed.head.failed.isEmpty, allowed.head.failed.toString)
+      assert(guarded.table("gold_e2e.cartesian_bomb").count() == 25L)
+    }
+  }
 }
 
 case class GoldRow(transaction_date: java.sql.Date, category: String,

@@ -12,27 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanGuardsSpec extends AnyFunSuite {
 
-  private def withGuardedSession(f: SparkSession => Unit): Unit = {
-    val shared = graft.TestSpark.spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val guarded = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftGuards)
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      try f(guarded)
-      finally {
-        guarded.conf.unset(PlanGuards.AllowCartesianKey)
-        guarded.conf.unset(PlanGuards.AllowGlobalWindowKey)
-      }
-    } finally {
-      SparkSession.setDefaultSession(shared)
-      SparkSession.setActiveSession(shared)
-    }
-  }
+  private def withGuardedSession(f: SparkSession => Unit): Unit =
+    graft.TestSpark.withGuardedSession(f)
 
   private def violation(t: Throwable): Option[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
