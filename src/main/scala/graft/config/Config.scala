@@ -178,6 +178,27 @@ final case class TransformConfig(
     weightedSample: Option[WeightedSampleStepConfig] = None,
     relevanceFilter: Option[RelevanceFilterStepConfig] = None)
 
+/** Declarative standing dedup store (gold `refresh_type: dedup_store`,
+  * [[graft.io.DedupStore]]): the model's sql_query selects this run's
+  * BATCH of (id, text) docs; each fold drops batch docs that near-dup
+  * the accumulated store, keeps one doc per within-batch near-dup
+  * cluster, and appends the survivors' MinHash band rows. `jaccard_pct`
+  * is the exact-Jaccard verify threshold in integer percent (0 =
+  * LSH-only: any band collision is a dup); `store_buckets > 0` buckets
+  * the store table on band_key so future folds read the store side of
+  * the probe join without a shuffle; `max_bucket_size` caps degenerate
+  * store-side band buckets.
+  */
+final case class DedupStoreConfig(
+    idColumn: String,
+    textColumn: String,
+    shingleSize: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    jaccardPct: Int = 0,
+    maxBucketSize: Option[Long] = None,
+    storeBuckets: Int = 0)
+
 final case class ModelConfig(
     modelId: String,
     sqlQuery: String,
@@ -231,6 +252,10 @@ final case class ModelConfig(
     // counts, 6.25% relative error; bucket counts ADD, so the run-date
     // epoch fence applies exactly as for additive/extremes)
     quantileColumn: Option[String] = None,
+    // dedup_store only: the standing cross-corpus dedup store's knobs
+    // (graft.io.DedupStore.maintain — append-only survivor band rows,
+    // run-date epoch fence)
+    dedupStore: Option[DedupStoreConfig] = None,
     // any refresh type: percent deviation from the trailing-median run
     // volume beyond which this model FAILS (graft.dq.VolumeGuard over
     // the audit history; 0 = disabled). The trend check no per-row DQ
@@ -349,7 +374,14 @@ object ConfigJson {
     "hll_m" -> m.hllM.toString,
     "quantile_column" -> js(m.quantileColumn.getOrElse("")),
     "volume_guard_pct" -> m.volumeGuardPct.toString,
-    "enabled" -> m.enabled.toString)
+    "enabled" -> m.enabled.toString,
+    "dedup_store" -> m.dedupStore.map(d => jobj(
+      "id_column" -> js(d.idColumn), "text_column" -> js(d.textColumn),
+      "shingle_size" -> d.shingleSize.toString,
+      "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString,
+      "jaccard_pct" -> d.jaccardPct.toString,
+      "max_bucket_size" -> d.maxBucketSize.map(_.toString).getOrElse("0"),
+      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"))
 }
 
 object EtlConfig {
@@ -641,6 +673,31 @@ object EtlConfig {
     d
   }
 
+  private def parseDedupStore(m: Map[String, Object]): DedupStoreConfig = {
+    val d = DedupStoreConfig(
+      idColumn = str(m, "id_column"),
+      textColumn = str(m, "text_column"),
+      shingleSize = num(m, "shingle_size", 3),
+      numHashes = num(m, "num_hashes", 16),
+      bands = num(m, "bands", 4),
+      jaccardPct = num(m, "jaccard_pct", 0),
+      maxBucketSize = opt(m, "max_bucket_size").map(_.toLong),
+      storeBuckets = num(m, "store_buckets", 0))
+    require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
+      "dedup_store needs id_column and text_column")
+    require(d.shingleSize >= 1, s"shingle_size must be >= 1, got ${d.shingleSize}")
+    require(d.numHashes >= 1 && d.bands >= 1 && d.numHashes % d.bands == 0,
+      s"bands (${d.bands}) must divide num_hashes (${d.numHashes}) evenly")
+    require(d.jaccardPct >= 0 && d.jaccardPct <= 100,
+      s"jaccard_pct must be 0..100 (integer percent; 0 = LSH-only), " +
+        s"got ${d.jaccardPct}")
+    require(d.maxBucketSize.forall(_ > 0),
+      s"max_bucket_size must be positive when set, got ${d.maxBucketSize.get}")
+    require(d.storeBuckets >= 0,
+      s"store_buckets must be >= 0 (0 = unbucketed), got ${d.storeBuckets}")
+    d
+  }
+
   private def parseModel(m: Map[String, Object]): ModelConfig = {
     val mc = ModelConfig(
       modelId = str(m, "model_id"),
@@ -663,10 +720,23 @@ object EtlConfig {
       distinctColumn = opt(m, "distinct_column"),
       hllM = num(m, "hll_m", 64),
       quantileColumn = opt(m, "quantile_column"),
+      dedupStore = m.get("dedup_store").map(d => parseDedupStore(asMap(d))),
       volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
-      "join_view", "scd2", "distinct_view", "quantile_view")(mc.refreshType),
+      "join_view", "scd2", "distinct_view", "quantile_view",
+      "dedup_store")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(mc.refreshType != "dedup_store" || mc.dedupStore.nonEmpty,
+      s"model '${mc.modelId}': refresh_type dedup_store needs a " +
+        "dedup_store block (id_column + text_column at minimum) — the " +
+        "model's sql_query selects this run's batch of docs")
+    require(mc.refreshType == "dedup_store" || mc.dedupStore.isEmpty,
+      s"model '${mc.modelId}': dedup_store is only used by refresh_type " +
+        "dedup_store")
+    require(mc.refreshType != "dedup_store" || mc.primaryKeys.isEmpty,
+      s"model '${mc.modelId}': dedup_store derives its identity from " +
+        "dedup_store.id_column — primary_keys is unused and would " +
+        "silently diverge")
     require(mc.refreshType != "quantile_view" || (mc.primaryKeys.nonEmpty &&
       mc.quantileColumn.nonEmpty),
       s"model '${mc.modelId}': refresh_type quantile_view needs " +

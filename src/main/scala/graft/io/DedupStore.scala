@@ -1,0 +1,204 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.operators.FrameCaches.track
+
+/** Standing cross-corpus dedup store — the crawl-N+1 lifecycle as a
+  * maintained gold model (reference scope: none — beyond-reference;
+  * completes the incremental-view taxonomy with the DEDUP member).
+  *
+  * [[Dedup.crossCorpusNearDups]] dedupes one batch against a
+  * caller-supplied reference frame, but re-shingles and re-hashes the
+  * reference TEXT on every call — at crawl N the reference is crawls
+  * 1..N-1, so the per-call API re-pays the whole corpus's hashing each
+  * batch. This store persists what that work produces: one row per
+  * (surviving doc, LSH band) carrying the band key and the doc's
+  * hashed shingle set, so each new batch joins against PRECOMPUTED
+  * band keys and the accumulated corpus is never re-read as text.
+  *
+  * Fold semantics per batch (the standard keep-one-per-cluster
+  * curation policy):
+  *  1. batch docs whose exact Jaccard vs ANY stored doc reaches the
+  *     threshold (candidates from the banded equi-join only) are
+  *     dropped — near-dups of content the corpus already has;
+  *  2. the remaining docs near-dup-cluster among THEMSELVES
+  *     (banded pairs → connected components) and each cluster keeps
+  *     its smallest id;
+  *  3. survivors' band rows APPEND to the store stamped with the
+  *     fold's epoch. The store is append-only: state grows with the
+  *     deduped corpus (unlike the keys-bounded view sketches), so a
+  *     fold never rewrites history — cost rides the batch.
+  *
+  * Replay contract: appends are NOT idempotent (a replayed batch
+  * would re-test against a store that now contains its own survivors
+  * — every doc suddenly matches itself), so the fold carries the
+  * additive family's epoch fence: same-epoch re-run returns false
+  * (no-op), an older epoch throws.
+  *
+  * Scale shape: the batch side is shingled/hashed once (persisted for
+  * its three consumers); the store side is a column scan of
+  * (band_idx, band_key[, sh]) — never text. The batch×store join is
+  * banded equi-only, with the verify Jaccard computed per COLLISION
+  * row (≤ bands rows per pair) rather than per distinct pair: a
+  * distinct-first pass would shuffle the wide shingle-carrying rows a
+  * second time to save at most `bands`× duplicate array intersections.
+  * With `storeBuckets > 0` the store table is bucketed on `band_key`,
+  * so the store side of every future fold's join is read WITHOUT a
+  * shuffle (HashPartitioning(band_key) satisfies the join's clustered
+  * distribution; the small batch side shuffles to match) — at 100 TB
+  * the accumulated store is the big side, and this is what keeps
+  * crawl-N+1 cost linear in the BATCH. `maxBucketSize` caps degenerate
+  * store-side band buckets exactly as [[Dedup.candidatePairs]] does
+  * (a boilerplate bucket would multiply every colliding batch doc).
+  *
+  * Store schema: `doc_id, band_idx, band_key, sh, _epoch` — `sh` (the
+  * hashed shingle set, needed for the exact-Jaccard verify) is carried
+  * on every band row, a deliberate `bands`× duplication that buys the
+  * verify without a second doc_id-keyed join against a store-sized
+  * signature table; `jaccardThreshold = 0` (LSH-only: any band
+  * collision is a dup) never reads `sh` at fold time.
+  */
+object DedupStore {
+
+  /** Folds `batch` into the standing store at `table` (created on
+    * first call). Returns true iff the fold applied (false = the
+    * epoch fence skipped a same-epoch replay).
+    */
+  def maintain(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.0,
+      mode: Dedup.HashMode = Dedup.XxHash,
+      maxBucketSize: Option[Long] = None,
+      storeBuckets: Int = 0,
+      epochId: Option[Long] = None): Boolean = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    require(jaccardThreshold >= 0.0 && jaccardThreshold <= 1.0,
+      s"jaccardThreshold must be in [0,1], got $jaccardThreshold")
+    require(storeBuckets >= 0, s"storeBuckets must be >= 0, got $storeBuckets")
+    // every frame this fold persists (including the CC funnel's
+    // checkpoints) drains when the fold's writes are done — the store
+    // is a long-lived session's gold path, not a one-query session
+    val cacheMark = graft.operators.FrameCaches.mark(spark)
+    try maintainImpl(spark, table, batch, idCol, textCol, shingleN,
+      numHashes, bands, jaccardThreshold, mode, maxBucketSize,
+      storeBuckets, epochId)
+    finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
+  }
+
+  private def maintainImpl(spark: SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      jaccardThreshold: Double, mode: Dedup.HashMode,
+      maxBucketSize: Option[Long], storeBuckets: Int,
+      epochId: Option[Long]): Boolean = {
+    val bandNames = (0 until bands).map(b => s"band_$b")
+    // one shingle+hash pass over the batch text; persisted — it feeds
+    // the store probe, the within-batch pairs, and the final append
+    val banded = track(Dedup.withMinhashBands(
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+        "_text", shingleN, numHashes, bands, mode)
+      .drop("_text").persist())
+
+    val exists = spark.catalog.tableExists(table)
+    if (exists) {
+      val t = spark.table(table)
+      val expect = Seq("doc_id", "band_idx", "band_key", "sh", "_epoch")
+      require(t.columns.sorted.toSeq == expect.sorted,
+        s"'$table' is not a dedup store: has " +
+          s"[${t.columns.sorted.mkString(", ")}], expected " +
+          s"[${expect.sorted.mkString(", ")}]")
+      val m = t.agg(max(col("_epoch"))).head()
+      val committed = if (m.isNullAt(0)) None else Some(m.getLong(0))
+      for (id <- epochId; c <- committed) {
+        if (c == id) return false
+        if (c > id) throw new IllegalStateException(
+          s"dedup-store fold for '$table': batch epoch $id is OLDER than " +
+            s"the committed epoch $c — the store already contains later " +
+            "survivors, so a backfilled batch would be deduped against " +
+            "the future; recompute the store in epoch order or re-stamp " +
+            "the batch with a current epoch")
+      }
+    }
+
+    val fresh =
+      if (!exists) banded
+      else {
+        val probe = banded.select(col("doc_id"), col("sh").as("_sh_b"),
+          posexplode(array(bandNames.map(col): _*))
+            .as(Seq("band_idx", "band_key")))
+        val store0 = spark.table(table)
+          .select(col("band_idx"), col("band_key"), col("sh").as("_sh_r"))
+        val store = maxBucketSize match {
+          case Some(cap) =>
+            val hot = track(store0.groupBy("band_idx", "band_key")
+              .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
+              .select("band_idx", "band_key").persist())
+            // same degrade rule as candidatePairs: broadcast the hot
+            // keys only while provably few
+            val nHot = hot.count()
+            if (nHot == 0) store0
+            else {
+              val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
+              store0.join(hotSide, Seq("band_idx", "band_key"), "left_anti")
+            }
+          case None => store0
+        }
+        val collisions = probe.join(store, Seq("band_idx", "band_key"))
+        val hits =
+          (if (jaccardThreshold > 0)
+            collisions.filter(
+              Dedup.jaccard(col("_sh_b"), col("_sh_r")) >= jaccardThreshold)
+          else collisions)
+            .select("doc_id").distinct()
+        banded.join(hits, Seq("doc_id"), "left_anti")
+      }
+    val freshP = track(fresh.persist())
+
+    // within-batch near-dup clusters among the store-fresh docs; each
+    // keeps its smallest id (the d8/d10 curation policy)
+    val pairs0 = Dedup.candidatePairs(freshP, "doc_id",
+      bandNames.map(col), maxBucketSize)
+    val pairs =
+      if (jaccardThreshold > 0) {
+        val l = freshP.select(col("doc_id").as("doc_a"), col("sh").as("_sh_a"))
+        val r = freshP.select(col("doc_id").as("doc_b"), col("sh").as("_sh_b"))
+        pairs0.join(l, "doc_a").join(r, "doc_b")
+          .filter(Dedup.jaccard(col("_sh_a"), col("_sh_b")) >= jaccardThreshold)
+          .select("doc_a", "doc_b")
+      } else pairs0
+    val nonCanonical = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+    val survivors = freshP.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        posexplode(array(bandNames.map(col): _*))
+          .as(Seq("band_idx", "band_key")),
+        col("sh"))
+      .withColumn("_epoch", lit(epochId.getOrElse(-1L)))
+      .select("doc_id", "band_idx", "band_key", "sh", "_epoch")
+
+    // stage before touching the catalog: the survivor plan READS the
+    // store table it is about to append to
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+    val staged = spark.read.parquet(s"$scratch/batch")
+    val writer = staged.write.mode(if (exists) SaveMode.Append
+      else SaveMode.ErrorIfExists).format("parquet")
+    (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
+     else writer).saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    true
+  }
+
+  /** The accumulated deduped corpus: one row per stored doc
+    * (`doc_id, _epoch` — the epoch its batch folded in). Reads one
+    * band slice, never the shingle arrays.
+    */
+  def storedDocIds(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).filter(col("band_idx") === 0)
+      .select("doc_id", "_epoch")
+}

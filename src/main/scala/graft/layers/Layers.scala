@@ -172,7 +172,7 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       lazy val df =
         if (m.refreshType == "additive" || m.refreshType == "extremes" ||
           m.refreshType == "scd2" || m.refreshType == "distinct_view" ||
-          m.refreshType == "quantile_view") df0
+          m.refreshType == "quantile_view" || m.refreshType == "dedup_store") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -245,6 +245,17 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           foldCounted(batch => graft.io.Maintenance.maintainDistinctView(
             spark, m.targetTable, batch, m.primaryKeys,
             m.distinctColumn.get, m.hllM))
+        } else if (m.refreshType == "dedup_store") {
+          // standing cross-corpus dedup store: the batch's survivor
+          // band rows APPEND (state grows with the deduped corpus, so
+          // appends are not idempotent) — the run date is the epoch
+          // fence exactly as for additive/extremes
+          val d = m.dedupStore.get
+          foldCounted(batch => graft.io.DedupStore.maintain(
+            spark, m.targetTable, batch, d.idColumn, d.textColumn,
+            d.shingleSize, d.numHashes, d.bands, d.jaccardPct / 100.0,
+            maxBucketSize = d.maxBucketSize, storeBuckets = d.storeBuckets,
+            epochId = Some(epoch)))
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

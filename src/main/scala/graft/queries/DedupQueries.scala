@@ -241,7 +241,42 @@ object DedupQueries extends QuerySet {
       "doc_id", "text", N, thresholdPermille = 700, mode = Md5Hash)
       .orderBy("doc_a", "doc_b")
 
+  /** Standing dedup store as a LIFECYCLE, oracle-checked end to end
+    * ([[graft.io.DedupStore]]): crawl 1 = odd doc_ids, crawl 2 = even
+    * doc_ids, folded in sequence with the run epoch. Each fold drops
+    * batch docs whose exact Jaccard vs the ACCUMULATED store reaches
+    * 0.5 (candidates from the banded equi-join only), keeps one doc
+    * per within-batch near-dup cluster, and appends the survivors'
+    * band rows — d11 is the per-call primitive; this is the
+    * maintained-table shape a crawl-N+1 pipeline declares in YAML
+    * (`refresh_type: dedup_store`). Output = the accumulated deduped
+    * corpus with the epoch each doc folded in.
+    */
+  def ds1DedupStore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.ds1_dedup_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // a FRESH session's in-memory catalog has no memory of a previous
+    // run's managed table, but the warehouse directory survives — and
+    // saveAsTable(ErrorIfExists) refuses the leftover location
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/ds1_dedup_store")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(1L))
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(2L))
+    graft.io.DedupStore.storedDocIds(s, table)
+      .select(col("doc_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "ds1_dedup_store" -> ds1DedupStore _,
     "d13_containment_pairs" -> d13ContainmentPairs _,
     "d12_shared_spans" -> d12SharedSpans _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
@@ -304,7 +339,55 @@ object DedupQueries extends QuerySet {
        | ${(0 until 4).map(c => s"${chunkSql(c)} AS sim_chunk_$c").mkString(",\n ")}
        |FROM documents""".stripMargin
 
+  // ds1 oracle plumbing: jaccard between two aliased base rows, the
+  // any-band collision condition, and the keep-one-per-cluster CTE
+  // chain (verified pairs -> symmetric edges -> transitive closure ->
+  // min-label clusters -> keepers), reused for both folds
+  private def jacSql(x: String, y: String): String =
+    s"len(list_intersect($x.sh, $y.sh)) * 1.0 / " +
+      s"len(list_distinct(list_concat($x.sh, $y.sh)))"
+
+  private def bandOrSql(x: String, y: String): String =
+    (0 until B).map(i => s"$x.band_$i = $y.band_$i").mkString("(", " OR ", ")")
+
+  private def keeperCtes(base: String, tag: String): String =
+    s"""p$tag AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db
+       |  FROM $base x JOIN $base y ON x.doc_id < y.doc_id
+       |    AND ${bandOrSql("x", "y")}
+       |  WHERE ${jacSql("x", "y")} >= 0.5),
+       |e$tag AS (
+       |  SELECT da AS src, db AS dst FROM p$tag
+       |  UNION SELECT db, da FROM p$tag),
+       |r$tag(src, dst) AS (
+       |  SELECT src, dst FROM e$tag
+       |  UNION
+       |  SELECT r.src, e.dst FROM r$tag r JOIN e$tag e ON r.dst = e.src),
+       |c$tag AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM r$tag GROUP BY src),
+       |k$tag AS (
+       |  SELECT doc_id FROM $base WHERE doc_id NOT IN
+       |    (SELECT doc_id FROM c$tag WHERE cluster_id <> doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ds1_dedup_store" ->
+      s"""WITH RECURSIVE
+         |a AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
+         |${keeperCtes("a", "1")},
+         |s1 AS (SELECT a.* FROM a JOIN k1 USING (doc_id)),
+         |b AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")}),
+         |hits AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON ${bandOrSql("b", "s1")}
+         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |f2 AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |${keeperCtes("f2", "2")}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
+         |ORDER BY doc_id""".stripMargin,
     // the sorted hash-run derivation verbatim: 50-token rolling windows
     // (md5 of the space-joined slice), the posting cap, the equi join,
     // diagonal islands via pos - row_number, span = run + 49

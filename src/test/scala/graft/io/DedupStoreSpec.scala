@@ -1,0 +1,187 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS dstore_test")
+    s"dstore_test.$name"
+  }
+
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val textB = "one two three four five six seven"
+  private val textC = "eight nine ten eleven twelve thirteen fourteen"
+
+  private def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("crawl-N+1 lifecycle: within-batch keepers, store hits dropped, epochs stamped") {
+    val t = table("t_lifecycle")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // batch 1: 101/103 exact dups (keeper = min id), 105 unique
+    assert(DedupStore.maintain(spark, t,
+      df(101L -> textA, 103L -> textA, 105L -> textB),
+      "doc_id", "text", epochId = Some(1L)))
+    assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
+      Set(101L -> 1L, 105L -> 1L))
+    // one row per (doc, band)
+    assert(spark.table(t).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap.values.toSet == Set(4L))
+
+    // batch 2: 202 dups stored content (dropped), 204/206/208 a fresh
+    // within-batch cluster (204 keeps)
+    assert(DedupStore.maintain(spark, t,
+      df(202L -> textA, 204L -> textC, 206L -> textC, 208L -> textC),
+      "doc_id", "text", epochId = Some(2L)))
+    assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
+      Set(101L -> 1L, 105L -> 1L, 204L -> 2L))
+  }
+
+  test("epoch fence: same-epoch replay no-ops, older epoch throws") {
+    val t = table("t_fence")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      epochId = Some(10L)))
+    assert(!DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+      epochId = Some(10L)), "same-epoch replay must skip")
+    assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L), "skipped fold must leave the store untouched")
+    val e = intercept[IllegalStateException] {
+      DedupStore.maintain(spark, t, df(3L -> textC), "doc_id", "text",
+        epochId = Some(9L))
+    }
+    assert(e.getMessage.contains("OLDER"))
+  }
+
+  test("unfenced exact replay converges: every doc matches its own stored self") {
+    val t = table("t_replay")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val batch = df(1L -> textA, 2L -> textB)
+    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text"))
+    val first = spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq
+    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text"),
+      "unfenced fold applies (returns true) ...")
+    assert(spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq == first,
+      "... but appends nothing — the batch deduped against itself in the store")
+  }
+
+  /** A long doc and a one-word-off variant chosen so they share SOME
+    * but not ALL LSH bands (deterministic under XxHash — searched once
+    * per run over 50 fixed candidates, so a hash-family change
+    * self-heals instead of silently testing nothing).
+    */
+  private lazy val (long1, long2) = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val stem = (1 to 39).map(i => s"tok$i").mkString(" ")
+    val cands = (1 to 50).map(k => stem + s" changed$k")
+    val rows = Dedup.withMinhashBands(
+      df((1L -> base) +: cands.zipWithIndex.map {
+        case (c, i) => (i + 2L) -> c }: _*), "text", 3, 16, 4)
+      .select("doc_id", "band_0", "band_1", "band_2", "band_3")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val pick = cands.zipWithIndex.find { case (_, i) =>
+      val (a, b) = (rows(1L), rows(i + 2L))
+      a != b && a.zip(b).exists { case (x, y) => x == y }
+    }
+    assert(pick.nonEmpty, "no candidate shares some-but-not-all bands")
+    (base, pick.get._1)
+  }
+
+  test("jaccard threshold separates near-dups from shared-band false friends") {
+    long1 // force the fixture search (and its some-but-not-all assert)
+
+    val strict = table("t_thresh_strict")
+    spark.sql(s"DROP TABLE IF EXISTS $strict")
+    DedupStore.maintain(spark, strict, df(1L -> long1, 2L -> long2),
+      "doc_id", "text", jaccardThreshold = 0.99)
+    assert(DedupStore.storedDocIds(spark, strict).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(1L, 2L),
+      "threshold 0.99: the banded collision fails the verify — both kept")
+
+    val loose = table("t_thresh_loose")
+    spark.sql(s"DROP TABLE IF EXISTS $loose")
+    DedupStore.maintain(spark, loose, df(1L -> long1, 2L -> long2),
+      "doc_id", "text", jaccardThreshold = 0.5)
+    assert(DedupStore.storedDocIds(spark, loose).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(1L),
+      "threshold 0.5: the variant verifies as a near-dup — keeper only")
+  }
+
+  test("cross-batch near-dup (not exact) is dropped by the store probe's verify") {
+    val t = table("t_probe_verify")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> long1), "doc_id", "text",
+      jaccardThreshold = 0.5, epochId = Some(1L))
+    DedupStore.maintain(spark, t, df(2L -> long2, 3L -> textB), "doc_id", "text",
+      jaccardThreshold = 0.5, epochId = Some(2L))
+    assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 1L, 3L -> 2L))
+  }
+
+  test("store shape guard refuses a foreign table") {
+    val t = table("t_wrong_shape")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("not a dedup store"))
+  }
+
+  test("bucketed store: folds agree with unbucketed, store-side reads need no shuffle") {
+    val plain = table("t_plain")
+    val bucketed = table("t_bucketed")
+    Seq(plain, bucketed).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val b1 = df(101L -> textA, 103L -> textA, 105L -> textB)
+    val b2 = df(202L -> textA, 204L -> textC)
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      DedupStore.maintain(spark, plain, b, "doc_id", "text",
+        epochId = Some(i + 1L))
+      DedupStore.maintain(spark, bucketed, b, "doc_id", "text",
+        storeBuckets = 4, epochId = Some(i + 1L))
+    }
+    assert(DedupStore.storedDocIds(spark, bucketed).as[(Long, Long)]
+      .collect().toSet ==
+      DedupStore.storedDocIds(spark, plain).as[(Long, Long)].collect().toSet)
+    // HashPartitioning(band_key) from the bucket spec satisfies a
+    // band_key-clustered distribution without an Exchange — the pin
+    // that the store side of every future probe join stays shuffle-free
+    val agg = spark.table(bucketed).groupBy("band_key").count()
+    val physical = agg.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"bucketed store scan must not shuffle:\n$physical")
+    val unbucketedAgg = spark.table(plain).groupBy("band_key").count()
+    assert(unbucketedAgg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "control: the unbucketed twin DOES shuffle")
+  }
+
+  test("fold order changes keepers but never the dedup invariant (exact-dup corpus)") {
+    val fwd = table("t_order_fwd")
+    val rev = table("t_order_rev")
+    Seq(fwd, rev).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val b1 = df(1L -> textA, 3L -> textB)
+    val b2 = df(2L -> textA, 4L -> textC)
+    DedupStore.maintain(spark, fwd, b1, "doc_id", "text", epochId = Some(1L))
+    DedupStore.maintain(spark, fwd, b2, "doc_id", "text", epochId = Some(2L))
+    DedupStore.maintain(spark, rev, b2, "doc_id", "text", epochId = Some(1L))
+    DedupStore.maintain(spark, rev, b1, "doc_id", "text", epochId = Some(2L))
+    val all = b1.unionByName(b2)
+    for (t <- Seq(fwd, rev)) {
+      val kept = DedupStore.storedDocIds(spark, t).select("doc_id")
+      val texts = all.join(kept, "doc_id")
+        .select("text").as[String].collect().toSeq
+      assert(texts.distinct.size == texts.size,
+        s"$t: stored docs must never contain dups of each other")
+      assert(texts.toSet == Set(textA, textB, textC),
+        s"$t: every distinct content must have exactly one representative")
+    }
+    // first-folded batch wins the representative for shared content
+    assert(DedupStore.storedDocIds(spark, fwd).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(1L, 3L, 4L))
+    assert(DedupStore.storedDocIds(spark, rev).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(2L, 3L, 4L))
+  }
+}
