@@ -62,6 +62,28 @@ import graft.operators.FrameCaches.track
   */
 object DedupStore {
 
+  /** Catalog table property carrying the last committed fold epoch —
+    * the O(1) metadata read that replaces a full-store `max(_epoch)`
+    * column scan (at a 100 TB store the scan is a real, unpruned pass
+    * per fold; the property read never touches the data). Stores
+    * written before this property existed fall back to the scan once,
+    * then carry the property from their next fold on.
+    */
+  val EpochProperty = "graft.dedupstore.epoch"
+
+  /** The last committed fold epoch: the [[EpochProperty]] table
+    * property when present (O(1) catalog read), else a one-time
+    * `max(_epoch)` scan for legacy stores.
+    */
+  def committedEpoch(spark: SparkSession, table: String): Option[Long] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    meta.properties.get(EpochProperty).map(_.toLong).orElse {
+      val m = spark.table(table).agg(max(col("_epoch"))).head()
+      if (m.isNullAt(0)) None else Some(m.getLong(0))
+    }
+  }
+
   /** Folds `batch` into the standing store at `table` (created on
     * first call). Returns true iff the fold applied (false = the
     * epoch fence skipped a same-epoch replay).
@@ -111,9 +133,19 @@ object DedupStore {
         s"'$table' is not a dedup store: has " +
           s"[${t.columns.sorted.mkString(", ")}], expected " +
           s"[${expect.sorted.mkString(", ")}]")
-      val m = t.agg(max(col("_epoch"))).head()
-      val committed = if (m.isNullAt(0)) None else Some(m.getLong(0))
-      for (id <- epochId; c <- committed) {
+      // bucket-spec drift fails HERE with the store's own diagnostic,
+      // not deep inside saveAsTable(Append) with a raw Spark error
+      val haveBuckets = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(0)
+      require(haveBuckets == storeBuckets,
+        s"dedup-store fold for '$table': storeBuckets=$storeBuckets but the " +
+          s"existing store was created with " +
+          (if (haveBuckets == 0) "no bucketing" else s"$haveBuckets buckets") +
+          " — the bucket layout is fixed at store creation; fold with the " +
+          s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
+          "store under the new layout")
+      for (id <- epochId; c <- committedEpoch(spark, table)) {
         if (c == id) return false
         if (c > id) throw new IllegalStateException(
           s"dedup-store fold for '$table': batch epoch $id is OLDER than " +
@@ -184,12 +216,21 @@ object DedupStore {
     // store table it is about to append to
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
       table.replace('.', '_')
-    survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-    val staged = spark.read.parquet(s"$scratch/batch")
-    val writer = staged.write.mode(if (exists) SaveMode.Append
-      else SaveMode.ErrorIfExists).format("parquet")
-    (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
-     else writer).saveAsTable(table)
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+      val staged = spark.read.parquet(s"$scratch/batch")
+      val writer = staged.write.mode(if (exists) SaveMode.Append
+        else SaveMode.ErrorIfExists).format("parquet")
+      (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
+       else writer).saveAsTable(table)
+    } finally fs.delete(scratchPath, true)
+    // stamp the committed epoch as a table property — the O(1) fence
+    // read for every future fold (see EpochProperty)
+    for (id <- epochId)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$EpochProperty' = '$id')")
     spark.catalog.refreshTable(table)
     true
   }

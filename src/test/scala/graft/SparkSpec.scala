@@ -22,9 +22,11 @@ object TestSpark {
   /** Runs `f` with a session carrying the [[graft.plans.GraftGuards]]
     * extensions — the session `Main.main` builds in production. Check
     * rules inject at session CREATION, so the guarded session is built
-    * fresh over the shared SparkContext (same SharedState → same
-    * warehouse and catalog tables) and the shared session is restored
-    * afterwards so other suites are unaffected.
+    * fresh: only the SparkContext is shared — the guarded session gets
+    * a fresh SharedState, a fresh in-memory catalog, and its own
+    * warehouse dir (so its managed tables never collide with the
+    * shared session's) — and the shared session is restored afterwards
+    * so other suites are unaffected.
     */
   def withGuardedSession(f: SparkSession => Unit): Unit = {
     val shared = spark

@@ -121,6 +121,65 @@ class DedupStoreSpec extends SparkSpec {
       Set(1L -> 1L, 3L -> 2L))
   }
 
+  test("epoch fence reads the table property, not a store scan; legacy stores fall back") {
+    val t = table("t_epoch_prop")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      epochId = Some(5L)))
+    assert(DedupStore.committedEpoch(spark, t).contains(5L))
+    // the property — not the data — is the fence's source of truth:
+    // bump it past the stored rows' max(_epoch) and the fence follows
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${DedupStore.EpochProperty}' = '7')")
+    assert(DedupStore.committedEpoch(spark, t).contains(7L),
+      "a 5-row store scan would have said 5")
+    assert(!DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+      epochId = Some(7L)), "fence must honor the property epoch")
+    // legacy store (pre-property): unset → one-time max(_epoch) scan
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES " +
+      s"('${DedupStore.EpochProperty}')")
+    assert(DedupStore.committedEpoch(spark, t).contains(5L),
+      "property absent must fall back to the data scan")
+    // and the next applied fold re-stamps the property
+    assert(DedupStore.maintain(spark, t, df(3L -> textC), "doc_id", "text",
+      epochId = Some(8L)))
+    assert(DedupStore.committedEpoch(spark, t).contains(8L))
+  }
+
+  test("bucket-spec drift refuses up front with the store's own diagnostic") {
+    val t = table("t_bucket_drift")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      storeBuckets = 4, epochId = Some(1L))
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+        storeBuckets = 0, epochId = Some(2L))
+    }
+    assert(e.getMessage.contains("storeBuckets=0") &&
+      e.getMessage.contains("4 buckets"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+        storeBuckets = 8, epochId = Some(2L))
+    }
+    assert(e2.getMessage.contains("storeBuckets=8"), e2.getMessage)
+    // the store's own setting still folds
+    assert(DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+      storeBuckets = 4, epochId = Some(2L)))
+  }
+
+  test("staging scratch is deleted after the fold") {
+    val t = table("t_scratch")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      epochId = Some(1L))
+    val scratch = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+        t.replace('.', '_'))
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(scratch),
+      "survivor band rows must not stay duplicated next to the store")
+  }
+
   test("store shape guard refuses a foreign table") {
     val t = table("t_wrong_shape")
     spark.sql(s"DROP TABLE IF EXISTS $t")
