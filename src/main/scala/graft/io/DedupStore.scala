@@ -71,6 +71,20 @@ object DedupStore {
     */
   val EpochProperty = "graft.dedupstore.epoch"
 
+  /** Outcome of one fold: whether it applied (false = the epoch fence
+    * skipped a same-epoch replay) and the batch's row count, counted on
+    * the fold's own persisted shingle frame. The count is returned HERE
+    * rather than observed by the caller because `maintain` persists the
+    * batch subtree: in Spark 4.1, once an observed node's subtree is
+    * cached, any later query over the cache completes the caller's
+    * `Observation` with `Row.empty` (ObservationManager.tryComplete
+    * poisons a registered observation whenever a finished query's
+    * LOGICAL plan contains the CollectMetrics node but its execution —
+    * a cache hit — produced no metric), so an outside Observation
+    * riding the batch is unreliable by design.
+    */
+  final case class FoldResult(applied: Boolean, batchRows: Long)
+
   /** The last committed fold epoch: the [[EpochProperty]] table
     * property when present (O(1) catalog read), else a one-time
     * `max(_epoch)` scan for legacy stores.
@@ -85,8 +99,9 @@ object DedupStore {
   }
 
   /** Folds `batch` into the standing store at `table` (created on
-    * first call). Returns true iff the fold applied (false = the
-    * epoch fence skipped a same-epoch replay).
+    * first call). Returns the [[FoldResult]]: applied=false means the
+    * epoch fence skipped a same-epoch replay (batchRows 0 then — the
+    * skip path never scans the batch).
     */
   def maintain(spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, textCol: String,
@@ -95,7 +110,7 @@ object DedupStore {
       mode: Dedup.HashMode = Dedup.XxHash,
       maxBucketSize: Option[Long] = None,
       storeBuckets: Int = 0,
-      epochId: Option[Long] = None): Boolean = {
+      epochId: Option[Long] = None): FoldResult = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly")
     require(jaccardThreshold >= 0.0 && jaccardThreshold <= 1.0,
@@ -116,7 +131,7 @@ object DedupStore {
       shingleN: Int, numHashes: Int, bands: Int,
       jaccardThreshold: Double, mode: Dedup.HashMode,
       maxBucketSize: Option[Long], storeBuckets: Int,
-      epochId: Option[Long]): Boolean = {
+      epochId: Option[Long]): FoldResult = {
     val bandNames = (0 until bands).map(b => s"band_$b")
     // one shingle+hash pass over the batch text; persisted — it feeds
     // the store probe, the within-batch pairs, and the final append
@@ -146,7 +161,7 @@ object DedupStore {
           s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
           "store under the new layout")
       for (id <- epochId; c <- committedEpoch(spark, table)) {
-        if (c == id) return false
+        if (c == id) return FoldResult(applied = false, batchRows = 0L)
         if (c > id) throw new IllegalStateException(
           s"dedup-store fold for '$table': batch epoch $id is OLDER than " +
             s"the committed epoch $c — the store already contains later " +
@@ -158,36 +173,10 @@ object DedupStore {
 
     val fresh =
       if (!exists) banded
-      else {
-        val probe = banded.select(col("doc_id"), col("sh").as("_sh_b"),
-          posexplode(array(bandNames.map(col): _*))
-            .as(Seq("band_idx", "band_key")))
-        val store0 = spark.table(table)
-          .select(col("band_idx"), col("band_key"), col("sh").as("_sh_r"))
-        val store = maxBucketSize match {
-          case Some(cap) =>
-            val hot = track(store0.groupBy("band_idx", "band_key")
-              .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
-              .select("band_idx", "band_key").persist())
-            // same degrade rule as candidatePairs: broadcast the hot
-            // keys only while provably few
-            val nHot = hot.count()
-            if (nHot == 0) store0
-            else {
-              val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
-              store0.join(hotSide, Seq("band_idx", "band_key"), "left_anti")
-            }
-          case None => store0
-        }
-        val collisions = probe.join(store, Seq("band_idx", "band_key"))
-        val hits =
-          (if (jaccardThreshold > 0)
-            collisions.filter(
-              Dedup.jaccard(col("_sh_b"), col("_sh_r")) >= jaccardThreshold)
-          else collisions)
-            .select("doc_id").distinct()
-        banded.join(hits, Seq("doc_id"), "left_anti")
-      }
+      else banded.join(
+        storeHits(spark, table, banded, bandNames, jaccardThreshold,
+          maxBucketSize),
+        Seq("doc_id"), "left_anti")
     val freshP = track(fresh.persist())
 
     // within-batch near-dup clusters among the store-fresh docs; each
@@ -232,7 +221,47 @@ object DedupStore {
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('$EpochProperty' = '$id')")
     spark.catalog.refreshTable(table)
-    true
+    // one row per batch doc; the fold's writes materialized the cache,
+    // so this count rides the in-memory frame, not a second text scan
+    FoldResult(applied = true, batchRows = banded.count())
+  }
+
+  /** The store-probe stage of a fold, exposed so its plan shape is
+    * pinnable: batch docs (as a [[Dedup.withMinhashBands]] frame)
+    * whose exact Jaccard vs ANY stored doc reaches the threshold —
+    * candidates come ONLY from the banded equi-join (band_idx,
+    * band_key), never an all-pairs comparison, and the verify runs per
+    * COLLISION row. Returns the distinct hit `doc_id`s.
+    */
+  def storeHits(spark: SparkSession, table: String, banded: DataFrame,
+      bandNames: Seq[String], jaccardThreshold: Double,
+      maxBucketSize: Option[Long]): DataFrame = {
+    val probe = banded.select(col("doc_id"), col("sh").as("_sh_b"),
+      posexplode(array(bandNames.map(col): _*))
+        .as(Seq("band_idx", "band_key")))
+    val store0 = spark.table(table)
+      .select(col("band_idx"), col("band_key"), col("sh").as("_sh_r"))
+    val store = maxBucketSize match {
+      case Some(cap) =>
+        val hot = track(store0.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") > cap)
+          .select("band_idx", "band_key").persist())
+        // same degrade rule as candidatePairs: broadcast the hot
+        // keys only while provably few
+        val nHot = hot.count()
+        if (nHot == 0) store0
+        else {
+          val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
+          store0.join(hotSide, Seq("band_idx", "band_key"), "left_anti")
+        }
+      case None => store0
+    }
+    val collisions = probe.join(store, Seq("band_idx", "band_key"))
+    (if (jaccardThreshold > 0)
+      collisions.filter(
+        Dedup.jaccard(col("_sh_b"), col("_sh_r")) >= jaccardThreshold)
+    else collisions)
+      .select("doc_id").distinct()
   }
 
   /** The accumulated deduped corpus: one row per stored doc

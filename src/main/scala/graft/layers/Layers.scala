@@ -249,13 +249,17 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           // standing cross-corpus dedup store: the batch's survivor
           // band rows APPEND (state grows with the deduped corpus, so
           // appends are not idempotent) — the run date is the epoch
-          // fence exactly as for additive/extremes
+          // fence exactly as for additive/extremes. NOT foldCounted:
+          // maintain persists the batch subtree internally, and in
+          // Spark 4.1 a query over that cache poisons any outside
+          // Observation with Row.empty (see DedupStore.FoldResult),
+          // so the fold reports its own batch count
           val d = m.dedupStore.get
-          foldCounted(batch => graft.io.DedupStore.maintain(
-            spark, m.targetTable, batch, d.idColumn, d.textColumn,
+          graft.io.DedupStore.maintain(
+            spark, m.targetTable, df, d.idColumn, d.textColumn,
             d.shingleSize, d.numHashes, d.bands, d.jaccardPct / 100.0,
             maxBucketSize = d.maxBucketSize, storeBuckets = d.storeBuckets,
-            epochId = Some(epoch)))
+            epochId = Some(epoch)).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

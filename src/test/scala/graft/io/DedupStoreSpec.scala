@@ -22,9 +22,10 @@ class DedupStoreSpec extends SparkSpec {
     val t = table("t_lifecycle")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     // batch 1: 101/103 exact dups (keeper = min id), 105 unique
-    assert(DedupStore.maintain(spark, t,
+    val f1 = DedupStore.maintain(spark, t,
       df(101L -> textA, 103L -> textA, 105L -> textB),
-      "doc_id", "text", epochId = Some(1L)))
+      "doc_id", "text", epochId = Some(1L))
+    assert(f1.applied && f1.batchRows == 3L, f1.toString)
     assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
       Set(101L -> 1L, 105L -> 1L))
     // one row per (doc, band)
@@ -33,9 +34,11 @@ class DedupStoreSpec extends SparkSpec {
 
     // batch 2: 202 dups stored content (dropped), 204/206/208 a fresh
     // within-batch cluster (204 keeps)
-    assert(DedupStore.maintain(spark, t,
+    val f2 = DedupStore.maintain(spark, t,
       df(202L -> textA, 204L -> textC, 206L -> textC, 208L -> textC),
-      "doc_id", "text", epochId = Some(2L)))
+      "doc_id", "text", epochId = Some(2L))
+    assert(f2.applied && f2.batchRows == 4L,
+      "batchRows rides the incoming batch, not the survivors: " + f2)
     assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
       Set(101L -> 1L, 105L -> 1L, 204L -> 2L))
   }
@@ -44,9 +47,10 @@ class DedupStoreSpec extends SparkSpec {
     val t = table("t_fence")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     assert(DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
-      epochId = Some(10L)))
-    assert(!DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
-      epochId = Some(10L)), "same-epoch replay must skip")
+      epochId = Some(10L)).applied)
+    val skip = DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+      epochId = Some(10L))
+    assert(!skip.applied && skip.batchRows == 0L, "same-epoch replay must skip")
     assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)].collect().toSet ==
       Set(1L -> 10L), "skipped fold must leave the store untouched")
     val e = intercept[IllegalStateException] {
@@ -60,10 +64,10 @@ class DedupStoreSpec extends SparkSpec {
     val t = table("t_replay")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val batch = df(1L -> textA, 2L -> textB)
-    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text"))
+    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text").applied)
     val first = spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq
-    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text"),
-      "unfenced fold applies (returns true) ...")
+    assert(DedupStore.maintain(spark, t, batch, "doc_id", "text").applied,
+      "unfenced fold applies ...")
     assert(spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq == first,
       "... but appends nothing — the batch deduped against itself in the store")
   }
@@ -125,7 +129,7 @@ class DedupStoreSpec extends SparkSpec {
     val t = table("t_epoch_prop")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     assert(DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
-      epochId = Some(5L)))
+      epochId = Some(5L)).applied)
     assert(DedupStore.committedEpoch(spark, t).contains(5L))
     // the property — not the data — is the fence's source of truth:
     // bump it past the stored rows' max(_epoch) and the fence follows
@@ -134,7 +138,7 @@ class DedupStoreSpec extends SparkSpec {
     assert(DedupStore.committedEpoch(spark, t).contains(7L),
       "a 5-row store scan would have said 5")
     assert(!DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
-      epochId = Some(7L)), "fence must honor the property epoch")
+      epochId = Some(7L)).applied, "fence must honor the property epoch")
     // legacy store (pre-property): unset → one-time max(_epoch) scan
     spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES " +
       s"('${DedupStore.EpochProperty}')")
@@ -142,7 +146,7 @@ class DedupStoreSpec extends SparkSpec {
       "property absent must fall back to the data scan")
     // and the next applied fold re-stamps the property
     assert(DedupStore.maintain(spark, t, df(3L -> textC), "doc_id", "text",
-      epochId = Some(8L)))
+      epochId = Some(8L)).applied)
     assert(DedupStore.committedEpoch(spark, t).contains(8L))
   }
 
@@ -164,7 +168,7 @@ class DedupStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("storeBuckets=8"), e2.getMessage)
     // the store's own setting still folds
     assert(DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
-      storeBuckets = 4, epochId = Some(2L)))
+      storeBuckets = 4, epochId = Some(2L)).applied)
   }
 
   test("staging scratch is deleted after the fold") {

@@ -65,6 +65,7 @@ class MainSpec extends SparkSpec {
     try {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_token_budget")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_profile_history")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_dedup_store")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold"),
           "/root/repo/configs/corpus", None))
@@ -106,6 +107,25 @@ class MainSpec extends SparkSpec {
       assert(scd2.filter($"is_current").count() == scd2.count() &&
         scd2.agg(sum("n_docs_curated")).head.getLong(0) == curated,
         "first run: every version current, covering the curated docs")
+      // the standing dedup store folded the curated batch: docs_curated
+      // is already near-dup-free upstream, so every curated doc survives
+      // into the store, bucketed as declared
+      val storeIds = graft.io.DedupStore.storedDocIds(spark,
+        "gold_corpus.corpus_dedup_store")
+      val nStored = storeIds.count()
+      // upstream docs_dedup removed LSH collisions on the RAW text, but
+      // curation redacts PII before the store sees it, so redaction can
+      // legitimately create a few new near-dups — the store holds the
+      // bulk of the curated docs, never more
+      assert(nStored > 0 && nStored <= curated, s"$nStored vs $curated")
+      assert(storeIds.join(spark.table("silver_corpus.docs_curated"),
+          Seq("doc_id"), "left_anti").count() == 0,
+        "every stored doc comes from the curated batch")
+      assert(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier("gold_corpus.corpus_dedup_store"))
+        .bucketSpec.map(_.numBuckets).contains(8),
+        "declared store_buckets must reach the table layout")
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
@@ -114,6 +134,8 @@ class MainSpec extends SparkSpec {
       assert(snaps("silver_corpus.docs_dedup").contains("\"method\":\"minhash\""))
       assert(snaps("gold_corpus.source_token_budget")
         .contains("\"refresh_type\":\"additive\""))
+      assert(snaps("gold_corpus.corpus_dedup_store")
+        .contains("\"refresh_type\":\"dedup_store\""))
     } finally sys.props.remove("GRAFT_DATA_DIR")
   }
 

@@ -1296,6 +1296,138 @@ class PipelineSpec extends SparkSpec {
       assert(guarded.table("gold_e2e.cartesian_bomb").count() == 25L)
     }
   }
+
+  test("dedup_store gold model folds dated batches; replay no-ops; backfill fails loudly") {
+    val dsYaml =
+      """models:
+        |  - model_id: corpus_dedup_store
+        |    sql_query: >
+        |      SELECT doc_id, text FROM bronze_e2e.docs_batch
+        |    target_table: gold_e2e.corpus_store
+        |    refresh_type: dedup_store
+        |    dedup_store:
+        |      id_column: doc_id
+        |      text_column: text
+        |      jaccard_pct: 50
+        |  - model_id: deduped_corpus_ids
+        |    sql_query: >
+        |      SELECT doc_id, _epoch AS folded_epoch
+        |      FROM gold_e2e.corpus_store WHERE band_idx = 0
+        |    target_table: gold_e2e.deduped_ids
+        |    refresh_type: full
+        |""".stripMargin
+    Seq("gold_e2e.corpus_store", "gold_e2e.deduped_ids",
+      "bronze_e2e.docs_batch").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven"
+    val textC = "eight nine ten eleven twelve thirteen fourteen"
+    def batch(rows: (Long, String)*): Unit = rows.toDF("doc_id", "text")
+      .write.mode("overwrite").saveAsTable("bronze_e2e.docs_batch")
+    // crawl 1: 101/103 exact dups (101 keeps), 105 unique
+    batch(101L -> textA, 103L -> textA, 105L -> textB)
+    val r1 = new Pipeline(spark, "2024-06-01", new FixedClock(1801000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(dsYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    val ep1 = java.time.LocalDate.parse("2024-06-01").toEpochDay
+    val ep2 = java.time.LocalDate.parse("2024-06-02").toEpochDay
+    def stored = graft.io.DedupStore.storedDocIds(spark, "gold_e2e.corpus_store")
+      .as[(Long, Long)].collect().toSet
+    assert(stored == Set(101L -> ep1, 105L -> ep1), stored.toString)
+    // crawl 2: 202 re-delivers stored content (dropped by the store
+    // probe), 204/206 a fresh within-batch cluster (204 keeps)
+    batch(202L -> textA, 204L -> textC, 206L -> textC)
+    val p2 = new Pipeline(spark, "2024-06-02", new FixedClock(1801100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(dsYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2), stored.toString)
+    // the accumulated corpus is visible to the DOWNSTREAM model through
+    // the same declarative plane (band 0 = one row per stored doc)
+    assert(spark.table("gold_e2e.deduped_ids")
+      .select("doc_id", "folded_epoch").as[(Long, Long)].collect().toSet ==
+      Set(101L -> ep1, 105L -> ep1, 204L -> ep2))
+    // records_processed rides the BATCH (3 docs in), not the store
+    assert(spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.corpus_store")
+      .select("records_processed").as[Long].head() == 3L)
+    // same-date retry: the run-date epoch fence no-ops the append
+    val p2retry = new Pipeline(spark, "2024-06-02", new FixedClock(1801200000000L))
+    val r3 = p2retry.run(Map("gold" -> EtlConfig.fromYaml(dsYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2),
+      "same-date retry must not re-append survivors")
+    assert(spark.table(p2retry.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.corpus_store")
+      .select("records_processed").as[Long].head() == 0L,
+      "a skipped epoch reports 0 records processed")
+    // backfill (older run date): per-item isolation records the ERROR,
+    // the store and the watermark stay put
+    batch(301L -> "totally fresh words never seen before anywhere")
+    val rOld = new Pipeline(spark, "2024-05-31", new FixedClock(1801300000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(dsYaml)))
+    val failedOld = rOld.head.failed
+    assert(failedOld.map(_._1).contains("corpus_dedup_store"), rOld.toString)
+    assert(failedOld.find(_._1 == "corpus_dedup_store").get._2.contains("OLDER"),
+      failedOld.toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2),
+      "a refused backfill must leave the store untouched")
+  }
+
+  test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_ds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: dedup_store
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("needs a") &&
+      e1.getMessage.contains("dedup_store block"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray_ds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    dedup_store:
+          |      id_column: doc_id
+          |      text_column: text
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("only used by refresh_type"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: keys_ds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: dedup_store
+          |    primary_keys: [doc_id]
+          |    dedup_store:
+          |      id_column: doc_id
+          |      text_column: text
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("primary_keys is unused"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: bad_bands
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: dedup_store
+          |    dedup_store:
+          |      id_column: doc_id
+          |      text_column: text
+          |      num_hashes: 16
+          |      bands: 5
+          |""".stripMargin)
+    }
+    assert(e4.getMessage.contains("must divide num_hashes"), e4.getMessage)
+  }
 }
 
 case class GoldRow(transaction_date: java.sql.Date, category: String,

@@ -884,6 +884,39 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup-store probe join stays banded-equi — never a nested loop") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS dstore_test")
+    val t = "dstore_test.t_plan_probe"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    graft.io.DedupStore.maintain(s, t,
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", epochId = Some(1L))
+    val banded = graft.operators.Dedup.withMinhashBands(
+      Seq((2L, "one two three four five six")).toDF("doc_id", "_text"),
+      "_text", 3, 16, 4).drop("_text")
+    val hits = graft.io.DedupStore.storeHits(s, t, banded,
+      (0 until 4).map(b => s"band_$b"), jaccardThreshold = 0.5,
+      maxBucketSize = None)
+    val sp = hits.queryExecution.sparkPlan
+    val bad = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty,
+      s"the batch x store probe must stay a banded equi join:\n$sp")
+    // and the verify predicate must NOT be the join condition — it
+    // filters collision rows after an equi join on (band_idx, band_key)
+    val equi = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(equi.exists(_.size == 2), s"probe join keys must be the band pair:\n$sp")
+  }
+
   test("IVF cell assignment is pure map work — no shuffle exchange") {
     import graft.operators.Similarity
     val corpus = graft.Tables.load(spark, dir, "embeddings")
