@@ -199,6 +199,23 @@ final case class DedupStoreConfig(
     maxBucketSize: Option[Long] = None,
     storeBuckets: Int = 0)
 
+/** Declarative standing VECTOR dedup store (gold `refresh_type:
+  * vector_dedup_store`, [[graft.io.VectorDedupStore]]): the model's
+  * sql_query selects this run's batch of (id, embedding) vectors; each
+  * fold drops batch vectors whose exact int8-code dot against ANY
+  * stored vector reaches `min_score` (candidates from the `nprobe`
+  * best IVF cells only), keeps one vector per within-batch same-cell
+  * near-dup cluster, and appends the survivors' precomputed codes and
+  * home cells. Calibration (`amax` + `num_centroids` centroids) is
+  * FROZEN at store creation in `<target_table>_model`.
+  */
+final case class VectorDedupStoreConfig(
+    idColumn: String,
+    vectorColumn: String,
+    minScore: Long,
+    numCentroids: Int = 8,
+    nprobe: Int = 2)
+
 final case class ModelConfig(
     modelId: String,
     sqlQuery: String,
@@ -256,6 +273,10 @@ final case class ModelConfig(
     // (graft.io.DedupStore.maintain — append-only survivor band rows,
     // run-date epoch fence)
     dedupStore: Option[DedupStoreConfig] = None,
+    // vector_dedup_store only: the embedding twin
+    // (graft.io.VectorDedupStore.maintain — frozen calibration model,
+    // int8-code probe, same run-date epoch fence)
+    vectorDedupStore: Option[VectorDedupStoreConfig] = None,
     // any refresh type: percent deviation from the trailing-median run
     // volume beyond which this model FAILS (graft.dq.VolumeGuard over
     // the audit history; 0 = disabled). The trend check no per-row DQ
@@ -381,7 +402,12 @@ object ConfigJson {
       "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString,
       "jaccard_pct" -> d.jaccardPct.toString,
       "max_bucket_size" -> d.maxBucketSize.map(_.toString).getOrElse("0"),
-      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"))
+      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"),
+    "vector_dedup_store" -> m.vectorDedupStore.map(v => jobj(
+      "id_column" -> js(v.idColumn), "vector_column" -> js(v.vectorColumn),
+      "min_score" -> v.minScore.toString,
+      "num_centroids" -> v.numCentroids.toString,
+      "nprobe" -> v.nprobe.toString)).getOrElse("{}"))
 }
 
 object EtlConfig {
@@ -698,6 +724,25 @@ object EtlConfig {
     d
   }
 
+  private def parseVectorDedupStore(m: Map[String, Object]): VectorDedupStoreConfig = {
+    val v = VectorDedupStoreConfig(
+      idColumn = str(m, "id_column"),
+      vectorColumn = str(m, "vector_column"),
+      minScore = opt(m, "min_score").map(_.toLong).getOrElse(-1L),
+      numCentroids = num(m, "num_centroids", 8),
+      nprobe = num(m, "nprobe", 2))
+    require(v.idColumn.nonEmpty && v.vectorColumn.nonEmpty,
+      "vector_dedup_store needs id_column and vector_column")
+    require(v.minScore >= 0,
+      "vector_dedup_store needs min_score (the exact int8-code dot " +
+        "threshold; >= 0 — identical unit vectors score ~16129)")
+    require(v.numCentroids >= 1,
+      s"num_centroids must be >= 1, got ${v.numCentroids}")
+    require(v.nprobe >= 1 && v.nprobe <= v.numCentroids,
+      s"nprobe must be in [1, num_centroids], got ${v.nprobe}")
+    v
+  }
+
   private def parseModel(m: Map[String, Object]): ModelConfig = {
     val mc = ModelConfig(
       modelId = str(m, "model_id"),
@@ -721,10 +766,12 @@ object EtlConfig {
       hllM = num(m, "hll_m", 64),
       quantileColumn = opt(m, "quantile_column"),
       dedupStore = m.get("dedup_store").map(d => parseDedupStore(asMap(d))),
+      vectorDedupStore = m.get("vector_dedup_store")
+        .map(v => parseVectorDedupStore(asMap(v))),
       volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
       "join_view", "scd2", "distinct_view", "quantile_view",
-      "dedup_store")(mc.refreshType),
+      "dedup_store", "vector_dedup_store")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
     require(mc.refreshType != "dedup_store" || mc.dedupStore.nonEmpty,
       s"model '${mc.modelId}': refresh_type dedup_store needs a " +
@@ -737,6 +784,18 @@ object EtlConfig {
       s"model '${mc.modelId}': dedup_store derives its identity from " +
         "dedup_store.id_column — primary_keys is unused and would " +
         "silently diverge")
+    require(mc.refreshType != "vector_dedup_store" || mc.vectorDedupStore.nonEmpty,
+      s"model '${mc.modelId}': refresh_type vector_dedup_store needs a " +
+        "vector_dedup_store block (id_column + vector_column + min_score " +
+        "at minimum) — the model's sql_query selects this run's batch " +
+        "of vectors")
+    require(mc.refreshType == "vector_dedup_store" || mc.vectorDedupStore.isEmpty,
+      s"model '${mc.modelId}': vector_dedup_store is only used by " +
+        "refresh_type vector_dedup_store")
+    require(mc.refreshType != "vector_dedup_store" || mc.primaryKeys.isEmpty,
+      s"model '${mc.modelId}': vector_dedup_store derives its identity " +
+        "from vector_dedup_store.id_column — primary_keys is unused and " +
+        "would silently diverge")
     require(mc.refreshType != "quantile_view" || (mc.primaryKeys.nonEmpty &&
       mc.quantileColumn.nonEmpty),
       s"model '${mc.modelId}': refresh_type quantile_view needs " +

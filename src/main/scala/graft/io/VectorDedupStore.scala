@@ -1,0 +1,201 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.operators.FrameCaches.track
+
+/** Standing cross-corpus VECTOR dedup store — the embedding twin of
+  * [[DedupStore]] (reference scope: none — beyond-reference; closes
+  * round-14 verdict item 2: v12's int8-code/IVF-cell reference tables
+  * were a per-call API, so the embedding half of crawl-N+1 re-paid
+  * quantization and cell assignment over the accumulated corpus each
+  * batch).
+  *
+  * Two tables:
+  *  - `<table>`: one row per surviving vector — `vec_id, qv
+  *    (array<int> int8 codes), cell (home IVF cell), _epoch`. The
+  *    accumulated corpus as PRECOMPUTED codes: never re-normalized,
+  *    never re-quantized, never re-assigned.
+  *  - `<table>_model`: the frozen calibration — `centroid_id, cv
+  *    (centroid's code vector), amax (the scalar quantization scale)`,
+  *    built ONCE from the founding batch. Freezing is what keeps
+  *    stored codes valid across folds ([[Similarity
+  *    .crossCorpusQuantizedMatches]] documents the same invariant:
+  *    calibration and centroids must come from the reference side);
+  *    a re-calibrated amax would silently re-scale every future
+  *    batch's codes against incompatible stored ones.
+  *
+  * Fold semantics per batch (mirrors [[DedupStore]]):
+  *  1. batch vectors whose exact integer dot (int8 codes of UNIT
+  *     vectors, so the score tracks cosine) against ANY stored vector
+  *     reaches `minScore` are dropped — candidates come ONLY from the
+  *     `nprobe` best cells per batch vector, never an all-pairs scan;
+  *  2. survivors near-dup-cluster among THEMSELVES (same HOME cell,
+  *     score ≥ minScore → connected components) and each cluster
+  *     keeps its smallest id;
+  *  3. survivors append with their home cell and the fold's epoch.
+  *  Same epoch fence as the text store (appends are not idempotent):
+  *  the O(1) [[DedupStore.EpochProperty]] catalog property.
+  *
+  * Scale shape: the model broadcast is `numCentroids` rows; batch
+  * quantization + centroid ranking is map work over the BATCH; the
+  * store side of the probe join is a columnar scan of (cell, qv) —
+  * the probe join is cell-equi with the batch side small (the store
+  * never shuffles: probes broadcast under AQE at any realistic batch
+  * size, and scoring is the codegen'd [[graft.functions
+  * .VectorExpressions.intDotProduct]]). All scoring is exact integer
+  * arithmetic, so the whole lifecycle is oracle-expressible.
+  */
+object VectorDedupStore {
+
+  private def modelTable(table: String) = s"${table}_model"
+
+  /** Folds `batch` into the standing store at `table` (created, with
+    * its frozen model, on first call). Same [[DedupStore.FoldResult]]
+    * contract: the fold reports its OWN batch count (the Spark 4.1
+    * cache/observe interaction documented there applies here too —
+    * this fold persists the batch's code frame).
+    */
+  def maintain(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, vecCol: String, minScore: Long,
+      numCentroids: Int = 8, nprobe: Int = 2,
+      epochId: Option[Long] = None): DedupStore.FoldResult = {
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(nprobe >= 1 && nprobe <= numCentroids,
+      s"nprobe must be in [1, numCentroids], got $nprobe")
+    val cacheMark = graft.operators.FrameCaches.mark(spark)
+    try maintainImpl(spark, table, batch, idCol, vecCol, minScore,
+      numCentroids, nprobe, epochId)
+    finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
+  }
+
+  private def maintainImpl(spark: SparkSession, table: String,
+      batch: DataFrame, idCol: String, vecCol: String, minScore: Long,
+      numCentroids: Int, nprobe: Int,
+      epochId: Option[Long]): DedupStore.FoldResult = {
+    val intDot = graft.functions.VectorExpressions.intDotProduct _
+    val exists = spark.catalog.tableExists(table)
+    if (exists) {
+      val t = spark.table(table)
+      val expect = Seq("vec_id", "qv", "cell", "_epoch")
+      require(t.columns.sorted.toSeq == expect.sorted,
+        s"'$table' is not a vector dedup store: has " +
+          s"[${t.columns.sorted.mkString(", ")}], expected " +
+          s"[${expect.sorted.mkString(", ")}]")
+      require(spark.catalog.tableExists(modelTable(table)),
+        s"vector dedup store '$table' has no model table " +
+          s"'${modelTable(table)}' — the frozen calibration is half the " +
+          "store; restore it or rebuild the store")
+      for (id <- epochId; c <- DedupStore.committedEpoch(spark, table)) {
+        if (c == id) return DedupStore.FoldResult(applied = false, batchRows = 0L)
+        if (c > id) throw new IllegalStateException(
+          s"vector-dedup-store fold for '$table': batch epoch $id is OLDER " +
+            s"than the committed epoch $c — recompute the store in epoch " +
+            "order or re-stamp the batch with a current epoch")
+      }
+    }
+
+    val bu = Similarity.withUnitVector(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
+      .select(col("vec_id"), col("uv"))
+    if (!exists) {
+      // founding batch IS the calibration: freeze amax + the
+      // numCentroids lowest-id codes as the model. A model without a
+      // store is the debris of a failed creation (the store write comes
+      // after) — rebuild it rather than erroring on the leftover
+      spark.sql(s"DROP TABLE IF EXISTS ${modelTable(table)}")
+      val stats = Similarity.quantStats(bu, "uv")
+      val codes = Similarity.withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv"))
+      val model = codes.orderBy("vec_id").limit(numCentroids)
+        .crossJoin(broadcast(stats))
+        .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+          col("amax"))
+      model.write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .saveAsTable(modelTable(table))
+    }
+    val model = spark.table(modelTable(table))
+    val stats = model.agg(max(col("amax")).as("amax"))
+    val cents = model.select(col("centroid_id"), col("cv"))
+
+    // quantize the batch with the STORED calibration; rank the
+    // broadcast centroids per vector: crank 1 = home cell (stored,
+    // and the self-dedup blocking key), crank <= nprobe = probe cells
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("_cscore").desc, col("centroid_id"))
+    val ranked = track(Similarity.withQuantized(bu, stats, "uv")
+      .select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cscore", intDot(col("qv"), col("cv")))
+      .withColumn("_crank", row_number().over(wc))
+      .filter(col("_crank") <= nprobe)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"),
+        col("_crank"))
+      .persist())
+    val homed = ranked.filter(col("_crank") === 1).drop("_crank")
+
+    val fresh =
+      if (!exists) homed
+      else homed.join(
+        storeHits(spark, table, ranked, minScore), Seq("vec_id"), "left_anti")
+    val freshP = track(fresh.persist())
+
+    // within-batch near-dup clusters among the store-fresh vectors:
+    // same home cell, integer score >= minScore; smallest id keeps
+    val l = freshP.select(col("cell"), col("vec_id").as("doc_a"),
+      col("qv").as("_qa"))
+    val r = freshP.select(col("cell"), col("vec_id").as("doc_b"),
+      col("qv").as("_qb"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        intDot(col("_qa"), col("_qb")) >= minScore)
+      .select("doc_a", "doc_b")
+    val nonCanonical = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .withColumnRenamed("doc_id", "vec_id")
+    val survivors = freshP
+      .join(nonCanonical.select("vec_id"), Seq("vec_id"), "left_anti")
+      .withColumn("_epoch", lit(epochId.getOrElse(-1L)))
+      .select("vec_id", "qv", "cell", "_epoch")
+
+    // stage before touching the catalog (the survivor plan reads the
+    // store table it appends to), exactly as the text store does
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+      table.replace('.', '_')
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+      spark.read.parquet(s"$scratch/batch")
+        .write.mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
+        .format("parquet").saveAsTable(table)
+    } finally fs.delete(scratchPath, true)
+    for (id <- epochId)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('${DedupStore.EpochProperty}' = '$id')")
+    spark.catalog.refreshTable(table)
+    // one crank-1 row per batch vector; rides the persisted rank frame
+    DedupStore.FoldResult(applied = true, batchRows = homed.count())
+  }
+
+  /** The store-probe stage, exposed for plan pinning: batch vectors
+    * (as the ranked probe frame: vec_id, qv, cell per probed cell)
+    * whose integer dot vs ANY stored vector in a probed cell reaches
+    * `minScore`. Cell-equi join only — never all-pairs.
+    */
+  def storeHits(spark: SparkSession, table: String, probes: DataFrame,
+      minScore: Long): DataFrame = {
+    val intDot = graft.functions.VectorExpressions.intDotProduct _
+    val store = spark.table(table).select(col("cell"), col("qv").as("_qr"))
+    probes.select(col("vec_id"), col("qv").as("_qb"), col("cell"))
+      .join(store, Seq("cell"))
+      .filter(intDot(col("_qb"), col("_qr")) >= minScore)
+      .select("vec_id").distinct()
+  }
+
+  /** The accumulated deduped corpus: one row per stored vector. */
+  def storedVecIds(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("vec_id", "_epoch")
+}

@@ -172,7 +172,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       lazy val df =
         if (m.refreshType == "additive" || m.refreshType == "extremes" ||
           m.refreshType == "scd2" || m.refreshType == "distinct_view" ||
-          m.refreshType == "quantile_view" || m.refreshType == "dedup_store") df0
+          m.refreshType == "quantile_view" || m.refreshType == "dedup_store" ||
+          m.refreshType == "vector_dedup_store") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -259,6 +260,15 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             spark, m.targetTable, df, d.idColumn, d.textColumn,
             d.shingleSize, d.numHashes, d.bands, d.jaccardPct / 100.0,
             maxBucketSize = d.maxBucketSize, storeBuckets = d.storeBuckets,
+            epochId = Some(epoch)).batchRows
+        } else if (m.refreshType == "vector_dedup_store") {
+          // embedding twin of dedup_store: same epoch fence, same
+          // self-reported batch count (maintain persists the batch's
+          // code frame — the Observation caveat applies identically)
+          val v = m.vectorDedupStore.get
+          graft.io.VectorDedupStore.maintain(
+            spark, m.targetTable, df, v.idColumn, v.vectorColumn,
+            v.minScore, v.numCentroids, v.nprobe,
             epochId = Some(epoch)).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key

@@ -334,7 +334,44 @@ object VectorQueries extends QuerySet {
       .orderBy("label", "rnk")
   }
 
+  /** Standing vector dedup store as a LIFECYCLE, oracle-checked end to
+    * end ([[graft.io.VectorDedupStore]]): crawl 1 = even vec_ids (the
+    * founding batch freezes amax + the 8 lowest-id centroids in the
+    * model table), crawl 2 = odd vec_ids quantized with the STORED
+    * calibration, probed against the stored codes (nprobe = 2 cells,
+    * int8-dot >= MatchScore drops), survivors self-deduped per home
+    * cell and appended. v12 is the per-call primitive; this is the
+    * maintained-table shape a crawl-N+1 pipeline declares in YAML
+    * (`refresh_type: vector_dedup_store`). All-integer scoring makes
+    * the whole two-fold lifecycle one hash-exact oracle row.
+    */
+  def vds1VectorDedupStore(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.vds1_vector_store"
+    Seq(table, s"${table}_model").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh session's catalog has no memory of a previous run's
+      // managed table, but the warehouse dir survives (ds1 precedent)
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+          t.split('.')(1))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, epochId = Some(1L))
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, epochId = Some(2L))
+    graft.io.VectorDedupStore.storedVecIds(s, table)
+      .select(col("vec_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("vec_id")
+  }
+
   val entries: Map[String, Q] = Map(
+    "vds1_vector_dedup_store" -> vds1VectorDedupStore _,
     "v14_centroid_outliers" -> v14CentroidOutliers _,
     "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
@@ -438,7 +475,80 @@ object VectorQueries extends QuerySet {
        |    GROUP BY cell, pos)
        |  GROUP BY cell) g ON c.centroid_id = g.cell""".stripMargin
 
+  /** vds1 oracle plumbing: the keep-one-per-cluster CTE chain over a
+    * (vec_id, qv, cell) frame — same-cell verified pairs -> symmetric
+    * edges -> transitive closure -> min-label clusters -> keepers
+    * (the ds1 keeperCtes shape with cell-equality blocking and the
+    * exact integer dot as the verify).
+    */
+  private def vecKeeperCtes(base: String, tag: String, minScore: Long): String =
+    s"""p$tag AS (
+       |  SELECT x.vec_id AS da, y.vec_id AS db
+       |  FROM $base x JOIN $base y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${qdotSql("x.qv", "y.qv")} >= $minScore),
+       |e$tag AS (
+       |  SELECT da AS src, db AS dst FROM p$tag
+       |  UNION SELECT db, da FROM p$tag),
+       |r$tag(src, dst) AS (
+       |  SELECT src, dst FROM e$tag
+       |  UNION
+       |  SELECT r.src, e.dst FROM r$tag r JOIN e$tag e ON r.dst = e.src),
+       |c$tag AS (
+       |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM r$tag GROUP BY src),
+       |k$tag AS (
+       |  SELECT vec_id FROM $base WHERE vec_id NOT IN
+       |    (SELECT vec_id FROM c$tag WHERE cluster_id <> vec_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the whole two-fold store lifecycle in SQL: calibration amax over
+    // the FOUNDING (even) unit vectors only, centroids = the 8 lowest
+    // even codes, both folds quantized against that frozen scale; home
+    // cells by integer argmax (ties to lowest centroid), within-fold
+    // keepers via the recursive min-label closure, fold-2 probes the
+    // nprobe=2 best cells against fold-1 survivors — exact integers
+    // end to end, so the stored ids + epochs hash-match
+    "vds1_vector_dedup_store" ->
+      s"""WITH RECURSIVE unit AS ($unitCte),
+         |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM eu)),
+         |qc AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM qc
+         |          WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT $NumCentroids),
+         |h1 AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT q.vec_id, q.qv, c.centroid_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${qdotSql("q.qv", "c.cv")} DESC, c.centroid_id) AS crank
+         |    FROM qc q, cents c WHERE q.vec_id % 2 = 0)
+         |  WHERE crank = 1),
+         |${vecKeeperCtes("h1", "1", MatchScore)},
+         |s1 AS (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
+         |pr2 AS (
+         |  SELECT vec_id, qv, cell, crank FROM (
+         |    SELECT q.vec_id, q.qv, c.centroid_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${qdotSql("q.qv", "c.cv")} DESC, c.centroid_id) AS crank
+         |    FROM qc q, cents c WHERE q.vec_id % 2 = 1)
+         |  WHERE crank <= 2),
+         |hits AS (
+         |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
+         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore),
+         |f2 AS (
+         |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
+         |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
+         |${vecKeeperCtes("f2", "2", MatchScore)}
+         |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
+         |ORDER BY vec_id""".stripMargin,
     // ref-only calibration (amax over the unit REFERENCE), first-k ref
     // centroids, integer centroid ranking, integer candidate scores —
     // the whole incremental matcher is exact arithmetic

@@ -108,6 +108,61 @@ object ProfileR15Scale {
       f"${math.log(tHi / tLo) / math.log(multHi.toDouble / multLo)}%.2f " +
       "(claim: fold cost rides the batch; the only store term is the " +
       "bucketed columnar band scan)")
+
+    // ---- VECTOR store growth (L143) ----
+    // The vector probe scores every stored row in each probed cell, so
+    // its store term is batch x nprobe x CELL OCCUPANCY — the sizing
+    // contract is numCentroids ∝ corpus at creation (frozen in the
+    // model). The rehearsal holds occupancy FIXED (10x mass with 80
+    // cells vs 100x mass with 800) and measures the residual exponent.
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vbatch = emb.withColumn("vec_id", col("vec_id") + 7L * shift)
+    def buildVecStore(table: String, m: Int, cents: Int): Long = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_model")
+      graft.io.VectorDedupStore.maintain(spark, table, emb,
+        "vec_id", "embedding", minScore = 24000L, numCentroids = cents,
+        epochId = Some(1L))
+      // replicate the founding rows m-1 times under fresh ids (same
+      // codes, same cells — m crawls' worth of mass at constant
+      // occupancy ratio), staged because the plan reads its own target
+      val scr = s"${spark.conf.get("spark.sql.warehouse.dir")}/__r15_vec_stage"
+      spark.range(1, m).toDF("rep").crossJoin(spark.table(table))
+        .select((col("vec_id") + col("rep") * shift).as("vec_id"),
+          col("qv"), col("cell"), col("_epoch"))
+        .write.mode(SaveMode.Overwrite).parquet(scr)
+      spark.read.parquet(scr).write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(table)
+      spark.catalog.refreshTable(table)
+      spark.table(table).count()
+    }
+    def timeVecFold(table: String, epochBase: Long): Double = {
+      val ts = (0 until 3).map { i =>
+        val t0 = System.nanoTime()
+        val r = graft.io.VectorDedupStore.maintain(spark, table, vbatch,
+          "vec_id", "embedding", minScore = 24000L,
+          epochId = Some(epochBase + i))
+        require(r.applied && r.batchRows > 0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    buildVecStore("r15.vstore_warm", 2, 16)
+    timeVecFold("r15.vstore_warm", 2L); timeVecFold("r15.vstore_warm", 5L)
+    val vnLo = buildVecStore("r15.vstore_lo", multLo, 8 * multLo)
+    val vtLo = timeVecFold("r15.vstore_lo", 2L)
+    println(f"[r15-scale] vec fold, ${multLo}x store ($vnLo%d rows, " +
+      f"${8 * multLo} cells): $vtLo%8.2f s")
+    val vnHi = buildVecStore("r15.vstore_hi", multHi, 8 * multHi)
+    val vtHi = timeVecFold("r15.vstore_hi", 2L)
+    println(f"[r15-scale] vec fold, ${multHi}x store ($vnHi%d rows, " +
+      f"${8 * multHi} cells): $vtHi%8.2f s")
+    println(f"[r15-scale] vec store-mass exponent at fixed occupancy: " +
+      f"${math.log(vtHi / vtLo) / math.log(multHi.toDouble / multLo)}%.2f " +
+      "(claim: probe term = batch x nprobe x cell occupancy; size " +
+      "numCentroids with the corpus at creation and fold cost rides " +
+      "the batch)")
     spark.stop()
   }
 }

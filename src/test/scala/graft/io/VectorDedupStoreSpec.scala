@@ -1,0 +1,159 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorDedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(name: String): String = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS vstore_test")
+    s"vstore_test.$name"
+  }
+
+  // unit-ish 4-dim fixtures; identical codes dot to ~127^2 = 16129,
+  // orthogonal ones to 0 — minScore 12000 ~ cosine 0.75
+  private val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+  private val vA2 = Array(0.98f, 0.2f, 0.0f, 0.0f)
+  private val vB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+  private val vC = Array(0.0f, 0.0f, 1.0f, 0.0f)
+  // vC2's perturbation sits in dim 4 (no centroid mass there), so it
+  // shares vC's home cell; a dim-2 perturbation would tip the centroid
+  // tie and land it in vB's cell — see the boundary-semantics test
+  private val vC2 = Array(0.0f, 0.0f, 0.995f, 0.1f)
+  private val Score = 12000L
+
+  private def df(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  private def stored(t: String): Set[(Long, Long)] =
+    VectorDedupStore.storedVecIds(spark, t)
+      .as[(Long, Long)].collect().toSet
+
+  test("crawl-N+1 lifecycle: within-batch keepers, store hits dropped, epochs stamped") {
+    val t = table("t_lifecycle")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    // batch 1: 101/103 identical vectors (101 keeps), 105 orthogonal
+    val f1 = VectorDedupStore.maintain(spark, t,
+      df(101L -> vA, 103L -> vA, 105L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    assert(f1.applied && f1.batchRows == 3L, f1.toString)
+    assert(stored(t) == Set(101L -> 1L, 105L -> 1L), stored(t).toString)
+    // batch 2: 202 near-dups STORED content (dropped by the probe),
+    // 204/206 a fresh near-dup cluster (204 keeps)
+    val f2 = VectorDedupStore.maintain(spark, t,
+      df(202L -> vA2, 204L -> vC, 206L -> vC2),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    assert(f2.applied && f2.batchRows == 3L, f2.toString)
+    assert(stored(t) == Set(101L -> 1L, 105L -> 1L, 204L -> 2L),
+      stored(t).toString)
+  }
+
+  test("calibration is frozen at creation: later folds reuse the founding model") {
+    val t = table("t_frozen")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    val model1 = spark.table(s"${t}_model")
+      .orderBy("centroid_id").collect().toSeq
+    // a batch with triple-magnitude raw vectors: unit-normalization +
+    // the STORED amax must keep its codes compatible (3*vC normalizes
+    // to vC, so 30/60 near-dup each other and join the store fresh)
+    VectorDedupStore.maintain(spark, t,
+      df(30L -> vC.map(_ * 3f), 60L -> vC2.map(_ * 3f)),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    assert(spark.table(s"${t}_model")
+      .orderBy("centroid_id").collect().toSeq == model1,
+      "the model table must never change after creation")
+    assert(stored(t).map(_._1) == Set(1L, 2L, 30L))
+    // and probing still works against the frozen scale: an exact dup
+    // of stored 30 (delivered at raw scale) drops
+    VectorDedupStore.maintain(spark, t, df(90L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(3L))
+    assert(stored(t).map(_._1) == Set(1L, 2L, 30L),
+      "a unit-equal re-delivery must near-dup its stored self")
+  }
+
+  test("epoch fence: same-epoch replay no-ops, older epoch throws; property is the source") {
+    val t = table("t_fence")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    assert(VectorDedupStore.maintain(spark, t, df(1L -> vA),
+      "vec_id", "embedding", Score, epochId = Some(10L)).applied)
+    assert(DedupStore.committedEpoch(spark, t).contains(10L),
+      "the shared O(1) epoch property carries the vector store's fence too")
+    val skip = VectorDedupStore.maintain(spark, t, df(2L -> vB),
+      "vec_id", "embedding", Score, epochId = Some(10L))
+    assert(!skip.applied && skip.batchRows == 0L)
+    assert(stored(t) == Set(1L -> 10L), "skipped fold must not append")
+    val e = intercept[IllegalStateException] {
+      VectorDedupStore.maintain(spark, t, df(3L -> vC),
+        "vec_id", "embedding", Score, epochId = Some(9L))
+    }
+    assert(e.getMessage.contains("OLDER"))
+  }
+
+  test("shape guards: foreign table and missing model refuse with named errors") {
+    val t = table("t_foreign")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, t, df(1L -> vA),
+        "vec_id", "embedding", Score)
+    }
+    assert(e.getMessage.contains("not a vector dedup store"))
+
+    val t2 = table("t_no_model")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_model")
+    VectorDedupStore.maintain(spark, t2, df(1L -> vA),
+      "vec_id", "embedding", Score, epochId = Some(1L))
+    spark.sql(s"DROP TABLE ${t2}_model")
+    val e2 = intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, t2, df(2L -> vB),
+        "vec_id", "embedding", Score, epochId = Some(2L))
+    }
+    assert(e2.getMessage.contains("no model table"))
+  }
+
+  test("self-dedup is home-cell-blocked: a boundary pair is the IVF recall trade") {
+    // vCb near-dups vC (dot ~16000) but its dim-2 component tips its
+    // home cell to vB's centroid, so the WITHIN-BATCH pass never
+    // compares them — the same recall trade as the text store's LSH
+    // banding (a pair sharing no band is never a candidate). The PROBE
+    // stage is wider (nprobe cells), so the same content arriving in a
+    // LATER batch is still caught against the store.
+    val vCb = Array(0.0f, 0.1f, 0.995f, 0.0f)
+    val t = table("t_boundary")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vB, 10L -> vC, 20L -> vCb),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    assert(stored(t).map(_._1) == Set(1L, 2L, 10L, 20L),
+      "cross-cell near-dups are NOT merged within a batch (by design)")
+    // the same vector re-delivered probes nprobe=2 cells and dies on
+    // BOTH stored copies
+    VectorDedupStore.maintain(spark, t, df(90L -> vCb),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    assert(stored(t).map(_._1) == Set(1L, 2L, 10L, 20L))
+  }
+
+  test("probe join is cell-equi — never a nested loop; store side scans in place") {
+    val t = table("t_plan")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB, 3L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    val probes = spark.table(t).select("vec_id", "qv", "cell")
+    val sp = VectorDedupStore.storeHits(spark, t, probes, Score)
+      .queryExecution.sparkPlan
+    val bad = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"the batch x store probe must stay cell-equi:\n$sp")
+  }
+}

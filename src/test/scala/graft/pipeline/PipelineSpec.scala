@@ -1373,6 +1373,141 @@ class PipelineSpec extends SparkSpec {
       "a refused backfill must leave the store untouched")
   }
 
+  test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
+    val vdsYaml =
+      """models:
+        |  - model_id: corpus_vec_store
+        |    sql_query: >
+        |      SELECT vec_id, embedding FROM bronze_e2e.vecs_batch
+        |    target_table: gold_e2e.vec_store
+        |    refresh_type: vector_dedup_store
+        |    vector_dedup_store:
+        |      id_column: vec_id
+        |      vector_column: embedding
+        |      min_score: 12000
+        |      num_centroids: 2
+        |""".stripMargin
+    Seq("gold_e2e.vec_store", "gold_e2e.vec_store_model",
+      "bronze_e2e.vecs_batch").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vC = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vC2 = Array(0.0f, 0.0f, 0.995f, 0.1f)
+    def batch(rows: (Long, Array[Float])*): Unit =
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").saveAsTable("bronze_e2e.vecs_batch")
+    val ep1 = java.time.LocalDate.parse("2024-08-01").toEpochDay
+    val ep2 = java.time.LocalDate.parse("2024-08-02").toEpochDay
+    def stored = graft.io.VectorDedupStore
+      .storedVecIds(spark, "gold_e2e.vec_store")
+      .as[(Long, Long)].collect().toSet
+    // crawl 1: 101/103 identical (101 keeps), 105 orthogonal
+    batch(101L -> vA, 103L -> vA, 105L -> vB)
+    val r1 = new Pipeline(spark, "2024-08-01", new FixedClock(1803000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(vdsYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1), stored.toString)
+    // crawl 2: 202 re-delivers stored content (dropped by the probe),
+    // 204/206 a fresh same-cell near-dup cluster (204 keeps)
+    batch(202L -> vA, 204L -> vC, 206L -> vC2)
+    val p2 = new Pipeline(spark, "2024-08-02", new FixedClock(1803100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(vdsYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2), stored.toString)
+    assert(spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.vec_store")
+      .select("records_processed").as[Long].head() == 3L,
+      "records_processed rides the batch")
+    // same-date retry no-ops through the epoch fence
+    val p2r = new Pipeline(spark, "2024-08-02", new FixedClock(1803200000000L))
+    val r3 = p2r.run(Map("gold" -> EtlConfig.fromYaml(vdsYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2))
+    assert(spark.table(p2r.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.vec_store")
+      .select("records_processed").as[Long].head() == 0L)
+    // backfill fails loudly, store untouched
+    val rOld = new Pipeline(spark, "2024-07-31", new FixedClock(1803300000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(vdsYaml)))
+    val failedOld = rOld.head.failed
+    assert(failedOld.map(_._1) == Seq("corpus_vec_store") &&
+      failedOld.head._2.contains("OLDER"), rOld.toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2))
+  }
+
+  test("vector_dedup_store config: missing block/min_score, stray block, primary_keys refuse") {
+    val e1 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: broken_vds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("needs a") &&
+      e1.getMessage.contains("vector_dedup_store block"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: no_score
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("needs min_score"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: stray_vds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: full
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |      min_score: 100
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("only used by"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: keys_vds
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |    primary_keys: [vec_id]
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |      min_score: 100
+          |""".stripMargin)
+    }
+    assert(e4.getMessage.contains("primary_keys is unused"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: bad_probe
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |      min_score: 100
+          |      num_centroids: 4
+          |      nprobe: 9
+          |""".stripMargin)
+    }
+    assert(e5.getMessage.contains("nprobe must be in"), e5.getMessage)
+  }
+
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
