@@ -284,11 +284,35 @@ final case class ModelConfig(
     // signature of a broken upstream.
     volumeGuardPct: Int = 0)
 
+/** Declarative table-maintenance task (the `maintenance:` section —
+  * the ops plane the reference declares in YAML next to its layers):
+  *  - `compact`: OPTIMIZE-style small-file rewrite
+  *    ([[graft.io.Maintenance.compact]] — preserves partition AND
+  *    bucket specs, so the dedup stores' per-fold file growth has a
+  *    declared compaction story); optional `target_rows_per_file` and
+  *    `cluster_by` (range-clustered layout, unpartitioned unbucketed
+  *    tables only — the operator refuses otherwise).
+  *  - `zone_maps`: rebuild the per-file min/max manifest
+  *    ([[graft.io.ZoneMaps.writeManifest]]) over `columns`.
+  *  - `vacuum_staging`: delete the transient `__*_stage` roots under
+  *    the warehouse ([[graft.io.Maintenance.vacuumStaging]]); takes no
+  *    table.
+  */
+final case class MaintenanceTaskConfig(
+    taskId: String,
+    taskType: String,
+    table: Option[String],
+    targetRowsPerFile: Long = 1000000L,
+    clusterBy: Seq[String] = Nil,
+    columns: Seq[String] = Nil,
+    enabled: Boolean = true)
+
 final case class EtlConfig(
     sparkConf: Map[String, String],
     sources: Seq[SourceConfig],
     transformations: Seq[TransformConfig],
-    models: Seq[ModelConfig])
+    models: Seq[ModelConfig],
+    maintenance: Seq[MaintenanceTaskConfig] = Nil)
 
 /** Minimal JSON rendering of config items for the control table's
   * `config_snapshot` column (reference metadata_manager.py:115-117
@@ -309,6 +333,13 @@ object ConfigJson {
   private def jarr(xs: Seq[String]): String = xs.map(js).mkString("[", ",", "]")
   private def jobj(fields: (String, String)*): String =
     fields.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
+
+  def apply(t: MaintenanceTaskConfig): String = jobj(
+    "task_id" -> js(t.taskId), "task_type" -> js(t.taskType),
+    "table" -> t.table.map(js).getOrElse("null"),
+    "target_rows_per_file" -> t.targetRowsPerFile.toString,
+    "cluster_by" -> jarr(t.clusterBy), "columns" -> jarr(t.columns),
+    "enabled" -> t.enabled.toString)
 
   def apply(s: SourceConfig): String = jobj(
     "source_id" -> js(s.sourceId), "source_type" -> js(s.sourceType),
@@ -436,7 +467,8 @@ object EtlConfig {
         .map { case (k, v) => k -> v.toString },
       sources = seqOfMaps(root, "sources").map(parseSource),
       transformations = seqOfMaps(root, "transformations").map(parseTransform),
-      models = seqOfMaps(root, "models").map(parseModel))
+      models = seqOfMaps(root, "models").map(parseModel),
+      maintenance = seqOfMaps(root, "maintenance").map(parseMaintenance))
   }
 
   def load(path: String): EtlConfig =
@@ -722,6 +754,40 @@ object EtlConfig {
     require(d.storeBuckets >= 0,
       s"store_buckets must be >= 0 (0 = unbucketed), got ${d.storeBuckets}")
     d
+  }
+
+  private def parseMaintenance(m: Map[String, Object]): MaintenanceTaskConfig = {
+    val t = MaintenanceTaskConfig(
+      taskId = str(m, "task_id"),
+      taskType = str(m, "task_type"),
+      table = opt(m, "table"),
+      targetRowsPerFile = opt(m, "target_rows_per_file").map(_.toLong)
+        .getOrElse(1000000L),
+      clusterBy = strSeq(m, "cluster_by"),
+      columns = strSeq(m, "columns"),
+      enabled = bool(m, "enabled"))
+    require(t.taskId.nonEmpty, "maintenance task needs task_id")
+    require(Set("compact", "zone_maps", "vacuum_staging")(t.taskType),
+      s"maintenance task '${t.taskId}': unknown task_type '${t.taskType}' " +
+        "(expected compact | zone_maps | vacuum_staging)")
+    require(t.taskType == "vacuum_staging" || t.table.exists(_.nonEmpty),
+      s"maintenance task '${t.taskId}': ${t.taskType} needs a table")
+    require(t.taskType != "vacuum_staging" || t.table.isEmpty,
+      s"maintenance task '${t.taskId}': vacuum_staging sweeps the whole " +
+        "staging plane — a table would silently not scope it")
+    require(t.targetRowsPerFile > 0,
+      s"maintenance task '${t.taskId}': target_rows_per_file must be " +
+        s"positive, got ${t.targetRowsPerFile}")
+    require(t.taskType == "compact" || (t.clusterBy.isEmpty &&
+        t.targetRowsPerFile == 1000000L),
+      s"maintenance task '${t.taskId}': cluster_by/target_rows_per_file " +
+        "are only used by compact")
+    require(t.taskType != "zone_maps" || t.columns.nonEmpty,
+      s"maintenance task '${t.taskId}': zone_maps needs columns " +
+        "(the min/max manifest dimensions)")
+    require(t.taskType == "zone_maps" || t.columns.isEmpty,
+      s"maintenance task '${t.taskId}': columns is only used by zone_maps")
+    t
   }
 
   private def parseVectorDedupStore(m: Map[String, Object]): VectorDedupStoreConfig = {

@@ -304,3 +304,44 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       ((), rows)
     }
 }
+
+/** Maintenance: the declarative ops plane (the reference runs its
+  * maintenance inside `run_etl_pipeline.py` next to the layers; here
+  * each task is YAML-declared and gets the SAME treatment as a data
+  * step — `enabled` gating, per-item error isolation, audit
+  * bracketing, and a control row whose `records_processed` carries the
+  * task's natural cardinality: files after a compact, manifest rows
+  * after a zone-map rebuild, staging roots removed by a vacuum).
+  * Runs AFTER gold by default, so the day's fold output (e.g. the
+  * dedup stores' per-fold file growth) is what gets compacted.
+  */
+class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
+    meta: MetadataManager, audit: AuditLogger, runDate: String)
+  extends Layer(spark, meta, audit) {
+
+  val layerName = "maintenance"
+
+  def run(): LayerReport =
+    runAll[MaintenanceTaskConfig](config.maintenance, _.taskId, _.enabled)(exec)
+
+  def exec(t: MaintenanceTaskConfig): Unit = {
+    val target = t.table.getOrElse("(warehouse staging)")
+    audit.bracket(layerName, t.taskType, "MaintenanceLayer", t.taskId, target) {
+      val n: Long = t.taskType match {
+        case "compact" =>
+          val (_, after) = graft.io.Maintenance.compact(spark, t.table.get,
+            t.targetRowsPerFile, t.clusterBy)
+          after.toLong
+        case "zone_maps" =>
+          val (_, files) = graft.io.ZoneMaps.writeManifest(spark,
+            t.table.get, t.columns)
+          files
+        case "vacuum_staging" =>
+          graft.io.Maintenance.vacuumStaging(spark).toLong
+      }
+      meta.updateControl(target, layerName, runDate, n, "SUCCESS",
+        ConfigJson(t))
+      ((), n)
+    }
+  }
+}

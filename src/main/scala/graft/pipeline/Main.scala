@@ -25,7 +25,7 @@ object Main {
 
   def parseArgs(argv: Array[String]): Args = {
     var date = java.time.LocalDate.now().toString
-    var layers = Seq("bronze", "silver", "gold")
+    var layers = Seq("bronze", "silver", "gold", "maintenance")
     var configDir = "configs"
     var warehouse: Option[String] = None
     var i = 0
@@ -46,9 +46,9 @@ object Main {
     Args(date, layers, configDir, warehouse)
   }
 
-  /** Loads whichever of the three layer configs exist in `configDir`. */
+  /** Loads whichever of the four layer configs exist in `configDir`. */
   def loadConfigs(configDir: String): Map[String, EtlConfig] =
-    Seq("bronze", "silver", "gold").flatMap { layer =>
+    Seq("bronze", "silver", "gold", "maintenance").flatMap { layer =>
       val p = java.nio.file.Paths.get(configDir, s"${layer}_config.yaml")
       if (java.nio.file.Files.exists(p)) Some(layer -> EtlConfig.load(p.toString))
       else None

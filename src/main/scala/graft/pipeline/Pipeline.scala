@@ -16,7 +16,7 @@ class Pipeline(spark: SparkSession, runDate: String,
   val audit = new AuditLogger(spark, meta, clock)
 
   def run(configs: Map[String, EtlConfig],
-      layers: Seq[String] = Seq("bronze", "silver", "gold")): Seq[LayerReport] = {
+      layers: Seq[String] = Seq("bronze", "silver", "gold", "maintenance")): Seq[LayerReport] = {
     meta.init()
     configs.values.flatMap(_.sparkConf).foreach { case (k, v) =>
       // shuffle partitioning is owned by the session/AQE, not configs —
@@ -29,6 +29,8 @@ class Pipeline(spark: SparkSession, runDate: String,
           case "bronze" => new BronzeLayer(spark, cfg, meta, audit, runDate)
           case "silver" => new SilverLayer(spark, cfg, meta, audit, runDate)
           case "gold" => new GoldLayer(spark, cfg, meta, audit, runDate)
+          case "maintenance" =>
+            new MaintenanceLayer(spark, cfg, meta, audit, runDate)
           case other => throw new IllegalArgumentException(s"unknown layer: $other")
         }
         layer.run()

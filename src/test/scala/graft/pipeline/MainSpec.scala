@@ -12,7 +12,8 @@ class MainSpec extends SparkSpec {
 
   test("parseArgs: defaults and full flag set") {
     val d = Main.parseArgs(Array.empty)
-    assert(d.layers == Seq("bronze", "silver", "gold") && d.configDir == "configs")
+    assert(d.layers == Seq("bronze", "silver", "gold", "maintenance") &&
+      d.configDir == "configs")
     val a = Main.parseArgs(Array("--date", "2031-05-05", "--layers",
       "Bronze, gold", "--config-dir", "/tmp/cfg", "--warehouse", "/tmp/wh"))
     assert(a == Main.Args("2031-05-05", Seq("bronze", "gold"), "/tmp/cfg",
@@ -67,7 +68,7 @@ class MainSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_profile_history")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_dedup_store")
       val exit = Main.run(spark,
-        Main.Args("2031-07-07", Seq("bronze", "silver", "gold"),
+        Main.Args("2031-07-07", Seq("bronze", "silver", "gold", "maintenance"),
           "/root/repo/configs/corpus", None))
       assert(exit == 0)
       val raw = spark.table("bronze_corpus.documents").count()
@@ -129,13 +130,31 @@ class MainSpec extends SparkSpec {
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
-      val snaps = control.select("table_name", "config_snapshot")
+      // keyed by table_name, so scope to the DATA layers — the
+      // maintenance plane writes rows for the same tables
+      val snaps = control.filter($"layer" =!= "maintenance")
+        .select("table_name", "config_snapshot")
         .as[(String, String)].collect().toMap
       assert(snaps("silver_corpus.docs_dedup").contains("\"method\":\"minhash\""))
       assert(snaps("gold_corpus.source_token_budget")
         .contains("\"refresh_type\":\"additive\""))
       assert(snaps("gold_corpus.corpus_dedup_store")
         .contains("\"refresh_type\":\"dedup_store\""))
+      // the declarative maintenance plane ran after gold: the store
+      // compacted (bucket spec survived — asserted above), the curated
+      // docs got a zone-map manifest, staging is swept — each with its
+      // own audit-bracketed control row
+      val maint = control.filter($"layer" === "maintenance")
+        .select("table_name", "config_snapshot")
+        .as[(String, String)].collect().toMap
+      assert(maint.keySet == Set("gold_corpus.corpus_dedup_store",
+        "silver_corpus.docs_curated", "(warehouse staging)"), maint.keySet)
+      assert(maint("gold_corpus.corpus_dedup_store")
+        .contains("\"task_type\":\"compact\""))
+      val zm = spark.table("silver_corpus.docs_curated__zonemap")
+      assert(zm.columns.toSet ==
+        Set("file", "n_rows", "min_source", "max_source") && zm.count() > 0,
+        "zone_maps task must write the manifest table")
     } finally sys.props.remove("GRAFT_DATA_DIR")
   }
 

@@ -1373,6 +1373,104 @@ class PipelineSpec extends SparkSpec {
       "a refused backfill must leave the store untouched")
   }
 
+  test("declarative maintenance plane: compact + zone_maps + vacuum_staging with isolation") {
+    val maintYaml =
+      """maintenance:
+        |  - task_id: compact_facts
+        |    task_type: compact
+        |    table: bronze_e2e.maint_facts
+        |    target_rows_per_file: 1000
+        |    cluster_by: [k]
+        |  - task_id: broken_compact
+        |    task_type: compact
+        |    table: bronze_e2e.does_not_exist
+        |  - task_id: zm_facts
+        |    task_type: zone_maps
+        |    table: bronze_e2e.maint_facts
+        |    columns: [k]
+        |  - task_id: sweep
+        |    task_type: vacuum_staging
+        |""".stripMargin
+    Seq("bronze_e2e.maint_facts", "bronze_e2e.maint_facts__zonemap")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    // 8 slivers of 250 rows; compaction at 1000/file folds them to 2
+    spark.range(2000).toDF("k").repartition(8)
+      .write.saveAsTable("bronze_e2e.maint_facts")
+    assert(spark.table("bronze_e2e.maint_facts").inputFiles.length == 8)
+    // plant a stale staging root for the vacuum to sweep
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val stale = new java.io.File(s"$wh/__upsert_stage/leftover")
+    stale.mkdirs()
+    val p = new Pipeline(spark, "2024-09-01", new FixedClock(1804000000000L))
+    val reports = p.run(Map("maintenance" -> EtlConfig.fromYaml(maintYaml)),
+      Seq("maintenance"))
+    // per-item isolation: the bogus table fails alone, siblings run
+    assert(reports.head.failed.map(_._1) == Seq("broken_compact"),
+      reports.toString)
+    assert(reports.head.succeeded.toSet ==
+      Set("compact_facts", "zm_facts", "sweep"))
+    val after = spark.table("bronze_e2e.maint_facts")
+    // ~2 files at 1000 rows/file; range-boundary sampling can split
+    // 2000 rows unevenly and roll one extra file at the cap
+    assert(after.inputFiles.length <= 3 && after.count() == 2000L,
+      s"compaction must fold 8 slivers down, lossless: " +
+        s"${after.inputFiles.length}")
+    val zm = spark.table("bronze_e2e.maint_facts__zonemap")
+    assert(zm.count() == after.inputFiles.length && zm.columns.toSet ==
+      Set("file", "n_rows", "min_k", "max_k"))
+    // range clustering held: consecutive files' k-ranges are disjoint
+    val ranges = zm.select("min_k", "max_k").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(ranges.sliding(2).forall(w => w(0)._2 < w(1)._1),
+      s"cluster_by must produce disjoint file ranges: ${ranges.toSeq}")
+    assert(!stale.exists(), "vacuum_staging must sweep stale roots")
+    // control rows: records_processed carries each task's cardinality
+    val ctl = spark.table(p.meta.controlTable)
+      .filter($"layer" === "maintenance" && $"last_run_date" === "2024-09-01")
+      .select("table_name", "records_processed")
+      .as[(String, Long)].collect().toMap
+    assert(ctl("bronze_e2e.maint_facts") == after.inputFiles.length.toLong,
+      ctl.toString)
+    assert(ctl("(warehouse staging)") >= 1L, ctl.toString)
+  }
+
+  test("maintenance config: unknown type, missing table/columns, stray knobs refuse") {
+    def bad(y: String): IllegalArgumentException =
+      intercept[IllegalArgumentException](EtlConfig.fromYaml(y))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: defrag
+                 |""".stripMargin).getMessage.contains("unknown task_type"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |""".stripMargin).getMessage.contains("needs a table"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: zone_maps
+                 |    table: a.b
+                 |""".stripMargin).getMessage.contains("needs columns"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: vacuum_staging
+                 |    table: a.b
+                 |""".stripMargin).getMessage.contains("sweeps the whole"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: zone_maps
+                 |    table: a.b
+                 |    columns: [k]
+                 |    cluster_by: [k]
+                 |""".stripMargin).getMessage.contains("only used by compact"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |    table: a.b
+                 |    columns: [k]
+                 |""".stripMargin).getMessage.contains("only used by zone_maps"))
+  }
+
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
     val vdsYaml =
       """models:
