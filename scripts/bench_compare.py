@@ -15,6 +15,12 @@ with a 0.3 s absolute floor so sub-second queries don't trip on noise.
 Exit 1 when any query regresses; prints the offenders. Queries present
 on only one side are reported informationally, never gated (new or
 retired entries are a coverage change, not a perf change).
+
+Load guard (round-15): Bench stamps cpus/load1 on its JSON line; a
+side measured at load1 > 3 is load-contaminated (rounds 13 and 14
+both committed benches at load1 ~5 that manufactured ~10 false
+regressions each). The gate REFUSES to adjudicate such a pair (exit
+2) unless --allow-loaded is passed, in which case it only warns.
 """
 import json
 import sys
@@ -27,15 +33,32 @@ def load(path):
     out = {q: v[0] for q, v in spread.items()}
     for q, med in (doc.get("queries") or {}).items():
         out.setdefault(q, med)
-    return out, set(doc.get("failed") or [])
+    return out, set(doc.get("failed") or []), doc.get("load1")
+
+
+MAX_LOAD1 = 3.0  # above this, min-of-N still breathes machine load
 
 
 def main():
-    base_path, cand_path = sys.argv[1], sys.argv[2]
-    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    argv = [a for a in sys.argv[1:] if a != "--allow-loaded"]
+    allow_loaded = "--allow-loaded" in sys.argv
+    base_path, cand_path = argv[0], argv[1]
+    factor = float(argv[2]) if len(argv) > 2 else 2.0
     floor = 0.3  # seconds: below this, ratios are scheduler noise
-    base, _ = load(base_path)
-    cand, cand_failed = load(cand_path)
+    base, _, base_load = load(base_path)
+    cand, cand_failed, cand_load = load(cand_path)
+    loaded = [(p, l) for p, l in
+              ((base_path, base_load), (cand_path, cand_load))
+              if l is not None and l > MAX_LOAD1]
+    for p, l in loaded:
+        print(f"  [LOAD] {p}: load1={l:.2f} > {MAX_LOAD1} — "
+              "measurements are load-contaminated")
+    if loaded and not allow_loaded:
+        print("refusing to adjudicate a load-contaminated bench "
+              "(re-run Bench on an idle box, or pass --allow-loaded "
+              "to warn-only); rounds 13/14 each produced ~10 false "
+              "regressions this way")
+        sys.exit(2)
     shared = sorted(set(base) & set(cand))
     regressions = []
     broken = []

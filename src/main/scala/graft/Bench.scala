@@ -33,20 +33,24 @@ object Bench {
   }
 
   /** Environment stamp riding the JSON line: worker-thread count and
-    * the 1-minute OS load average at emit time. The round-12 verdict
+    * the AMBIENT 1-minute OS load average, captured at JVM start
+    * (class-init time, before Spark spins up). The round-12 verdict
     * burned a re-measurement session proving twelve driver-bench
     * "regressions" were machine-load windows; with `load1` on the line
-    * a hot box self-adjudicates (load1 >> cpus ⇒ the numbers measured
-    * contention, not code). −1.0 when the platform can't report load
+    * a hot box self-adjudicates and `bench_compare` refuses the pair.
+    * Ambient, NOT at-emit: a full 32-thread run drives load1 to ~4 by
+    * its own execution, so an emit-time stamp flags every honest run
+    * as contaminated (the round-15 lesson — the first idle-box run
+    * self-stamped 3.97). −1.0 when the platform can't report load
     * (the MX bean's own sentinel), never an exception.
     */
-  private[graft] def envStamp(cpus: Int): String = {
-    val load1 = try {
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-    } catch { case _: Throwable => -1.0 }
-    s""""cpus":$cpus,"load1":$load1"""
-  }
+  private val ambientLoad1: Double = try {
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+  } catch { case _: Throwable => -1.0 }
+
+  private[graft] def envStamp(cpus: Int): String =
+    s""""cpus":$cpus,"load1":$ambientLoad1"""
 
   /** (min, median, max) over the successful repeats — the SPREAD the
     * round-10 verdict asked for: a regression moves the whole envelope,
@@ -60,9 +64,54 @@ object Bench {
     if (ok.nonEmpty) Some((ok.min, median(ok), ok.max)) else None
   }
 
+  /** Corpus-pipeline MACRO bench (`--macro`, round-13 verdict item 7):
+    * the per-query suite times operators in isolation, but the
+    * product a user runs is the declared 4-layer pipeline — this times
+    * `Main.run` over `configs/corpus` (ingest → dedup/curation funnel
+    * → gold folds incl. the standing dedup store → maintenance) end to
+    * end against a FRESH warehouse, then a same-date retry (the
+    * epoch-fence no-op path, which still pays every full-refresh step).
+    * Prints its own JSON line; the default per-query contract is
+    * untouched.
+    */
+  private def runMacro(sfDir: String, cpus: String): Unit = {
+    val wh = s"/root/repo/target/macro-wh-${System.nanoTime()}"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    sys.props("GRAFT_DATA_DIR") = sfDir
+    try {
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        val exit = graft.pipeline.Main.run(spark, graft.pipeline.Main.Args(
+          "2031-09-09", Seq("bronze", "silver", "gold", "maintenance"),
+          "/root/repo/configs/corpus", None))
+        require(exit == 0, s"macro pipeline run failed (exit $exit)")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = onePass()
+      val retry = onePass()
+      println(s"""{"metric":"corpus_pipeline","value":$cold,"unit":"sec",""" +
+        s""""retry":$retry,${envStamp(cpus.toInt)},"sf":"$sfDir"}""")
+    } finally {
+      sys.props.remove("GRAFT_DATA_DIR")
+      spark.stop()
+      val d = new org.apache.hadoop.fs.Path(wh)
+      d.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(d, true): Unit
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    if (args.contains("--macro")) { runMacro(sfDir, cpus); return }
     val repeat = args.sliding(2).collectFirst { case Array("--repeat", n) => n.toInt }
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
       .max(1)
