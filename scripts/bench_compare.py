@@ -33,10 +33,15 @@ def load(path):
     out = {q: v[0] for q, v in spread.items()}
     for q, med in (doc.get("queries") or {}).items():
         out.setdefault(q, med)
-    return out, set(doc.get("failed") or []), doc.get("load1")
+    return out, set(doc.get("failed") or []), doc.get("load1"), doc.get("cpus")
 
 
-MAX_LOAD1 = 3.0  # above this, min-of-N still breathes machine load
+def max_load1(cpus):
+    """Contamination threshold scaled to the box: 3.0 was calibrated on
+    the 32-cpu runner (r13/r14 benches at ~4.4-5.0 manufactured false
+    regressions; 1.5-2.2 adjudicated clean), so scale by cpus/32 with a
+    floor of 1.0 — an absolute 3.0 would pass a saturated 4-core box."""
+    return max(1.0, 3.0 * (cpus or 32) / 32.0)
 
 
 def main():
@@ -45,13 +50,14 @@ def main():
     base_path, cand_path = argv[0], argv[1]
     factor = float(argv[2]) if len(argv) > 2 else 2.0
     floor = 0.3  # seconds: below this, ratios are scheduler noise
-    base, _, base_load = load(base_path)
-    cand, cand_failed, cand_load = load(cand_path)
-    loaded = [(p, l) for p, l in
-              ((base_path, base_load), (cand_path, cand_load))
-              if l is not None and l > MAX_LOAD1]
-    for p, l in loaded:
-        print(f"  [LOAD] {p}: load1={l:.2f} > {MAX_LOAD1} — "
+    base, _, base_load, base_cpus = load(base_path)
+    cand, cand_failed, cand_load, cand_cpus = load(cand_path)
+    loaded = [(p, l, max_load1(c)) for p, l, c in
+              ((base_path, base_load, base_cpus),
+               (cand_path, cand_load, cand_cpus))
+              if l is not None and l > max_load1(c)]
+    for p, l, thr in loaded:
+        print(f"  [LOAD] {p}: load1={l:.2f} > {thr:.1f} — "
               "measurements are load-contaminated")
     if loaded and not allow_loaded:
         print("refusing to adjudicate a load-contaminated bench "

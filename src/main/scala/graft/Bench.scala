@@ -69,10 +69,13 @@ object Bench {
     * product a user runs is the declared 4-layer pipeline — this times
     * `Main.run` over `configs/corpus` (ingest → dedup/curation funnel
     * → gold folds incl. the standing dedup store → maintenance) end to
-    * end against a FRESH warehouse, then a same-date retry (the
-    * epoch-fence no-op path, which still pays every full-refresh step).
-    * Prints its own JSON line; the default per-query contract is
-    * untouched.
+    * end against a FRESH warehouse, then a same-date OPERATIONAL retry:
+    * the gold folds no-op through their epoch fences, but bronze's
+    * full-extract strategy re-APPENDS the feed (the reference's retry
+    * semantics for `extract_strategy: full`) and silver re-runs over
+    * the doubled bronze — so `retry` prices what a real re-run of this
+    * config costs, not the fences alone. Prints its own JSON line; the
+    * default per-query contract is untouched.
     */
   private def runMacro(sfDir: String, cpus: String): Unit = {
     val wh = s"/root/repo/target/macro-wh-${System.nanoTime()}"

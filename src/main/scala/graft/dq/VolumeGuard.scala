@@ -41,7 +41,13 @@ object VolumeGuard {
     require(window >= minHistory && minHistory >= 1,
       s"need window >= minHistory >= 1, got $window/$minHistory")
     val hist = spark.table(auditTable)
+      // data-layer history ONLY: the maintenance plane writes SUCCESS
+      // rows for the SAME target tables whose rows_processed is a file
+      // or manifest count — interleaving those into the window would
+      // poison the median (a daily compact stamping "2" would halve it
+      // within a week and fail every honest batch)
       .filter(col("target_table") === targetTable &&
+        col("layer") =!= "maintenance" &&
         col("status") === "SUCCESS" && col("rows_processed") > 0)
       // log_id tie-break: back-to-back runs can share a timestamp, and
       // an untied desc sort would make the WINDOW's composition (and

@@ -88,6 +88,14 @@ object DedupStore {
   /** The last committed fold epoch: the [[EpochProperty]] table
     * property when present (O(1) catalog read), else a one-time
     * `max(_epoch)` scan for legacy stores.
+    *
+    * Crash window: the property is stamped AFTER the append, so a
+    * failure between them leaves the property one epoch behind the
+    * data and the same-date retry RE-RUNS the fold instead of
+    * no-opping. That retry converges — every re-delivered doc is
+    * dropped by the probe's content match or, failing that (hot-band
+    * caps), by the identity guard in the fold — so the cost of the
+    * window is a re-paid fold, never a duplicate or a lost doc.
     */
   def committedEpoch(spark: SparkSession, table: String): Option[Long] = {
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -174,9 +182,18 @@ object DedupStore {
     val fresh =
       if (!exists) banded
       else banded.join(
-        storeHits(spark, table, banded, bandNames, jaccardThreshold,
-          maxBucketSize),
-        Seq("doc_id"), "left_anti")
+          storeHits(spark, table, banded, bandNames, jaccardThreshold,
+            maxBucketSize),
+          Seq("doc_id"), "left_anti")
+        // identity guard: a doc_id ALREADY in the store never appends
+        // again, whatever its content. Without it two edges duplicate
+        // store rows: a crash between append and the epoch-property
+        // stamp (the retry re-runs the fold) combined with a hot-band
+        // cap that hides the doc's stored self from the probe, and an
+        // id re-delivered with CHANGED content. Costs one thin
+        // doc_id-column pass over a store the probe already scans
+        .join(storedDocIds(spark, table).select("doc_id"),
+          Seq("doc_id"), "left_anti")
     val freshP = track(fresh.persist())
 
     // within-batch near-dup clusters among the store-fresh docs; each

@@ -39,8 +39,17 @@ object Maintenance {
     // bug one shelf over); read both from the catalog and re-apply
     val partCols = spark.catalog.listColumns(table).collect()
       .filter(_.isPartition).map(_.name).toSeq
-    val bucketSpec = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val bucketSpec = tableMeta.bucketSpec
+    // saveAsTable(Overwrite) recreates the table WITHOUT its custom
+    // properties — the same silent-drop class as the partition/bucket
+    // specs above. The graft namespace carries load-bearing state (the
+    // dedup stores' O(1) epoch fence rides graft.dedupstore.epoch, and
+    // the shipped maintenance config compacts a store daily); capture
+    // and re-stamp it after the rewrite
+    val graftProps = tableMeta.properties
+      .filter { case (k, _) => k.startsWith("graft.") }
     // a partition spec clusters the rewrite by ITS columns and a bucket
     // spec prescribes its own placement — a caller-requested range
     // clustering would silently fight either; refuse, never reorder
@@ -125,6 +134,8 @@ object Maintenance {
       else bucketed
     }
     w.saveAsTable(table)
+    for ((k, v) <- graftProps)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = '$v')")
     spark.catalog.refreshTable(table)
     (before, spark.table(table).inputFiles.length)
   }

@@ -139,7 +139,11 @@ object VectorDedupStore {
     val fresh =
       if (!exists) homed
       else homed.join(
-        storeHits(spark, table, ranked, minScore), Seq("vec_id"), "left_anti")
+          storeHits(spark, table, ranked, minScore), Seq("vec_id"), "left_anti")
+        // identity guard, as in DedupStore: a stored vec_id never
+        // appends again (crash-retry between append and the epoch
+        // stamp; id re-delivered with changed content)
+        .join(spark.table(table).select("vec_id"), Seq("vec_id"), "left_anti")
     val freshP = track(fresh.persist())
 
     // within-batch near-dup clusters among the store-fresh vectors:

@@ -339,8 +339,11 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
         case "vacuum_staging" =>
           graft.io.Maintenance.vacuumStaging(spark).toLong
       }
-      meta.updateControl(target, layerName, runDate, n, "SUCCESS",
-        ConfigJson(t))
+      // control rows upsert on (table_name, layer): task-qualify the
+      // layer so two tasks on the SAME table (compact + zone_maps is
+      // the normal pairing) keep their own rows instead of clobbering
+      meta.updateControl(target, s"$layerName.${t.taskId}", runDate, n,
+        "SUCCESS", ConfigJson(t))
       ((), n)
     }
   }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * against its rep-0 self and drops, so repeated folds append nothing
   * and the store stays bit-stable across the median-of-3.
   *
-  * Usage: Test/runMain graft.ProfileR15Scale [mult] [sfDir].
+  * Usage: Test/runMain graft.ProfileR15Scale [multLo] [multHi] [sfDir].
   * Measured numbers recorded in BASELINE.md §round-15.
   */
 object ProfileR15Scale {

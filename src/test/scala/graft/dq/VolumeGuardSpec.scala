@@ -15,16 +15,23 @@ class VolumeGuardSpec extends SparkSpec {
     spark.sql("CREATE DATABASE IF NOT EXISTS vg_test")
     spark.sql(s"DROP TABLE IF EXISTS $audit")
     val ok = rowCounts.zipWithIndex.map { case (n, i) =>
-      (target, "SUCCESS", n, s"2024-01-${"%02d".format(i + 1)} 00:00:00",
-        s"log-${"%03d".format(i)}")
+      (target, "gold", "SUCCESS", n,
+        s"2024-01-${"%02d".format(i + 1)} 00:00:00", s"log-${"%03d".format(i)}")
     }
     val noise = Seq(
-      (target, "ERROR", 0L, "2024-01-20 00:00:00", "log-e"),
-      (target, "STARTED", 0L, "2024-01-21 00:00:00", "log-s"),
-      ("other.t", "SUCCESS", 999999L, "2024-01-22 00:00:00", "log-o"))
-    (ok ++ noise).toDF("target_table", "status", "rows_processed", "ts_s", "log_id")
+      (target, "gold", "ERROR", 0L, "2024-01-20 00:00:00", "log-e"),
+      (target, "gold", "STARTED", 0L, "2024-01-21 00:00:00", "log-s"),
+      ("other.t", "gold", "SUCCESS", 999999L, "2024-01-22 00:00:00", "log-o"),
+      // the maintenance plane writes SUCCESS rows for the SAME target
+      // whose rows_processed is a FILE count — one per recent day here,
+      // enough to capture the window and halve the median if counted
+      (target, "maintenance", "SUCCESS", 2L, "2024-01-23 00:00:00", "log-m1"),
+      (target, "maintenance", "SUCCESS", 2L, "2024-01-24 00:00:00", "log-m2"),
+      (target, "maintenance", "SUCCESS", 2L, "2024-01-25 00:00:00", "log-m3"))
+    (ok ++ noise)
+      .toDF("target_table", "layer", "status", "rows_processed", "ts_s", "log_id")
       .withColumn("event_timestamp", to_timestamp(col("ts_s"))).drop("ts_s")
-      .write.saveAsTable(audit)
+      .write.mode("overwrite").saveAsTable(audit)
   }
 
   test("insufficient history passes — a new model must not fail its first runs") {
@@ -60,9 +67,15 @@ class VolumeGuardSpec extends SparkSpec {
     assert(!v.breach && v.median.contains(100L), v)
   }
 
-  test("noise rows never count: ERROR/STARTED and other targets are invisible") {
+  test("noise rows never count: ERROR/STARTED, other targets, and maintenance are invisible") {
+    // the seed plants three NEWER maintenance SUCCESS rows (file counts
+    // of 2) for this exact target: if the layer filter were missing,
+    // they would enter the 7-row window, drag the median to 2, and the
+    // honest 100-row run below would BREACH — the review-found
+    // cross-plane poisoning this pins against
     seed(Seq(100L, 100L, 100L))
     val v = VolumeGuard.check(spark, audit, "g.t", 100L, 50)
-    assert(v.historyRuns == 3, s"only this target's SUCCESS rows: $v")
+    assert(v.historyRuns == 3, s"only this target's data-layer rows: $v")
+    assert(!v.breach && v.median.contains(100L), v)
   }
 }

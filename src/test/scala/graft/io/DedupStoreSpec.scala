@@ -171,6 +171,62 @@ class DedupStoreSpec extends SparkSpec {
       storeBuckets = 4, epochId = Some(2L)).applied)
   }
 
+  test("compaction preserves the epoch property (graft.* TBLPROPERTIES survive the rewrite)") {
+    val t = table("t_compact_epoch")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA, 2L -> textB),
+      "doc_id", "text", storeBuckets = 4, epochId = Some(3L))
+    assert(DedupStore.committedEpoch(spark, t).contains(3L))
+    Maintenance.compact(spark, t)
+    // saveAsTable(Overwrite) recreates the table; without the re-stamp
+    // the O(1) fence silently degrades to the legacy data scan — and
+    // the shipped corpus config compacts the store EVERY run
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .properties.get(DedupStore.EpochProperty).contains("3"),
+      "compact must carry graft.* table properties through the rewrite")
+    assert(DedupStore.committedEpoch(spark, t).contains(3L))
+    // and the fence still works post-compaction
+    assert(!DedupStore.maintain(spark, t, df(9L -> textC), "doc_id", "text",
+      storeBuckets = 4, epochId = Some(3L)).applied)
+  }
+
+  test("identity guard: a stored doc_id never appends twice, even with changed content") {
+    val t = table("t_identity")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA, 2L -> textB),
+      "doc_id", "text", epochId = Some(1L))
+    // id 1 re-delivered with COMPLETELY different content: without the
+    // guard it would append a second set of band rows under the same id
+    DedupStore.maintain(spark, t, df(1L -> textC), "doc_id", "text",
+      epochId = Some(2L))
+    assert(spark.table(t).filter(col("doc_id") === 1L).count() == 4L,
+      "one band-row set per doc id, ever")
+    assert(DedupStore.storedDocIds(spark, t).as[(Long, Long)]
+      .collect().toSet == Set(1L -> 1L, 2L -> 1L))
+  }
+
+  test("crash-retry converges: a stale epoch property re-runs the fold without duplicating") {
+    val t = table("t_crash_retry")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA, 2L -> textB),
+      "doc_id", "text", epochId = Some(5L))
+    val committed = spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq
+    // simulate a crash BETWEEN the append and the property stamp: the
+    // data carries epoch 5 but the property says 4
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${DedupStore.EpochProperty}' = '4')")
+    // the operator's same-date retry re-runs (the fence can't know) —
+    // and must converge: every doc matches its stored self
+    val r = DedupStore.maintain(spark, t, df(1L -> textA, 2L -> textB),
+      "doc_id", "text", epochId = Some(5L))
+    assert(r.applied, "a stale property re-runs the fold (documented window)")
+    assert(spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq ==
+      committed, "the retry must append nothing")
+    assert(DedupStore.committedEpoch(spark, t).contains(5L),
+      "the retry re-stamps the property")
+  }
+
   test("staging scratch is deleted after the fold") {
     val t = table("t_scratch")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -141,6 +141,21 @@ class VectorDedupStoreSpec extends SparkSpec {
     assert(stored(t).map(_._1) == Set(1L, 2L, 10L, 20L))
   }
 
+  test("identity guard: a stored vec_id never appends twice, even with changed content") {
+    val t = table("t_identity")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    // vec 1 re-delivered with ORTHOGONAL content: the probe would miss
+    // it (score 0); the identity guard must still refuse the append
+    VectorDedupStore.maintain(spark, t, df(1L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    assert(spark.table(t).filter(col("vec_id") === 1L).count() == 1L,
+      "one stored row per vec id, ever")
+    assert(stored(t) == Set(1L -> 1L, 2L -> 1L))
+  }
+
   test("probe join is cell-equi — never a nested loop; store side scans in place") {
     val t = table("t_plan")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -132,7 +132,7 @@ class MainSpec extends SparkSpec {
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
       // keyed by table_name, so scope to the DATA layers — the
       // maintenance plane writes rows for the same tables
-      val snaps = control.filter($"layer" =!= "maintenance")
+      val snaps = control.filter(!$"layer".startsWith("maintenance"))
         .select("table_name", "config_snapshot")
         .as[(String, String)].collect().toMap
       assert(snaps("silver_corpus.docs_dedup").contains("\"method\":\"minhash\""))
@@ -144,7 +144,7 @@ class MainSpec extends SparkSpec {
       // compacted (bucket spec survived — asserted above), the curated
       // docs got a zone-map manifest, staging is swept — each with its
       // own audit-bracketed control row
-      val maint = control.filter($"layer" === "maintenance")
+      val maint = control.filter($"layer".startsWith("maintenance."))
         .select("table_name", "config_snapshot")
         .as[(String, String)].collect().toMap
       assert(maint.keySet == Set("gold_corpus.corpus_dedup_store",

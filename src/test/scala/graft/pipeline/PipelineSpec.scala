@@ -1427,7 +1427,8 @@ class PipelineSpec extends SparkSpec {
     assert(!stale.exists(), "vacuum_staging must sweep stale roots")
     // control rows: records_processed carries each task's cardinality
     val ctl = spark.table(p.meta.controlTable)
-      .filter($"layer" === "maintenance" && $"last_run_date" === "2024-09-01")
+      .filter($"layer".startsWith("maintenance.") &&
+        $"last_run_date" === "2024-09-01")
       .select("table_name", "records_processed")
       .as[(String, Long)].collect().toMap
     assert(ctl("bronze_e2e.maint_facts") == after.inputFiles.length.toLong,
