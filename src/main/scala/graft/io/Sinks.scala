@@ -210,6 +210,68 @@ object Sinks {
      else writer).start()
   }
 
+  /** Streaming twin of [[DedupStore.maintain]] — the standing
+    * cross-corpus dedup store maintained from a DOCUMENT stream: each
+    * micro-batch near-dup-probes the accumulated store, keeps one doc
+    * per within-batch cluster, and appends the survivors' band rows.
+    * The batchId commits with the fold as the store's epoch property,
+    * so a crash-replayed micro-batch no-ops — the append-only store's
+    * appends are non-idempotent, which is exactly why this sink (like
+    * additive/extremes/quantile) carries the fence while the
+    * sketch-algebra sinks need none. Completes the streaming-sink
+    * family: every declarative refresh_type now has a stream twin.
+    */
+  def streamDedupStore(stream: DataFrame, table: String, idCol: String,
+      textCol: String, checkpoint: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.0,
+      maxBucketSize: Option[Long] = None, storeBuckets: Int = 0,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DedupStore.maintain(batch.sparkSession, table, batch, idCol,
+          textCol, shingleN, numHashes, bands, jaccardThreshold,
+          maxBucketSize = maxBucketSize, storeBuckets = storeBuckets,
+          epochId = Some(batchId))
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
+  /** Streaming twin of [[VectorDedupStore.maintain]] — the embedding
+    * store maintained from a vector stream. The FIRST micro-batch is
+    * the founding batch: it freezes the calibration model (amax + the
+    * centroids), so a deployment should seed the store from a
+    * representative corpus before attaching the stream (or accept the
+    * first batch as calibration). Same batchId epoch fence as the
+    * text-store sink.
+    */
+  def streamVectorDedupStore(stream: DataFrame, table: String,
+      idCol: String, vecCol: String, minScore: Long, checkpoint: String,
+      numCentroids: Int = 8, nprobe: Int = 2,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorDedupStore.maintain(batch.sparkSession, table, batch,
+          idCol, vecCol, minScore, numCentroids, nprobe,
+          epochId = Some(batchId))
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Streaming SCD2 sink: each micro-batch of (keys, tracked,
     * effective) observations folds through [[Scd2.merge]], so an
     * attribute-change feed maintains the versioned dimension

@@ -229,6 +229,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamDedupStore folds a document stream; stream equals batch; fence stops a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.{DedupStore, Sinks}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_ds_out"
+    val twin = "stream_ds_twin"
+    Seq(table, twin).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_ds"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven"
+    val textC = "eight nine ten eleven twelve thirteen fourteen"
+    val ms = MemoryStream[(Long, String)]
+    val q = Sinks.streamDedupStore(
+      ms.toDF.toDF("doc_id", "text"), table, "doc_id", "text", ckpt,
+      jaccardThreshold = 0.5, availableNow = false)
+    try {
+      // micro-batch 0: 101/103 exact dups (101 keeps), 105 unique
+      ms.addData(101L -> textA, 103L -> textA, 105L -> textB)
+      q.processAllAvailable()
+      // micro-batch 1: 202 re-delivers stored content, 204/206 cluster
+      ms.addData(202L -> textA, 204L -> textC, 206L -> textC)
+      q.processAllAvailable()
+      def stored(t: String) = DedupStore.storedDocIds(spark, t)
+        .as[(Long, Long)].collect().toSet
+      assert(stored(table) == Set(101L -> 0L, 105L -> 0L, 204L -> 1L),
+        stored(table).toString)
+      // stream ≡ batch: the same two folds through the batch API with
+      // the stream's batchIds as epochs land bit-identically
+      DedupStore.maintain(spark, twin,
+        Seq(101L -> textA, 103L -> textA, 105L -> textB).toDF("doc_id", "text"),
+        "doc_id", "text", jaccardThreshold = 0.5, epochId = Some(0L))
+      DedupStore.maintain(spark, twin,
+        Seq(202L -> textA, 204L -> textC, 206L -> textC).toDF("doc_id", "text"),
+        "doc_id", "text", jaccardThreshold = 0.5, epochId = Some(1L))
+      assert(stored(table) == stored(twin), "stream must equal batch")
+      // the committed batchId IS the epoch property: a crash-replay of
+      // the last micro-batch (at-least-once delivery) no-ops
+      assert(DedupStore.committedEpoch(spark, table).contains(1L))
+      assert(!DedupStore.maintain(spark, table,
+        Seq(202L -> textA, 204L -> textC, 206L -> textC).toDF("doc_id", "text"),
+        "doc_id", "text", jaccardThreshold = 0.5, epochId = Some(1L)).applied)
+      assert(stored(table) == stored(twin), "replayed epoch appends nothing")
+    } finally {
+      q.stop()
+      Seq(table, twin).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("streamVectorDedupStore folds a vector stream; first batch freezes calibration") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.{DedupStore, Sinks, VectorDedupStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_vds_out"
+    Seq(table, s"${table}_model").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_vds"
+    val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vC = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vC2 = Array(0.0f, 0.0f, 0.995f, 0.1f)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Sinks.streamVectorDedupStore(
+      ms.toDF.toDF("vec_id", "embedding"), table, "vec_id", "embedding",
+      minScore = 12000L, ckpt, numCentroids = 2, availableNow = false)
+    try {
+      // founding micro-batch: freezes amax + 2 centroids; 1/3 identical
+      ms.addData(1L -> vA, 3L -> vA, 5L -> vB)
+      q.processAllAvailable()
+      val model0 = spark.table(s"${table}_model")
+        .orderBy("centroid_id").collect().toSeq
+      // micro-batch 1: 12 near-dups stored content; 14/16 fresh cluster
+      ms.addData(12L -> vA, 14L -> vC, 16L -> vC2)
+      q.processAllAvailable()
+      val got = VectorDedupStore.storedVecIds(spark, table)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set(1L -> 0L, 5L -> 0L, 14L -> 1L), got.toString)
+      assert(spark.table(s"${table}_model")
+        .orderBy("centroid_id").collect().toSeq == model0,
+        "the calibration model never changes after the founding batch")
+      assert(DedupStore.committedEpoch(spark, table).contains(1L),
+        "the stream's batchId is the committed epoch")
+    } finally {
+      q.stop()
+      Seq(table, s"${table}_model").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streamScd2 versions an attribute-change feed across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.Sinks
