@@ -214,7 +214,8 @@ final case class VectorDedupStoreConfig(
     vectorColumn: String,
     minScore: Long,
     numCentroids: Int = 8,
-    nprobe: Int = 2)
+    nprobe: Int = 2,
+    maxCellSize: Option[Long] = None)
 
 final case class ModelConfig(
     modelId: String,
@@ -438,7 +439,9 @@ object ConfigJson {
       "id_column" -> js(v.idColumn), "vector_column" -> js(v.vectorColumn),
       "min_score" -> v.minScore.toString,
       "num_centroids" -> v.numCentroids.toString,
-      "nprobe" -> v.nprobe.toString)).getOrElse("{}"))
+      "nprobe" -> v.nprobe.toString,
+      "max_cell_size" -> v.maxCellSize.map(_.toString).getOrElse("0")))
+      .getOrElse("{}"))
 }
 
 object EtlConfig {
@@ -796,7 +799,8 @@ object EtlConfig {
       vectorColumn = str(m, "vector_column"),
       minScore = opt(m, "min_score").map(_.toLong).getOrElse(-1L),
       numCentroids = num(m, "num_centroids", 8),
-      nprobe = num(m, "nprobe", 2))
+      nprobe = num(m, "nprobe", 2),
+      maxCellSize = opt(m, "max_cell_size").map(_.toLong))
     require(v.idColumn.nonEmpty && v.vectorColumn.nonEmpty,
       "vector_dedup_store needs id_column and vector_column")
     require(v.minScore >= 0,
@@ -806,6 +810,8 @@ object EtlConfig {
       s"num_centroids must be >= 1, got ${v.numCentroids}")
     require(v.nprobe >= 1 && v.nprobe <= v.numCentroids,
       s"nprobe must be in [1, num_centroids], got ${v.nprobe}")
+    require(v.maxCellSize.forall(_ > 0),
+      s"max_cell_size must be positive when set, got ${v.maxCellSize.get}")
     v
   }
 

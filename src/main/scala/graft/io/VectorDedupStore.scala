@@ -61,19 +61,22 @@ object VectorDedupStore {
   def maintain(spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, vecCol: String, minScore: Long,
       numCentroids: Int = 8, nprobe: Int = 2,
+      maxCellSize: Option[Long] = None,
       epochId: Option[Long] = None): DedupStore.FoldResult = {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(nprobe >= 1 && nprobe <= numCentroids,
       s"nprobe must be in [1, numCentroids], got $nprobe")
+    require(maxCellSize.forall(_ > 0),
+      s"maxCellSize must be positive when set, got ${maxCellSize.get}")
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try maintainImpl(spark, table, batch, idCol, vecCol, minScore,
-      numCentroids, nprobe, epochId)
+      numCentroids, nprobe, maxCellSize, epochId)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
   }
 
   private def maintainImpl(spark: SparkSession, table: String,
       batch: DataFrame, idCol: String, vecCol: String, minScore: Long,
-      numCentroids: Int, nprobe: Int,
+      numCentroids: Int, nprobe: Int, maxCellSize: Option[Long],
       epochId: Option[Long]): DedupStore.FoldResult = {
     val intDot = graft.functions.VectorExpressions.intDotProduct _
     val exists = spark.catalog.tableExists(table)
@@ -139,7 +142,8 @@ object VectorDedupStore {
     val fresh =
       if (!exists) homed
       else homed.join(
-          storeHits(spark, table, ranked, minScore), Seq("vec_id"), "left_anti")
+          storeHits(spark, table, ranked, minScore, maxCellSize),
+          Seq("vec_id"), "left_anti")
         // identity guard, as in DedupStore: a stored vec_id never
         // appends again (crash-retry between append and the epoch
         // stamp; id re-delivered with changed content)
@@ -188,11 +192,36 @@ object VectorDedupStore {
     * (as the ranked probe frame: vec_id, qv, cell per probed cell)
     * whose integer dot vs ANY stored vector in a probed cell reaches
     * `minScore`. Cell-equi join only — never all-pairs.
+    *
+    * `maxCellSize` caps degenerate store-side cells exactly as the
+    * text store's `maxBucketSize` caps hot bands: a cell whose stored
+    * occupancy exceeds the cap is EXCLUDED from the probe (every
+    * colliding batch vector would otherwise score against the whole
+    * cell). The trade is recall on hot-cell content — the honest
+    * sizing answer is numCentroids ∝ corpus at creation (BASELINE
+    * §round-15); the cap is the runtime backstop when the frozen model
+    * turns out under-sized for a skewed corpus.
     */
   def storeHits(spark: SparkSession, table: String, probes: DataFrame,
-      minScore: Long): DataFrame = {
+      minScore: Long, maxCellSize: Option[Long] = None): DataFrame = {
     val intDot = graft.functions.VectorExpressions.intDotProduct _
-    val store = spark.table(table).select(col("cell"), col("qv").as("_qr"))
+    val store0 = spark.table(table).select(col("cell"), col("qv").as("_qr"))
+    val store = maxCellSize match {
+      case Some(cap) =>
+        val hot = track(store0.groupBy("cell")
+          .agg(count(lit(1)).as("_cn")).filter(col("_cn") > cap)
+          .select("cell").persist())
+        // same degrade rule as the text store: broadcast the hot keys
+        // only while provably few (cells are bounded by numCentroids,
+        // so this is always tiny — the guard keeps the idiom uniform)
+        val nHot = hot.count()
+        if (nHot == 0) store0
+        else {
+          val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
+          store0.join(hotSide, Seq("cell"), "left_anti")
+        }
+      case None => store0
+    }
     probes.select(col("vec_id"), col("qv").as("_qb"), col("cell"))
       .join(store, Seq("cell"))
       .filter(intDot(col("_qb"), col("_qr")) >= minScore)

@@ -268,7 +268,7 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           val v = m.vectorDedupStore.get
           graft.io.VectorDedupStore.maintain(
             spark, m.targetTable, df, v.idColumn, v.vectorColumn,
-            v.minScore, v.numCentroids, v.nprobe,
+            v.minScore, v.numCentroids, v.nprobe, v.maxCellSize,
             epochId = Some(epoch)).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key

@@ -141,6 +141,46 @@ class VectorDedupStoreSpec extends SparkSpec {
     assert(stored(t).map(_._1) == Set(1L, 2L, 10L, 20L))
   }
 
+  test("maxCellSize excludes a degenerate cell from the probe (the hot-band analog)") {
+    val t = table("t_hot_cell")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    // founding batch: vA/vC/vD are mutually orthogonal (no within-batch
+    // dedup) and all tie to centroid 1's cell (scores 0 vs both
+    // centroids -> lowest id wins, and vA maxes its own); vB homes alone
+    val vD = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vB, 3L -> vC, 4L -> vD),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    // cell occupancies: vB's cell holds 1; centroid 1's cell holds 3.
+    // cap 2: the 3-occupant cell is excluded from the probe, so a
+    // re-delivery of its content is NOT dropped (the recall trade,
+    // loud in the scaladoc) — while the cold cell still probes
+    val occ = spark.table(t).groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    assert(occ.values.max == 3L && occ.values.min == 1L, occ.toString)
+    val r = VectorDedupStore.maintain(spark, t, df(90L -> vC, 91L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2,
+      maxCellSize = Some(2L), epochId = Some(2L))
+    assert(r.applied)
+    val ids = stored(t).map(_._1)
+    assert(ids.contains(90L),
+      "hot-cell content re-delivered under the cap joins as fresh (recall trade)")
+    assert(!ids.contains(91L),
+      "the cold cell still probes: vB's re-delivery drops")
+    // without the cap the same fold drops both
+    val t2 = table("t_hot_cell_nocap")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_model")
+    VectorDedupStore.maintain(spark, t2,
+      df(1L -> vA, 2L -> vB, 3L -> vC, 4L -> Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    VectorDedupStore.maintain(spark, t2, df(90L -> vC, 91L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    assert(stored(t2).map(_._1) == Set(1L, 2L, 3L, 4L),
+      "uncapped control: both re-deliveries drop")
+  }
+
   test("identity guard: a stored vec_id never appends twice, even with changed content") {
     val t = table("t_identity")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -1605,6 +1605,22 @@ class PipelineSpec extends SparkSpec {
           |""".stripMargin)
     }
     assert(e5.getMessage.contains("nprobe must be in"), e5.getMessage)
+    val e6 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: bad_cap
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |      min_score: 100
+          |      max_cell_size: 0
+          |""".stripMargin)
+    }
+    assert(e6.getMessage.contains("max_cell_size must be positive"),
+      e6.getMessage)
   }
 
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
