@@ -67,6 +67,8 @@ class MainSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_token_budget")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_profile_history")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_dedup_store")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store_model")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold", "maintenance"),
           "/root/repo/configs/corpus", None))
@@ -127,6 +129,17 @@ class MainSpec extends SparkSpec {
             .parseTableIdentifier("gold_corpus.corpus_dedup_store"))
         .bucketSpec.map(_.numBuckets).contains(8),
         "declared store_buckets must reach the table layout")
+      // the VECTOR store folded the embeddings feed: survivors stored
+      // as int8 codes with home cells, the frozen calibration model
+      // beside it, both through the same declarative plane
+      val vecStored = graft.io.VectorDedupStore.storedVecIds(spark,
+        "gold_corpus.corpus_vector_store").count()
+      val nVecs = spark.table("bronze_corpus.embeddings").count()
+      assert(vecStored > 0 && vecStored <= nVecs, s"$vecStored vs $nVecs")
+      val vModel = spark.table("gold_corpus.corpus_vector_store_model")
+      assert(vModel.count() == 8L &&
+        vModel.columns.toSet == Set("centroid_id", "cv", "amax"),
+        "founding run freezes the 8-centroid calibration model")
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
@@ -140,6 +153,8 @@ class MainSpec extends SparkSpec {
         .contains("\"refresh_type\":\"additive\""))
       assert(snaps("gold_corpus.corpus_dedup_store")
         .contains("\"refresh_type\":\"dedup_store\""))
+      assert(snaps("gold_corpus.corpus_vector_store")
+        .contains("\"refresh_type\":\"vector_dedup_store\""))
       // the declarative maintenance plane ran after gold: the store
       // compacted (bucket spec survived — asserted above), the curated
       // docs got a zone-map manifest, staging is swept — each with its
