@@ -43,14 +43,26 @@ object Bench {
     * as contaminated (the round-15 lesson — the first idle-box run
     * self-stamped 3.97). −1.0 when the platform can't report load
     * (the MX bean's own sentinel), never an exception.
+    *
+    * The line ALSO carries `load1_emit`, re-measured when the stamp is
+    * built at emit time: the ambient stamp certifies only the STARTING
+    * condition, so external load arriving mid-run (another job landing
+    * during the ~100 s suite) would otherwise be invisible.
+    * `bench_compare` gates on `load1` (ambient) alone — `load1_emit`
+    * includes the bench's own 32 threads by construction (~4 even on
+    * an idle box) and is informational: a pair that passes the ambient
+    * gate but shows an emit-time spike far beyond the suite's own
+    * footprint is the diagnostic for mid-run contamination.
     */
-  private val ambientLoad1: Double = try {
+  private val ambientLoad1: Double = currentLoad1
+
+  private def currentLoad1: Double = try {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
   } catch { case _: Throwable => -1.0 }
 
   private[graft] def envStamp(cpus: Int): String =
-    s""""cpus":$cpus,"load1":$ambientLoad1"""
+    s""""cpus":$cpus,"load1":$ambientLoad1,"load1_emit":$currentLoad1"""
 
   /** (min, median, max) over the successful repeats — the SPREAD the
     * round-10 verdict asked for: a regression moves the whole envelope,

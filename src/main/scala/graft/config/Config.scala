@@ -215,6 +215,7 @@ final case class VectorDedupStoreConfig(
     minScore: Long,
     numCentroids: Int = 8,
     nprobe: Int = 2,
+    trainIters: Int = 2,
     maxCellSize: Option[Long] = None)
 
 final case class ModelConfig(
@@ -440,6 +441,7 @@ object ConfigJson {
       "min_score" -> v.minScore.toString,
       "num_centroids" -> v.numCentroids.toString,
       "nprobe" -> v.nprobe.toString,
+      "train_iters" -> v.trainIters.toString,
       "max_cell_size" -> v.maxCellSize.map(_.toString).getOrElse("0")))
       .getOrElse("{}"))
 }
@@ -800,6 +802,7 @@ object EtlConfig {
       minScore = opt(m, "min_score").map(_.toLong).getOrElse(-1L),
       numCentroids = num(m, "num_centroids", 8),
       nprobe = num(m, "nprobe", 2),
+      trainIters = num(m, "train_iters", 2),
       maxCellSize = opt(m, "max_cell_size").map(_.toLong))
     require(v.idColumn.nonEmpty && v.vectorColumn.nonEmpty,
       "vector_dedup_store needs id_column and vector_column")
@@ -810,6 +813,8 @@ object EtlConfig {
       s"num_centroids must be >= 1, got ${v.numCentroids}")
     require(v.nprobe >= 1 && v.nprobe <= v.numCentroids,
       s"nprobe must be in [1, num_centroids], got ${v.nprobe}")
+    require(v.trainIters >= 1,
+      s"train_iters must be >= 1, got ${v.trainIters}")
     require(v.maxCellSize.forall(_ > 0),
       s"max_cell_size must be positive when set, got ${v.maxCellSize.get}")
     v

@@ -95,7 +95,16 @@ object DedupStore {
     * no-opping. That retry converges — every re-delivered doc is
     * dropped by the probe's content match or, failing that (hot-band
     * caps), by the identity guard in the fold — so the cost of the
-    * window is a re-paid fold, never a duplicate or a lost doc.
+    * window is a re-paid fold, never a duplicate DOC_ID, never a lost
+    * doc. Duplicate CONTENT has one residual edge inside the window:
+    * a doc the crashed run dropped as a within-batch cluster-MATE of
+    * an appended keeper carries a doc_id the store has never seen, so
+    * the identity guard cannot catch it — if a hot-band cap also
+    * hides the keeper from the retry's probe, the mate re-appends and
+    * near-dup content lands twice. The exposure needs the crash AND a
+    * tripped cap AND a clustered batch at once; a maintenance-plane
+    * near-dup sweep (or an uncapped one-off fold of the affected
+    * epoch) reconciles it.
     */
   def committedEpoch(spark: SparkSession, table: String): Option[Long] = {
     val meta = spark.sessionState.catalog.getTableMetadata(

@@ -135,10 +135,18 @@ object Maintenance {
     }
     w.saveAsTable(table)
     for ((k, v) <- graftProps)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = '$v')")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('${sqlLit(k)}' = '${sqlLit(v)}')")
     spark.catalog.refreshTable(table)
     (before, spark.table(table).inputFiles.length)
   }
+
+  /** Escapes a string for interpolation into a single-quoted SQL
+    * literal — the re-stamped `graft.*` property values are
+    * user-extensible (any string survives a compaction round-trip), so
+    * a value carrying a quote must not break the ALTER TABLE statement.
+    */
+  def sqlLit(s: String): String = s.replace("'", "''")
 
   /** VACUUM for the staging plane: the merge/CDC/compaction sinks
     * stage through scratch directories under the warehouse

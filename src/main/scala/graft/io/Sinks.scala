@@ -254,7 +254,8 @@ object Sinks {
     */
   def streamVectorDedupStore(stream: DataFrame, table: String,
       idCol: String, vecCol: String, minScore: Long, checkpoint: String,
-      numCentroids: Int = 8, nprobe: Int = 2,
+      numCentroids: Int = 8, nprobe: Int = 2, trainIters: Int = 2,
+      maxCellSize: Option[Long] = None,
       availableNow: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
@@ -262,8 +263,8 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         VectorDedupStore.maintain(batch.sparkSession, table, batch,
-          idCol, vecCol, minScore, numCentroids, nprobe,
-          epochId = Some(batchId))
+          idCol, vecCol, minScore, numCentroids, nprobe, trainIters,
+          maxCellSize, epochId = Some(batchId))
         stream.sparkSession.catalog.refreshTable(table)
         ()
       }

@@ -18,14 +18,26 @@ import graft.operators.FrameCaches.track
   *    (array<int> int8 codes), cell (home IVF cell), _epoch`. The
   *    accumulated corpus as PRECOMPUTED codes: never re-normalized,
   *    never re-quantized, never re-assigned.
-  *  - `<table>_model`: the frozen calibration — `centroid_id, cv
-  *    (centroid's code vector), amax (the scalar quantization scale)`,
-  *    built ONCE from the founding batch. Freezing is what keeps
-  *    stored codes valid across folds ([[Similarity
-  *    .crossCorpusQuantizedMatches]] documents the same invariant:
-  *    calibration and centroids must come from the reference side);
-  *    a re-calibrated amax would silently re-scale every future
-  *    batch's codes against incompatible stored ones.
+  *  - `<table>_model`: the frozen calibration — `centroid_id, qsum
+  *    (the centroid's element-wise BIGINT member-code sum), n (its
+  *    member count), amax (the scalar quantization scale)` — TRAINED
+  *    once on the founding batch by the exact-integer Lloyd's of
+  *    [[Similarity.kmeansCentroidsQuantized]] (`trainIters` rounds,
+  *    seeds = the `numCentroids` lowest-id codes). Trained centroids
+  *    balance cell occupancy, so fewer cells trip the `maxCellSize`
+  *    recall backstop and probe scans stay lean — the round-15 fix
+  *    over arbitrary lowest-id picks. Centroids stay RATIONAL
+  *    (qsum, n): ranking by qsum·code / n is exact integers through
+  *    one IEEE division, so training AND assignment re-derive
+  *    bit-identically in SQL. Freezing is what keeps stored codes
+  *    valid across folds ([[Similarity.crossCorpusQuantizedMatches]]
+  *    documents the same invariant: calibration and centroids must
+  *    come from the reference side); a re-calibrated amax would
+  *    silently re-scale every future batch's codes against
+  *    incompatible stored ones. (Model tables written before training
+  *    existed carry `cv` code-vector centroids; they read back as
+  *    (qsum = cv, n = 1) — ranking identical to the legacy integer
+  *    dot.)
   *
   * Fold semantics per batch (mirrors [[DedupStore]]):
   *  1. batch vectors whose exact integer dot (int8 codes of UNIT
@@ -34,49 +46,60 @@ import graft.operators.FrameCaches.track
   *     `nprobe` best cells per batch vector, never an all-pairs scan;
   *  2. survivors near-dup-cluster among THEMSELVES (same HOME cell,
   *     score ≥ minScore → connected components) and each cluster
-  *     keeps its smallest id;
+  *     keeps its smallest id — `maxCellSize` also caps THIS pair
+  *     join: a batch whose vectors pile into one home cell would
+  *     otherwise pay occupancy² pairs, so hot home cells (batch
+  *     occupancy > cap) are excluded from pairing, exactly as
+  *     [[Dedup.candidatePairs]] skips hot LSH buckets;
   *  3. survivors append with their home cell and the fold's epoch.
   *  Same epoch fence as the text store (appends are not idempotent):
   *  the O(1) [[DedupStore.EpochProperty]] catalog property.
   *
   * Scale shape: the model broadcast is `numCentroids` rows; batch
-  * quantization + centroid ranking is map work over the BATCH; the
-  * store side of the probe join is a columnar scan of (cell, qv) —
-  * the probe join is cell-equi with the batch side small (the store
-  * never shuffles: probes broadcast under AQE at any realistic batch
-  * size, and scoring is the codegen'd [[graft.functions
-  * .VectorExpressions.intDotProduct]]). All scoring is exact integer
-  * arithmetic, so the whole lifecycle is oracle-expressible.
+  * quantization + centroid ranking is map work over the BATCH;
+  * founding-batch training is `trainIters` serial corpus-linear jobs,
+  * paid ONCE at store creation (train on a founding sample if the
+  * first crawl is already huge). The store side of the probe join is
+  * a columnar scan of (cell, qv) — the probe join is cell-equi with
+  * the batch side small (the store never shuffles: probes broadcast
+  * under AQE at any realistic batch size, and scoring is the
+  * codegen'd [[graft.functions.VectorExpressions.intDotProduct]]).
+  * All scoring is exact integer arithmetic (plus the one IEEE
+  * division of the rational cell rank), so the whole lifecycle is
+  * oracle-expressible.
   */
 object VectorDedupStore {
 
   private def modelTable(table: String) = s"${table}_model"
 
   /** Folds `batch` into the standing store at `table` (created, with
-    * its frozen model, on first call). Same [[DedupStore.FoldResult]]
-    * contract: the fold reports its OWN batch count (the Spark 4.1
-    * cache/observe interaction documented there applies here too —
-    * this fold persists the batch's code frame).
+    * its frozen trained model, on first call). Same [[DedupStore
+    * .FoldResult]] contract: the fold reports its OWN batch count (the
+    * Spark 4.1 cache/observe interaction documented there applies here
+    * too — this fold persists the batch's code frame).
     */
   def maintain(spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, vecCol: String, minScore: Long,
       numCentroids: Int = 8, nprobe: Int = 2,
+      trainIters: Int = 2,
       maxCellSize: Option[Long] = None,
       epochId: Option[Long] = None): DedupStore.FoldResult = {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(nprobe >= 1 && nprobe <= numCentroids,
       s"nprobe must be in [1, numCentroids], got $nprobe")
+    require(trainIters >= 1, s"trainIters must be >= 1, got $trainIters")
     require(maxCellSize.forall(_ > 0),
       s"maxCellSize must be positive when set, got ${maxCellSize.get}")
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try maintainImpl(spark, table, batch, idCol, vecCol, minScore,
-      numCentroids, nprobe, maxCellSize, epochId)
+      numCentroids, nprobe, trainIters, maxCellSize, epochId)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
   }
 
   private def maintainImpl(spark: SparkSession, table: String,
       batch: DataFrame, idCol: String, vecCol: String, minScore: Long,
-      numCentroids: Int, nprobe: Int, maxCellSize: Option[Long],
+      numCentroids: Int, nprobe: Int, trainIters: Int,
+      maxCellSize: Option[Long],
       epochId: Option[Long]): DedupStore.FoldResult = {
     val intDot = graft.functions.VectorExpressions.intDotProduct _
     val exists = spark.catalog.tableExists(table)
@@ -104,34 +127,58 @@ object VectorDedupStore {
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
       .select(col("vec_id"), col("uv"))
     if (!exists) {
-      // founding batch IS the calibration: freeze amax + the
-      // numCentroids lowest-id codes as the model. A model without a
-      // store is the debris of a failed creation (the store write comes
-      // after) — rebuild it rather than erroring on the leftover
+      // founding batch IS the calibration: freeze amax + the trained
+      // centroids as the model. A model without a store is the debris
+      // of a failed creation (the store write comes after) — rebuild
+      // it rather than erroring on the leftover
       spark.sql(s"DROP TABLE IF EXISTS ${modelTable(table)}")
       val stats = Similarity.quantStats(bu, "uv")
-      val codes = Similarity.withQuantized(bu, stats, "uv")
-        .select(col("vec_id"), col("qv"))
-      val model = codes.orderBy("vec_id").limit(numCentroids)
+      // an empty or all-zero founding batch would freeze a USELESS
+      // calibration forever (amax null/0 → every future code all-zero,
+      // every fold silently appends nothing): fail the creation loudly
+      val st = stats.head()
+      require(!st.isNullAt(0) && st.getDouble(0) > 0.0,
+        s"vector-dedup-store creation for '$table': the founding batch " +
+          "is empty or entirely zero vectors (amax " +
+          s"${if (st.isNullAt(0)) "undefined" else "= 0"}) — the founding " +
+          "batch freezes the calibration for the store's whole life, so " +
+          "it must contain at least one non-zero vector")
+      val codes = track(Similarity.withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv")).persist())
+      val model = Similarity.kmeansCentroidsQuantized(
+          codes, numCentroids, trainIters)
         .crossJoin(broadcast(stats))
-        .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
-          col("amax"))
+        .select(col("centroid_id"), col("qsum"), col("n"), col("amax"))
       model.write.mode(SaveMode.ErrorIfExists).format("parquet")
         .saveAsTable(modelTable(table))
     }
-    val model = spark.table(modelTable(table))
+    val model0 = spark.table(modelTable(table))
+    // pre-training model tables stored integer code-vector centroids
+    // (`cv`); (qsum = cv, n = 1) ranks identically to their integer dot
+    val model =
+      if (model0.columns.contains("cv"))
+        model0.select(col("centroid_id"),
+          transform(col("cv"), _.cast("long")).as("qsum"),
+          lit(1L).as("n"), col("amax"))
+      else model0.select("centroid_id", "qsum", "n", "amax")
+    require(!model.isEmpty,
+      s"vector dedup store '$table': model table '${modelTable(table)}' " +
+        "has no centroid rows — the frozen calibration is unusable; " +
+        "restore it or rebuild the store")
     val stats = model.agg(max(col("amax")).as("amax"))
-    val cents = model.select(col("centroid_id"), col("cv"))
+    val cents = model.select(col("centroid_id"), col("qsum"), col("n"))
 
     // quantize the batch with the STORED calibration; rank the
-    // broadcast centroids per vector: crank 1 = home cell (stored,
-    // and the self-dedup blocking key), crank <= nprobe = probe cells
+    // broadcast trained centroids per vector by the exact rational
+    // score qsum·code / n: crank 1 = home cell (stored, and the
+    // self-dedup blocking key), crank <= nprobe = probe cells
     val wc = Window.partitionBy("vec_id")
       .orderBy(col("_cscore").desc, col("centroid_id"))
     val ranked = track(Similarity.withQuantized(bu, stats, "uv")
       .select(col("vec_id"), col("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn("_cscore", intDot(col("qv"), col("cv")))
+      .withColumn("_cscore",
+        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
       .withColumn("_crank", row_number().over(wc))
       .filter(col("_crank") <= nprobe)
       .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"),
@@ -151,10 +198,22 @@ object VectorDedupStore {
     val freshP = track(fresh.persist())
 
     // within-batch near-dup clusters among the store-fresh vectors:
-    // same home cell, integer score >= minScore; smallest id keeps
-    val l = freshP.select(col("cell"), col("vec_id").as("doc_a"),
+    // same home cell, integer score >= minScore; smallest id keeps.
+    // maxCellSize caps the pair join exactly as it caps the probe: a
+    // hot HOME cell (batch occupancy > cap) is excluded from pairing
+    // (its vectors pass through un-deduped — the recall trade), so
+    // pair mass stays <= cap × occupancy instead of occupancy². The
+    // hot-key set is bounded by numCentroids, so it always broadcasts.
+    val pairBase = maxCellSize match {
+      case Some(cap) =>
+        val hot = freshP.groupBy("cell").agg(count(lit(1)).as("_cn"))
+          .filter(col("_cn") > cap).select("cell")
+        freshP.join(broadcast(hot), Seq("cell"), "left_anti")
+      case None => freshP
+    }
+    val l = pairBase.select(col("cell"), col("vec_id").as("doc_a"),
       col("qv").as("_qa"))
-    val r = freshP.select(col("cell"), col("vec_id").as("doc_b"),
+    val r = pairBase.select(col("cell"), col("vec_id").as("doc_b"),
       col("qv").as("_qb"))
     val pairs = l.join(r, Seq("cell"))
       .filter(col("doc_a") < col("doc_b") &&
@@ -199,8 +258,9 @@ object VectorDedupStore {
     * colliding batch vector would otherwise score against the whole
     * cell). The trade is recall on hot-cell content — the honest
     * sizing answer is numCentroids ∝ corpus at creation (BASELINE
-    * §round-15); the cap is the runtime backstop when the frozen model
-    * turns out under-sized for a skewed corpus.
+    * §round-15) with TRAINED centroids keeping occupancy balanced; the
+    * cap is the runtime backstop when the frozen model turns out
+    * under-sized for a skewed corpus.
     */
   def storeHits(spark: SparkSession, table: String, probes: DataFrame,
       minScore: Long, maxCellSize: Option[Long] = None): DataFrame = {

@@ -268,8 +268,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           val v = m.vectorDedupStore.get
           graft.io.VectorDedupStore.maintain(
             spark, m.targetTable, df, v.idColumn, v.vectorColumn,
-            v.minScore, v.numCentroids, v.nprobe, v.maxCellSize,
-            epochId = Some(epoch)).batchRows
+            v.minScore, v.numCentroids, v.nprobe, v.trainIters,
+            v.maxCellSize, epochId = Some(epoch)).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

@@ -333,8 +333,10 @@ object Similarity {
   /** Rational-centroid score: code·qsum / n as ONE IEEE division of two
     * exact integers — bit-deterministic cross-engine, unlike a float
     * mean whose per-partition summation order leaks into final ULPs.
+    * Public: [[graft.io.VectorDedupStore]] ranks its frozen TRAINED
+    * model's cells with exactly this score.
     */
-  private def qcellScore(code: Column, qsum: Column, n: Column): Column =
+  def qcellScore(code: Column, qsum: Column, n: Column): Column =
     qdotLong(code, qsum).cast("double") / n
 
   /** Assign int8 code vectors to their best RATIONAL centroid

@@ -336,14 +336,20 @@ object VectorQueries extends QuerySet {
 
   /** Standing vector dedup store as a LIFECYCLE, oracle-checked end to
     * end ([[graft.io.VectorDedupStore]]): crawl 1 = even vec_ids (the
-    * founding batch freezes amax + the 8 lowest-id centroids in the
-    * model table), crawl 2 = odd vec_ids quantized with the STORED
-    * calibration, probed against the stored codes (nprobe = 2 cells,
-    * int8-dot >= MatchScore drops), survivors self-deduped per home
-    * cell and appended. v12 is the per-call primitive; this is the
-    * maintained-table shape a crawl-N+1 pipeline declares in YAML
-    * (`refresh_type: vector_dedup_store`). All-integer scoring makes
-    * the whole two-fold lifecycle one hash-exact oracle row.
+    * founding batch freezes amax + `NumCentroids` centroids TRAINED by
+    * the exact-integer Lloyd's of v11 — `KmIters` rounds, seeds = the
+    * lowest-id even codes — in the model table), crawl 2 = odd vec_ids
+    * quantized with the STORED calibration, probed against the stored
+    * codes (nprobe = 2 cells, int8-dot >= MatchScore drops), survivors
+    * self-deduped per home cell and appended. `VdsCellCap` is live on
+    * BOTH capped paths — hot store cells are excluded from the probe
+    * and hot home cells from the within-batch pair join — and both
+    * exclusions are spelled in the oracle. v12 is the per-call
+    * primitive; this is the maintained-table shape a crawl-N+1
+    * pipeline declares in YAML (`refresh_type: vector_dedup_store`).
+    * All-integer scoring (training included — rational centroids,
+    * never float means) makes the whole two-fold lifecycle one
+    * hash-exact oracle row.
     */
   def vds1VectorDedupStore(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select("vec_id", "embedding")
@@ -361,14 +367,18 @@ object VectorQueries extends QuerySet {
     }
     graft.io.VectorDedupStore.maintain(s, table,
       e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-      MatchScore, NumCentroids, nprobe = 2, epochId = Some(1L))
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(1L))
     graft.io.VectorDedupStore.maintain(s, table,
       e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-      MatchScore, NumCentroids, nprobe = 2, epochId = Some(2L))
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(2L))
     graft.io.VectorDedupStore.storedVecIds(s, table)
       .select(col("vec_id"), col("_epoch").as("folded_epoch"))
       .orderBy("vec_id")
   }
+
+  private val VdsCellCap = 40L
 
   val entries: Map[String, Q] = Map(
     "vds1_vector_dedup_store" -> vds1VectorDedupStore _,
@@ -449,13 +459,13 @@ object VectorQueries extends QuerySet {
     * integers through one IEEE division, ties to the lowest id —
     * mirroring [[Similarity.assignCellsQuantized]]'s broadcast fold.
     */
-  private def kmAssignSql(cents: String): String =
+  private def kmAssignSql(cents: String, base: String = "kcodes"): String =
     s"""SELECT vec_id, qv, cell FROM (
        |  SELECT d.vec_id, d.qv, c.centroid_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
        |      CAST(${qdotSql("d.qv", "c.qsum")} AS DOUBLE) / c.n DESC,
        |      c.centroid_id) AS r
-       |  FROM kcodes d, $cents c) WHERE r = 1""".stripMargin
+       |  FROM $base d, $cents c) WHERE r = 1""".stripMargin
 
   /** One centroid update: element-wise BIGINT sums + counts per cell,
     * empty cells carrying the previous centroid forward.
@@ -479,15 +489,28 @@ object VectorQueries extends QuerySet {
     * (vec_id, qv, cell) frame — same-cell verified pairs -> symmetric
     * edges -> transitive closure -> min-label clusters -> keepers
     * (the ds1 keeperCtes shape with cell-equality blocking and the
-    * exact integer dot as the verify).
+    * exact integer dot as the verify). `cap` mirrors the store's
+    * maxCellSize on the within-batch pair join: hot home cells (batch
+    * occupancy > cap) produce NO pairs — their vectors pass through
+    * un-deduped, the recall trade the Spark side takes.
     */
-  private def vecKeeperCtes(base: String, tag: String, minScore: Long): String =
-    s"""p$tag AS (
+  private def vecKeeperCtes(base: String, tag: String, minScore: Long,
+      cap: Option[Long] = None): String = {
+    val capFilter = cap.map(c =>
+      s"""
+         |    AND x.cell NOT IN (
+         |      SELECT cell FROM $base GROUP BY cell HAVING COUNT(*) > $c)"""
+        .stripMargin).getOrElse("")
+    // MATERIALIZED: the closure CTE r$tag re-reads e$tag every
+    // iteration; without the hint DuckDB re-inlines the whole upstream
+    // chain (training included) per iteration and the oracle runs for
+    // minutes instead of sub-second
+    s"""p$tag AS MATERIALIZED (
        |  SELECT x.vec_id AS da, y.vec_id AS db
        |  FROM $base x JOIN $base y
        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  WHERE ${qdotSql("x.qv", "y.qv")} >= $minScore),
-       |e$tag AS (
+       |  WHERE ${qdotSql("x.qv", "y.qv")} >= $minScore$capFilter),
+       |e$tag AS MATERIALIZED (
        |  SELECT da AS src, db AS dst FROM p$tag
        |  UNION SELECT db, da FROM p$tag),
        |r$tag(src, dst) AS (
@@ -500,15 +523,36 @@ object VectorQueries extends QuerySet {
        |k$tag AS (
        |  SELECT vec_id FROM $base WHERE vec_id NOT IN
        |    (SELECT vec_id FROM c$tag WHERE cluster_id <> vec_id))""".stripMargin
+  }
+
+  /** vds1 oracle plumbing: rank the trained rational centroids (CTE
+    * `cents`: centroid_id, qsum, n) per vector of `base` by the exact
+    * score qsum·qv / n (one IEEE division, ties to the lowest id) and
+    * keep cranks <= `maxCrank` — the store's home/probe assignment.
+    */
+  private def vecRankSql(base: String, filter: String, cents: String,
+      maxCrank: Int): String =
+    s"""SELECT vec_id, qv, cell, crank FROM (
+       |    SELECT q.vec_id, q.qv, c.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(${qdotSql("q.qv", "c.qsum")} AS DOUBLE) / c.n DESC,
+       |        c.centroid_id) AS crank
+       |    FROM $base q, $cents c WHERE $filter)
+       |  WHERE crank <= $maxCrank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the whole two-fold store lifecycle in SQL: calibration amax over
-    // the FOUNDING (even) unit vectors only, centroids = the 8 lowest
-    // even codes, both folds quantized against that frozen scale; home
-    // cells by integer argmax (ties to lowest centroid), within-fold
-    // keepers via the recursive min-label closure, fold-2 probes the
-    // nprobe=2 best cells against fold-1 survivors — exact integers
-    // end to end, so the stored ids + epochs hash-match
+    // the FOUNDING (even) unit vectors only, centroids TRAINED by the
+    // unrolled integer Lloyd's (KmIters rounds over the even codes,
+    // seeds = the NumCentroids lowest-id even codes — v11's
+    // kmAssign/kmUpdate plumbing verbatim), both folds quantized
+    // against that frozen scale; home cells by the exact rational
+    // argmax qsum·qv/n (ties to lowest centroid), within-fold keepers
+    // via the recursive min-label closure with VdsCellCap silencing
+    // hot home cells, fold-2 probes the nprobe=2 best cells against
+    // fold-1 survivors with VdsCellCap excluding hot STORE cells —
+    // exact integers (one IEEE division in the rank) end to end, so
+    // the stored ids + epochs hash-match
     "vds1_vector_dedup_store" ->
       s"""WITH RECURSIVE unit AS ($unitCte),
          |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
@@ -520,31 +564,30 @@ object VectorQueries extends QuerySet {
          |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
          |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
          |  FROM unit CROSS JOIN st),
-         |cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM qc
-         |          WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT $NumCentroids),
-         |h1 AS (
+         |eqc AS MATERIALIZED (SELECT vec_id, qv FROM qc WHERE vec_id % 2 = 0),
+         |vkc0 AS MATERIALIZED (SELECT vec_id AS centroid_id, qv AS qsum,
+         |         CAST(1 AS BIGINT) AS n
+         |         FROM eqc ORDER BY vec_id LIMIT $NumCentroids),
+         |vka1 AS MATERIALIZED (${kmAssignSql("vkc0", "eqc")}),
+         |vkc1 AS MATERIALIZED (${kmUpdateSql("vka1", "vkc0")}),
+         |vka2 AS MATERIALIZED (${kmAssignSql("vkc1", "eqc")}),
+         |cents AS MATERIALIZED (${kmUpdateSql("vka2", "vkc1")}),
+         |h1 AS MATERIALIZED (
          |  SELECT vec_id, qv, cell FROM (
-         |    SELECT q.vec_id, q.qv, c.centroid_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${qdotSql("q.qv", "c.cv")} DESC, c.centroid_id) AS crank
-         |    FROM qc q, cents c WHERE q.vec_id % 2 = 0)
-         |  WHERE crank = 1),
-         |${vecKeeperCtes("h1", "1", MatchScore)},
-         |s1 AS (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
-         |pr2 AS (
-         |  SELECT vec_id, qv, cell, crank FROM (
-         |    SELECT q.vec_id, q.qv, c.centroid_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${qdotSql("q.qv", "c.cv")} DESC, c.centroid_id) AS crank
-         |    FROM qc q, cents c WHERE q.vec_id % 2 = 1)
-         |  WHERE crank <= 2),
-         |hits AS (
+         |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
+         |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap))},
+         |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
+         |pr2 AS MATERIALIZED (
+         |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
+         |hits AS MATERIALIZED (
          |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
-         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore),
-         |f2 AS (
+         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore
+         |    AND s.cell NOT IN (
+         |      SELECT cell FROM s1 GROUP BY cell HAVING COUNT(*) > $VdsCellCap)),
+         |f2 AS MATERIALIZED (
          |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
          |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
-         |${vecKeeperCtes("f2", "2", MatchScore)}
+         |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap))}
          |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
          |UNION ALL
          |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2

@@ -181,6 +181,90 @@ class VectorDedupStoreSpec extends SparkSpec {
       "uncapped control: both re-deliveries drop")
   }
 
+  test("founding guard: an empty or all-zero founding batch refuses loudly") {
+    val t = table("t_founding_guard")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    // empty: a bricked store (amax undefined -> every future code
+    // all-zero, every fold silently appends nothing) must not be born
+    val e1 = intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, t, df(), "vec_id", "embedding",
+        Score, numCentroids = 2, epochId = Some(1L))
+    }
+    assert(e1.getMessage.contains("founding batch"), e1.getMessage)
+    // all-zero vectors: amax = 0, same permanent brick
+    val e2 = intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, t,
+        df(1L -> Array(0.0f, 0.0f, 0.0f, 0.0f)),
+        "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    }
+    assert(e2.getMessage.contains("zero"), e2.getMessage)
+    assert(!spark.catalog.tableExists(t), "no store debris after refusal")
+    // and a model table emptied behind the store's back refuses too
+    VectorDedupStore.maintain(spark, t, df(1L -> vA), "vec_id",
+      "embedding", Score, numCentroids = 1, nprobe = 1, epochId = Some(1L))
+    spark.table(s"${t}_model").filter(lit(false)).write
+      .mode("overwrite").saveAsTable(s"${t}_model_empty")
+    spark.sql(s"DROP TABLE ${t}_model")
+    spark.sql(s"ALTER TABLE ${t}_model_empty RENAME TO ${t}_model")
+    val e3 = intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, t, df(2L -> vB), "vec_id",
+        "embedding", Score, numCentroids = 1, nprobe = 1, epochId = Some(2L))
+    }
+    assert(e3.getMessage.contains("no centroid rows"), e3.getMessage)
+  }
+
+  test("trained centroids balance cells where lowest-id seeds collapse") {
+    // two orthogonal groups of 3; the 2 lowest ids BOTH sit in group A,
+    // so the pre-training centroid pick (the 2 lowest-id codes) puts
+    // every vector in one cell (group A codes tie at the same score on
+    // both seeds -> lowest id; group B scores 0 on both -> lowest id).
+    // Lloyd's separates them: round 1 piles everything on seed 1, its
+    // update absorbs both groups (diluting A's score to ~half), and
+    // round 2 re-homes A on the untouched seed 2 while B keeps the
+    // mixed centroid — 3/3 occupancy. minScore above the identical-code
+    // dot (~16129) disables dedup so all six rows store.
+    val t = table("t_trained_balance")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vA, 3L -> vA, 10L -> vB, 11L -> vB, 12L -> vB),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    val occ = spark.table(t).groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    assert(occ.size == 2 && occ.values.toSet == Set(3L),
+      s"trained cells must split the two groups 3/3, got $occ")
+    // and the model table carries the RATIONAL trained centroids
+    val cols = spark.table(s"${t}_model").columns.toSet
+    assert(cols == Set("centroid_id", "qsum", "n", "amax"), cols.toString)
+  }
+
+  test("maxCellSize caps the within-batch self-dedup pair join (hot home cell)") {
+    // five identical vectors, one centroid -> one home cell of 5. Cap 3:
+    // the cell is hot, the pair join skips it, pair mass 0 instead of
+    // 10, and ALL five store (the recall trade, loud in the scaladoc)
+    val t = table("t_hot_selfdedup")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vA, 3L -> vA, 4L -> vA, 5L -> vA),
+      "vec_id", "embedding", Score, numCentroids = 1, nprobe = 1,
+      maxCellSize = Some(3L), epochId = Some(1L))
+    assert(stored(t).map(_._1) == Set(1L, 2L, 3L, 4L, 5L),
+      "a hot home cell passes through un-deduped under the cap")
+    // uncapped control: the same batch collapses to its smallest id
+    val t2 = table("t_hot_selfdedup_nocap")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_model")
+    VectorDedupStore.maintain(spark, t2,
+      df(1L -> vA, 2L -> vA, 3L -> vA, 4L -> vA, 5L -> vA),
+      "vec_id", "embedding", Score, numCentroids = 1, nprobe = 1,
+      epochId = Some(1L))
+    assert(stored(t2).map(_._1) == Set(1L),
+      "uncapped control: the cluster keeps its smallest id")
+  }
+
   test("identity guard: a stored vec_id never appends twice, even with changed content") {
     val t = table("t_identity")
     spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -138,8 +138,8 @@ class MainSpec extends SparkSpec {
       assert(vecStored > 0 && vecStored <= nVecs, s"$vecStored vs $nVecs")
       val vModel = spark.table("gold_corpus.corpus_vector_store_model")
       assert(vModel.count() == 8L &&
-        vModel.columns.toSet == Set("centroid_id", "cv", "amax"),
-        "founding run freezes the 8-centroid calibration model")
+        vModel.columns.toSet == Set("centroid_id", "qsum", "n", "amax"),
+        "founding run freezes the 8-centroid TRAINED calibration model")
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
