@@ -299,6 +299,11 @@ final case class ModelConfig(
   *  - `vacuum_staging`: delete the transient `__*_stage` roots under
   *    the warehouse ([[graft.io.Maintenance.vacuumStaging]]); takes no
   *    table.
+  *  - `prune_store`: epoch-horizon retention for the standing dedup
+  *    stores ([[graft.io.Maintenance.pruneStore]] — rows whose
+  *    `_epoch` fell more than `keep_epochs` run-date days behind the
+  *    store's committed epoch are deleted; specs and the epoch fence
+  *    survive the rewrite).
   */
 final case class MaintenanceTaskConfig(
     taskId: String,
@@ -307,6 +312,7 @@ final case class MaintenanceTaskConfig(
     targetRowsPerFile: Long = 1000000L,
     clusterBy: Seq[String] = Nil,
     columns: Seq[String] = Nil,
+    keepEpochs: Long = 0L,
     enabled: Boolean = true)
 
 final case class EtlConfig(
@@ -341,6 +347,7 @@ object ConfigJson {
     "table" -> t.table.map(js).getOrElse("null"),
     "target_rows_per_file" -> t.targetRowsPerFile.toString,
     "cluster_by" -> jarr(t.clusterBy), "columns" -> jarr(t.columns),
+    "keep_epochs" -> t.keepEpochs.toString,
     "enabled" -> t.enabled.toString)
 
   def apply(s: SourceConfig): String = jobj(
@@ -770,11 +777,12 @@ object EtlConfig {
         .getOrElse(1000000L),
       clusterBy = strSeq(m, "cluster_by"),
       columns = strSeq(m, "columns"),
+      keepEpochs = opt(m, "keep_epochs").map(_.toLong).getOrElse(0L),
       enabled = bool(m, "enabled"))
     require(t.taskId.nonEmpty, "maintenance task needs task_id")
-    require(Set("compact", "zone_maps", "vacuum_staging")(t.taskType),
+    require(Set("compact", "zone_maps", "vacuum_staging", "prune_store")(t.taskType),
       s"maintenance task '${t.taskId}': unknown task_type '${t.taskType}' " +
-        "(expected compact | zone_maps | vacuum_staging)")
+        "(expected compact | zone_maps | vacuum_staging | prune_store)")
     require(t.taskType == "vacuum_staging" || t.table.exists(_.nonEmpty),
       s"maintenance task '${t.taskId}': ${t.taskType} needs a table")
     require(t.taskType != "vacuum_staging" || t.table.isEmpty,
@@ -792,6 +800,12 @@ object EtlConfig {
         "(the min/max manifest dimensions)")
     require(t.taskType == "zone_maps" || t.columns.isEmpty,
       s"maintenance task '${t.taskId}': columns is only used by zone_maps")
+    require(t.taskType != "prune_store" || t.keepEpochs > 0,
+      s"maintenance task '${t.taskId}': prune_store needs keep_epochs " +
+        "(the retention window in run-date epoch days, > 0)")
+    require(t.taskType == "prune_store" || t.keepEpochs == 0L,
+      s"maintenance task '${t.taskId}': keep_epochs is only used by " +
+        "prune_store")
     t
   }
 

@@ -174,6 +174,84 @@ object Maintenance {
     stages.length
   }
 
+  /** Epoch-horizon retention for the standing dedup stores (and any
+    * `_epoch`-stamped append-only table): DELETE rows whose `_epoch`
+    * has fallen out of the declared window. The stores grow append-only
+    * forever by design (a fold never rewrites history); a multi-year
+    * crawl wants the trailing window pruned so store mass tracks the
+    * retention policy, not all of history — the store-family analog of
+    * [[Scd2.pruneHistory]].
+    *
+    * Window semantics: the anchor is the store's COMMITTED epoch (the
+    * O(1) [[DedupStore.EpochProperty]], falling back to the max-scan
+    * for legacy tables — never "today", so a store that stopped folding
+    * is not silently emptied by the calendar); rows with
+    * `_epoch > committed − keepEpochs` survive — the last `keepEpochs`
+    * epochs counting the committed one. In the declarative plane epochs
+    * are run-date epoch DAYS, so `keep_epochs: 365` reads "retain one
+    * year of folds".
+    *
+    * What pruning means for dedup semantics (the retention trade,
+    * stated loudly): content whose ONLY stored copy lived in pruned
+    * epochs is re-admittable — a later re-delivery probes nothing and
+    * appends as fresh (with its identity guard gone too). Probes
+    * against the SURVIVING window are unchanged: the rewrite is a pure
+    * `_epoch` filter, touching no codes/bands/cells, and the vector
+    * store's frozen `<table>_model` sibling is never touched.
+    *
+    * Staged spec-preserving rewrite (the compact machinery's
+    * contract): partition spec, bucket spec, and `graft.*` table
+    * properties — including the epoch fence — all survive. Returns
+    * (rows deleted, rows kept).
+    */
+  def pruneStore(spark: SparkSession, table: String,
+      keepEpochs: Long): (Long, Long) = {
+    require(keepEpochs > 0, s"keepEpochs must be positive, got $keepEpochs")
+    val t0 = spark.table(table)
+    require(t0.columns.contains("_epoch"),
+      s"prune_store: '$table' has no _epoch column — retention is only " +
+        "defined for epoch-stamped stores (dedup_store / " +
+        "vector_dedup_store / additive-family tables)")
+    val committed = DedupStore.committedEpoch(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"prune_store: '$table' has no committed epoch (empty store, " +
+          "never folded) — nothing to anchor the retention window"))
+    val cutoff = committed - keepEpochs // survivors: _epoch > cutoff
+    val total = t0.count()
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val bucketSpec = tableMeta.bucketSpec
+    val graftProps = tableMeta.properties
+      .filter { case (k, _) => k.startsWith("graft.") }
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__prune_stage/" +
+      table.replace('.', '_')
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = try {
+      t0.filter(col("_epoch") > cutoff)
+        .write.mode(SaveMode.Overwrite).parquet(scratch)
+      val staged = spark.read.parquet(scratch)
+      val w0 = staged.write.mode(SaveMode.Overwrite).format("parquet")
+      val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+      val w = bucketSpec.fold(w1) { bs =>
+        val bucketed = w1.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        if (bs.sortColumnNames.nonEmpty)
+          bucketed.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else bucketed
+      }
+      w.saveAsTable(table)
+      for ((k, v) <- graftProps)
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('${sqlLit(k)}' = '${sqlLit(v)}')")
+      spark.catalog.refreshTable(table)
+      spark.table(table).count()
+    } finally fs.delete(scratchPath, true)
+    (total - kept, kept)
+  }
+
   /** Incremental maintenance of an ADDITIVE aggregate table — the
     * 100 TB gold-refresh path: instead of rescanning all history per
     * run (the reference's wholesale recompute), fold each new fact

@@ -338,6 +338,11 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
           files
         case "vacuum_staging" =>
           graft.io.Maintenance.vacuumStaging(spark).toLong
+        case "prune_store" =>
+          // records_processed = rows deleted (the task's natural
+          // cardinality; kept mass is readable off the table itself)
+          graft.io.Maintenance.pruneStore(spark, t.table.get,
+            t.keepEpochs)._1
       }
       // control rows upsert on (table_name, layer): task-qualify the
       // layer so two tasks on the SAME table (compact + zone_maps is

@@ -507,4 +507,85 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("register spaces"), e3.getMessage)
   }
+
+  test("pruneStore drops epochs behind the window; surviving probes unchanged; specs + fence survive") {
+    val t = table("prune_text_store")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // three folds into a BUCKETED store: distinct content per epoch
+    DedupStore.maintain(spark, t, docs(1L -> "alpha bravo charlie delta"),
+      "doc_id", "text", storeBuckets = 4, epochId = Some(100L))
+    DedupStore.maintain(spark, t, docs(2L -> "echo foxtrot golf hotel"),
+      "doc_id", "text", storeBuckets = 4, epochId = Some(101L))
+    DedupStore.maintain(spark, t, docs(3L -> "india juliet kilo lima"),
+      "doc_id", "text", storeBuckets = 4, epochId = Some(102L))
+    val preSurvivors = spark.table(t).filter($"_epoch" > 100L)
+      .orderBy("doc_id", "band_idx").collect().toSeq
+    // keep 2 epochs anchored at the committed (102): 101,102 survive
+    val (deleted, kept) = Maintenance.pruneStore(spark, t, keepEpochs = 2L)
+    assert(deleted > 0L && kept > 0L, s"($deleted, $kept)")
+    assert(spark.table(t).orderBy("doc_id", "band_idx").collect().toSeq
+      == preSurvivors,
+      "pruning is a pure _epoch filter: surviving rows bit-identical")
+    // the layout spec and the O(1) epoch fence survive the rewrite
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .bucketSpec.map(_.numBuckets).contains(4),
+      "bucket spec must survive the prune rewrite")
+    assert(DedupStore.committedEpoch(spark, t).contains(102L),
+      "the epoch fence property must survive the prune rewrite")
+    // retention semantics, both directions: content alive in the
+    // window still dedups; content whose only copy was pruned (and its
+    // identity guard with it) re-admits as fresh
+    val f = DedupStore.maintain(spark, t,
+      docs(20L -> "echo foxtrot golf hotel", 1L -> "alpha bravo charlie delta"),
+      "doc_id", "text", storeBuckets = 4, epochId = Some(103L))
+    assert(f.applied)
+    val ids = DedupStore.storedDocIds(spark, t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(20L), "surviving-window content still probes")
+    assert(ids.contains(1L), "pruned content re-admits (the retention trade)")
+  }
+
+  test("pruneStore on the vector store leaves the frozen model untouched") {
+    val t = table("prune_vec_store")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    VectorDedupStore.maintain(spark, t, vecs(1L -> vA), "vec_id",
+      "embedding", 12000L, numCentroids = 1, nprobe = 1, epochId = Some(200L))
+    VectorDedupStore.maintain(spark, t, vecs(2L -> vB), "vec_id",
+      "embedding", 12000L, numCentroids = 1, nprobe = 1, epochId = Some(201L))
+    val model = spark.table(s"${t}_model").collect().toSeq
+    val (deleted, kept) = Maintenance.pruneStore(spark, t, keepEpochs = 1L)
+    assert(deleted == 1L && kept == 1L, s"($deleted, $kept)")
+    assert(VectorDedupStore.storedVecIds(spark, t)
+      .select("vec_id").as[Long].collect().toSeq == Seq(2L))
+    assert(spark.table(s"${t}_model").collect().toSeq == model,
+      "the calibration model is not retention-managed")
+    assert(DedupStore.committedEpoch(spark, t).contains(201L))
+  }
+
+  test("pruneStore refusals: no _epoch column, no committed epoch, bad window") {
+    val t = table("prune_foreign")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.saveAsTable(t)
+    val e1 = intercept[IllegalArgumentException] {
+      Maintenance.pruneStore(spark, t, keepEpochs = 1L)
+    }
+    assert(e1.getMessage.contains("no _epoch column"), e1.getMessage)
+    val t2 = table("prune_unfolded")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.emptyDataset[Long].toDF("_epoch").write.saveAsTable(t2)
+    val e2 = intercept[IllegalStateException] {
+      Maintenance.pruneStore(spark, t2, keepEpochs = 1L)
+    }
+    assert(e2.getMessage.contains("no committed epoch"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Maintenance.pruneStore(spark, t, keepEpochs = 0L)
+    }
+    assert(e3.getMessage.contains("keepEpochs"), e3.getMessage)
+  }
 }

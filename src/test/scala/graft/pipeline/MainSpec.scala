@@ -163,9 +163,17 @@ class MainSpec extends SparkSpec {
         .select("table_name", "config_snapshot")
         .as[(String, String)].collect().toMap
       assert(maint.keySet == Set("gold_corpus.corpus_dedup_store",
+        "gold_corpus.corpus_vector_store",
         "silver_corpus.docs_curated", "(warehouse staging)"), maint.keySet)
       assert(maint("gold_corpus.corpus_dedup_store")
         .contains("\"task_type\":\"compact\""))
+      // retention ran against the vector store (365-day window over a
+      // same-day fold: nothing prunable, the store is intact, and the
+      // model sibling is untouched by construction)
+      assert(maint("gold_corpus.corpus_vector_store")
+        .contains("\"task_type\":\"prune_store\""))
+      assert(graft.io.VectorDedupStore.storedVecIds(spark,
+        "gold_corpus.corpus_vector_store").count() == vecStored)
       val zm = spark.table("silver_corpus.docs_curated__zonemap")
       assert(zm.columns.toSet ==
         Set("file", "n_rows", "min_source", "max_source") && zm.count() > 0,

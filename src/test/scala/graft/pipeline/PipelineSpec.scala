@@ -1470,6 +1470,62 @@ class PipelineSpec extends SparkSpec {
                  |    table: a.b
                  |    columns: [k]
                  |""".stripMargin).getMessage.contains("only used by zone_maps"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: prune_store
+                 |    table: a.b
+                 |""".stripMargin).getMessage.contains("needs keep_epochs"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: prune_store
+                 |    table: a.b
+                 |    keep_epochs: -3
+                 |""".stripMargin).getMessage.contains("needs keep_epochs"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |    table: a.b
+                 |    keep_epochs: 7
+                 |""".stripMargin).getMessage.contains("only used by prune_store"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: prune_store
+                 |    keep_epochs: 7
+                 |""".stripMargin).getMessage.contains("needs a table"))
+  }
+
+  test("declarative prune_store task prunes the store through the metadata plane") {
+    val pruneYaml =
+      """maintenance:
+        |  - task_id: prune_docs_store
+        |    task_type: prune_store
+        |    table: gold_e2e.prune_decl_store
+        |    keep_epochs: 9000
+        |""".stripMargin
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    val t = "gold_e2e.prune_decl_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // two folds dated as run-date epochs ~16 years apart: a 9000-day
+    // window anchored at the later fold prunes the first
+    graft.io.DedupStore.maintain(spark, t,
+      Seq((1L, "old content from the first crawl")).toDF("doc_id", "text"),
+      "doc_id", "text", epochId = Some(10000L))
+    graft.io.DedupStore.maintain(spark, t,
+      Seq((2L, "fresh content from the latest crawl")).toDF("doc_id", "text"),
+      "doc_id", "text", epochId = Some(20000L))
+    val p = new Pipeline(spark, "2024-09-02", new FixedClock(1804000000000L))
+    val reports = p.run(Map("maintenance" -> EtlConfig.fromYaml(pruneYaml)),
+      Seq("maintenance"))
+    assert(reports.head.failed.isEmpty &&
+      reports.head.succeeded == Seq("prune_docs_store"), reports.toString)
+    assert(graft.io.DedupStore.storedDocIds(spark, t)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // records_processed = rows deleted (doc 1's band rows)
+    val ctl = spark.table(p.meta.controlTable)
+      .filter($"layer" === "maintenance.prune_docs_store" &&
+        $"last_run_date" === "2024-09-02")
+      .select("records_processed").as[Long].collect()
+    assert(ctl.toSeq == Seq(4L), ctl.toSeq.toString)
   }
 
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
