@@ -57,9 +57,15 @@ class BronzeLayer(spark: SparkSession, config: EtlConfig,
   def ingest(src0: SourceConfig): Unit = {
     // incremental watermark: substitute ${EXTRACT_DATE} with the last
     // successful run date (F5); full loads use the pipeline run date
+    // control rows key on (table_name, layer) — qualify the layer with
+    // the source id (the maintenance plane's task-qualified precedent)
+    // so two sources feeding ONE bronze table keep independent rows and
+    // watermarks: a disabled source's incremental fence must not be
+    // advanced by its table-mates
+    val controlKey = s"$layerName.${src0.sourceId}"
     val extractDate =
       if (src0.extractStrategy == "incremental")
-        meta.lastRunDate(src0.targetTable, layerName).getOrElse("1970-01-01")
+        meta.lastRunDate(src0.targetTable, controlKey).getOrElse("1970-01-01")
       else runDate
     val vars = Map("EXTRACT_DATE" -> extractDate, "PROCESSING_DATE" -> runDate)
     val src = src0.copy(
@@ -73,7 +79,7 @@ class BronzeLayer(spark: SparkSession, config: EtlConfig,
         df = df.filter(col(c) > lit(extractDate))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${db(src.targetTable)}")
       val rows = writeCounted(df, Sinks.append(_, src.targetTable))
-      meta.updateControl(src.targetTable, layerName, runDate, rows, "SUCCESS",
+      meta.updateControl(src.targetTable, controlKey, runDate, rows, "SUCCESS",
         ConfigJson(src0))
       ((), rows)
     }
@@ -142,8 +148,10 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
         graft.meta.DqMetricRow(t.targetTable, t.transformId, m.rule,
           m.ruleType, m.action, m.validCount, m.invalidCount, runDate,
           new java.sql.Timestamp(0)))) // stamped by the manager's clock
-      meta.updateControl(t.targetTable, layerName, runDate, rows, "SUCCESS",
-        ConfigJson(t))
+      // item-qualified control key: two transforms writing the same
+      // target keep separate rows instead of clobbering each other
+      meta.updateControl(t.targetTable, s"$layerName.${t.transformId}",
+        runDate, rows, "SUCCESS", ConfigJson(t))
       ((), rows)
     }
 }
@@ -298,8 +306,11 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
       if (m.volumeGuardPct > 0)
         graft.dq.VolumeGuard.enforce(spark, meta.auditTable, m.targetTable,
           rows, m.volumeGuardPct)
-      meta.updateControl(m.targetTable, layerName, runDate, rows, "SUCCESS",
-        ConfigJson(m))
+      // control key is model-qualified: two gold models writing the
+      // SAME table (a full view + a fold over it, say) each keep their
+      // own watermark row — (table_name, "gold") alone clobbers
+      meta.updateControl(m.targetTable, s"$layerName.${m.modelId}",
+        runDate, rows, "SUCCESS", ConfigJson(m))
       meta.updateDictionary(m.targetTable, m.modelId)
       ((), rows)
     }

@@ -97,7 +97,13 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
       rows.map(_.copy(recorded_at = clock.now())).toDS()
         .write.mode(SaveMode.Append).saveAsTable(dqMetricsTable)
 
-  /** Upsert one control row keyed on (table_name, layer). */
+  /** Upsert one control row keyed on (table_name, layer). The layer
+    * plane passes ITEM-QUALIFIED keys (`bronze.<source_id>`,
+    * `silver.<transform_id>`, `gold.<model_id>`,
+    * `maintenance.<task_id>`) so two config items targeting one table
+    * never clobber each other's watermark; `controlReport` prefix-
+    * matches, so layer-level reads see every item.
+    */
   def updateControl(tableName: String, layer: String, runDate: String,
       records: Long, status: String, configSnapshot: String = "{}"): Unit = {
     val row = Seq(ControlRow(tableName, layer, runDate, records, status,
@@ -113,9 +119,13 @@ class MetadataManager(spark: SparkSession, db: String = "metadata",
       .select("last_run_date")
       .collect().headOption.map(_.getString(0))
 
+  /** Every control row for a layer — exact key plus the item-qualified
+    * `<layer>.<item_id>` rows the layer plane writes.
+    */
   def controlReport(layer: String): DataFrame =
-    spark.table(controlTable).filter(col("layer") === layer)
-      .orderBy("table_name")
+    spark.table(controlTable)
+      .filter(col("layer") === layer || col("layer").startsWith(layer + "."))
+      .orderBy("table_name", "layer")
 }
 
 class AuditLogger(spark: SparkSession, meta: MetadataManager,

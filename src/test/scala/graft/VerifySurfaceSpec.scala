@@ -60,12 +60,24 @@ class VerifySurfaceSpec extends AnyFunSuite {
     "u1_union_all", "u2_intersect", "u3_except", "w1_dedup_rank",
     "w2_running_sum", "w3_lag", "w4_topn_per_group")
 
+  /** Repo root located from the test JVM's working directory (sbt runs
+    * from the project root; walk up for safety) — not a hard-coded
+    * checkout path, so the checklist survives a working-copy move.
+    */
+  private def repoFile(name: String): java.nio.file.Path = {
+    var dir = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (dir != null && !java.nio.file.Files.exists(dir.resolve(name)))
+      dir = dir.getParent
+    require(dir != null, s"$name not found above ${sys.props("user.dir")}")
+    dir.resolve(name)
+  }
+
   test("close-out checklist: every query has a SURVEY mention; README count is fresh") {
     // the mechanical fix for the tw6 -> st2 -> ds1 pattern (three rounds
     // of a new query shipping without its SURVEY row / README bump):
     // this test FAILS the build until the docs exist
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      repoFile("SURVEY.md")), "UTF-8")
     val undocumented = SparkEntry.queries.keySet
       .filterNot(surveyFamilyRows)
       .filterNot(n => survey.contains(s"`$n`"))
@@ -76,7 +88,7 @@ class VerifySurfaceSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"grandfather list names dead queries: $stale")
 
     val readme = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+      repoFile("README.md")), "UTF-8")
     val claimed = "(\\d+) named queries".r.findFirstMatchIn(readme)
       .map(_.group(1).toInt)
     assert(claimed.contains(SparkEntry.queries.size),

@@ -147,9 +147,9 @@ class PipelineSpec extends SparkSpec {
         "bronze_e2e.customers", "bronze_e2e.products",
         "bronze_e2e.sales_transactions", "silver_e2e.sales_clean",
         "silver_e2e.customers", "gold_e2e.daily_sales_by_category"))
-    assert(control.filter($"layer" === "bronze").count() == 3)
-    assert(control.filter($"layer" === "silver").count() == 2)
-    assert(control.filter($"layer" === "gold").count() == 1)
+    assert(control.filter($"layer".startsWith("bronze.")).count() == 3)
+    assert(control.filter($"layer".startsWith("silver.")).count() == 2)
+    assert(control.filter($"layer".startsWith("gold.")).count() == 1)
 
     // every control row carries the item's real config snapshot, not the
     // default "{}" (reference metadata_manager.py:115-117)
@@ -181,7 +181,7 @@ class PipelineSpec extends SparkSpec {
 
     // F6 summary reads back per-target rows from the control table
     val sum = pipeline.summary()
-    assert(sum.exists(s => s._1 == "silver" && s._2 == "silver_e2e.sales_clean"
+    assert(sum.exists(s => s._1.startsWith("silver.") && s._2 == "silver_e2e.sales_clean"
       && s._3 == 3L && s._4 == "SUCCESS"))
 
     // audit: STARTED+SUCCESS per unit of work, no ERRORs
@@ -207,7 +207,7 @@ class PipelineSpec extends SparkSpec {
     val pipeline3 = new Pipeline(spark, "2024-01-07", new FixedClock(1750100000000L))
     pipeline3.run(Map("gold" -> EtlConfig.fromYaml(goldYaml)))
     val rec3 = spark.table(pipeline3.meta.controlTable)
-      .filter($"layer" === "gold" && $"last_run_date" === "2024-01-07")
+      .filter($"layer".startsWith("gold.") && $"last_run_date" === "2024-01-07")
       .select("records_processed").as[Long].head()
     assert(rec3 == goldCountBefore, // batch rows, NOT the target's n+1
       s"records_processed=$rec3 should be the batch size $goldCountBefore")
@@ -311,7 +311,7 @@ class PipelineSpec extends SparkSpec {
     // control rows: one SUCCESS per declarative step, snapshot carries
     // the transform_type and its params
     val control = spark.table(pipeline.meta.controlTable)
-      .filter($"last_run_date" === "2024-02-01" && $"layer" === "silver")
+      .filter($"last_run_date" === "2024-02-01" && $"layer".startsWith("silver."))
     val snaps = control.select("table_name", "config_snapshot")
       .as[(String, String)].collect().toMap
     assert(snaps("silver_docs.docs_dedup").contains("\"transform_type\":\"dedup\"")
@@ -496,7 +496,7 @@ class PipelineSpec extends SparkSpec {
 
     // control rows: one SUCCESS per verb, snapshot carries the params
     val control = spark.table(pipeline.meta.controlTable)
-      .filter($"last_run_date" === "2024-04-01" && $"layer" === "silver")
+      .filter($"last_run_date" === "2024-04-01" && $"layer".startsWith("silver."))
     val snaps = control.select("table_name", "config_snapshot")
       .as[(String, String)].collect().toMap
     assert(snaps("silver_verbs.docs_quota").contains("\"max_per_stratum\":20"))
@@ -1104,6 +1104,38 @@ class PipelineSpec extends SparkSpec {
       .filter($"table_name" === "gold_e2e.vg_out")
       .select("last_run_date").as[String].head()
     assert(ctl == "2024-04-03", s"watermark must not advance past a breach: $ctl")
+  }
+
+  test("two gold models writing one table keep separate control rows") {
+    // (table_name, layer) alone clobbers — the round-16 fix qualifies
+    // the key per model (`gold.<model_id>`), maintenance-plane style
+    val twoYaml =
+      """models:
+        |  - model_id: shared_full
+        |    sql_query: SELECT 1L AS k, 'a' AS v
+        |    target_table: gold_e2e.shared_target
+        |    refresh_type: full
+        |  - model_id: shared_again
+        |    sql_query: SELECT * FROM gold_e2e.shared_target
+        |    target_table: gold_e2e.shared_target
+        |    refresh_type: incremental
+        |    primary_keys: [k]
+        |""".stripMargin
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.shared_target")
+    val p = new Pipeline(spark, "2024-07-01", new FixedClock(1794000000000L))
+    val r = p.run(Map("gold" -> EtlConfig.fromYaml(twoYaml)))
+    assert(r.forall(_.failed.isEmpty), r.flatMap(_.failed).toString)
+    val rows = spark.table(p.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.shared_target")
+      .select("layer", "records_processed").as[(String, Long)]
+      .collect().toMap
+    assert(rows.keySet == Set("gold.shared_full", "gold.shared_again"),
+      s"each model keeps its own control row: $rows")
+    // layer-level report still sees both models' rows via prefix match
+    assert(p.meta.controlReport("gold")
+      .filter($"table_name" === "gold_e2e.shared_target").count() == 2)
+    // and the run summary surfaces both
+    assert(p.summary().count(_._2 == "gold_e2e.shared_target") == 2)
   }
 
   test("scd2 config: missing plumbing and stray version fields refuse at parse") {
