@@ -218,6 +218,20 @@ final case class VectorDedupStoreConfig(
     trainIters: Int = 2,
     maxCellSize: Option[Long] = None)
 
+/** Declarative streaming source (`mode: streaming` models): the file
+  * stream a gold entry's foreachBatch sink twin consumes. `path` is
+  * the landing directory (new files are the micro-batches), `format`
+  * is csv/json/parquet/orc, and the stream's schema comes from
+  * `schema_table` (an existing catalog table as the schema donor —
+  * the robust choice) or, absent that, a one-off batch read of the
+  * path at attach time (requires files to already be present).
+  */
+final case class StreamSourceConfig(
+    path: String,
+    format: String = "parquet",
+    schemaTable: Option[String] = None,
+    options: Map[String, String] = Map.empty)
+
 final case class ModelConfig(
     modelId: String,
     sqlQuery: String,
@@ -226,6 +240,30 @@ final case class ModelConfig(
     refreshType: String, // full | incremental | additive | extremes
     primaryKeys: Seq[String],
     enabled: Boolean,
+    // `batch` (default) or `streaming`: a streaming model wires a
+    // declared file-stream source (stream_source) to the refresh
+    // type's foreachBatch sink twin (Sinks.stream*) instead of
+    // running a sql_query. The declarative plane runs the stream with
+    // the AvailableNow trigger — process everything that has landed,
+    // then stop — so a pipeline run keeps its run-to-completion
+    // contract; the checkpoint carries source offsets ACROSS runs, so
+    // each run folds only the files that arrived since the last one
+    // (the streaming analog of the batch epoch fence; an always-on
+    // deployment calls the Sinks.stream* API directly). Supported
+    // refresh types are exactly the sink-twin family: incremental,
+    // changelog, additive, extremes, distinct_view, quantile_view,
+    // dedup_store, vector_dedup_store, scd2 — full/join_view have no
+    // streaming semantics and refuse at parse.
+    mode: String = "batch",
+    streamSource: Option[StreamSourceConfig] = None,
+    // offsets + sink epochs live here; defaults to
+    // <warehouse>/_graft_checkpoints/<model_id>. Deleting it replays
+    // the whole landing path — safe exactly when the sink's replay
+    // contract says so (see each Sinks.stream* scaladoc).
+    checkpoint: Option[String] = None,
+    // changelog only: the op (I/U/D) and sequence columns of the feed
+    opColumn: String = "op",
+    seqColumn: String = "seq",
     // additive only: the SUM columns the model's batch frame carries;
     // each run folds them into the standing table per primaryKeys
     // (Maintenance.maintainAdditiveAggregate) instead of rescanning
@@ -424,6 +462,15 @@ object ConfigJson {
     "model_id" -> js(m.modelId), "sql_query" -> js(m.sqlQuery),
     "target_table" -> js(m.targetTable), "partition_by" -> jarr(m.partitionBy),
     "refresh_type" -> js(m.refreshType), "primary_keys" -> jarr(m.primaryKeys),
+    "mode" -> js(m.mode),
+    "stream_source" -> m.streamSource.map(s => jobj(
+      "path" -> js(s.path), "format" -> js(s.format),
+      "schema_table" -> s.schemaTable.map(js).getOrElse("null"),
+      "options" -> s.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")))
+      .getOrElse("{}"),
+    "checkpoint" -> m.checkpoint.map(js).getOrElse("null"),
+    "op_column" -> js(m.opColumn), "seq_column" -> js(m.seqColumn),
     "sum_columns" -> jarr(m.sumColumns),
     "min_columns" -> jarr(m.minColumns), "max_columns" -> jarr(m.maxColumns),
     "left_table" -> js(m.leftTable.getOrElse("")),
@@ -834,6 +881,20 @@ object EtlConfig {
     v
   }
 
+  private def parseStreamSource(m: Map[String, Object]): StreamSourceConfig = {
+    val s = StreamSourceConfig(
+      path = str(m, "path"),
+      format = str(m, "format", "parquet"),
+      schemaTable = opt(m, "schema_table"),
+      options = m.get("options").map(asMap).getOrElse(Map.empty)
+        .map { case (k, v) => k -> v.toString })
+    require(s.path.nonEmpty, "stream_source needs path (the landing dir)")
+    require(Set("csv", "json", "parquet", "orc")(s.format),
+      s"stream_source: unknown format '${s.format}' " +
+        "(expected csv | json | parquet | orc)")
+    s
+  }
+
   private def parseModel(m: Map[String, Object]): ModelConfig = {
     val mc = ModelConfig(
       modelId = str(m, "model_id"),
@@ -859,11 +920,53 @@ object EtlConfig {
       dedupStore = m.get("dedup_store").map(d => parseDedupStore(asMap(d))),
       vectorDedupStore = m.get("vector_dedup_store")
         .map(v => parseVectorDedupStore(asMap(v))),
+      mode = str(m, "mode", "batch"),
+      streamSource = m.get("stream_source").map(s => parseStreamSource(asMap(s))),
+      checkpoint = opt(m, "checkpoint"),
+      opColumn = str(m, "op_column", "op"),
+      seqColumn = str(m, "seq_column", "seq"),
       volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
       "join_view", "scd2", "distinct_view", "quantile_view",
-      "dedup_store", "vector_dedup_store")(mc.refreshType),
+      "dedup_store", "vector_dedup_store", "changelog")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
+    require(Set("batch", "streaming")(mc.mode),
+      s"model '${mc.modelId}': unknown mode '${mc.mode}' " +
+        "(expected batch | streaming)")
+    require(mc.mode != "streaming" || mc.streamSource.nonEmpty,
+      s"model '${mc.modelId}': mode streaming needs a stream_source " +
+        "block (path + format; schema_table recommended)")
+    require(mc.mode == "streaming" || (mc.streamSource.isEmpty &&
+      mc.checkpoint.isEmpty),
+      s"model '${mc.modelId}': stream_source/checkpoint are only used " +
+        "by mode streaming")
+    require(mc.mode != "streaming" ||
+      Set("incremental", "changelog", "additive", "extremes",
+        "distinct_view", "quantile_view", "dedup_store",
+        "vector_dedup_store", "scd2")(mc.refreshType),
+      s"model '${mc.modelId}': refresh_type ${mc.refreshType} has no " +
+        "streaming sink twin (full rewrites history per run; join_view " +
+        "folds two coordinated base deltas) — use a batch model")
+    require(mc.mode != "streaming" || mc.sqlQuery.isEmpty,
+      s"model '${mc.modelId}': a streaming model consumes its declared " +
+        "stream_source — sql_query is unused and would silently " +
+        "diverge (transformations belong upstream of the landing path)")
+    require(mc.mode != "streaming" || mc.partitionBy.isEmpty,
+      s"model '${mc.modelId}': partition_by is not used by the " +
+        "streaming sinks (the standing tables own their layout)")
+    require(mc.mode != "streaming" || mc.refreshType != "incremental" ||
+      mc.primaryKeys.nonEmpty,
+      s"model '${mc.modelId}': streaming incremental needs primary_keys " +
+        "(there is no overwrite fallback for a stream)")
+    require(mc.refreshType != "changelog" || mc.mode == "streaming",
+      s"model '${mc.modelId}': refresh_type changelog is streaming-only " +
+        "(a batch changelog is Upsert.applyChangeLog via the API)")
+    require(mc.refreshType != "changelog" || mc.primaryKeys.nonEmpty,
+      s"model '${mc.modelId}': refresh_type changelog needs primary_keys")
+    require(mc.refreshType == "changelog" ||
+      (!m.contains("op_column") && !m.contains("seq_column")),
+      s"model '${mc.modelId}': op_column/seq_column are only used by " +
+        "refresh_type changelog")
     require(mc.refreshType != "dedup_store" || mc.dedupStore.nonEmpty,
       s"model '${mc.modelId}': refresh_type dedup_store needs a " +
         "dedup_store block (id_column + text_column at minimum) — the " +
@@ -934,7 +1037,8 @@ object EtlConfig {
     require(mc.refreshType != "join_view" || mc.sqlQuery.isEmpty,
       s"model '${mc.modelId}': join_view derives the view from its base " +
         "tables — sql_query is unused and would silently diverge")
-    require(mc.refreshType == "join_view" || mc.sqlQuery.nonEmpty,
+    require(mc.refreshType == "join_view" || mc.mode == "streaming" ||
+      mc.sqlQuery.nonEmpty,
       s"model '${mc.modelId}': sql_query is required")
     require(mc.refreshType != "additive" ||
       (mc.primaryKeys.nonEmpty && mc.sumColumns.nonEmpty),

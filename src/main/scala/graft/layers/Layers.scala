@@ -167,6 +167,92 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
     runAll[ModelConfig](config.models, _.modelId, _.enabled)(build)
 
   def build(m: ModelConfig): Unit =
+    if (m.mode == "streaming") buildStreaming(m) else buildBatch(m)
+
+  /** Declarative streaming model: wire the declared file-stream source
+    * to the refresh type's foreachBatch sink twin ([[Sinks]].stream*),
+    * run it with the AvailableNow trigger (process everything that has
+    * landed, then stop — the pipeline keeps its run-to-completion
+    * contract), and give it the SAME audit/control treatment as a
+    * batch step. The checkpoint persists source offsets ACROSS
+    * pipeline runs, so each run folds only the files that arrived
+    * since the last one — the streaming analog of the batch epoch
+    * fence; a re-run with nothing new is a zero-batch no-op.
+    * records_processed = this run's stream input rows (the sink
+    * progress counters, summed over the run's micro-batches).
+    */
+  def buildStreaming(m: ModelConfig): Unit =
+    audit.bracket(layerName, "stream", "GoldLayer", m.modelId, m.targetTable) {
+      // same template substitution as bronze source paths (${ENV:…},
+      // ${PROCESSING_DATE}) — corpus configs resolve their data root
+      // this way
+      val vars = Map("PROCESSING_DATE" -> runDate)
+      val ss0 = m.streamSource.get
+      val ss = ss0.copy(
+        path = EtlConfig.substitute(ss0.path, vars),
+        options = ss0.options.map { case (k, v) =>
+          k -> EtlConfig.substitute(v, vars) })
+      // schema donor: a catalog table if declared, else a one-off batch
+      // read of the landing path (file streams cannot infer schemas)
+      val schema = ss.schemaTable.map(t => spark.table(t).schema).getOrElse {
+        require(ss.format != "csv" || ss.options.contains("inferSchema"),
+          s"streaming model '${m.modelId}': csv without schema_table " +
+            "needs options.inferSchema=true for the attach-time probe")
+        spark.read.format(ss.format).options(ss.options).load(ss.path).schema
+      }
+      val stream = spark.readStream.format(ss.format).schema(schema)
+        .options(ss.options).load(ss.path)
+      val checkpoint = m.checkpoint.map(EtlConfig.substitute(_, vars))
+        .getOrElse(
+          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+            s"/_graft_checkpoints/${m.modelId}")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
+      val q = m.refreshType match {
+        case "incremental" =>
+          Sinks.streamUpsert(stream, m.targetTable, m.primaryKeys, checkpoint)
+        case "changelog" =>
+          Sinks.streamChangeLog(stream, m.targetTable, m.primaryKeys,
+            checkpoint, m.opColumn, m.seqColumn)
+        case "additive" =>
+          Sinks.streamAdditiveAggregate(stream, m.targetTable,
+            m.primaryKeys, m.sumColumns, checkpoint)
+        case "extremes" =>
+          Sinks.streamInsertOnlyExtremes(stream, m.targetTable,
+            m.primaryKeys, m.minColumns, m.maxColumns, checkpoint)
+        case "distinct_view" =>
+          Sinks.streamDistinctView(stream, m.targetTable, m.primaryKeys,
+            m.distinctColumn.get, checkpoint, m.hllM)
+        case "quantile_view" =>
+          Sinks.streamQuantileView(stream, m.targetTable, m.primaryKeys,
+            m.quantileColumn.get, checkpoint)
+        case "dedup_store" =>
+          val d = m.dedupStore.get
+          Sinks.streamDedupStore(stream, m.targetTable, d.idColumn,
+            d.textColumn, checkpoint, d.shingleSize, d.numHashes, d.bands,
+            d.jaccardPct / 100.0, d.maxBucketSize, d.storeBuckets)
+        case "vector_dedup_store" =>
+          val v = m.vectorDedupStore.get
+          Sinks.streamVectorDedupStore(stream, m.targetTable, v.idColumn,
+            v.vectorColumn, v.minScore, checkpoint, v.numCentroids,
+            v.nprobe, v.trainIters, v.maxCellSize)
+        case "scd2" =>
+          Sinks.streamScd2(stream, m.targetTable, m.primaryKeys,
+            m.trackedColumns, m.effectiveColumn.get, checkpoint)
+      }
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      if (m.volumeGuardPct > 0)
+        graft.dq.VolumeGuard.enforce(spark, meta.auditTable, m.targetTable,
+          rows, m.volumeGuardPct)
+      meta.updateControl(m.targetTable, s"$layerName.${m.modelId}",
+        runDate, rows, "SUCCESS", ConfigJson(m))
+      // a zero-batch first run may not have created the table yet
+      if (spark.catalog.tableExists(m.targetTable))
+        meta.updateDictionary(m.targetTable, m.modelId)
+      ((), rows)
+    }
+
+  def buildBatch(m: ModelConfig): Unit =
     audit.bracket(layerName, "model", "GoldLayer", m.modelId, m.targetTable) {
       // lazy: a join_view model has no sql_query — its view derives
       // from the base tables, never from a model query

@@ -69,6 +69,7 @@ class MainSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_dedup_store")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store_model")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.source_volume_live")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold", "maintenance"),
           "/root/repo/configs/corpus", None))
@@ -140,6 +141,15 @@ class MainSpec extends SparkSpec {
       assert(vModel.count() == 8L &&
         vModel.columns.toSet == Set("centroid_id", "qsum", "n", "amax"),
         "founding run freezes the 8-centroid TRAINED calibration model")
+      // the declared STREAMING model drained the landing path through
+      // the additive sink: per-source raw volume, one row per source,
+      // n_rows covering every raw doc (the stream reads the landing
+      // files, not the curated funnel)
+      val live = spark.table("gold_corpus.source_volume_live")
+      assert(live.columns.toSet ==
+        Set("source", "n_chars", "n_rows", "_last_epoch"))
+      assert(live.agg(sum("n_rows")).head.getLong(0) == raw,
+        "the stream must fold every landed doc exactly once")
       // control rows carry the declarative snapshots
       val control = spark.table("metadata.etl_control_table")
         .filter($"last_run_date" === "2031-07-07" && $"status" === "SUCCESS")
@@ -155,6 +165,8 @@ class MainSpec extends SparkSpec {
         .contains("\"refresh_type\":\"dedup_store\""))
       assert(snaps("gold_corpus.corpus_vector_store")
         .contains("\"refresh_type\":\"vector_dedup_store\""))
+      assert(snaps("gold_corpus.source_volume_live")
+        .contains("\"mode\":\"streaming\""))
       // the declarative maintenance plane ran after gold: the store
       // compacted (bucket spec survived — asserted above), the curated
       // docs got a zone-map manifest, staging is swept — each with its

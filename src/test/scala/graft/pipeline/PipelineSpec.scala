@@ -1138,6 +1138,186 @@ class PipelineSpec extends SparkSpec {
     assert(p.summary().count(_._2 == "gold_e2e.shared_target") == 2)
   }
 
+  test("streaming gold model folds only newly-landed files per pipeline run") {
+    val landing = s"$stage/stream-landing"
+    val chk = s"$stage/stream-chk"
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.stream_volume")
+    val streamYaml =
+      s"""models:
+         |  - model_id: stream_volume
+         |    mode: streaming
+         |    stream_source:
+         |      path: $landing
+         |      format: parquet
+         |    checkpoint: $chk
+         |    target_table: gold_e2e.stream_volume
+         |    refresh_type: additive
+         |    primary_keys: [src]
+         |    sum_columns: [amount]
+         |""".stripMargin
+    // first landing: two files arrive before the first run
+    Seq(("a", 10L), ("b", 5L)).toDF("src", "amount")
+      .write.mode("append").parquet(landing)
+    val p1 = new Pipeline(spark, "2024-08-01", new FixedClock(1795000000000L))
+    val r1 = p1.run(Map("gold" -> EtlConfig.fromYaml(streamYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    def state(): Map[String, Long] = spark.table("gold_e2e.stream_volume")
+      .select("src", "amount").as[(String, Long)].collect().toMap
+    assert(state() == Map("a" -> 10L, "b" -> 5L))
+    def controlRows(date: String): Long = spark.table(p1.meta.controlTable)
+      .filter($"layer" === "gold.stream_volume" && $"last_run_date" === date)
+      .select("records_processed").as[Long].head()
+    assert(controlRows("2024-08-01") == 2L)
+    // second landing: one more file; the checkpointed offsets make the
+    // next run fold ONLY it (the streaming analog of the epoch fence)
+    Seq(("a", 7L)).toDF("src", "amount")
+      .write.mode("append").parquet(landing)
+    val p2 = new Pipeline(spark, "2024-08-02", new FixedClock(1795100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(streamYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    assert(state() == Map("a" -> 17L, "b" -> 5L),
+      "second run folds only the new file's rows")
+    assert(controlRows("2024-08-02") == 1L)
+    // third run with nothing new: zero-batch no-op, records 0
+    val p3 = new Pipeline(spark, "2024-08-03", new FixedClock(1795200000000L))
+    val r3 = p3.run(Map("gold" -> EtlConfig.fromYaml(streamYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(state() == Map("a" -> 17L, "b" -> 5L))
+    assert(controlRows("2024-08-03") == 0L)
+    // the run got the batch plane's audit treatment
+    assert(spark.table(p1.meta.auditTable)
+      .filter($"run_id" === p1.audit.runId && $"operation" === "stream" &&
+        $"status" === "SUCCESS").count() == 1)
+  }
+
+  test("streaming changelog model maintains a table with deletes from a CDC feed") {
+    val landing = s"$stage/cdc-landing"
+    spark.sql("DROP TABLE IF EXISTS gold_e2e.cdc_dim")
+    val cdcYaml =
+      s"""models:
+         |  - model_id: cdc_dim
+         |    mode: streaming
+         |    stream_source:
+         |      path: $landing
+         |      format: parquet
+         |    checkpoint: $stage/cdc-chk
+         |    target_table: gold_e2e.cdc_dim
+         |    refresh_type: changelog
+         |    primary_keys: [k]
+         |""".stripMargin
+    Seq(("k1", "v1", "I", 1L), ("k2", "v2", "I", 2L))
+      .toDF("k", "v", "op", "seq")
+      .write.mode("append").parquet(landing)
+    val p1 = new Pipeline(spark, "2024-08-01", new FixedClock(1795300000000L))
+    assert(p1.run(Map("gold" -> EtlConfig.fromYaml(cdcYaml)))
+      .forall(_.failed.isEmpty))
+    assert(spark.table("gold_e2e.cdc_dim").select("k", "v")
+      .as[(String, String)].collect().toMap == Map("k1" -> "v1", "k2" -> "v2"))
+    // next landing: update k1, delete k2 — the changelog twin is the
+    // only sink that can express the delete
+    Seq(("k1", "v1b", "U", 3L), ("k2", "v2", "D", 4L))
+      .toDF("k", "v", "op", "seq")
+      .write.mode("append").parquet(landing)
+    val p2 = new Pipeline(spark, "2024-08-02", new FixedClock(1795400000000L))
+    assert(p2.run(Map("gold" -> EtlConfig.fromYaml(cdcYaml)))
+      .forall(_.failed.isEmpty))
+    assert(spark.table("gold_e2e.cdc_dim").select("k", "v")
+      .as[(String, String)].collect().toMap == Map("k1" -> "v1b"))
+  }
+
+  test("streaming config refusals: each misdeclaration names its rule") {
+    def bad(yaml: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](EtlConfig.fromYaml(yaml))
+      assert(e.getMessage.contains(needle), s"${e.getMessage} !~ $needle")
+    }
+    // streaming without a stream_source
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    target_table: g.t
+          |    refresh_type: additive
+          |    primary_keys: [k]
+          |    sum_columns: [x]
+          |""".stripMargin, "needs a stream_source")
+    // unknown mode
+    bad("""models:
+          |  - model_id: m
+          |    mode: micro
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |""".stripMargin, "unknown mode")
+    // full has no streaming twin
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    stream_source: {path: /tmp/x, format: parquet}
+          |    target_table: g.t
+          |    refresh_type: full
+          |""".stripMargin, "streaming sink twin")
+    // sql_query on a streaming model
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    stream_source: {path: /tmp/x, format: parquet}
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: additive
+          |    primary_keys: [k]
+          |    sum_columns: [x]
+          |""".stripMargin, "sql_query is unused")
+    // checkpoint/stream_source on a batch model
+    bad("""models:
+          |  - model_id: m
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    checkpoint: /tmp/chk
+          |""".stripMargin, "only used by mode streaming")
+    // changelog outside streaming mode
+    bad("""models:
+          |  - model_id: m
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: changelog
+          |    primary_keys: [k]
+          |""".stripMargin, "streaming-only")
+    // op_column on a non-changelog model
+    bad("""models:
+          |  - model_id: m
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    op_column: operation
+          |""".stripMargin, "only used by refresh_type changelog")
+    // streaming incremental without keys
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    stream_source: {path: /tmp/x, format: parquet}
+          |    target_table: g.t
+          |    refresh_type: incremental
+          |""".stripMargin, "no overwrite fallback")
+    // bad stream format
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    stream_source: {path: /tmp/x, format: avro}
+          |    target_table: g.t
+          |    refresh_type: additive
+          |    primary_keys: [k]
+          |    sum_columns: [x]
+          |""".stripMargin, "unknown format")
+    // partition_by on a streaming model
+    bad("""models:
+          |  - model_id: m
+          |    mode: streaming
+          |    stream_source: {path: /tmp/x, format: parquet}
+          |    target_table: g.t
+          |    refresh_type: additive
+          |    primary_keys: [k]
+          |    sum_columns: [x]
+          |    partition_by: [k]
+          |""".stripMargin, "not used by the streaming sinks")
+  }
+
   test("scd2 config: missing plumbing and stray version fields refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
