@@ -84,7 +84,8 @@ object SeriesQueries extends QuerySet {
     * oracle (the fi2 keep-rule spelling); the count itself is
     * orientation-independent, so the oracle states it as the plain
     * canonical triple join while Spark runs the degree-oriented
-    * wedge-close.
+    * EDGE-ITERATOR close (round-16 A/B winner over the wedge
+    * self-join: ~2× at sf0.1 and 10×, BASELINE §round-16).
     */
   def gr3Triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")

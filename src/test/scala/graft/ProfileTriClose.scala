@@ -49,16 +49,16 @@ object ProfileTriClose {
     // interleave to cancel drift
     for (_ <- 1 to 2) {
       time("stats broadcast") {
-        graft.operators.Triangles.triangleStats(edges(), "p1", "p2")
+        graft.operators.Triangles.triangleStatsWedge(edges(), "p1", "p2")
           .head().getLong(2) }
       time("stats shuffle") {
-        graft.operators.Triangles.triangleStats(edges(), "p1", "p2",
+        graft.operators.Triangles.triangleStatsWedge(edges(), "p1", "p2",
           broadcastCloseMax = 0L).head().getLong(2) }
       time("vertex broadcast") {
-        graft.operators.Triangles.vertexTriangles(edges(), "p1", "p2")
+        graft.operators.Triangles.vertexTrianglesWedge(edges(), "p1", "p2")
           .agg(sum("tri")).head().getLong(0) }
       time("vertex shuffle") {
-        graft.operators.Triangles.vertexTriangles(edges(), "p1", "p2",
+        graft.operators.Triangles.vertexTrianglesWedge(edges(), "p1", "p2",
           broadcastCloseMax = 0L).agg(sum("tri")).head().getLong(0) }
     }
     spark.stop()

@@ -209,16 +209,40 @@ class SeriesOpsSpec extends SparkSpec {
     val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
       (4L,5L),(5L,6L),(4L,6L),(7L,8L))
     val e = edges.toDF("a", "b")
-    val bStats = Triangles.triangleStats(e, "a", "b")
+    val bStats = Triangles.triangleStatsWedge(e, "a", "b")
       .as[(Long, Long, Long)].collect.head
-    val sStats = Triangles.triangleStats(e, "a", "b", broadcastCloseMax = 0L)
+    val sStats = Triangles.triangleStatsWedge(e, "a", "b", broadcastCloseMax = 0L)
       .as[(Long, Long, Long)].collect.head
     assert(bStats == sStats && bStats == ((8L, 10L, 5L)), (bStats, sStats))
-    val bVt = Triangles.vertexTriangles(e, "a", "b")
+    val bVt = Triangles.vertexTrianglesWedge(e, "a", "b")
       .as[(Long, Long, Long)].collect.toSet
-    val sVt = Triangles.vertexTriangles(e, "a", "b", broadcastCloseMax = 0L)
+    val sVt = Triangles.vertexTrianglesWedge(e, "a", "b", broadcastCloseMax = 0L)
       .as[(Long, Long, Long)].collect.toSet
     assert(bVt == sVt, s"broadcast $bVt vs shuffle $sVt")
+  }
+
+  test("triangles: the edge-iterator close equals the wedge close") {
+    // round-16 A/B formulation: adjCommon intersects sorted
+    // out-neighbor arrays per oriented edge instead of materializing
+    // the wedge frame — must be census- and per-corner-identical
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(4L,6L),(7L,8L))
+    val e = edges.toDF("a", "b")
+    val w = Triangles.triangleStatsWedge(e, "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    val adj = Triangles.triangleStats(e, "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    assert(w == adj && adj == ((8L, 10L, 5L)), (w, adj))
+    val wVt = Triangles.vertexTrianglesWedge(e, "a", "b")
+      .as[(Long, Long, Long)].collect.toSet
+    val aVt = Triangles.vertexTriangles(e, "a", "b")
+      .as[(Long, Long, Long)].collect.toSet
+    assert(wVt == aVt, s"wedge $wVt vs adjacency $aVt")
+    // triangle-free graph: the empty-intersection sum coalesces to 0
+    val none = Triangles.triangleStats(
+      Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    assert(none == ((4L, 4L, 0L)), none)
   }
 
   test("triangles: non-canonical edges raise loudly instead of mis-counting") {
