@@ -90,7 +90,7 @@ object Bench {
     * default per-query contract is untouched.
     */
   private def runMacro(sfDir: String, cpus: String): Unit = {
-    val wh = s"/root/repo/target/macro-wh-${System.nanoTime()}"
+    val wh = s"${sys.props("user.dir")}/target/macro-wh-${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
@@ -106,7 +106,7 @@ object Bench {
         val t0 = System.nanoTime()
         val exit = graft.pipeline.Main.run(spark, graft.pipeline.Main.Args(
           "2031-09-09", Seq("bronze", "silver", "gold", "maintenance"),
-          "/root/repo/configs/corpus", None))
+          s"${sys.props("user.dir")}/configs/corpus", None))
         require(exit == 0, s"macro pipeline run failed (exit $exit)")
         (System.nanoTime() - t0) / 1e9
       }
@@ -187,7 +187,7 @@ object Bench {
     // --only subset would overwrite the suite-wide record with a slice.
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/bench_full_latest.json")
+        s"${sys.props("user.dir")}/bench_full_latest.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     }
     spark.stop()

@@ -1304,7 +1304,7 @@ object Relational extends QuerySet {
     * dir; queries must not write outside /root/repo).
     */
   private def scratchDir(dir: String, name: String): String =
-    s"/root/repo/target/scratch/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("user.dir")}/target/scratch/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   val entries: Map[String, Q] = Map(
     "q1_pricing_summary" -> pricingSummary _,

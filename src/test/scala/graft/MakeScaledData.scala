@@ -31,7 +31,7 @@ object MakeScaledData {
     spark.sparkContext.setLogLevel("WARN")
     val mult = args.lift(0).map(_.toInt).getOrElse(10)
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(2).getOrElse("/root/repo/target/sf1x")
+    val out = args.lift(2).getOrElse(s"${sys.props("user.dir")}/target/sf1x")
     val shift = 100000000L
 
     def repl(df: DataFrame, idCols: Seq[String]): DataFrame =

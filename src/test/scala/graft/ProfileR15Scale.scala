@@ -36,7 +36,7 @@ object ProfileR15Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        s"/root/repo/target/r15-warehouse-${System.nanoTime()}")
+        s"${sys.props("user.dir")}/target/r15-warehouse-${System.nanoTime()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val multLo = args.lift(0).map(_.toInt).getOrElse(10)

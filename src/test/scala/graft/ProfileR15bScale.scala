@@ -25,7 +25,7 @@ object ProfileR15bScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        s"/root/repo/target/r15b-warehouse-${System.nanoTime()}")
+        s"${sys.props("user.dir")}/target/r15b-warehouse-${System.nanoTime()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val folds = args.lift(0).map(_.toInt).getOrElse(60)

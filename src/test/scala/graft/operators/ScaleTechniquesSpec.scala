@@ -88,14 +88,14 @@ class ScaleTechniquesSpec extends SparkSpec {
     // survivors name — Catalyst's DPP injects the dim's broadcast result
     // into the fact scan's PartitionFilters at runtime
     import spark.implicits._
-    val factDir = s"/root/repo/target/dpp-fact-${System.nanoTime()}"
+    val factDir = s"${graft.TestSpark.repoRoot}/target/dpp-fact-${System.nanoTime()}"
     Tables.load(spark, dir, "events")
       .write.mode("overwrite").partitionBy("event_type").parquet(factDir)
     val fact = spark.read.parquet(factDir)
     // the dim must be a REAL relation: an in-memory Seq gets its filter
     // constant-folded into a LocalTableScan, and with no surviving
     // selective-predicate node DPP never considers the join
-    val dimDir = s"/root/repo/target/dpp-dim-${System.nanoTime()}"
+    val dimDir = s"${graft.TestSpark.repoRoot}/target/dpp-dim-${System.nanoTime()}"
     Seq(("purchase", 1), ("error", 2), ("click", 3),
       ("signup", 4), ("view", 5)).toDF("event_type", "type_id")
       .write.mode("overwrite").parquet(dimDir)

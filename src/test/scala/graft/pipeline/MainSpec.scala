@@ -26,7 +26,7 @@ class MainSpec extends SparkSpec {
     try {
       val exit = Main.run(spark,
         Main.Args("2031-05-05", Seq("bronze", "silver", "gold"),
-          "/root/repo/configs", None))
+          s"${graft.TestSpark.repoRoot}/configs", None))
       assert(exit == 0)
 
       // bronze ingested the four sources with audit columns
@@ -72,7 +72,7 @@ class MainSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_volume_live")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold", "maintenance"),
-          "/root/repo/configs/corpus", None))
+          s"${graft.TestSpark.repoRoot}/configs/corpus", None))
       assert(exit == 0)
       val raw = spark.table("bronze_corpus.documents").count()
       val deduped = spark.table("silver_corpus.docs_dedup").count()
@@ -222,7 +222,7 @@ class MainSpec extends SparkSpec {
     try graft.TestSpark.withGuardedSession { guarded =>
       val exit = Main.run(guarded,
         Main.Args("2031-08-08", Seq("bronze", "silver", "gold"),
-          "/root/repo/configs", None))
+          s"${graft.TestSpark.repoRoot}/configs", None))
       assert(exit == 0, "guarded production run must stay green")
       assert(guarded.table("gold.daily_orders").count() > 0)
     } finally sys.props.remove("GRAFT_DATA_DIR")

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  private val stage = s"/root/repo/target/e2e-stage-${System.nanoTime()}"
+  private val stage = s"${graft.TestSpark.repoRoot}/target/e2e-stage-${System.nanoTime()}"
 
   private def writeFixtures(): Unit = {
     Seq(
