@@ -225,12 +225,17 @@ final case class VectorDedupStoreConfig(
   * `schema_table` (an existing catalog table as the schema donor —
   * the robust choice) or, absent that, a one-off batch read of the
   * path at attach time (requires files to already be present).
+  * `select` optionally projects the stream to the named columns —
+  * column pruning at the source, and REQUIRED by sinks whose batch
+  * contract is exact (scd2 refuses undeclared columns loudly rather
+  * than silently dropping them).
   */
 final case class StreamSourceConfig(
     path: String,
     format: String = "parquet",
     schemaTable: Option[String] = None,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    select: Seq[String] = Nil)
 
 final case class ModelConfig(
     modelId: String,
@@ -467,7 +472,8 @@ object ConfigJson {
       "path" -> js(s.path), "format" -> js(s.format),
       "schema_table" -> s.schemaTable.map(js).getOrElse("null"),
       "options" -> s.options.toSeq.sortBy(_._1)
-        .map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")))
+        .map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}"),
+      "select" -> jarr(s.select)))
       .getOrElse("{}"),
     "checkpoint" -> m.checkpoint.map(js).getOrElse("null"),
     "op_column" -> js(m.opColumn), "seq_column" -> js(m.seqColumn),
@@ -887,8 +893,11 @@ object EtlConfig {
       format = str(m, "format", "parquet"),
       schemaTable = opt(m, "schema_table"),
       options = m.get("options").map(asMap).getOrElse(Map.empty)
-        .map { case (k, v) => k -> v.toString })
+        .map { case (k, v) => k -> v.toString },
+      select = strSeq(m, "select"))
     require(s.path.nonEmpty, "stream_source needs path (the landing dir)")
+    require(s.select.forall(_.nonEmpty),
+      "stream_source.select must name columns")
     require(Set("csv", "json", "parquet", "orc")(s.format),
       s"stream_source: unknown format '${s.format}' " +
         "(expected csv | json | parquet | orc)")

@@ -200,8 +200,13 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             "needs options.inferSchema=true for the attach-time probe")
         spark.read.format(ss.format).options(ss.options).load(ss.path).schema
       }
-      val stream = spark.readStream.format(ss.format).schema(schema)
+      val stream0 = spark.readStream.format(ss.format).schema(schema)
         .options(ss.options).load(ss.path)
+      // declared projection: source-side column pruning, and required
+      // by exact-contract sinks (scd2 refuses undeclared columns)
+      val stream =
+        if (ss.select.isEmpty) stream0
+        else stream0.select(ss.select.map(col): _*)
       val checkpoint = m.checkpoint.map(EtlConfig.substitute(_, vars))
         .getOrElse(
           spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +

@@ -1225,6 +1225,78 @@ class PipelineSpec extends SparkSpec {
       .as[(String, String)].collect().toMap == Map("k1" -> "v1b"))
   }
 
+  test("every remaining streaming refresh type dispatches to its sink twin") {
+    // additive/changelog get their own deep cases above; this smoke
+    // drives each OTHER sink arm once through the YAML plane so a
+    // mis-wired dispatch argument (same-typed min/max columns, say)
+    // cannot hide behind the compiler
+    val landing = s"$stage/multi-landing"
+    Seq(("k1", 5L, 17L, "a", "2024-01-01"), ("k1", 9L, 3L, "b", "2024-01-02"),
+      ("k2", 2L, 8L, "a", "2024-01-01"))
+      .toDF("k", "lo", "hi", "item", "eff")
+      .withColumn("eff", $"eff".cast("date"))
+      .write.mode("append").parquet(landing)
+    def model(id: String, body: String): String =
+      s"""  - model_id: $id
+         |    mode: streaming
+         |    stream_source: {path: $landing, format: parquet}
+         |    checkpoint: $stage/chk-$id
+         |    target_table: gold_e2e.$id
+         |$body""".stripMargin
+    val yaml = "models:\n" + Seq(
+      model("sm_extremes",
+        """    refresh_type: extremes
+          |    primary_keys: [k]
+          |    min_columns: [lo]
+          |    max_columns: [hi]""".stripMargin),
+      model("sm_distinct",
+        """    refresh_type: distinct_view
+          |    primary_keys: [k]
+          |    distinct_column: item""".stripMargin),
+      model("sm_quantile",
+        """    refresh_type: quantile_view
+          |    primary_keys: [k]
+          |    quantile_column: hi""".stripMargin),
+      model("sm_upsert",
+        """    refresh_type: incremental
+          |    primary_keys: [k, eff]""".stripMargin),
+      // scd2's merge contract is EXACT (undeclared columns refuse
+      // loudly) — the declared stream projection is what makes a
+      // wide landing feed a versioned dimension
+      model("sm_scd2",
+        """    refresh_type: scd2
+          |    primary_keys: [k]
+          |    tracked_columns: [lo]
+          |    effective_column: eff""".stripMargin)
+        .replace("stream_source: {path: " + landing + ", format: parquet}",
+          "stream_source: {path: " + landing +
+            ", format: parquet, select: [k, lo, eff]}")).mkString("\n") + "\n"
+    Seq("sm_extremes", "sm_distinct", "sm_quantile", "sm_upsert", "sm_scd2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS gold_e2e.$t"))
+    val p = new Pipeline(spark, "2024-09-01", new FixedClock(1796000000000L))
+    val r = p.run(Map("gold" -> EtlConfig.fromYaml(yaml)))
+    assert(r.forall(_.failed.isEmpty), r.flatMap(_.failed).toString)
+    // extremes: min/max landed on the right columns (the arg-order trap)
+    val ex = spark.table("gold_e2e.sm_extremes")
+      .select("k", "min_lo", "max_hi").as[(String, Long, Long)]
+      .collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(ex == Map("k1" -> ((5L, 17L)), "k2" -> ((2L, 8L))), ex)
+    // distinct_view: registers exist for both keys and the estimator
+    // reads them (values are raw-HLL approximate at this size)
+    val dv = graft.io.Maintenance.distinctViewEstimate(spark,
+      "gold_e2e.sm_distinct", Seq("k"))
+      .select("k", "est").as[(String, Long)].collect().toMap
+    assert(dv.keySet == Set("k1", "k2") && dv.values.forall(_ >= 1L), dv)
+    // quantile_view registers exist per key
+    assert(spark.table("gold_e2e.sm_quantile")
+      .select("k").distinct().count() == 2)
+    // upsert: one row per (k, eff)
+    assert(spark.table("gold_e2e.sm_upsert").count() == 3)
+    // scd2: k1's two observations opened two versions, latest current
+    val sc = spark.table("gold_e2e.sm_scd2")
+    assert(sc.count() == 3 && sc.filter($"is_current").count() == 2, sc.collect().toSeq)
+  }
+
   test("streaming config refusals: each misdeclaration names its rule") {
     def bad(yaml: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException](EtlConfig.fromYaml(yaml))
