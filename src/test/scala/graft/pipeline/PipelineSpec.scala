@@ -1295,6 +1295,52 @@ class PipelineSpec extends SparkSpec {
     // scd2: k1's two observations opened two versions, latest current
     val sc = spark.table("gold_e2e.sm_scd2")
     assert(sc.count() == 3 && sc.filter($"is_current").count() == 2, sc.collect().toSeq)
+
+    // the two STORE arms — their knobs are all same-typed Ints, the
+    // exact mis-wire the smoke exists to catch
+    val docLanding = s"$stage/doc-landing"
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "an entirely different document about spark engines"))
+      .toDF("doc_id", "text").write.mode("append").parquet(docLanding)
+    val vecLanding = s"$stage/vec-landing"
+    Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(vecLanding)
+    val storesYaml = "models:\n" + Seq(
+      s"""  - model_id: sm_docstore
+         |    mode: streaming
+         |    stream_source: {path: $docLanding, format: parquet}
+         |    checkpoint: $stage/chk-sm_docstore
+         |    target_table: gold_e2e.sm_docstore
+         |    refresh_type: dedup_store
+         |    dedup_store:
+         |      id_column: doc_id
+         |      text_column: text""".stripMargin,
+      s"""  - model_id: sm_vecstore
+         |    mode: streaming
+         |    stream_source: {path: $vecLanding, format: parquet}
+         |    checkpoint: $stage/chk-sm_vecstore
+         |    target_table: gold_e2e.sm_vecstore
+         |    refresh_type: vector_dedup_store
+         |    vector_dedup_store:
+         |      id_column: vec_id
+         |      vector_column: embedding
+         |      min_score: 15000
+         |      num_centroids: 2
+         |      nprobe: 1""".stripMargin).mkString("\n") + "\n"
+    Seq("sm_docstore", "sm_vecstore", "sm_vecstore_model")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS gold_e2e.$t"))
+    val p2 = new Pipeline(spark, "2024-09-02", new FixedClock(1796100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(storesYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    // each store dropped the within-batch exact dup and kept 2 of 3
+    assert(graft.io.DedupStore.storedDocIds(spark, "gold_e2e.sm_docstore")
+      .count() == 2)
+    assert(graft.io.VectorDedupStore.storedVecIds(spark, "gold_e2e.sm_vecstore")
+      .count() == 2)
+    assert(spark.table("gold_e2e.sm_vecstore_model").count() == 2,
+      "founding micro-batch freezes the declared 2-centroid model")
   }
 
   test("streaming config refusals: each misdeclaration names its rule") {
