@@ -37,19 +37,9 @@ object Maintenance {
     // partition pruning for every later scan — round-10 advice) AND the
     // bucket spec (and with it shuffle-free bucketed joins, the same
     // bug one shelf over); read both from the catalog and re-apply
-    val partCols = spark.catalog.listColumns(table).collect()
-      .filter(_.isPartition).map(_.name).toSeq
-    val tableMeta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val bucketSpec = tableMeta.bucketSpec
-    // saveAsTable(Overwrite) recreates the table WITHOUT its custom
-    // properties — the same silent-drop class as the partition/bucket
-    // specs above. The graft namespace carries load-bearing state (the
-    // dedup stores' O(1) epoch fence rides graft.dedupstore.epoch, and
-    // the shipped maintenance config compacts a store daily); capture
-    // and re-stamp it after the rewrite
-    val graftProps = tableMeta.properties
-      .filter { case (k, _) => k.startsWith("graft.") }
+    val specs = captureSpecs(spark, table)
+    val partCols = specs.partCols
+    val bucketSpec = specs.bucketSpec
     // a partition spec clusters the rewrite by ITS columns and a bucket
     // spec prescribes its own placement — a caller-requested range
     // clustering would silently fight either; refuse, never reorder
@@ -123,10 +113,46 @@ object Maintenance {
         reread.repartitionByRange(parts, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else reread
-    val w0 = finalFrame.write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", targetRowsPerFile)
-    val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
-    val w = bucketSpec.fold(w1) { bs =>
+    specPreservingWrite(spark, table, finalFrame, specs,
+      _.option("maxRecordsPerFile", targetRowsPerFile))
+    (before, spark.table(table).inputFiles.length)
+  }
+
+  /** Catalog layout captured before a destructive rewrite: the
+    * partition columns, bucket spec, and `graft.*` table properties a
+    * plain `saveAsTable(Overwrite)` silently drops (the graft
+    * namespace carries load-bearing state — the dedup stores' O(1)
+    * epoch fence rides `graft.dedupstore.epoch`).
+    */
+  private[io] final case class TableSpecs(
+      partCols: Seq[String],
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec],
+      graftProps: Map[String, String])
+
+  private[io] def captureSpecs(spark: SparkSession, table: String): TableSpecs = {
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val tableMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    TableSpecs(partCols, tableMeta.bucketSpec,
+      tableMeta.properties.filter { case (k, _) => k.startsWith("graft.") })
+  }
+
+  /** The spec-preserving rewrite tail SHARED by [[compact]] and
+    * [[pruneStore]] (one copy, so the contract cannot diverge —
+    * round-16 review): overwrite `table` with `frame`, re-applying the
+    * captured partition/bucket specs, re-stamping the `graft.*`
+    * properties, and refreshing the caller session's file index.
+    */
+  private def specPreservingWrite(spark: SparkSession, table: String,
+      frame: DataFrame, specs: TableSpecs,
+      tweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+        identity): Unit = {
+    val w0 = tweak(frame.write.mode(SaveMode.Overwrite).format("parquet"))
+    val w1 =
+      if (specs.partCols.nonEmpty) w0.partitionBy(specs.partCols: _*) else w0
+    val w = specs.bucketSpec.fold(w1) { bs =>
       val bucketed = w1.bucketBy(bs.numBuckets,
         bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
       if (bs.sortColumnNames.nonEmpty)
@@ -134,19 +160,21 @@ object Maintenance {
       else bucketed
     }
     w.saveAsTable(table)
-    for ((k, v) <- graftProps)
+    for ((k, v) <- specs.graftProps)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('${sqlLit(k)}' = '${sqlLit(v)}')")
     spark.catalog.refreshTable(table)
-    (before, spark.table(table).inputFiles.length)
   }
 
   /** Escapes a string for interpolation into a single-quoted SQL
     * literal — the re-stamped `graft.*` property values are
     * user-extensible (any string survives a compaction round-trip), so
-    * a value carrying a quote must not break the ALTER TABLE statement.
+    * a value carrying a quote OR a backslash (the parser's escape
+    * character: an unescaped trailing backslash swallows the closing
+    * quote) must not break the ALTER TABLE statement.
     */
-  def sqlLit(s: String): String = s.replace("'", "''")
+  def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** VACUUM for the staging plane: the merge/CDC/compaction sinks
     * stage through scratch directories under the warehouse
@@ -218,37 +246,19 @@ object Maintenance {
           "never folded) — nothing to anchor the retention window"))
     val cutoff = committed - keepEpochs // survivors: _epoch > cutoff
     val total = t0.count()
-    val tableMeta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val partCols = spark.catalog.listColumns(table).collect()
-      .filter(_.isPartition).map(_.name).toSeq
-    val bucketSpec = tableMeta.bucketSpec
-    val graftProps = tableMeta.properties
-      .filter { case (k, _) => k.startsWith("graft.") }
+    val specs = captureSpecs(spark, table)
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__prune_stage/" +
       table.replace('.', '_')
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val kept = try {
-      t0.filter(col("_epoch") > cutoff)
-        .write.mode(SaveMode.Overwrite).parquet(scratch)
-      val staged = spark.read.parquet(scratch)
-      val w0 = staged.write.mode(SaveMode.Overwrite).format("parquet")
-      val w1 = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
-      val w = bucketSpec.fold(w1) { bs =>
-        val bucketed = w1.bucketBy(bs.numBuckets,
-          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
-        if (bs.sortColumnNames.nonEmpty)
-          bucketed.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
-        else bucketed
-      }
-      w.saveAsTable(table)
-      for ((k, v) <- graftProps)
-        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-          s"('${sqlLit(k)}' = '${sqlLit(v)}')")
-      spark.catalog.refreshTable(table)
-      spark.table(table).count()
-    } finally fs.delete(scratchPath, true)
+    t0.filter(col("_epoch") > cutoff)
+      .write.mode(SaveMode.Overwrite).parquet(scratch)
+    // the staged survivors are deliberately LEFT ON DISK (the
+    // vacuum_staging contract, same as compact's stage): the overwrite
+    // below is destructive, and if it dies midway the stage is the
+    // only complete copy of the surviving rows — an eager delete here
+    // was a review-caught data-loss window. The next prune of the same
+    // table overwrites it; vacuum_staging sweeps the rest.
+    specPreservingWrite(spark, table, spark.read.parquet(scratch), specs)
+    val kept = spark.table(table).count()
     (total - kept, kept)
   }
 

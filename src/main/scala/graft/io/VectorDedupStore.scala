@@ -126,6 +126,11 @@ object VectorDedupStore {
     val bu = Similarity.withUnitVector(
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
       .select(col("vec_id"), col("uv"))
+    // founding fold: the persisted training codes ARE the batch's
+    // quantized frame (same vectors, same frozen amax) — re-quantizing
+    // from bu would run the normalize+quantize map work twice over the
+    // founding crawl (review-caught)
+    var foundingCodes: Option[DataFrame] = None
     if (!exists) {
       // founding batch IS the calibration: freeze amax + the trained
       // centroids as the model. A model without a store is the debris
@@ -145,6 +150,7 @@ object VectorDedupStore {
           "it must contain at least one non-zero vector")
       val codes = track(Similarity.withQuantized(bu, stats, "uv")
         .select(col("vec_id"), col("qv")).persist())
+      foundingCodes = Some(codes)
       val model = Similarity.kmeansCentroidsQuantized(
           codes, numCentroids, trainIters)
         .crossJoin(broadcast(stats))
@@ -174,8 +180,10 @@ object VectorDedupStore {
     // self-dedup blocking key), crank <= nprobe = probe cells
     val wc = Window.partitionBy("vec_id")
       .orderBy(col("_cscore").desc, col("centroid_id"))
-    val ranked = track(Similarity.withQuantized(bu, stats, "uv")
-      .select(col("vec_id"), col("qv"))
+    val quantized = foundingCodes.getOrElse(
+      Similarity.withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv")))
+    val ranked = track(quantized
       .crossJoin(broadcast(cents))
       .withColumn("_cscore",
         Similarity.qcellScore(col("qv"), col("qsum"), col("n")))

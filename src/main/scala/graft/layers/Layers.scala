@@ -65,7 +65,14 @@ class BronzeLayer(spark: SparkSession, config: EtlConfig,
     val controlKey = s"$layerName.${src0.sourceId}"
     val extractDate =
       if (src0.extractStrategy == "incremental")
-        meta.lastRunDate(src0.targetTable, controlKey).getOrElse("1970-01-01")
+        meta.lastRunDate(src0.targetTable, controlKey)
+          // pre-round-16 control rows keyed (table, "bronze"): read the
+          // legacy key as a fallback, or an upgrade silently resets
+          // every incremental watermark to 1970 and re-APPENDS all of
+          // history (review-caught). The first success under the new
+          // key takes over; the stale legacy row then never matches
+          .orElse(meta.lastRunDate(src0.targetTable, layerName))
+          .getOrElse("1970-01-01")
       else runDate
     val vars = Map("EXTRACT_DATE" -> extractDate, "PROCESSING_DATE" -> runDate)
     val src = src0.copy(
@@ -212,6 +219,29 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
             s"/_graft_checkpoints/${m.modelId}")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
+      // input rows are accumulated via a listener, NOT q.recentProgress:
+      // recentProgress is capped (spark.sql.streaming.
+      // numRecentProgressUpdates, default 100), so a catch-up run with
+      // >100 micro-batches would undercount records_processed and feed
+      // VolumeGuard a corrupted median (review-caught). Keyed by query
+      // id so a shared session's other streams never pollute the count.
+      val rowsByQuery = new java.util.concurrent.ConcurrentHashMap[
+        java.util.UUID, java.lang.Long]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var queryId: java.util.UUID = null
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          rowsByQuery.merge(e.progress.id,
+            java.lang.Long.valueOf(e.progress.numInputRows),
+            (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == queryId) done.countDown()
+      }
+      spark.streams.addListener(listener)
       val q = m.refreshType match {
         case "incremental" =>
           Sinks.streamUpsert(stream, m.targetTable, m.primaryKeys, checkpoint)
@@ -244,8 +274,16 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           Sinks.streamScd2(stream, m.targetTable, m.primaryKeys,
             m.trackedColumns, m.effectiveColumn.get, checkpoint)
       }
-      try q.awaitTermination() finally if (q.isActive) q.stop()
-      val rows = q.recentProgress.map(_.numInputRows).sum
+      queryId = q.id
+      val rows =
+        try {
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          // the listener bus is ordered: the terminated event arrives
+          // after every progress event, so once it lands the count is
+          // complete (a zero-batch run posts termination only — 0 rows)
+          done.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+          Option(rowsByQuery.get(q.id)).fold(0L)(_.longValue())
+        } finally spark.streams.removeListener(listener)
       if (m.volumeGuardPct > 0)
         graft.dq.VolumeGuard.enforce(spark, meta.auditTable, m.targetTable,
           rows, m.volumeGuardPct)
