@@ -347,6 +347,12 @@ final case class ModelConfig(
   *    `_epoch` fell more than `keep_epochs` run-date days behind the
   *    store's committed epoch are deleted; specs and the epoch fence
   *    survive the rewrite).
+  *  - `retrain_store`: re-train a VECTOR dedup store's centroids over
+  *    its accumulated codes and re-assign home cells
+  *    ([[graft.io.VectorDedupStore.retrain]] — the founding-model
+  *    drift answer; `amax` and the stored codes never change;
+  *    `train_iters` Lloyd's rounds, `num_centroids` optional new k,
+  *    0 = keep the current model's).
   */
 final case class MaintenanceTaskConfig(
     taskId: String,
@@ -356,6 +362,8 @@ final case class MaintenanceTaskConfig(
     clusterBy: Seq[String] = Nil,
     columns: Seq[String] = Nil,
     keepEpochs: Long = 0L,
+    trainIters: Int = 0,
+    numCentroids: Int = 0,
     enabled: Boolean = true)
 
 final case class EtlConfig(
@@ -391,6 +399,8 @@ object ConfigJson {
     "target_rows_per_file" -> t.targetRowsPerFile.toString,
     "cluster_by" -> jarr(t.clusterBy), "columns" -> jarr(t.columns),
     "keep_epochs" -> t.keepEpochs.toString,
+    "train_iters" -> t.trainIters.toString,
+    "num_centroids" -> t.numCentroids.toString,
     "enabled" -> t.enabled.toString)
 
   def apply(s: SourceConfig): String = jobj(
@@ -822,20 +832,26 @@ object EtlConfig {
   }
 
   private def parseMaintenance(m: Map[String, Object]): MaintenanceTaskConfig = {
+    val tt = str(m, "task_type")
     val t = MaintenanceTaskConfig(
       taskId = str(m, "task_id"),
-      taskType = str(m, "task_type"),
+      taskType = tt,
       table = opt(m, "table"),
       targetRowsPerFile = opt(m, "target_rows_per_file").map(_.toLong)
         .getOrElse(1000000L),
       clusterBy = strSeq(m, "cluster_by"),
       columns = strSeq(m, "columns"),
       keepEpochs = opt(m, "keep_epochs").map(_.toLong).getOrElse(0L),
+      trainIters = opt(m, "train_iters").map(_.toInt)
+        .getOrElse(if (tt == "retrain_store") 2 else 0),
+      numCentroids = opt(m, "num_centroids").map(_.toInt).getOrElse(0),
       enabled = bool(m, "enabled"))
     require(t.taskId.nonEmpty, "maintenance task needs task_id")
-    require(Set("compact", "zone_maps", "vacuum_staging", "prune_store")(t.taskType),
+    require(Set("compact", "zone_maps", "vacuum_staging", "prune_store",
+        "retrain_store")(t.taskType),
       s"maintenance task '${t.taskId}': unknown task_type '${t.taskType}' " +
-        "(expected compact | zone_maps | vacuum_staging | prune_store)")
+        "(expected compact | zone_maps | vacuum_staging | prune_store | " +
+        "retrain_store)")
     require(t.taskType == "vacuum_staging" || t.table.exists(_.nonEmpty),
       s"maintenance task '${t.taskId}': ${t.taskType} needs a table")
     require(t.taskType != "vacuum_staging" || t.table.isEmpty,
@@ -859,6 +875,16 @@ object EtlConfig {
     require(t.taskType == "prune_store" || t.keepEpochs == 0L,
       s"maintenance task '${t.taskId}': keep_epochs is only used by " +
         "prune_store")
+    require(t.taskType != "retrain_store" || t.trainIters >= 1,
+      s"maintenance task '${t.taskId}': retrain_store needs train_iters " +
+        s">= 1 (Lloyd's rounds), got ${t.trainIters}")
+    require(t.taskType != "retrain_store" || t.numCentroids >= 0,
+      s"maintenance task '${t.taskId}': num_centroids must be >= 0 " +
+        s"(0 = keep the current model's k), got ${t.numCentroids}")
+    require(t.taskType == "retrain_store" ||
+        (t.trainIters == 0 && t.numCentroids == 0),
+      s"maintenance task '${t.taskId}': train_iters/num_centroids are " +
+        "only used by retrain_store")
     t
   }
 

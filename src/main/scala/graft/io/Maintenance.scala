@@ -144,7 +144,7 @@ object Maintenance {
     * captured partition/bucket specs, re-stamping the `graft.*`
     * properties, and refreshing the caller session's file index.
     */
-  private def specPreservingWrite(spark: SparkSession, table: String,
+  private[io] def specPreservingWrite(spark: SparkSession, table: String,
       frame: DataFrame, specs: TableSpecs,
       tweak: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =

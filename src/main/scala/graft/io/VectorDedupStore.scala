@@ -255,6 +255,123 @@ object VectorDedupStore {
     DedupStore.FoldResult(applied = true, batchRows = homed.count())
   }
 
+  /** Result of a [[retrain]]: `k` centroid rows in the new model,
+    * `rows` stored vectors re-assigned, `moved` of them landing in a
+    * different home cell than before.
+    */
+  final case class RetrainResult(k: Long, rows: Long, moved: Long)
+
+  /** Re-trains the store's centroids over the ACCUMULATED codes and
+    * re-assigns every stored row's home cell — the declared answer to
+    * founding-model drift: the calibration is trained once on the
+    * founding batch, so after months of folds the corpus distribution
+    * can wander away from it, unbalancing cells (hot `maxCellSize`
+    * trips = recall loss; fat cells = slow probes). Retraining is
+    * SAFE precisely because of what it does NOT touch: `amax` — the
+    * stored int8 codes are in amax units, so the scale read from the
+    * current model is carried into the new one verbatim, and every
+    * stored `qv` stays valid. Only the centroids (k-means over the
+    * stored codes themselves, [[Similarity.kmeansCentroidsQuantized]])
+    * and the home-cell labels change — both re-derivable, all-integer
+    * plus the one rational division, so a retrained store is exactly
+    * the store that would exist had the new model been frozen at
+    * creation (spec-pinned).
+    *
+    * Crash contract (two catalog writes, no transaction): the model is
+    * installed FIRST, so a crash between the writes leaves stored
+    * cells assigned by the old model while probes rank the new one —
+    * RECALL-DEGRADED, never corrupt (a missed near-dup appends a
+    * duplicate; nothing is lost or mis-scored). Training is
+    * deterministic (lowest-id seeds, lowest-id tie-breaks), so
+    * re-running the task converges: same codes → same model → the
+    * store rewrite completes. Both halves stage under
+    * `__retrain_stage` first and the stage is left on disk (the
+    * vacuum_staging contract — after a mid-rewrite crash it holds the
+    * only complete copy). The store's partition/bucket specs and
+    * `graft.*` properties — including the epoch fence — survive via
+    * the compact machinery's spec-preserving rewrite.
+    *
+    * Legacy `cv` model tables come out MODERNIZED (trained rational
+    * (qsum, n) centroids) — retrain is also the declared migration
+    * path off pre-training models.
+    *
+    * Scale shape: `trainIters` serial store-linear jobs (the k-means
+    * pacing bound — train on the store's own codes, never re-reading
+    * text/embeddings) + one store-linear reassignment (broadcast
+    * k-row fold) + one staged rewrite. Run it from the `maintenance:`
+    * plane (`task_type: retrain_store`) on the cadence drift warrants
+    * — the occupancy spread (max/mean cell size) is the signal.
+    */
+  def retrain(spark: SparkSession, table: String, trainIters: Int = 2,
+      numCentroids: Option[Int] = None): RetrainResult = {
+    require(trainIters >= 1, s"trainIters must be >= 1, got $trainIters")
+    require(numCentroids.forall(_ >= 1),
+      s"numCentroids must be >= 1 when set, got ${numCentroids.get}")
+    require(spark.catalog.tableExists(table),
+      s"retrain_store: no such table '$table'")
+    val t = spark.table(table)
+    val expect = Seq("vec_id", "qv", "cell", "_epoch")
+    require(t.columns.sorted.toSeq == expect.sorted,
+      s"retrain_store: '$table' is not a vector dedup store: has " +
+        s"[${t.columns.sorted.mkString(", ")}], expected " +
+        s"[${expect.sorted.mkString(", ")}]")
+    require(spark.catalog.tableExists(modelTable(table)),
+      s"retrain_store: vector dedup store '$table' has no model table " +
+        s"'${modelTable(table)}' — restore it or rebuild the store")
+    val cacheMark = graft.operators.FrameCaches.mark(spark)
+    try retrainImpl(spark, table, trainIters, numCentroids)
+    finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
+  }
+
+  private def retrainImpl(spark: SparkSession, table: String,
+      trainIters: Int, numCentroids: Option[Int]): RetrainResult = {
+    val model0 = spark.table(modelTable(table))
+    // amax is the ONE thing retrain must never change: stored codes
+    // are in amax units (the class of silent re-scoring the frozen
+    // model exists to prevent)
+    val amaxRow = model0.agg(max(col("amax")).as("amax")).head()
+    require(!amaxRow.isNullAt(0),
+      s"retrain_store: model table '${modelTable(table)}' has no " +
+        "centroid rows — the frozen calibration is unusable; restore " +
+        "it or rebuild the store")
+    val amax = amaxRow.getDouble(0)
+    val k = numCentroids.getOrElse(model0.count().toInt)
+    val codes = track(spark.table(table)
+      .select("vec_id", "qv", "cell", "_epoch").persist())
+    val rows = codes.count()
+    // an empty store would train an empty model and brick every later
+    // fold on the >=1-centroid guard — refuse, nothing to train on
+    require(rows > 0L,
+      s"retrain_store: '$table' is empty — nothing to train on")
+    val cents = track(Similarity.kmeansCentroidsQuantized(
+      codes.select("vec_id", "qv"), k, trainIters).persist())
+    val reassigned = track(Similarity.assignCellsQuantized(
+        codes.withColumnRenamed("cell", "_old_cell"), cents)
+      .select(col("vec_id"), col("qv"), col("cell"), col("_epoch"),
+        col("_old_cell"))
+      .persist())
+    val moved = reassigned.filter(col("cell") =!= col("_old_cell")).count()
+
+    // stage BOTH halves before touching the catalog (the reassignment
+    // plan reads the store table the rewrite overwrites), then apply
+    // model-first per the crash contract above
+    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__retrain_stage/" +
+      table.replace('.', '_')
+    val specs = Maintenance.captureSpecs(spark, table)
+    cents.withColumn("amax", lit(amax))
+      .select("centroid_id", "qsum", "n", "amax")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/model")
+    reassigned.drop("_old_cell")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/store")
+    spark.read.parquet(s"$scratch/model")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(modelTable(table))
+    spark.catalog.refreshTable(modelTable(table))
+    Maintenance.specPreservingWrite(spark, table,
+      spark.read.parquet(s"$scratch/store"), specs)
+    RetrainResult(spark.table(modelTable(table)).count(), rows, moved)
+  }
+
   /** The store-probe stage, exposed for plan pinning: batch vectors
     * (as the ranked probe frame: vec_id, qv, cell per probed cell)
     * whose integer dot vs ANY stored vector in a probed cell reaches

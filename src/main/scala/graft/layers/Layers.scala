@@ -483,6 +483,12 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
           // cardinality; kept mass is readable off the table itself)
           graft.io.Maintenance.pruneStore(spark, t.table.get,
             t.keepEpochs)._1
+        case "retrain_store" =>
+          // records_processed = rows whose home cell MOVED (the
+          // drift the retrain corrected; total mass is the table's)
+          graft.io.VectorDedupStore.retrain(spark, t.table.get,
+            t.trainIters,
+            if (t.numCentroids > 0) Some(t.numCentroids) else None).moved
       }
       // control rows upsert on (table_name, layer): task-qualify the
       // layer so two tasks on the SAME table (compact + zone_maps is

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video as
@@ -180,6 +180,69 @@ object Multimodal {
         m.copy(payload = resized.flatten.map(_.toByte), width = w, height = h)
       })
     }
+  }
+
+  /** Deterministic "lossy re-encode" stand-in: a copy of each media row
+    * whose payload differs in a sparse, formula-placed set of bytes —
+    * position `p ≡ 7 (mod everyN)` becomes `(byte + delta) mod 256` —
+    * with `idOffset` added to the id. This is the near-dup PLANT for
+    * perceptual-hash testing: a real pipeline meets the same shape as
+    * JPEG re-compression artifacts (most pixels identical, a scattered
+    * few nudged), and the formula placement keeps the variant
+    * md5-re-derivable in a SQL oracle, exactly like the base corpus.
+    */
+  def noisyVariants(media: Dataset[MediaFile], everyN: Int, delta: Int,
+      idOffset: Long = 1000L): Dataset[MediaFile] = {
+    require(everyN >= 8, s"everyN must be >= 8 (phase 7 placement), got $everyN")
+    require(delta >= 1 && delta <= 255, s"delta must be 1..255, got $delta")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val p = m.payload.clone()
+        var i = 7
+        while (i < p.length) {
+          p(i) = ((java.lang.Byte.toUnsignedInt(p(i)) + delta) % 256).toByte
+          i += everyN
+        }
+        m.copy(media_id = m.media_id + idOffset, payload = p)
+      })
+    }
+  }
+
+  /** Difference hash (dHash) per image — the perceptual fingerprint of
+    * image dedup pipelines: decode, nearest-neighbor-resize to 9×8
+    * (the real algorithm; only the stub pixels are fake), then one bit
+    * per adjacent-pixel comparison (`bit (y,x) = 1 iff p(y,x) >
+    * p(y,x+1)`, index `y·8+x`) packed into a 64-bit BIGINT. Re-encoding
+    * noise nudges a few pixels → a few bits; unrelated images differ in
+    * ~32 — so near-dups live at small Hamming distance, which is what
+    * makes the hash LSH-bandable (16-bit bands → equi-join candidates,
+    * the [[graft.operators.Dedup.candidatePairs]] discipline — an
+    * intact band survives up to 3 scattered bit flips with certainty
+    * and most 4+ splits too). All integer, so the
+    * whole hash re-derives in a SQL oracle. Map-side work fused over
+    * the scan partitioning: payloads never shuffle; only the 8-byte
+    * hashes do.
+    */
+  def dHash(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val r = StubCodecs.resize(
+          StubCodecs.decodeImage(m.payload, m.width, m.height), 9, 8)
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (r(y)(x) > r(y)(x + 1)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, hash)
+      })
+    }.toDF("media_id", "dhash")
   }
 
   /** Sample every `stride`-th frame of each video into its own row —

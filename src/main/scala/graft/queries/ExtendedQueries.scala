@@ -417,6 +417,45 @@ object ExtendedQueries extends QuerySet {
       .orderBy("source")
   }
 
+  /** Perceptual-hash image NEAR-DUP pairs — the dedup member of the
+    * multimodal family (m1–m5 extract features; this one finds the
+    * re-encoded copies a crawl accumulates): every image (plus a
+    * planted "lossy re-encode" variant of each sixth one —
+    * [[graft.multimodal.Multimodal.noisyVariants]], the JPEG-artifact
+    * stand-in) gets a 64-bit dHash, the hash splits into 4×16-bit
+    * bands (Hamming-LSH: a pair differing in ≤3 scattered bits keeps
+    * ≥1 band intact with certainty), banded equi-join proposes
+    * candidates through the standard [[graft.operators.Dedup
+    * .candidatePairs]] discipline — never all-pairs — and each
+    * candidate verifies on exact Hamming distance ≤ 16
+    * (codegen'd `bit_count(xor)`). All integer end-to-end, so the
+    * hash, the plant, the bands, and the verify all re-derive in SQL.
+    * Scale shape: hashing is map work fused over the image scan
+    * (payloads never shuffle — only the 8-byte hashes do); the pair
+    * join is band-equi with the hot-band cap available upstream.
+    */
+  def m6PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Multimodal
+    val media = M.syntheticMedia(s, 200)
+    val variants = M.noisyVariants(
+      media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
+      everyN = 50, delta = 64)
+    val hashes = M.dHash(media.unionByName(variants))
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val pairs = graft.operators.Dedup.candidatePairs(
+      hashes, "media_id", bandCols)
+    val ha = hashes.select(col("media_id").as("doc_a"), col("dhash").as("_ha"))
+    val hb = hashes.select(col("media_id").as("doc_b"), col("dhash").as("_hb"))
+    pairs.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+      .filter(col("hamming") <= 16)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Image RESIZE as a FULL oracle row — the last of the multimodal
     * quartet (decode = all, feature-extract = m1, frame-sample = m2,
     * resize = here): every image thumbnails to 8×8 through the batched
@@ -1078,6 +1117,7 @@ object ExtendedQueries extends QuerySet {
     "w6_rank_metrics" -> w6RankMetrics _,
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
+    "m6_phash_neardup" -> m6PhashNeardup _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
     "m4_thumbnails" -> m4Thumbnails _,
@@ -1619,6 +1659,55 @@ object ExtendedQueries extends QuerySet {
          |            JOIN norms nb ON nb.doc_id = d2)
          |SELECT d1, d2, n_shared, cos_micro FROM cosv
          |WHERE cos_micro >= 200000 ORDER BY d1, d2""".stripMargin,
+    // the full dHash/LSH/Hamming lifecycle re-derived: variant payload
+    // byte p flips by +64 (mod 256) where p % 50 = 7 (the noisyVariants
+    // formula); the 9x8 nearest-neighbor sample, the 64 comparison
+    // bits, the 4x16-bit band values, the band-equi candidate join and
+    // the exact Hamming verify all mirror the Spark side bit for bit
+    "m6_phash_neardup" ->
+      """WITH m AS (
+        |  SELECT i AS src_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
+        |u AS (
+        |  SELECT src_id AS out_id, src_id, w, h, 0 AS var FROM m
+        |  UNION ALL
+        |  SELECT src_id + 1000, src_id, w, h, 1 FROM m WHERE src_id % 6 = 0),
+        |px AS (
+        |  SELECT out_id, y, x,
+        |    CASE WHEN var = 1 AND p % 50 = 7
+        |      THEN (('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT + 64) % 256
+        |      ELSE ('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT END AS v
+        |  FROM (
+        |    SELECT out_id, src_id, var, y, x, (y * h // 8) * w + (x * w // 9) AS p
+        |    FROM u,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy,
+        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) gx)),
+        |bits AS (
+        |  SELECT a.out_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.out_id = b.out_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (
+        |  SELECT out_id, idx // 16 AS band,
+        |    SUM(bit * (1 << (idx % 16))) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.out_id AS media_a, b.out_id AS media_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.out_id < b.out_id),
+        |ham AS (
+        |  SELECT c.media_a, c.media_b,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.out_id = c.media_a
+        |  JOIN bits bb ON bb.out_id = c.media_b AND bb.idx = ba.idx
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, hamming FROM ham
+        |WHERE hamming <= 16 ORDER BY media_a, media_b""".stripMargin,
     // mirrors StubCodecs.decodeImage over Multimodal.syntheticMedia(200):
     // images are i % 3 <> 2; payload byte p = byte p%16 of
     // md5('media:<id>:<p//16>'); mean_luma = unsigned byte mean over the

@@ -280,6 +280,159 @@ class VectorDedupStoreSpec extends SparkSpec {
     assert(stored(t) == Set(1L -> 1L, 2L -> 1L))
   }
 
+  test("retrain re-balances a drifted store: codes/amax/fence untouched, cells re-assigned") {
+    // founding batch is ONLY group-A content, so the frozen model's two
+    // centroids both sit in A; later folds land every B/C vector in one
+    // tie-broken cell — the drift retrain exists for. minScore above the
+    // identical-code dot disables dedup so all five rows store.
+    val t = table("t_retrain")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vA2),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    // fold-2 content is orthogonal to BOTH founding centroids (zero
+    // dot against each), so every vector ties to the lowest-id cell
+    val vD = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    VectorDedupStore.maintain(spark, t,
+      df(10L -> vC, 11L -> vC2, 12L -> vD),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(2L))
+    val occBefore = spark.table(t).groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    assert(occBefore.values.max == 4L,
+      s"drift fixture must pile B/C into one A-trained cell, got $occBefore")
+    val before = spark.table(t).select("vec_id", "qv", "_epoch")
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    val amaxBefore = spark.table(s"${t}_model")
+      .agg(max($"amax")).head().getDouble(0)
+
+    val r = VectorDedupStore.retrain(spark, t)
+    assert(r.k == 2L && r.rows == 5L && r.moved > 0L, r.toString)
+    // the data triple never changes — only `cell` may move
+    assert(spark.table(t).select("vec_id", "qv", "_epoch")
+      .as[(Long, Seq[Int], Long)].collect().toSet == before,
+      "retrain must not touch vec_id/qv/_epoch")
+    assert(spark.table(s"${t}_model")
+      .agg(max($"amax")).head().getDouble(0) == amaxBefore,
+      "amax is the frozen scale — retrain must carry it verbatim")
+    assert(DedupStore.committedEpoch(spark, t).contains(2L),
+      "the epoch fence must survive the rewrite")
+    val occAfter = spark.table(t).groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    assert(occAfter.values.toSeq.sorted == Seq(2L, 3L),
+      s"retrained cells must split A from B/C, got $occAfter")
+    // the retrained store IS the store that would exist had the new
+    // model been frozen at creation: model = Lloyd's over the stored
+    // codes, cells = argmax assignment against it
+    val codes = spark.table(t).select("vec_id", "qv")
+    val expectModel = graft.operators.Similarity
+      .kmeansCentroidsQuantized(codes, 2, 2)
+      .select("centroid_id", "qsum", "n")
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(spark.table(s"${t}_model").select("centroid_id", "qsum", "n")
+      .as[(Long, Seq[Long], Long)].collect().toSet == expectModel)
+    val expectCells = graft.operators.Similarity.assignCellsQuantized(
+        codes, spark.table(s"${t}_model")
+          .select("centroid_id", "qsum", "n"))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(spark.table(t).select("vec_id", "cell")
+      .as[(Long, Long)].collect().toSet == expectCells)
+    // the fence still fences (same-epoch replay no-ops) and the probe
+    // works against the NEW model: a re-delivery of stored content dies
+    assert(!VectorDedupStore.maintain(spark, t, df(90L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2,
+      epochId = Some(2L)).applied)
+    VectorDedupStore.maintain(spark, t, df(90L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(3L))
+    assert(!stored(t).map(_._1).contains(90L),
+      "a stored-content re-delivery must still drop after retrain")
+  }
+
+  test("retrain is deterministic: a second retrain moves nothing") {
+    val t = table("t_retrain_idem")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vA2),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    VectorDedupStore.maintain(spark, t, df(10L -> vB, 11L -> vC),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(2L))
+    VectorDedupStore.retrain(spark, t)
+    val model1 = spark.table(s"${t}_model").orderBy("centroid_id")
+      .collect().toSeq
+    val cells1 = spark.table(t).select("vec_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    // deterministic training (lowest-id seeds, lowest-id ties) is what
+    // makes the crash contract safe: a re-run converges, never wanders
+    val r2 = VectorDedupStore.retrain(spark, t)
+    assert(r2.moved == 0L, r2.toString)
+    assert(spark.table(s"${t}_model").orderBy("centroid_id")
+      .collect().toSeq == model1)
+    assert(spark.table(t).select("vec_id", "cell")
+      .as[(Long, Long)].collect().toSet == cells1)
+  }
+
+  test("retrain refusals: foreign table, missing model, empty store") {
+    val t = table("t_retrain_foreign")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.retrain(spark, t)
+    }.getMessage.contains("not a vector dedup store"))
+
+    val t2 = table("t_retrain_nomodel")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_model")
+    VectorDedupStore.maintain(spark, t2, df(1L -> vA),
+      "vec_id", "embedding", Score, epochId = Some(1L))
+    spark.sql(s"DROP TABLE ${t2}_model")
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.retrain(spark, t2)
+    }.getMessage.contains("no model table"))
+
+    // an emptied store (a prune window that kept nothing) has no codes
+    // to train on — an empty model would brick every later fold
+    val t3 = table("t_retrain_empty")
+    spark.sql(s"DROP TABLE IF EXISTS $t3")
+    spark.sql(s"DROP TABLE IF EXISTS ${t3}_model")
+    VectorDedupStore.maintain(spark, t3, df(1L -> vA),
+      "vec_id", "embedding", Score, epochId = Some(1L))
+    spark.table(t3).filter(lit(false)).write.mode("overwrite")
+      .saveAsTable(s"${t3}_emptied")
+    spark.sql(s"DROP TABLE $t3")
+    spark.sql(s"ALTER TABLE ${t3}_emptied RENAME TO $t3")
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.retrain(spark, t3)
+    }.getMessage.contains("empty"))
+  }
+
+  test("retrain modernizes a legacy cv model into trained rational centroids") {
+    val t = table("t_retrain_legacy")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    // rewrite the model in the pre-training shape: integer code-vector
+    // centroids under a `cv` column (read back as qsum = cv, n = 1)
+    spark.table(s"${t}_model")
+      .select($"centroid_id",
+        transform($"qsum", x => (x / $"n").cast("int")).as("cv"), $"amax")
+      .write.mode("overwrite").saveAsTable(s"${t}_model_legacy")
+    spark.sql(s"DROP TABLE ${t}_model")
+    spark.sql(s"ALTER TABLE ${t}_model_legacy RENAME TO ${t}_model")
+    VectorDedupStore.retrain(spark, t)
+    assert(spark.table(s"${t}_model").columns.toSet ==
+      Set("centroid_id", "qsum", "n", "amax"),
+      "retrain is the declared migration path off cv models")
+    // and the migrated store still folds + probes
+    VectorDedupStore.maintain(spark, t, df(90L -> vA, 91L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    val ids = stored(t).map(_._1)
+    assert(!ids.contains(90L) && ids.contains(91L), ids.toString)
+  }
+
   test("probe join is cell-equi — never a nested loop; store side scans in place") {
     val t = table("t_plan")
     spark.sql(s"DROP TABLE IF EXISTS $t")

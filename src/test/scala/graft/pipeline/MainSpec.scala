@@ -171,19 +171,27 @@ class MainSpec extends SparkSpec {
       // compacted (bucket spec survived — asserted above), the curated
       // docs got a zone-map manifest, staging is swept — each with its
       // own audit-bracketed control row
+      // keyed by LAYER (task-qualified): the vector store now carries
+      // two maintenance rows (prune + retrain), so table_name keys
+      // would collide
       val maint = control.filter($"layer".startsWith("maintenance."))
-        .select("table_name", "config_snapshot")
+        .select("layer", "config_snapshot")
         .as[(String, String)].collect().toMap
-      assert(maint.keySet == Set("gold_corpus.corpus_dedup_store",
-        "gold_corpus.corpus_vector_store",
-        "silver_corpus.docs_curated", "(warehouse staging)"), maint.keySet)
-      assert(maint("gold_corpus.corpus_dedup_store")
+      assert(maint.keySet == Set("maintenance.compact_dedup_store",
+        "maintenance.zone_maps_curated", "maintenance.vacuum_staging",
+        "maintenance.prune_vector_store",
+        "maintenance.retrain_vector_store"), maint.keySet)
+      assert(maint("maintenance.compact_dedup_store")
         .contains("\"task_type\":\"compact\""))
       // retention ran against the vector store (365-day window over a
       // same-day fold: nothing prunable, the store is intact, and the
-      // model sibling is untouched by construction)
-      assert(maint("gold_corpus.corpus_vector_store")
+      // model sibling is untouched by construction), then the retrain
+      // re-balanced the surviving window (row set unchanged — the
+      // vecStored count below still holds)
+      assert(maint("maintenance.prune_vector_store")
         .contains("\"task_type\":\"prune_store\""))
+      assert(maint("maintenance.retrain_vector_store")
+        .contains("\"task_type\":\"retrain_store\""))
       assert(graft.io.VectorDedupStore.storedVecIds(spark,
         "gold_corpus.corpus_vector_store").count() == vecStored)
       val zm = spark.table("silver_corpus.docs_curated__zonemap")

@@ -1822,6 +1822,35 @@ class PipelineSpec extends SparkSpec {
                  |    task_type: prune_store
                  |    keep_epochs: 7
                  |""".stripMargin).getMessage.contains("needs a table"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: retrain_store
+                 |""".stripMargin).getMessage.contains("needs a table"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: retrain_store
+                 |    table: a.b
+                 |    train_iters: 0
+                 |""".stripMargin).getMessage.contains("train_iters"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: retrain_store
+                 |    table: a.b
+                 |    num_centroids: -4
+                 |""".stripMargin).getMessage.contains("num_centroids"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |    table: a.b
+                 |    train_iters: 3
+                 |""".stripMargin).getMessage.contains("only used by retrain_store"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: zone_maps
+                 |    table: a.b
+                 |    columns: [k]
+                 |    num_centroids: 8
+                 |""".stripMargin).getMessage.contains("only used by retrain_store"))
   }
 
   test("declarative prune_store task prunes the store through the metadata plane") {
@@ -1856,6 +1885,49 @@ class PipelineSpec extends SparkSpec {
         $"last_run_date" === "2024-09-02")
       .select("records_processed").as[Long].collect()
     assert(ctl.toSeq == Seq(4L), ctl.toSeq.toString)
+  }
+
+  test("declarative retrain_store task re-balances the vector store through the plane") {
+    val retrainYaml =
+      """maintenance:
+        |  - task_id: retrain_vecs
+        |    task_type: retrain_store
+        |    table: gold_e2e.retrain_decl_store
+        |    train_iters: 2
+        |""".stripMargin
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    val t = "gold_e2e.retrain_decl_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    // founding fold sees only x-axis content; the later fold's y/z
+    // content all ties into one cell — the drift retrain corrects
+    val vX = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vX2 = Array(0.98f, 0.2f, 0.0f, 0.0f)
+    val vY = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vZ = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    graft.io.VectorDedupStore.maintain(spark, t,
+      Seq((1L, vX), (2L, vX2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    graft.io.VectorDedupStore.maintain(spark, t,
+      Seq((10L, vY), (11L, vZ)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(2L))
+    val p = new Pipeline(spark, "2024-09-03", new FixedClock(1804000000000L))
+    val reports = p.run(Map("maintenance" -> EtlConfig.fromYaml(retrainYaml)),
+      Seq("maintenance"))
+    assert(reports.head.failed.isEmpty &&
+      reports.head.succeeded == Seq("retrain_vecs"), reports.toString)
+    // drift corrected: the four stored vectors split 2/2 across cells
+    val occ = spark.table(t).groupBy("cell").count()
+      .select("count").as[Long].collect().toSeq.sorted
+    assert(occ == Seq(2L, 2L), occ.toString)
+    // records_processed = rows whose home cell moved
+    val ctl = spark.table(p.meta.controlTable)
+      .filter($"layer" === "maintenance.retrain_vecs" &&
+        $"last_run_date" === "2024-09-03")
+      .select("records_processed").as[Long].collect()
+    assert(ctl.length == 1 && ctl.head > 0L, ctl.toSeq.toString)
   }
 
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
