@@ -473,9 +473,12 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
             t.targetRowsPerFile, t.clusterBy)
           after.toLong
         case "zone_maps" =>
-          val (_, files) = graft.io.ZoneMaps.writeManifest(spark,
+          // incremental: only files not yet in the manifest re-scan,
+          // so the nightly task's cost rides the day's appends;
+          // records_processed stays the manifest's row count
+          val (_, _, rows) = graft.io.ZoneMaps.refreshManifest(spark,
             t.table.get, t.columns)
-          files
+          rows
         case "vacuum_staging" =>
           graft.io.Maintenance.vacuumStaging(spark).toLong
         case "prune_store" =>

@@ -96,6 +96,55 @@ class ZoneMapsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(999L))
   }
 
+  test("refreshManifest scans only the appended files; result identical to a rebuild") {
+    val t = table("t_refresh")
+    spark.range(1, 1001).toDF("k")
+      .repartitionByRange(4, col("k")).write.saveAsTable(t)
+    val (mt, scanned0, rows0) = ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    assert(scanned0 == 4L && rows0 == 4L, "no manifest yet: full build")
+    // append two new range files; the refresh must scan ONLY those
+    spark.range(1001, 1501).toDF("k")
+      .repartitionByRange(2, col("k")).write.mode("append").saveAsTable(t)
+    val (_, scanned1, rows1) = ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    assert(scanned1 == 2L, s"refresh must scan only the 2 appends, got $scanned1")
+    assert(rows1 == 6L)
+    // identical to a from-scratch rebuild (zones are a pure function of
+    // the immutable file bytes)
+    val rebuilt = ZoneMaps.buildManifest(spark, t, Seq("k"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(spark.table(mt).as[(String, Long, Long, Long)].collect().toSet
+      == rebuilt)
+    // and the refreshed manifest serves pruned scans (stale check passes)
+    val (df, read, total) = ZoneMaps.prunedScan(spark, t, mt, "k", 1100L, 1200L)
+    assert(total == 6 && read <= 1, s"the probe hits one appended file: $read")
+    assert(df.as[Long].collect().toSet == (1100L to 1200L).toSet)
+  }
+
+  test("refreshManifest drops rows of files a compaction removed; zone-column change rebuilds") {
+    val t = table("t_refresh_compact")
+    spark.range(1, 2001).toDF("k").withColumn("v", col("k") % 13)
+      .repartition(6).write.saveAsTable(t)
+    ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    // a range-clustering compaction replaces the entire file set: every
+    // old manifest row must drop, every new file must scan — ghost rows
+    // for vanished files would poison the stale check forever
+    Maintenance.compact(spark, t, targetRowsPerFile = 500, clusterBy = Seq("k"))
+    val (mt, scanned, rows) = ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    val nowFiles = spark.table(t).inputFiles.toSet
+    assert(scanned == nowFiles.size.toLong && rows == nowFiles.size.toLong,
+      s"all $scanned new, $rows manifest rows vs ${nowFiles.size} files")
+    assert(spark.table(mt).select("file").as[String].collect().toSet
+      == nowFiles, "no ghost rows for compacted-away files")
+    val (df, read, _) = ZoneMaps.prunedScan(spark, t, mt, "k", 100L, 200L)
+    assert(read <= 2 && df.count() == 101)
+    // changing the zone-column set invalidates every row: full rebuild
+    val (_, scanned2, _) = ZoneMaps.refreshManifest(spark, t, Seq("k", "v"))
+    assert(scanned2 == nowFiles.size.toLong,
+      "a different column set must rebuild from scratch")
+    assert(spark.table(mt).columns.toSeq ==
+      Seq("file", "n_rows", "min_k", "max_k", "min_v", "max_v"))
+  }
+
   test("a partitioned table is refused: partition values live in directory names") {
     // a direct leaf-file read fills partition columns with NULL — the
     // manifest build and the pruned scan must both refuse, never
