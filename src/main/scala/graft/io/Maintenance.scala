@@ -185,8 +185,13 @@ object Maintenance {
     * staging roots — safe by construction because no table ever
     * references staged files (every sink reads the stage back and
     * writes a fresh catalog copy; the Delta-VACUUM orphan-detection
-    * problem doesn't arise when staging is namespaced). Returns the
-    * number of staging roots removed.
+    * problem doesn't arise when staging is namespaced). ORDERING
+    * contract for the declarative plane: schedule this AFTER the
+    * rewrite tasks (compact / prune_store) in the same config —
+    * `__prune_stage`/`__compact_stage` are the crash copies of
+    * destructive rewrites, and a vacuum declared before them would
+    * delete the only complete copy on the run following a mid-rewrite
+    * crash. Returns the number of staging roots removed.
     */
   def vacuumStaging(spark: SparkSession): Int = {
     val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")

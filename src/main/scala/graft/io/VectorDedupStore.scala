@@ -277,19 +277,22 @@ object VectorDedupStore {
     * the store that would exist had the new model been frozen at
     * creation (spec-pinned).
     *
-    * Crash contract (two catalog writes, no transaction): the model is
-    * installed FIRST, so a crash between the writes leaves stored
-    * cells assigned by the old model while probes rank the new one —
-    * RECALL-DEGRADED, never corrupt (a missed near-dup appends a
-    * duplicate; nothing is lost or mis-scored). Training is
-    * deterministic (lowest-id seeds, lowest-id tie-breaks), so
-    * re-running the task converges: same codes → same model → the
-    * store rewrite completes. Both halves stage under
-    * `__retrain_stage` first and the stage is left on disk (the
-    * vacuum_staging contract — after a mid-rewrite crash it holds the
-    * only complete copy). The store's partition/bucket specs and
-    * `graft.*` properties — including the epoch fence — survive via
-    * the compact machinery's spec-preserving rewrite.
+    * Crash contract (two catalog writes, no transaction): both writes
+    * are INSERT OVERWRITE into the EXISTING tables — never
+    * drop-and-recreate — so the job-commit protocol keeps the old rows
+    * until commit and neither table ever disappears (a vanished store
+    * would send the next fold down its founding branch and silently
+    * re-found the store from one day's batch). The model installs
+    * FIRST, so a crash between the writes leaves stored cells assigned
+    * by the old model while probes rank the new one — RECALL-DEGRADED,
+    * never corrupt (a missed near-dup appends a duplicate; nothing is
+    * lost or mis-scored). Training is deterministic (lowest-id seeds,
+    * lowest-id tie-breaks), so re-running the task converges: same
+    * codes → same model → the store rewrite completes. Both halves
+    * stage under `__retrain_stage` first (the survivor plans read the
+    * tables they overwrite); the table's specs and `graft.*`
+    * properties — including the epoch fence — survive untouched
+    * because the table definition is never dropped.
     *
     * Legacy `cv` model tables come out MODERNIZED (trained rational
     * (qsum, n) centroids) — retrain is also the declared migration
@@ -354,21 +357,38 @@ object VectorDedupStore {
 
     // stage BOTH halves before touching the catalog (the reassignment
     // plan reads the store table the rewrite overwrites), then apply
-    // model-first per the crash contract above
+    // model-first per the crash contract above. Both catalog writes
+    // are INSERT OVERWRITE (insertInto), never drop-and-recreate:
+    // saveAsTable(Overwrite) drops the table first, so a crash
+    // mid-write would leave NO store — and the next gold fold's
+    // exists=false branch would silently RE-FOUND it from one day's
+    // batch, losing every accumulated near-dup (review-caught). With
+    // insertInto the job-commit protocol keeps the OLD rows until
+    // commit, the table (with its specs and the epoch-fence property)
+    // always exists, and a crashed retrain re-runs to convergence.
+    // The one exception: migrating a LEGACY cv model changes the model
+    // table's schema, which insertInto cannot do — that path keeps the
+    // drop-and-recreate window, documented, paid once per migration.
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__retrain_stage/" +
       table.replace('.', '_')
-    val specs = Maintenance.captureSpecs(spark, table)
     cents.withColumn("amax", lit(amax))
       .select("centroid_id", "qsum", "n", "amax")
       .write.mode(SaveMode.Overwrite).parquet(s"$scratch/model")
     reassigned.drop("_old_cell")
       .write.mode(SaveMode.Overwrite).parquet(s"$scratch/store")
-    spark.read.parquet(s"$scratch/model")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(modelTable(table))
+    val stagedModel = spark.read.parquet(s"$scratch/model")
+    if (model0.columns.contains("cv"))
+      stagedModel.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(modelTable(table))
+    else
+      stagedModel
+        .select(spark.table(modelTable(table)).columns.map(col): _*)
+        .write.mode(SaveMode.Overwrite).insertInto(modelTable(table))
     spark.catalog.refreshTable(modelTable(table))
-    Maintenance.specPreservingWrite(spark, table,
-      spark.read.parquet(s"$scratch/store"), specs)
+    spark.read.parquet(s"$scratch/store")
+      .select(spark.table(table).columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+    spark.catalog.refreshTable(table)
     RetrainResult(spark.table(modelTable(table)).count(), rows, moved)
   }
 

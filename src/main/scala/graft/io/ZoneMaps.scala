@@ -42,20 +42,47 @@ object ZoneMaps {
         "them as NULL; use partition pruning instead")
   }
 
+  /** The per-file zone aggregation — ONE definition shared by
+    * [[buildManifest]] and [[refreshManifest]] so the two can never
+    * drift apart on the manifest schema (the refresh's unionByName and
+    * its pinned refresh-≡-rebuild invariant both depend on it).
+    */
+  private def zoneAgg(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+
+  /** One manifest row per file in `files`, zones aggregated from
+    * `data` in ONE scan. A ZERO-ROW data file (an empty DataFrame
+    * write leaves a schema-only part file) never surfaces through the
+    * row aggregation — but it IS in `inputFiles`, so a manifest
+    * without it could never pass [[prunedScan]]'s file-set staleness
+    * check: every pruned read would refuse STALE forever while the
+    * maintenance task kept reporting success. The left join from the
+    * FILE LIST covers such files with (n_rows = 0, all-null zones) —
+    * null zones prune away under any range predicate, which is exact
+    * for a file with no rows.
+    */
+  private def manifestFor(spark: SparkSession, data: DataFrame,
+      files: Seq[String], cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    files.sorted.toDF("file")
+      .join(zoneAgg(data, cols), Seq("file"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+  }
+
   /** Build the manifest: one row per data file with row count and
-    * per-column min/max zones. NULL zones (an all-null file) prune
-    * away under any RANGE predicate — correctly, since no range
-    * predicate matches NULL.
+    * per-column min/max zones. NULL zones (an all-null file, or a
+    * zero-row file) prune away under any RANGE predicate — correctly,
+    * since no range predicate matches NULL.
     */
   def buildManifest(spark: SparkSession, table: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one zone column")
     requireUnpartitioned(spark, table, "a zone-map manifest")
-    spark.table(table)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c"))): _*)
+    manifestFor(spark, spark.table(table),
+      spark.table(table).inputFiles.toSeq, cols)
   }
 
   /** Build and persist the manifest as `<table>__zonemap`.
@@ -113,11 +140,8 @@ object ZoneMaps {
     val schema = spark.table(table).schema
     val fresh =
       if (newFiles.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(newFiles: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("n_rows"),
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c"))): _*))
+      else Some(manifestFor(spark,
+        spark.read.schema(schema).parquet(newFiles: _*), newFiles, cols))
     val merged = fresh.fold(kept)(kept.unionByName(_))
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__zonemap_stage/" +
       mt.replace('.', '_')

@@ -190,6 +190,9 @@ object Multimodal {
     * JPEG re-compression artifacts (most pixels identical, a scattered
     * few nudged), and the formula placement keeps the variant
     * md5-re-derivable in a SQL oracle, exactly like the base corpus.
+    * CALLER CONTRACT: `idOffset` must exceed the corpus's max media_id
+    * or variant ids silently collide with originals (not checkable
+    * here without an action over the corpus).
     */
   def noisyVariants(media: Dataset[MediaFile], everyN: Int, delta: Int,
       idOffset: Long = 1000L): Dataset[MediaFile] = {

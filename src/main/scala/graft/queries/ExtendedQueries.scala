@@ -440,7 +440,12 @@ object ExtendedQueries extends QuerySet {
     val variants = M.noisyVariants(
       media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
       everyN = 50, delta = 64)
-    val hashes = M.dHash(media.unionByName(variants))
+    // three consumers (the band self-join counts twice, plus the two
+    // verify sides): persist the 8-byte hashes or the md5 decode +
+    // resize pass re-runs per consumer — the classic LSH-on-Spark
+    // mistake the minhash path documents
+    val hashes = graft.operators.FrameCaches.track(
+      M.dHash(media.unionByName(variants)).persist())
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val pairs = graft.operators.Dedup.candidatePairs(

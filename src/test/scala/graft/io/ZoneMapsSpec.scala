@@ -145,6 +145,28 @@ class ZoneMapsSpec extends SparkSpec {
       Seq("file", "n_rows", "min_k", "max_k", "min_v", "max_v"))
   }
 
+  test("a zero-row data file is covered: manifest matches inputFiles, never perpetually stale") {
+    // an empty-DataFrame write leaves a schema-only part file that the
+    // row aggregation can never see — without explicit coverage the
+    // manifest's file set never equals inputFiles, every prunedScan
+    // refuses STALE forever, and refresh re-scans the file every run
+    val t = table("t_zero_row")
+    Seq.empty[Long].toDF("k").write.saveAsTable(t)
+    Seq(1L, 2L).toDF("k").write.mode("append").saveAsTable(t)
+    val files = spark.table(t).inputFiles.toSet
+    val (mt, _, rows) = ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    assert(spark.table(mt).select("file").as[String].collect().toSet == files,
+      "every input file needs a manifest row or the stale check jams")
+    assert(rows == files.size.toLong)
+    val (df, read, total) = ZoneMaps.prunedScan(spark, t, mt, "k", 1L, 2L)
+    assert(df.as[Long].collect().toSet == Set(1L, 2L))
+    if (files.size > 1)
+      assert(read < total, "the zero-row file's null zones must prune away")
+    // nothing new: the covered empty file is NOT re-scanned every run
+    val (_, scanned2, _) = ZoneMaps.refreshManifest(spark, t, Seq("k"))
+    assert(scanned2 == 0L)
+  }
+
   test("a partitioned table is refused: partition values live in directory names") {
     // a direct leaf-file read fills partition columns with NULL — the
     // manifest build and the pruned scan must both refuse, never
