@@ -137,17 +137,21 @@ object VectorDedupStore {
       // of a failed creation (the store write comes after) — rebuild
       // it rather than erroring on the leftover
       spark.sql(s"DROP TABLE IF EXISTS ${modelTable(table)}")
-      val stats = Similarity.quantStats(bu, "uv")
       // an empty or all-zero founding batch would freeze a USELESS
       // calibration forever (amax null/0 → every future code all-zero,
       // every fold silently appends nothing): fail the creation loudly
-      val st = stats.head()
+      val st = Similarity.quantStats(bu, "uv").head()
       require(!st.isNullAt(0) && st.getDouble(0) > 0.0,
         s"vector-dedup-store creation for '$table': the founding batch " +
           "is empty or entirely zero vectors (amax " +
           s"${if (st.isNullAt(0)) "undefined" else "= 0"}) — the founding " +
           "batch freezes the calibration for the store's whole life, so " +
           "it must contain at least one non-zero vector")
+      // re-broadcast the already-computed scalar instead of the stats
+      // FRAME: broadcasting the frame re-runs the whole-batch
+      // normalize+aggregate a second time just to rebuild one double
+      import spark.implicits._
+      val stats = Seq(st.getDouble(0)).toDF("amax")
       val codes = track(Similarity.withQuantized(bu, stats, "uv")
         .select(col("vec_id"), col("qv")).persist())
       foundingCodes = Some(codes)
