@@ -326,7 +326,7 @@ object Similarity {
     * past 10⁹-row cells), so any partition/fold order gives the same
     * value and it re-derives bit-identically in SQL.
     */
-  private def qdotLong(code: Column, qsum: Column): Column =
+  def qdotLong(code: Column, qsum: Column): Column =
     aggregate(zip_with(code, qsum, (x, y) => x.cast("long") * y),
       lit(0L), (s, v) => s + v)
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
@@ -296,6 +297,66 @@ object VectorQueries extends QuerySet {
   private val RefSplit = 400L
   private val MatchScore = 24000L
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means the corpus, find within-CLUSTER semantic
+    * duplicates by pairwise cosine, and keep from each duplicate group
+    * the member LEAST similar to its centroid — the paper's insight
+    * that the prototypical copies are the redundant ones and the
+    * centroid-farthest member carries the most marginal information.
+    * Composes the repo's integer machinery end-to-end: corpus-amax
+    * int8 codes, v11's exact-integer Lloyd's (trained rational
+    * centroids), cell-blocked pair join (never all-pairs — the same
+    * within-cell discipline as the vector store's self-dedup), exact
+    * integer-dot verify, CC duplicate groups, and the keeper argmin by
+    * the INTEGER centroid dot (same cell ⇒ same n, so the rational
+    * score ranks by its numerator — no division, no FP). Fully
+    * hash-exact, training included. Scale shape: one scan to quantize,
+    * the k-means pacing bound, one cell-equi self-join with pair mass
+    * Σ cell², a CC funnel over verified pairs only, and a
+    * cluster-partitioned ranking window.
+    */
+  def v16Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val intDot = graft.functions.VectorExpressions.intDotProduct _
+    val bu = Similarity.withUnitVector(
+        emb(s, dir).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), col("uv"))
+    val stats = Similarity.quantStats(bu, "uv")
+    val codes = graft.operators.FrameCaches.track(
+      Similarity.withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv")).persist())
+    val cents = Similarity.kmeansCentroidsQuantized(
+      codes, NumCentroids, KmIters)
+    // assigned feeds the pair join twice plus the scoring join
+    val assigned = graft.operators.FrameCaches.track(
+      Similarity.assignCellsQuantized(codes, cents).persist())
+    val l = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("qv").as("_qa"))
+    val r = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("qv").as("_qb"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        intDot(col("_qa"), col("_qb")) >= MatchScore)
+      .select("doc_a", "doc_b")
+    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val withCl = assigned
+      .join(clusters, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val scored = withCl.join(
+        broadcast(cents.select(col("centroid_id").as("cell"), col("qsum"))),
+        Seq("cell"))
+      .withColumn("_cdot", Similarity.qdotLong(col("qv"), col("qsum")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_cdot").asc, col("vec_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-space outlier scoring — the curation signal "this doc
     * does not look like its label's cluster" ([[Similarity]] int8
     * machinery end-to-end): unit-normalize, quantize against the
@@ -396,6 +457,7 @@ object VectorQueries extends QuerySet {
     "v15_ivf_recall" -> v15IvfRecall _,
     "v6_rp_lsh_neardup" -> v6RpLshNearDup _,
     "v7_embedding_clusters" -> v7EmbeddingClusters _,
+    "v16_semdedup" -> v16Semdedup _,
   )
 
   // ---- oracle builders (identical double-precision folds in DuckDB) ----
@@ -672,6 +734,47 @@ object VectorQueries extends QuerySet {
          |  FROM scored)
          |SELECT query_id, neighbor_id, qscore, rnk
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // SemDeDup re-derived end-to-end: v11's training CTE chain, final
+    // assignment, the vds1 keeper plumbing's pair/closure CTEs for the
+    // duplicate groups, then the keeper ARGMIN by the integer centroid
+    // dot (same cell => same n, so the rational score ranks by its
+    // numerator — no division anywhere), ties to the lowest vec_id
+    "v16_semdedup" ->
+      s"""WITH RECURSIVE unit AS ($unitCte),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM unit)),
+         |kcodes AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |c0 AS (SELECT vec_id AS centroid_id, qv AS qsum,
+         |       CAST(1 AS BIGINT) AS n
+         |       FROM kcodes WHERE vec_id < $NumCentroids),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1", "c0")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2", "c1")}),
+         |af AS (${kmAssignSql("c2")}),
+         |${vecKeeperCtes("af", "sd", MatchScore)},
+         |cl AS (
+         |  SELECT a.vec_id, a.qv, a.cell,
+         |    COALESCE(c.cluster_id, a.vec_id) AS cluster_id
+         |  FROM af a LEFT JOIN csd c ON a.vec_id = c.vec_id),
+         |sc AS (
+         |  SELECT cl.vec_id, cl.cell, cl.cluster_id,
+         |    ${qdotSql("cl.qv", "ct.qsum")} AS cdot
+         |  FROM cl JOIN c2 ct ON cl.cell = ct.centroid_id),
+         |k AS (
+         |  SELECT vec_id, cell, cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY cdot ASC, vec_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS csz
+         |  FROM sc)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(csz AS BIGINT) AS cluster_size
+         |FROM k WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // the full PQ pipeline in SQL: v9's quantization CTE, pivot pick by
     // md5 rank, per-subspace argmin encode (struct-min, ties to lowest
     // codeword), integer LUT, ADC sum, rank — everything exact integers
