@@ -216,7 +216,12 @@ final case class VectorDedupStoreConfig(
     numCentroids: Int = 8,
     nprobe: Int = 2,
     trainIters: Int = 2,
-    maxCellSize: Option[Long] = None)
+    maxCellSize: Option[Long] = None,
+    // within-batch keeper policy: `min_id` (default) or
+    // `centroid_farthest` (SemDeDup's rule — keep each duplicate
+    // group's least-prototypical member; graft.io.VectorDedupStore
+    // .Keepers)
+    keeper: String = "min_id")
 
 /** Declarative streaming source (`mode: streaming` models): the file
   * stream a gold entry's foreachBatch sink twin consumes. `path` is
@@ -352,7 +357,16 @@ final case class ModelConfig(
   *    ([[graft.io.VectorDedupStore.retrain]] — the founding-model
   *    drift answer; `amax` and the stored codes never change;
   *    `train_iters` Lloyd's rounds, `num_centroids` optional new k,
-  *    0 = keep the current model's).
+  *    0 = keep the current model's; `spread_threshold_permille` > 0
+  *    drift-GATES the task — the store's occupancy spread
+  *    (1000·max·cells/rows) must reach the threshold before the
+  *    store-linear k-means runs, so the task can sit on a nightly
+  *    cadence without re-paying training while the store is balanced).
+  *  - `store_stats`: emit a vector store's cell-occupancy profile
+  *    ([[graft.io.VectorDedupStore.occupancyStats]]) — the signal the
+  *    retrain cadence reads; the control row's `records_processed`
+  *    carries `spreadPermille` (1000 = balanced), and `max_cell_size`
+  *    (optional) counts today's hot probe-exclusions.
   */
 final case class MaintenanceTaskConfig(
     taskId: String,
@@ -364,6 +378,8 @@ final case class MaintenanceTaskConfig(
     keepEpochs: Long = 0L,
     trainIters: Int = 0,
     numCentroids: Int = 0,
+    spreadThresholdPermille: Long = 0L,
+    maxCellSize: Option[Long] = None,
     enabled: Boolean = true)
 
 final case class EtlConfig(
@@ -401,6 +417,8 @@ object ConfigJson {
     "keep_epochs" -> t.keepEpochs.toString,
     "train_iters" -> t.trainIters.toString,
     "num_centroids" -> t.numCentroids.toString,
+    "spread_threshold_permille" -> t.spreadThresholdPermille.toString,
+    "max_cell_size" -> t.maxCellSize.map(_.toString).getOrElse("0"),
     "enabled" -> t.enabled.toString)
 
   def apply(s: SourceConfig): String = jobj(
@@ -512,7 +530,8 @@ object ConfigJson {
       "num_centroids" -> v.numCentroids.toString,
       "nprobe" -> v.nprobe.toString,
       "train_iters" -> v.trainIters.toString,
-      "max_cell_size" -> v.maxCellSize.map(_.toString).getOrElse("0")))
+      "max_cell_size" -> v.maxCellSize.map(_.toString).getOrElse("0"),
+      "keeper" -> js(v.keeper)))
       .getOrElse("{}"))
 }
 
@@ -845,13 +864,16 @@ object EtlConfig {
       trainIters = opt(m, "train_iters").map(_.toInt)
         .getOrElse(if (tt == "retrain_store") 2 else 0),
       numCentroids = opt(m, "num_centroids").map(_.toInt).getOrElse(0),
+      spreadThresholdPermille = opt(m, "spread_threshold_permille")
+        .map(_.toLong).getOrElse(0L),
+      maxCellSize = opt(m, "max_cell_size").map(_.toLong),
       enabled = bool(m, "enabled"))
     require(t.taskId.nonEmpty, "maintenance task needs task_id")
     require(Set("compact", "zone_maps", "vacuum_staging", "prune_store",
-        "retrain_store")(t.taskType),
+        "retrain_store", "store_stats")(t.taskType),
       s"maintenance task '${t.taskId}': unknown task_type '${t.taskType}' " +
         "(expected compact | zone_maps | vacuum_staging | prune_store | " +
-        "retrain_store)")
+        "retrain_store | store_stats)")
     require(t.taskType == "vacuum_staging" || t.table.exists(_.nonEmpty),
       s"maintenance task '${t.taskId}': ${t.taskType} needs a table")
     require(t.taskType != "vacuum_staging" || t.table.isEmpty,
@@ -885,6 +907,18 @@ object EtlConfig {
         (t.trainIters == 0 && t.numCentroids == 0),
       s"maintenance task '${t.taskId}': train_iters/num_centroids are " +
         "only used by retrain_store")
+    require(t.spreadThresholdPermille >= 0L,
+      s"maintenance task '${t.taskId}': spread_threshold_permille must " +
+        s"be >= 0 (0 = always retrain), got ${t.spreadThresholdPermille}")
+    require(t.taskType == "retrain_store" || t.spreadThresholdPermille == 0L,
+      s"maintenance task '${t.taskId}': spread_threshold_permille is " +
+        "only used by retrain_store")
+    require(t.maxCellSize.forall(_ > 0),
+      s"maintenance task '${t.taskId}': max_cell_size must be positive " +
+        s"when set, got ${t.maxCellSize.getOrElse(0L)}")
+    require(t.taskType == "store_stats" || t.maxCellSize.isEmpty,
+      s"maintenance task '${t.taskId}': max_cell_size is only used by " +
+        "store_stats (the hot-cell count's cap)")
     t
   }
 
@@ -896,7 +930,12 @@ object EtlConfig {
       numCentroids = num(m, "num_centroids", 8),
       nprobe = num(m, "nprobe", 2),
       trainIters = num(m, "train_iters", 2),
-      maxCellSize = opt(m, "max_cell_size").map(_.toLong))
+      maxCellSize = opt(m, "max_cell_size").map(_.toLong),
+      keeper = str(m, "keeper", "min_id"))
+    require(graft.io.VectorDedupStore.Keepers(v.keeper),
+      "vector_dedup_store: keeper must be one of " +
+        s"[${graft.io.VectorDedupStore.Keepers.mkString(", ")}], " +
+        s"got '${v.keeper}'")
     require(v.idColumn.nonEmpty && v.vectorColumn.nonEmpty,
       "vector_dedup_store needs id_column and vector_column")
     require(v.minScore >= 0,

@@ -256,7 +256,7 @@ object Sinks {
       idCol: String, vecCol: String, minScore: Long, checkpoint: String,
       numCentroids: Int = 8, nprobe: Int = 2, trainIters: Int = 2,
       maxCellSize: Option[Long] = None,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true, keeper: String = "min_id")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("update")
@@ -264,7 +264,7 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         VectorDedupStore.maintain(batch.sparkSession, table, batch,
           idCol, vecCol, minScore, numCentroids, nprobe, trainIters,
-          maxCellSize, epochId = Some(batchId))
+          maxCellSize, epochId = Some(batchId), keeper = keeper)
         stream.sparkSession.catalog.refreshTable(table)
         ()
       }

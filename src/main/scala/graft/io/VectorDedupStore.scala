@@ -78,21 +78,36 @@ object VectorDedupStore {
     * Spark 4.1 cache/observe interaction documented there applies here
     * too — this fold persists the batch's code frame).
     */
+  /** Within-batch keeper policies: `min_id` (the d8/d10 curation
+    * default — each cluster keeps its smallest id, the store's
+    * founding behavior) and `centroid_farthest` (SemDeDup, Abbas et
+    * al. 2023 — keep the member LEAST similar to its home-cell
+    * centroid: prototypical copies are the redundant ones, the
+    * farthest member carries the most marginal information). The
+    * argmin is integer-exact within a cell (same cell ⇒ same n, so
+    * the rational score qsum·qv/n ranks by its BIGINT numerator), so
+    * either policy keeps the whole lifecycle oracle-expressible.
+    */
+  val Keepers: Set[String] = Set("min_id", "centroid_farthest")
+
   def maintain(spark: SparkSession, table: String, batch: DataFrame,
       idCol: String, vecCol: String, minScore: Long,
       numCentroids: Int = 8, nprobe: Int = 2,
       trainIters: Int = 2,
       maxCellSize: Option[Long] = None,
-      epochId: Option[Long] = None): DedupStore.FoldResult = {
+      epochId: Option[Long] = None,
+      keeper: String = "min_id"): DedupStore.FoldResult = {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(nprobe >= 1 && nprobe <= numCentroids,
       s"nprobe must be in [1, numCentroids], got $nprobe")
     require(trainIters >= 1, s"trainIters must be >= 1, got $trainIters")
     require(maxCellSize.forall(_ > 0),
       s"maxCellSize must be positive when set, got ${maxCellSize.get}")
+    require(Keepers(keeper),
+      s"keeper must be one of [${Keepers.mkString(", ")}], got '$keeper'")
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try maintainImpl(spark, table, batch, idCol, vecCol, minScore,
-      numCentroids, nprobe, trainIters, maxCellSize, epochId)
+      numCentroids, nprobe, trainIters, maxCellSize, epochId, keeper)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
   }
 
@@ -100,7 +115,7 @@ object VectorDedupStore {
       batch: DataFrame, idCol: String, vecCol: String, minScore: Long,
       numCentroids: Int, nprobe: Int, trainIters: Int,
       maxCellSize: Option[Long],
-      epochId: Option[Long]): DedupStore.FoldResult = {
+      epochId: Option[Long], keeper: String): DedupStore.FoldResult = {
     val intDot = graft.functions.VectorExpressions.intDotProduct _
     val exists = spark.catalog.tableExists(table)
     if (exists) {
@@ -231,11 +246,31 @@ object VectorDedupStore {
       .filter(col("doc_a") < col("doc_b") &&
         intDot(col("_qa"), col("_qb")) >= minScore)
       .select("doc_a", "doc_b")
-    val nonCanonical = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
+    val clusters = Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id")
+    // docs in no pair never enter `clusters` and survive untouched;
+    // within each cluster the keeper policy picks ONE row to keep
+    val nonKeepers = keeper match {
+      case "centroid_farthest" =>
+        // SemDeDup's rule on the maintained store: rank each cluster's
+        // members by the integer dot against their home-cell centroid
+        // (all members share the cell — pairs are cell-equi), keep the
+        // LEAST similar; ties to the lowest id
+        val members = clusters
+          .join(freshP.select("vec_id", "qv", "cell"), Seq("vec_id"))
+          .join(broadcast(cents.select(col("centroid_id").as("cell"),
+            col("qsum"))), Seq("cell"))
+          .withColumn("_cdot", Similarity.qdotLong(col("qv"), col("qsum")))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("_cdot").asc, col("vec_id"))
+        members.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") =!= 1).select("vec_id")
+      case _ => // min_id: the min-label closure's canonical id keeps
+        clusters.filter(col("vec_id") =!= col("cluster_id"))
+          .select("vec_id")
+    }
     val survivors = freshP
-      .join(nonCanonical.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(nonKeepers, Seq("vec_id"), "left_anti")
       .withColumn("_epoch", lit(epochId.getOrElse(-1L)))
       .select("vec_id", "qv", "cell", "_epoch")
 
@@ -265,6 +300,48 @@ object VectorDedupStore {
     */
   final case class RetrainResult(k: Long, rows: Long, moved: Long)
 
+  /** Per-cell occupancy profile of a store — THE retrain-cadence
+    * signal the frozen founding model needs (a drifting corpus piles
+    * later folds into few cells: hot `maxCellSize` trips = recall
+    * loss, fat cells = slow probes; a balanced store reads
+    * spread ≈ 1000).
+    *
+    *  - `spreadPermille` = 1000·maxCell·cells / rows — max/mean cell
+    *    size in exact integer permille (1000 = perfectly balanced,
+    *    k·1000 = everything in one of k cells);
+    *  - `hotCells` = cells whose occupancy exceeds `maxCellSize`
+    *    (0 when no cap is given) — each one is a probe-exclusion
+    *    (recall loss) TODAY.
+    *
+    * Cost: ONE map-side-combined aggregate over the store's `cell`
+    * column (k-bounded result), never the codes — cheap enough to run
+    * every night where the k-means retrain is not; [[retrain]]'s
+    * `spreadThresholdPermille` reads exactly this number to gate the
+    * expensive path.
+    */
+  final case class OccupancyStats(cells: Long, rows: Long, maxCell: Long,
+      spreadPermille: Long, hotCells: Long)
+
+  def occupancyStats(spark: SparkSession, table: String,
+      maxCellSize: Option[Long] = None): OccupancyStats = {
+    require(spark.catalog.tableExists(table),
+      s"store_stats: no such table '$table'")
+    val t = spark.table(table)
+    require(t.columns.contains("cell"),
+      s"store_stats: '$table' has no 'cell' column — occupancy stats " +
+        "profile a vector dedup store's IVF cells")
+    val occ = t.groupBy("cell").agg(count(lit(1)).as("n"))
+    val r = occ.agg(count(lit(1)).as("cells"),
+      coalesce(sum(col("n")), lit(0L)).as("rows"),
+      coalesce(max(col("n")), lit(0L)).as("max_cell"),
+      coalesce(sum(when(col("n") > lit(maxCellSize.getOrElse(Long.MaxValue)),
+        1L).otherwise(0L)), lit(0L)).as("hot")).head()
+    val (cells, rows) = (r.getLong(0), r.getLong(1))
+    val maxCell = r.getLong(2)
+    val spread = if (rows == 0L) 0L else 1000L * maxCell * cells / rows
+    OccupancyStats(cells, rows, maxCell, spread, r.getLong(3))
+  }
+
   /** Re-trains the store's centroids over the ACCUMULATED codes and
     * re-assigns every stored row's home cell — the declared answer to
     * founding-model drift: the calibration is trained once on the
@@ -292,11 +369,15 @@ object VectorDedupStore {
     * never corrupt (a missed near-dup appends a duplicate; nothing is
     * lost or mis-scored). Training is deterministic (lowest-id seeds,
     * lowest-id tie-breaks), so re-running the task converges: same
-    * codes → same model → the store rewrite completes. Both halves
-    * stage under `__retrain_stage` first (the survivor plans read the
-    * tables they overwrite); the table's specs and `graft.*`
+    * codes → same model → the store rewrite completes. Each applied
+    * half stages under `__retrain_stage` first (the survivor plans
+    * read the tables they overwrite); the table's specs and `graft.*`
     * properties — including the epoch fence — survive untouched
-    * because the table definition is never dropped.
+    * because the table definition is never dropped. CONVERGED retrains
+    * skip the rewrites entirely: when the k-means reproduces the
+    * installed model and no row's home cell moves, neither table is
+    * touched (a nightly-scheduled retrain must not pay a full-store
+    * rewrite — with its crash window — to change nothing).
     *
     * Legacy `cv` model tables come out MODERNIZED (trained rational
     * (qsum, n) centroids) — retrain is also the declared migration
@@ -310,10 +391,14 @@ object VectorDedupStore {
     * — the occupancy spread (max/mean cell size) is the signal.
     */
   def retrain(spark: SparkSession, table: String, trainIters: Int = 2,
-      numCentroids: Option[Int] = None): RetrainResult = {
+      numCentroids: Option[Int] = None,
+      spreadThresholdPermille: Long = 0L): RetrainResult = {
     require(trainIters >= 1, s"trainIters must be >= 1, got $trainIters")
     require(numCentroids.forall(_ >= 1),
       s"numCentroids must be >= 1 when set, got ${numCentroids.get}")
+    require(spreadThresholdPermille >= 0L,
+      "spreadThresholdPermille must be >= 0 (0 = always retrain), got " +
+        spreadThresholdPermille)
     require(spark.catalog.tableExists(table),
       s"retrain_store: no such table '$table'")
     val t = spark.table(table)
@@ -322,9 +407,41 @@ object VectorDedupStore {
       s"retrain_store: '$table' is not a vector dedup store: has " +
         s"[${t.columns.sorted.mkString(", ")}], expected " +
         s"[${expect.sorted.mkString(", ")}]")
+    // crash recovery for the one drop-and-recreate window retrain keeps
+    // (the legacy-cv schema migration): a store whose model table is
+    // missing but whose staged __retrain_stage/model survives is that
+    // crash's debris — reinstall the staged model AUTOMATICALLY, so the
+    // documented re-run-to-convergence contract covers the migration
+    // path too instead of demanding a manual parquet restore
+    // (advice-caught)
+    if (!spark.catalog.tableExists(modelTable(table))) {
+      val stage = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/__retrain_stage/" +
+          table.replace('.', '_') + "/model")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stage)) {
+        spark.read.parquet(stage.toString)
+          .write.mode(SaveMode.ErrorIfExists).format("parquet")
+          .saveAsTable(modelTable(table))
+        spark.catalog.refreshTable(modelTable(table))
+      }
+    }
     require(spark.catalog.tableExists(modelTable(table)),
       s"retrain_store: vector dedup store '$table' has no model table " +
-        s"'${modelTable(table)}' — restore it or rebuild the store")
+        s"'${modelTable(table)}' (and no staged __retrain_stage/model to " +
+        "recover it from) — restore it or rebuild the store")
+    // drift gate: a nightly-scheduled retrain must not pay trainIters
+    // store-linear k-means jobs while the store is still balanced. The
+    // occupancy spread is ONE cheap cell-column aggregate; below the
+    // threshold the retrain is a declared no-op (moved = 0). Legacy cv
+    // models are exempt — their migration is the point of the run
+    if (spreadThresholdPermille > 0L &&
+        !spark.table(modelTable(table)).columns.contains("cv")) {
+      val s = occupancyStats(spark, table)
+      if (s.rows > 0L && s.spreadPermille < spreadThresholdPermille)
+        return RetrainResult(spark.table(modelTable(table)).count(),
+          s.rows, 0L)
+    }
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try retrainImpl(spark, table, trainIters, numCentroids)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
@@ -358,6 +475,24 @@ object VectorDedupStore {
         col("_old_cell"))
       .persist())
     val moved = reassigned.filter(col("cell") =!= col("_old_cell")).count()
+    val legacyCv = model0.columns.contains("cv")
+    val newModel = cents.withColumn("amax", lit(amax))
+      .select("centroid_id", "qsum", "n", "amax")
+    // convergence fast path (advice-caught): a default config that
+    // schedules retrain every run must not pay a full-store INSERT
+    // OVERWRITE — with its crash window — when the k-means reproduced
+    // the installed model and no row moved. Model equality is a
+    // k-row driver compare (bounded by numCentroids); legacy-cv
+    // models always migrate
+    def modelKey(df: DataFrame): Set[(String, List[Any], String, String)] =
+      df.collect().map(r => (String.valueOf(r.get(0)),
+        r.getSeq[Any](1).toList, String.valueOf(r.get(2)),
+        String.valueOf(r.get(3)))).toSet
+    val modelChanged = legacyCv ||
+      modelKey(newModel) !=
+        modelKey(model0.select("centroid_id", "qsum", "n", "amax"))
+    if (!modelChanged && moved == 0L)
+      return RetrainResult(model0.count(), rows, 0L)
 
     // stage BOTH halves before touching the catalog (the reassignment
     // plan reads the store table the rewrite overwrites), then apply
@@ -375,24 +510,29 @@ object VectorDedupStore {
     // drop-and-recreate window, documented, paid once per migration.
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__retrain_stage/" +
       table.replace('.', '_')
-    cents.withColumn("amax", lit(amax))
-      .select("centroid_id", "qsum", "n", "amax")
-      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/model")
-    reassigned.drop("_old_cell")
-      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/store")
-    val stagedModel = spark.read.parquet(s"$scratch/model")
-    if (model0.columns.contains("cv"))
-      stagedModel.write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(modelTable(table))
-    else
-      stagedModel
-        .select(spark.table(modelTable(table)).columns.map(col): _*)
-        .write.mode(SaveMode.Overwrite).insertInto(modelTable(table))
-    spark.catalog.refreshTable(modelTable(table))
-    spark.read.parquet(s"$scratch/store")
-      .select(spark.table(table).columns.map(col): _*)
-      .write.mode(SaveMode.Overwrite).insertInto(table)
-    spark.catalog.refreshTable(table)
+    if (modelChanged) {
+      newModel.write.mode(SaveMode.Overwrite).parquet(s"$scratch/model")
+      val stagedModel = spark.read.parquet(s"$scratch/model")
+      if (legacyCv)
+        stagedModel.write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(modelTable(table))
+      else
+        stagedModel
+          .select(spark.table(modelTable(table)).columns.map(col): _*)
+          .write.mode(SaveMode.Overwrite).insertInto(modelTable(table))
+      spark.catalog.refreshTable(modelTable(table))
+    }
+    // the store rewrite is gated on moved > 0: with no home cell
+    // changing, the rewrite would byte-replace the table with itself —
+    // pure crash-window exposure for zero information
+    if (moved > 0L) {
+      reassigned.drop("_old_cell")
+        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/store")
+      spark.read.parquet(s"$scratch/store")
+        .select(spark.table(table).columns.map(col): _*)
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+      spark.catalog.refreshTable(table)
+    }
     RetrainResult(spark.table(modelTable(table)).count(), rows, moved)
   }
 

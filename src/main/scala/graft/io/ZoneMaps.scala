@@ -67,8 +67,27 @@ object ZoneMaps {
   private def manifestFor(spark: SparkSession, data: DataFrame,
       files: Seq[String], cols: Seq[String]): DataFrame = {
     import spark.implicits._
-    files.sorted.toDF("file")
-      .join(zoneAgg(data, cols), Seq("file"), "left")
+    // the left join keys input_file_name() strings against the
+    // inputFiles listing — two different APIs rendering the same
+    // paths. If their formats ever diverge (URL-encoding of spaces /
+    // special characters), every manifest row would silently become
+    // (n_rows = 0, null zones) and pruned reads would return EMPTY
+    // results reported as success. Invariant (advice-caught): every
+    // aggregated file key must match a listed file — checked on the
+    // persisted zones frame (file-count-bounded), failing loudly
+    // instead of pruning everything away
+    val zones = graft.operators.FrameCaches.track(
+      zoneAgg(data, cols).persist())
+    val fileList = files.sorted.toDF("file")
+    val unmatched = zones.join(fileList, Seq("file"), "left_anti").count()
+    require(unmatched == 0L,
+      s"zone-map build: $unmatched aggregated file key(s) from " +
+        "input_file_name() did not match the table's inputFiles listing " +
+        "— the two path-string formats have diverged (URL-encoding?); " +
+        "refusing to write a manifest whose every row would read as " +
+        "empty zones")
+    fileList
+      .join(zones, Seq("file"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
   }
 
@@ -90,8 +109,13 @@ object ZoneMaps {
   def writeManifest(spark: SparkSession, table: String,
       cols: Seq[String]): (String, Long) = {
     val mt = s"${table}__zonemap"
-    buildManifest(spark, table, cols)
+    // scoped drain: manifestFor persists the zones frame (it feeds the
+    // invariant check and the manifest join); the write below is its
+    // last consumer
+    val cacheMark = graft.operators.FrameCaches.mark(spark)
+    try buildManifest(spark, table, cols)
       .write.mode(SaveMode.Overwrite).saveAsTable(mt)
+    finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
     spark.catalog.refreshTable(mt)
     (mt, spark.table(mt).count())
   }
@@ -138,6 +162,7 @@ object ZoneMaps {
     val kept = old.join(
       broadcast(current.toSeq.toDF("file")), Seq("file"), "left_semi")
     val schema = spark.table(table).schema
+    val cacheMark = graft.operators.FrameCaches.mark(spark)
     val fresh =
       if (newFiles.isEmpty) None
       else Some(manifestFor(spark,
@@ -145,7 +170,8 @@ object ZoneMaps {
     val merged = fresh.fold(kept)(kept.unionByName(_))
     val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__zonemap_stage/" +
       mt.replace('.', '_')
-    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+    try merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+    finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
     spark.read.parquet(scratch)
       .write.mode(SaveMode.Overwrite).saveAsTable(mt)
     spark.catalog.refreshTable(mt)

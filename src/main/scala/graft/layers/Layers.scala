@@ -269,7 +269,7 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           val v = m.vectorDedupStore.get
           Sinks.streamVectorDedupStore(stream, m.targetTable, v.idColumn,
             v.vectorColumn, v.minScore, checkpoint, v.numCentroids,
-            v.nprobe, v.trainIters, v.maxCellSize)
+            v.nprobe, v.trainIters, v.maxCellSize, keeper = v.keeper)
         case "scd2" =>
           Sinks.streamScd2(stream, m.targetTable, m.primaryKeys,
             m.trackedColumns, m.effectiveColumn.get, checkpoint)
@@ -406,7 +406,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           graft.io.VectorDedupStore.maintain(
             spark, m.targetTable, df, v.idColumn, v.vectorColumn,
             v.minScore, v.numCentroids, v.nprobe, v.trainIters,
-            v.maxCellSize, epochId = Some(epoch)).batchRows
+            v.maxCellSize, epochId = Some(epoch),
+            keeper = v.keeper).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is
@@ -461,8 +462,25 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
 
   val layerName = "maintenance"
 
-  def run(): LayerReport =
-    runAll[MaintenanceTaskConfig](config.maintenance, _.taskId, _.enabled)(exec)
+  /** Set when any earlier task in THIS run failed. vacuum_staging is
+    * gated on it: the `__*_stage` roots it sweeps are the crash copies
+    * of the staged rewrites (prune_store/retrain_store/compact), and
+    * per-item isolation CATCHES a failed rewrite — so without the gate
+    * a vacuum declared after a failed prune would delete the only
+    * complete copy of a store whose destructive rewrite died half-way.
+    * The run-order contract ("sweep only after this run's rewrites
+    * succeeded") must therefore hold against caught failures, not just
+    * whole-process crashes (advice-caught).
+    */
+  private var priorFailure = false
+
+  def run(): LayerReport = {
+    priorFailure = false
+    runAll[MaintenanceTaskConfig](config.maintenance, _.taskId, _.enabled) { t =>
+      try exec(t)
+      catch { case e: Throwable => priorFailure = true; throw e }
+    }
+  }
 
   def exec(t: MaintenanceTaskConfig): Unit = {
     val target = t.table.getOrElse("(warehouse staging)")
@@ -480,6 +498,15 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
             t.table.get, t.columns)
           rows
         case "vacuum_staging" =>
+          // refuse (recorded as this task FAILING, never silently
+          // skipped) when an earlier task in this run failed: the
+          // staging roots may be the only complete copy of that task's
+          // half-applied rewrite
+          if (priorFailure) throw new IllegalStateException(
+            "vacuum_staging refused: an earlier maintenance task in this " +
+              "run failed, and the __*_stage roots may hold the only " +
+              "complete copy of its staged rewrite — resolve the failure " +
+              "and re-run before sweeping staging")
           graft.io.Maintenance.vacuumStaging(spark).toLong
         case "prune_store" =>
           // records_processed = rows deleted (the task's natural
@@ -488,10 +515,19 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
             t.keepEpochs)._1
         case "retrain_store" =>
           // records_processed = rows whose home cell MOVED (the
-          // drift the retrain corrected; total mass is the table's)
+          // drift the retrain corrected; total mass is the table's).
+          // spread_threshold_permille > 0 gates the store-linear
+          // k-means on the occupancy spread (store_stats' number)
           graft.io.VectorDedupStore.retrain(spark, t.table.get,
             t.trainIters,
-            if (t.numCentroids > 0) Some(t.numCentroids) else None).moved
+            if (t.numCentroids > 0) Some(t.numCentroids) else None,
+            t.spreadThresholdPermille).moved
+        case "store_stats" =>
+          // records_processed = the occupancy SPREAD in permille
+          // (1000 = balanced) — the retrain-cadence signal, trended
+          // in the control table run over run
+          graft.io.VectorDedupStore.occupancyStats(spark, t.table.get,
+            t.maxCellSize).spreadPermille
       }
       // control rows upsert on (table_name, layer): task-qualify the
       // layer so two tasks on the SAME table (compact + zone_maps is

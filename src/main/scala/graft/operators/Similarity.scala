@@ -687,4 +687,86 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         dotD(col("va"), col("vb")).as("score"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv 2303.09540): k-means the
+    * corpus in int8 space, find within-CLUSTER semantic duplicates by
+    * pairwise integer cosine, and keep from each duplicate group the
+    * member LEAST similar to its centroid — the paper's
+    * centroid-farthest rule (prototypical copies are the redundant
+    * ones; the farthest member carries the most marginal information).
+    * Returns one row per keeper: (vec_id, cell, cluster_size).
+    *
+    * All-integer end to end: corpus-amax int8 codes, the exact
+    * rational Lloyd's of [[kmeansCentroidsQuantized]], integer-dot
+    * pair verify, and a keeper argmin that needs NO division (same
+    * cell ⇒ same n, so the rational centroid score qsum·qv/n ranks by
+    * its integer numerator) — the whole pipeline, training included,
+    * re-derives in SQL.
+    *
+    * `maxCellSize` caps the within-cluster pair join exactly as
+    * [[graft.io.VectorDedupStore]] caps its self-dedup: the pair join
+    * is cell-equi with mass Σ cell², so ONE hot cluster is quadratic
+    * in its occupancy — a cell whose membership exceeds the cap is
+    * excluded from pairing (its members pass through un-deduped, the
+    * standard recall trade; the hot-key set is bounded by
+    * `numCentroids`, so it always broadcasts). The cap must be spelled
+    * in any oracle (the d9/fi1 discipline).
+    *
+    * Scale shape: one quantize scan, the k-means pacing bound
+    * (`iters` corpus-linear rounds), a cell-equi self-join bounded by
+    * min(cap, occupancy)·occupancy per cell, CC over verified pairs
+    * only, and a cluster-partitioned ranking window.
+    */
+  def semDedup(corpus: DataFrame, numCentroids: Int, iters: Int,
+      minScore: Long, maxCellSize: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxCellSize.forall(_ > 0),
+      s"maxCellSize must be positive when set, got ${maxCellSize.get}")
+    val intDot = graft.functions.VectorExpressions.intDotProduct _
+    val bu = withUnitVector(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
+      .select(col("vec_id"), col("uv"))
+    val stats = quantStats(bu, "uv")
+    val codes = FrameCaches.track(
+      withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv")).persist())
+    val cents = kmeansCentroidsQuantized(codes, numCentroids, iters)
+    // assigned feeds the pair join twice plus the scoring join
+    val assigned = FrameCaches.track(
+      assignCellsQuantized(codes, cents).persist())
+    // hot-cluster cap: excluded cells' members skip pairing entirely
+    // (each becomes its own singleton group below)
+    val pairBase = maxCellSize match {
+      case Some(cap) =>
+        val hot = assigned.groupBy("cell").agg(count(lit(1)).as("_cn"))
+          .filter(col("_cn") > cap).select("cell")
+        assigned.join(broadcast(hot), Seq("cell"), "left_anti")
+      case None => assigned
+    }
+    val l = pairBase.select(col("cell"), col("vec_id").as("doc_a"),
+      col("qv").as("_qa"))
+    val r = pairBase.select(col("cell"), col("vec_id").as("doc_b"),
+      col("qv").as("_qb"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b") &&
+        intDot(col("_qa"), col("_qb")) >= minScore)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val withCl = assigned
+      .join(clusters, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val scored = withCl.join(
+        broadcast(cents.select(col("centroid_id").as("cell"), col("qsum"))),
+        Seq("cell"))
+      .withColumn("_cdot", qdotLong(col("qv"), col("qsum")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_cdot").asc, col("vec_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cluster_size"))
+  }
 }

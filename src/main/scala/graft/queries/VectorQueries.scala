@@ -312,50 +312,28 @@ object VectorQueries extends QuerySet {
     * score ranks by its numerator — no division, no FP). Fully
     * hash-exact, training included. Scale shape: one scan to quantize,
     * the k-means pacing bound, one cell-equi self-join with pair mass
-    * Σ cell², a CC funnel over verified pairs only, and a
-    * cluster-partitioned ranking window.
+    * Σ min(cap, cell)·cell (`V16CellCap` excludes hot clusters from
+    * pairing — the store's `max_cell_size` discipline, spelled in the
+    * oracle), a CC funnel over verified pairs only, and a
+    * cluster-partitioned ranking window. Engine: [[Similarity
+    * .semDedup]], spec-pinned on a planted hot cluster.
     */
-  def v16Semdedup(s: SparkSession, dir: String): DataFrame = {
-    val intDot = graft.functions.VectorExpressions.intDotProduct _
-    val bu = Similarity.withUnitVector(
-        emb(s, dir).select("vec_id", "embedding"), "embedding")
-      .select(col("vec_id"), col("uv"))
-    val stats = Similarity.quantStats(bu, "uv")
-    val codes = graft.operators.FrameCaches.track(
-      Similarity.withQuantized(bu, stats, "uv")
-        .select(col("vec_id"), col("qv")).persist())
-    val cents = Similarity.kmeansCentroidsQuantized(
-      codes, NumCentroids, KmIters)
-    // assigned feeds the pair join twice plus the scoring join
-    val assigned = graft.operators.FrameCaches.track(
-      Similarity.assignCellsQuantized(codes, cents).persist())
-    val l = assigned.select(col("cell"), col("vec_id").as("doc_a"),
-      col("qv").as("_qa"))
-    val r = assigned.select(col("cell"), col("vec_id").as("doc_b"),
-      col("qv").as("_qb"))
-    val pairs = l.join(r, Seq("cell"))
-      .filter(col("doc_a") < col("doc_b") &&
-        intDot(col("_qa"), col("_qb")) >= MatchScore)
-      .select("doc_a", "doc_b")
-    val clusters = graft.operators.Dedup.connectedComponents(pairs)
-      .withColumnRenamed("doc_id", "vec_id")
-    val withCl = assigned
-      .join(clusters, Seq("vec_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
-    val scored = withCl.join(
-        broadcast(cents.select(col("centroid_id").as("cell"), col("qsum"))),
-        Seq("cell"))
-      .withColumn("_cdot", Similarity.qdotLong(col("qv"), col("qsum")))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("_cdot").asc, col("vec_id"))
-    scored
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("cell"), col("cluster_size"))
+  def v16Semdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(emb(s, dir).select("vec_id", "embedding"),
+        NumCentroids, KmIters, MatchScore,
+        maxCellSize = Some(V16CellCap))
       .orderBy("vec_id")
-  }
+
+  /** Hot-cluster cap for v16's within-cluster pair join — the store's
+    * `max_cell_size` discipline on the standalone query (round-16
+    * verdict item: the cell-equi self-join is quadratic in a hot
+    * cluster's occupancy at corpus scale). Sized not to trip at the
+    * gate SFs (≈ 62 mean occupancy at sf0.01's 500 vectors / 8 cells)
+    * so the gated row keeps its full dedup semantics; the cap's
+    * behavior under a planted hot cluster is spec-pinned
+    * (SimilaritySpec), and the exclusion is SPELLED in the oracle.
+    */
+  private val V16CellCap = 150L
 
   /** Embedding-space outlier scoring — the curation signal "this doc
     * does not look like its label's cluster" ([[Similarity]] int8
@@ -441,8 +419,49 @@ object VectorQueries extends QuerySet {
 
   private val VdsCellCap = 40L
 
+  /** vds1's keeper-policy twin — the SAME two-fold store lifecycle run
+    * under `keeper = centroid_farthest` ([[graft.io.VectorDedupStore
+    * .Keepers]]): each within-batch duplicate group keeps its
+    * LEAST-prototypical member (SemDeDup's published rule, v16's
+    * argmin) instead of the smallest id, so the maintained pipeline —
+    * not just the standalone query — implements the paper. The argmin
+    * is integer-exact within a cell (same n ⇒ the rational centroid
+    * score ranks by its BIGINT numerator), so the policy costs the
+    * lifecycle nothing in oracle precision: stored ids + epochs still
+    * hash-match the full WITH RECURSIVE re-derivation, keeper rule
+    * included. Discriminates from vds1 wherever a duplicate group's
+    * farthest member is not its smallest id.
+    */
+  def vds2KeeperSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.vds2_vector_store"
+    Seq(table, s"${table}_model").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+          t.split('.')(1))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(1L),
+      keeper = "centroid_farthest")
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(2L),
+      keeper = "centroid_farthest")
+    graft.io.VectorDedupStore.storedVecIds(s, table)
+      .select(col("vec_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("vec_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "vds1_vector_dedup_store" -> vds1VectorDedupStore _,
+    "vds2_semdedup_store" -> vds2KeeperSemdedup _,
     "v14_centroid_outliers" -> v14CentroidOutliers _,
     "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
@@ -557,12 +576,37 @@ object VectorQueries extends QuerySet {
     * un-deduped, the recall trade the Spark side takes.
     */
   private def vecKeeperCtes(base: String, tag: String, minScore: Long,
-      cap: Option[Long] = None): String = {
+      cap: Option[Long] = None,
+      farthestCents: Option[String] = None): String = {
     val capFilter = cap.map(c =>
       s"""
          |    AND x.cell NOT IN (
          |      SELECT cell FROM $base GROUP BY cell HAVING COUNT(*) > $c)"""
         .stripMargin).getOrElse("")
+    // keeper CTE: min-label closure canonical id by default, or — when
+    // `farthestCents` names the rational-centroid CTE — SemDeDup's
+    // centroid-farthest argmin (integer qdot ASC, ties to lowest id;
+    // all cluster members share the cell, so the rational score ranks
+    // by its numerator)
+    val keeperCte = farthestCents match {
+      case Some(cents) =>
+        s"""k$tag AS (
+           |  SELECT vec_id FROM $base WHERE vec_id NOT IN (
+           |    SELECT vec_id FROM (
+           |      SELECT c.vec_id,
+           |        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           |          ORDER BY ${qdotSql("b.qv", "ct.qsum")} ASC, c.vec_id)
+           |          AS rn
+           |      FROM c$tag c
+           |      JOIN $base b ON b.vec_id = c.vec_id
+           |      JOIN $cents ct ON b.cell = ct.centroid_id)
+           |    WHERE rn <> 1))""".stripMargin
+      case None =>
+        s"""k$tag AS (
+           |  SELECT vec_id FROM $base WHERE vec_id NOT IN
+           |    (SELECT vec_id FROM c$tag WHERE cluster_id <> vec_id))"""
+          .stripMargin
+    }
     // MATERIALIZED: the closure CTE r$tag re-reads e$tag every
     // iteration; without the hint DuckDB re-inlines the whole upstream
     // chain (training included) per iteration and the oracle runs for
@@ -582,9 +626,7 @@ object VectorQueries extends QuerySet {
        |c$tag AS (
        |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
        |  FROM r$tag GROUP BY src),
-       |k$tag AS (
-       |  SELECT vec_id FROM $base WHERE vec_id NOT IN
-       |    (SELECT vec_id FROM c$tag WHERE cluster_id <> vec_id))""".stripMargin
+       |$keeperCte""".stripMargin
   }
 
   /** vds1 oracle plumbing: rank the trained rational centroids (CTE
@@ -650,6 +692,51 @@ object VectorQueries extends QuerySet {
          |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
          |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
          |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap))}
+         |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+         |UNION ALL
+         |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
+         |ORDER BY vec_id""".stripMargin,
+    // vds1's lifecycle verbatim with the keeper CTEs swapped for
+    // SemDeDup's centroid-farthest argmin (integer qdot vs the trained
+    // rational centroid — division-free within a cell); everything
+    // upstream (training, calibration, capped probe) identical
+    "vds2_semdedup_store" ->
+      s"""WITH RECURSIVE unit AS ($unitCte),
+         |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
+         |st AS (SELECT MAX(ABS(x)) AS amax
+         |       FROM (SELECT unnest(uv) AS x FROM eu)),
+         |qc AS (
+         |  SELECT vec_id, list_transform(uv, x ->
+         |    CASE WHEN amax > 0
+         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+         |  FROM unit CROSS JOIN st),
+         |eqc AS MATERIALIZED (SELECT vec_id, qv FROM qc WHERE vec_id % 2 = 0),
+         |vkc0 AS MATERIALIZED (SELECT vec_id AS centroid_id, qv AS qsum,
+         |         CAST(1 AS BIGINT) AS n
+         |         FROM eqc ORDER BY vec_id LIMIT $NumCentroids),
+         |vka1 AS MATERIALIZED (${kmAssignSql("vkc0", "eqc")}),
+         |vkc1 AS MATERIALIZED (${kmUpdateSql("vka1", "vkc0")}),
+         |vka2 AS MATERIALIZED (${kmAssignSql("vkc1", "eqc")}),
+         |cents AS MATERIALIZED (${kmUpdateSql("vka2", "vkc1")}),
+         |h1 AS MATERIALIZED (
+         |  SELECT vec_id, qv, cell FROM (
+         |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
+         |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap),
+             farthestCents = Some("cents"))},
+         |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
+         |pr2 AS MATERIALIZED (
+         |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
+         |hits AS MATERIALIZED (
+         |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
+         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore
+         |    AND s.cell NOT IN (
+         |      SELECT cell FROM s1 GROUP BY cell HAVING COUNT(*) > $VdsCellCap)),
+         |f2 AS MATERIALIZED (
+         |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
+         |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
+         |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap),
+             farthestCents = Some("cents"))}
          |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
          |UNION ALL
          |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
@@ -757,7 +844,7 @@ object VectorQueries extends QuerySet {
          |a2 AS (${kmAssignSql("c1")}),
          |c2 AS (${kmUpdateSql("a2", "c1")}),
          |af AS (${kmAssignSql("c2")}),
-         |${vecKeeperCtes("af", "sd", MatchScore)},
+         |${vecKeeperCtes("af", "sd", MatchScore, Some(V16CellCap))},
          |cl AS (
          |  SELECT a.vec_id, a.qv, a.cell,
          |    COALESCE(c.cluster_id, a.vec_id) AS cluster_id

@@ -374,6 +374,122 @@ class VectorDedupStoreSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == cells1)
   }
 
+  test("keeper policies: centroid_farthest keeps SemDeDup's member, min_id the smallest id") {
+    // within-batch cluster {1, 3 identical prototypes, 9 perturbed}:
+    // the trained home-cell centroid is dominated by the prototypes,
+    // so 9 is the LEAST-similar member — the SemDeDup keeper — while
+    // min_id keeps 1. Family {2} seeds the other centroid.
+    val vA9 = Array(0.9f, 0.436f, 0.0f, 0.0f)
+    val batch = df(1L -> vA, 2L -> vB, 3L -> vA, 9L -> vA9)
+    val tMin = table("t_keeper_min")
+    val tFar = table("t_keeper_far")
+    Seq(tMin, tFar).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    }
+    VectorDedupStore.maintain(spark, tMin, batch, "vec_id", "embedding",
+      Score, numCentroids = 2, epochId = Some(1L))
+    VectorDedupStore.maintain(spark, tFar, batch, "vec_id", "embedding",
+      Score, numCentroids = 2, epochId = Some(1L),
+      keeper = "centroid_farthest")
+    assert(stored(tMin).map(_._1) == Set(1L, 2L), stored(tMin).toString)
+    assert(stored(tFar).map(_._1) == Set(9L, 2L),
+      s"the centroid-farthest policy must keep the perturbed member: " +
+        stored(tFar).toString)
+    // unknown policies refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.maintain(spark, tFar, batch, "vec_id", "embedding",
+        Score, epochId = Some(2L), keeper = "largest_id")
+    }.getMessage.contains("keeper"))
+  }
+
+  test("store_stats: occupancy spread signals drift; spread-gated retrain no-ops then fires") {
+    // the drifted fixture: founding A-only model, later orthogonal
+    // fold piles into one tie-broken cell
+    val t = table("t_stats_gate")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vA2),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    val vD = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    VectorDedupStore.maintain(spark, t,
+      df(10L -> vC, 11L -> vC2, 12L -> vD),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(2L))
+    val s0 = VectorDedupStore.occupancyStats(spark, t, Some(3L))
+    // 2 cells over 5 rows, the hot one holding 4: spread =
+    // 1000·4·2/5 = 1600 permille, one cell over the 3-cap
+    assert(s0 == VectorDedupStore.OccupancyStats(2L, 5L, 4L, 1600L, 1L),
+      s0.toString)
+    // below threshold: the gate answers before any k-means or rewrite
+    val files = spark.table(t).inputFiles.toSet
+    val r0 = VectorDedupStore.retrain(spark, t,
+      spreadThresholdPermille = 1700L)
+    assert(r0.moved == 0L && spark.table(t).inputFiles.toSet == files,
+      "a below-threshold retrain must be a declared no-op")
+    // at threshold: fires, re-balances, and the spread COLLAPSES —
+    // the signal the cadence reads going back to quiet
+    val r1 = VectorDedupStore.retrain(spark, t,
+      spreadThresholdPermille = 1600L)
+    assert(r1.moved > 0L, r1.toString)
+    val s1 = VectorDedupStore.occupancyStats(spark, t, Some(3L))
+    assert(s1.spreadPermille < s0.spreadPermille && s1.hotCells == 0L,
+      s"retrain must collapse the spread: $s0 -> $s1")
+  }
+
+  test("converged retrain touches neither table (no rewrite, no crash window)") {
+    val t = table("t_retrain_noop")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB, 3L -> vC),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    VectorDedupStore.retrain(spark, t)
+    // converged: the k-means reproduces the installed model and no row
+    // moves — the second retrain must not INSERT OVERWRITE either
+    // table (a nightly-scheduled retrain would otherwise pay a
+    // full-store rewrite, with its crash window, to change nothing)
+    val storeFiles = spark.table(t).inputFiles.toSet
+    val modelFiles = spark.table(s"${t}_model").inputFiles.toSet
+    val r2 = VectorDedupStore.retrain(spark, t)
+    assert(r2.moved == 0L, r2.toString)
+    assert(spark.table(t).inputFiles.toSet == storeFiles,
+      "a moved == 0 retrain must skip the store rewrite")
+    assert(spark.table(s"${t}_model").inputFiles.toSet == modelFiles,
+      "an unchanged model must not be re-installed")
+  }
+
+  test("retrain recovers a missing model table from the staged __retrain_stage copy") {
+    val t = table("t_retrain_recover")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    val model = spark.table(s"${t}_model").orderBy("centroid_id")
+      .collect().toSeq
+    // the legacy-cv migration's drop-and-recreate crash shape: the
+    // staged model survives under __retrain_stage, the catalog table
+    // is gone
+    val stage = spark.conf.get("spark.sql.warehouse.dir") +
+      "/__retrain_stage/" + t.replace('.', '_') + "/model"
+    spark.table(s"${t}_model").write.mode("overwrite").parquet(stage)
+    spark.sql(s"DROP TABLE ${t}_model")
+    // recovery is automatic: retrain reinstalls the staged model, then
+    // proceeds — the re-run-to-convergence contract covers this window
+    VectorDedupStore.retrain(spark, t)
+    assert(spark.catalog.tableExists(s"${t}_model"))
+    assert(spark.table(s"${t}_model").orderBy("centroid_id")
+      .collect().toSeq == model,
+      "the recovered model must be the staged calibration (amax intact)")
+    // and the recovered store still folds: stored content re-delivery
+    // drops, fresh content appends
+    VectorDedupStore.maintain(spark, t, df(90L -> vA, 91L -> vC),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(2L))
+    val ids = stored(t).map(_._1)
+    assert(!ids.contains(90L) && ids.contains(91L), ids.toString)
+  }
+
   test("retrain refusals: foreign table, missing model, empty store") {
     val t = table("t_retrain_foreign")
     spark.sql(s"DROP TABLE IF EXISTS $t")

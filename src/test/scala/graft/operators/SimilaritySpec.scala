@@ -309,6 +309,41 @@ class SimilaritySpec extends SparkSpec {
       s"planted duplicates must match their originals, got ${hits.toSeq}")
   }
 
+  // two orthogonal families; ids ordered so the k=2 lowest-id seeds
+  // land one per family. Family X = {1, 3, 4 identical, 9 perturbed},
+  // family Y = {2, 21 near-dup pair}. In each duplicate group the
+  // PERTURBED member is farthest from its centroid (the centroid is
+  // dominated by the identical copies) and carries the HIGHEST id —
+  // so the centroid-farthest keeper provably differs from min-id.
+  private def semCorpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (9L, Array(0.9f, 0.436f, 0.0f, 0.0f)),
+    (21L, Array(0.0f, 0.0f, 0.98f, 0.2f))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup keeps the centroid-FARTHEST member of each duplicate group") {
+    val out = Similarity.semDedup(semCorpus, numCentroids = 2, iters = 1,
+        minScore = 12000L)
+      .select("vec_id", "cluster_size").as[(Long, Long)].collect().toSet
+    // min-id policy would keep {1, 2}; the paper's rule keeps the
+    // perturbed (most marginal-information) members 9 and 21
+    assert(out == Set(9L -> 4L, 21L -> 2L), out.toString)
+  }
+
+  test("semDedup maxCellSize excludes a hot cluster from pairing (recall trade, capped mass)") {
+    // family X's cell holds 4 members > cap 3: its pair join is
+    // skipped, every member passes through as its own singleton;
+    // family Y (2 <= cap) still dedups
+    val out = Similarity.semDedup(semCorpus, numCentroids = 2, iters = 1,
+        minScore = 12000L, maxCellSize = Some(3L))
+      .select("vec_id", "cluster_size").as[(Long, Long)].collect().toSet
+    assert(out == Set(1L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L, 21L -> 2L),
+      out.toString)
+  }
+
   test("rpSigns is deterministic and balanced-ish") {
     val a: Array[Double] = Similarity.rpSigns(32, 64).flatten
     val b: Array[Double] = Similarity.rpSigns(32, 64).flatten

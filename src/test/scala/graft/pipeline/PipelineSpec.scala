@@ -1735,11 +1735,29 @@ class PipelineSpec extends SparkSpec {
     val p = new Pipeline(spark, "2024-09-01", new FixedClock(1804000000000L))
     val reports = p.run(Map("maintenance" -> EtlConfig.fromYaml(maintYaml)),
       Seq("maintenance"))
-    // per-item isolation: the bogus table fails alone, siblings run
-    assert(reports.head.failed.map(_._1) == Seq("broken_compact"),
+    // per-item isolation: the bogus table fails alone, data siblings
+    // run — but vacuum_staging REFUSES after any failed sibling (the
+    // __*_stage roots may be the failed task's only complete rewrite
+    // copy), recorded as its own failure, never a silent skip
+    assert(reports.head.failed.map(_._1) == Seq("broken_compact", "sweep"),
       reports.toString)
-    assert(reports.head.succeeded.toSet ==
-      Set("compact_facts", "zm_facts", "sweep"))
+    assert(reports.head.failed.find(_._1 == "sweep").get._2
+      .contains("earlier maintenance task"), reports.toString)
+    assert(reports.head.succeeded.toSet == Set("compact_facts", "zm_facts"))
+    assert(stale.exists(),
+      "a gated vacuum must leave the staging roots in place")
+    // a clean follow-up run (the failure resolved — here: removed)
+    // sweeps normally
+    val sweepOnly =
+      """maintenance:
+        |  - task_id: sweep
+        |    task_type: vacuum_staging
+        |""".stripMargin
+    val p2 = new Pipeline(spark, "2024-09-02", new FixedClock(1804100000000L))
+    val r2 = p2.run(Map("maintenance" -> EtlConfig.fromYaml(sweepOnly)),
+      Seq("maintenance"))
+    assert(r2.head.failed.isEmpty && r2.head.succeeded == Seq("sweep"),
+      r2.toString)
     val after = spark.table("bronze_e2e.maint_facts")
     // ~2 files at 1000 rows/file; range-boundary sampling can split
     // 2000 rows unevenly and roll one extra file at the cap
@@ -1763,7 +1781,14 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(ctl("bronze_e2e.maint_facts") == after.inputFiles.length.toLong,
       ctl.toString)
-    assert(ctl("(warehouse staging)") >= 1L, ctl.toString)
+    // the gated sweep left no 09-01 control row; the clean 09-02 run did
+    val ctl2 = spark.table(p.meta.controlTable)
+      .filter($"layer".startsWith("maintenance.") &&
+        $"last_run_date" === "2024-09-02")
+      .select("table_name", "records_processed")
+      .as[(String, Long)].collect().toMap
+    assert(!ctl.contains("(warehouse staging)") &&
+      ctl2("(warehouse staging)") >= 1L, (ctl, ctl2).toString)
   }
 
   test("maintenance config: unknown type, missing table/columns, stray knobs refuse") {
@@ -1851,6 +1876,34 @@ class PipelineSpec extends SparkSpec {
                  |    columns: [k]
                  |    num_centroids: 8
                  |""".stripMargin).getMessage.contains("only used by retrain_store"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: store_stats
+                 |""".stripMargin).getMessage.contains("needs a table"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |    table: a.b
+                 |    spread_threshold_permille: 1500
+                 |""".stripMargin).getMessage.contains("only used by retrain_store"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: retrain_store
+                 |    table: a.b
+                 |    spread_threshold_permille: -5
+                 |""".stripMargin).getMessage.contains("spread_threshold_permille"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: compact
+                 |    table: a.b
+                 |    max_cell_size: 40
+                 |""".stripMargin).getMessage.contains("only used by store_stats"))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: store_stats
+                 |    table: a.b
+                 |    max_cell_size: 0
+                 |""".stripMargin).getMessage.contains("max_cell_size"))
   }
 
   test("declarative prune_store task prunes the store through the metadata plane") {
@@ -1928,6 +1981,63 @@ class PipelineSpec extends SparkSpec {
         $"last_run_date" === "2024-09-03")
       .select("records_processed").as[Long].collect()
     assert(ctl.length == 1 && ctl.head > 0L, ctl.toSeq.toString)
+  }
+
+  test("store_stats + drift-gated retrain: the plane reads the spread and gates the k-means") {
+    val yaml =
+      """maintenance:
+        |  - task_id: vec_stats
+        |    task_type: store_stats
+        |    table: gold_e2e.stats_decl_store
+        |    max_cell_size: 3
+        |  - task_id: retrain_gated
+        |    task_type: retrain_store
+        |    table: gold_e2e.stats_decl_store
+        |    spread_threshold_permille: 1500
+        |""".stripMargin
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    val t = "gold_e2e.stats_decl_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    // drifted: A-only founding model; the orthogonal later fold ties
+    // into one cell -> occupancy {4,1}, spread 1000·4·2/5 = 1600
+    val vX = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vX2 = Array(0.98f, 0.2f, 0.0f, 0.0f)
+    val vY = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vY2 = Array(0.0f, 0.0f, 0.995f, 0.1f)
+    val vZ = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    graft.io.VectorDedupStore.maintain(spark, t,
+      Seq((1L, vX), (2L, vX2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    graft.io.VectorDedupStore.maintain(spark, t,
+      Seq((10L, vY), (11L, vY2), (12L, vZ)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(2L))
+    def ctl(p: Pipeline, date: String): Map[String, Long] =
+      spark.table(p.meta.controlTable)
+        .filter($"layer".startsWith("maintenance.") &&
+          $"last_run_date" === date)
+        .select("layer", "records_processed")
+        .as[(String, Long)].collect().toMap
+    // run 1: stats reads the drift (spread 1600 >= threshold 1500),
+    // the retrain fires and re-balances
+    val p1 = new Pipeline(spark, "2024-09-04", new FixedClock(1804200000000L))
+    val r1 = p1.run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+      Seq("maintenance"))
+    assert(r1.head.failed.isEmpty, r1.toString)
+    val c1 = ctl(p1, "2024-09-04")
+    assert(c1("maintenance.vec_stats") == 1600L, c1.toString)
+    assert(c1("maintenance.retrain_gated") > 0L, c1.toString)
+    // run 2: the spread COLLAPSED (occupancy {2,3} -> 1200 permille),
+    // so the nightly retrain is now a gated no-op — no k-means paid
+    val p2 = new Pipeline(spark, "2024-09-05", new FixedClock(1804300000000L))
+    val r2 = p2.run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+      Seq("maintenance"))
+    assert(r2.head.failed.isEmpty, r2.toString)
+    val c2 = ctl(p2, "2024-09-05")
+    assert(c2("maintenance.vec_stats") == 1200L, c2.toString)
+    assert(c2("maintenance.retrain_gated") == 0L, c2.toString)
   }
 
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
@@ -2079,6 +2189,21 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e6.getMessage.contains("max_cell_size must be positive"),
       e6.getMessage)
+    val e7 = intercept[IllegalArgumentException] {
+      EtlConfig.fromYaml(
+        """models:
+          |  - model_id: bad_keeper
+          |    sql_query: SELECT 1
+          |    target_table: g.t
+          |    refresh_type: vector_dedup_store
+          |    vector_dedup_store:
+          |      id_column: vec_id
+          |      vector_column: embedding
+          |      min_score: 100
+          |      keeper: largest_id
+          |""".stripMargin)
+    }
+    assert(e7.getMessage.contains("keeper must be one of"), e7.getMessage)
   }
 
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
