@@ -223,6 +223,27 @@ final case class VectorDedupStoreConfig(
     // .Keepers)
     keeper: String = "min_id")
 
+/** Declarative standing MEDIA dedup store (gold `refresh_type:
+  * media_dedup_store`, [[graft.io.MediaDedupStore]]): the model's
+  * sql_query selects this run's batch of (id, 64-bit perceptual hash)
+  * images — the hash (dHash) is computed upstream as scan-fused map
+  * work over the image files, so payloads never reach the store path.
+  * Each fold drops batch images within `max_hamming` of ANY stored
+  * image (candidates from the Hamming-LSH band equi-join only), keeps
+  * one image per within-batch near-dup cluster, and appends the
+  * survivors' band rows. `bands` must divide 64; `store_buckets > 0`
+  * buckets the store on band_key for the shuffle-free probe;
+  * `max_bucket_size` caps degenerate bands (e.g. flat images' all-zero
+  * band).
+  */
+final case class MediaDedupStoreConfig(
+    idColumn: String,
+    hashColumn: String,
+    bands: Int = 4,
+    maxHamming: Long = 16L,
+    maxBucketSize: Option[Long] = None,
+    storeBuckets: Int = 0)
+
 /** Declarative streaming source (`mode: streaming` models): the file
   * stream a gold entry's foreachBatch sink twin consumes. `path` is
   * the landing directory (new files are the micro-batches), `format`
@@ -262,8 +283,8 @@ final case class ModelConfig(
     // deployment calls the Sinks.stream* API directly). Supported
     // refresh types are exactly the sink-twin family: incremental,
     // changelog, additive, extremes, distinct_view, quantile_view,
-    // dedup_store, vector_dedup_store, scd2 — full/join_view have no
-    // streaming semantics and refuse at parse.
+    // dedup_store, vector_dedup_store, media_dedup_store, scd2 —
+    // full/join_view have no streaming semantics and refuse at parse.
     mode: String = "batch",
     streamSource: Option[StreamSourceConfig] = None,
     // offsets + sink epochs live here; defaults to
@@ -327,6 +348,7 @@ final case class ModelConfig(
     // (graft.io.VectorDedupStore.maintain — frozen calibration model,
     // int8-code probe, same run-date epoch fence)
     vectorDedupStore: Option[VectorDedupStoreConfig] = None,
+    mediaDedupStore: Option[MediaDedupStoreConfig] = None,
     // any refresh type: percent deviation from the trailing-median run
     // volume beyond which this model FAILS (graft.dq.VolumeGuard over
     // the audit history; 0 = disabled). The trend check no per-row DQ
@@ -532,7 +554,13 @@ object ConfigJson {
       "train_iters" -> v.trainIters.toString,
       "max_cell_size" -> v.maxCellSize.map(_.toString).getOrElse("0"),
       "keeper" -> js(v.keeper)))
-      .getOrElse("{}"))
+      .getOrElse("{}"),
+    "media_dedup_store" -> m.mediaDedupStore.map(d => jobj(
+      "id_column" -> js(d.idColumn), "hash_column" -> js(d.hashColumn),
+      "bands" -> d.bands.toString,
+      "max_hamming" -> d.maxHamming.toString,
+      "max_bucket_size" -> d.maxBucketSize.map(_.toString).getOrElse("0"),
+      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"))
 }
 
 object EtlConfig {
@@ -952,6 +980,31 @@ object EtlConfig {
     v
   }
 
+  private def parseMediaDedupStore(m: Map[String, Object]): MediaDedupStoreConfig = {
+    val d = MediaDedupStoreConfig(
+      idColumn = str(m, "id_column"),
+      hashColumn = str(m, "hash_column"),
+      bands = num(m, "bands", 4),
+      maxHamming = opt(m, "max_hamming").map(_.toLong).getOrElse(16L),
+      maxBucketSize = opt(m, "max_bucket_size").map(_.toLong),
+      storeBuckets = num(m, "store_buckets", 0))
+    require(d.idColumn.nonEmpty && d.hashColumn.nonEmpty,
+      "media_dedup_store needs id_column and hash_column (the 64-bit " +
+        "dHash the upstream image scan computed)")
+    require(d.bands >= 1 && d.bands <= 64 && 64 % d.bands == 0,
+      s"media_dedup_store: bands must divide 64, got ${d.bands}")
+    require(d.maxHamming >= 0L && d.maxHamming < 64L,
+      s"media_dedup_store: max_hamming must be in [0, 64), got " +
+        s"${d.maxHamming}")
+    require(d.maxBucketSize.forall(_ > 0),
+      s"media_dedup_store: max_bucket_size must be positive when set, " +
+        s"got ${d.maxBucketSize.getOrElse(0L)}")
+    require(d.storeBuckets >= 0,
+      s"media_dedup_store: store_buckets must be >= 0 (0 = unbucketed), " +
+        s"got ${d.storeBuckets}")
+    d
+  }
+
   private def parseStreamSource(m: Map[String, Object]): StreamSourceConfig = {
     val s = StreamSourceConfig(
       path = str(m, "path"),
@@ -994,6 +1047,8 @@ object EtlConfig {
       dedupStore = m.get("dedup_store").map(d => parseDedupStore(asMap(d))),
       vectorDedupStore = m.get("vector_dedup_store")
         .map(v => parseVectorDedupStore(asMap(v))),
+      mediaDedupStore = m.get("media_dedup_store")
+        .map(v => parseMediaDedupStore(asMap(v))),
       mode = str(m, "mode", "batch"),
       streamSource = m.get("stream_source").map(s => parseStreamSource(asMap(s))),
       checkpoint = opt(m, "checkpoint"),
@@ -1002,7 +1057,8 @@ object EtlConfig {
       volumeGuardPct = num(m, "volume_guard_pct", 0))
     require(Set("full", "incremental", "additive", "extremes",
       "join_view", "scd2", "distinct_view", "quantile_view",
-      "dedup_store", "vector_dedup_store", "changelog")(mc.refreshType),
+      "dedup_store", "vector_dedup_store", "media_dedup_store",
+      "changelog")(mc.refreshType),
       s"model '${mc.modelId}': unknown refresh_type '${mc.refreshType}'")
     require(Set("batch", "streaming")(mc.mode),
       s"model '${mc.modelId}': unknown mode '${mc.mode}' " +
@@ -1017,7 +1073,7 @@ object EtlConfig {
     require(mc.mode != "streaming" ||
       Set("incremental", "changelog", "additive", "extremes",
         "distinct_view", "quantile_view", "dedup_store",
-        "vector_dedup_store", "scd2")(mc.refreshType),
+        "vector_dedup_store", "media_dedup_store", "scd2")(mc.refreshType),
       s"model '${mc.modelId}': refresh_type ${mc.refreshType} has no " +
         "streaming sink twin (full rewrites history per run; join_view " +
         "folds two coordinated base deltas) — use a batch model")
@@ -1063,6 +1119,18 @@ object EtlConfig {
     require(mc.refreshType != "vector_dedup_store" || mc.primaryKeys.isEmpty,
       s"model '${mc.modelId}': vector_dedup_store derives its identity " +
         "from vector_dedup_store.id_column — primary_keys is unused and " +
+        "would silently diverge")
+    require(mc.refreshType != "media_dedup_store" || mc.mediaDedupStore.nonEmpty,
+      s"model '${mc.modelId}': refresh_type media_dedup_store needs a " +
+        "media_dedup_store block (id_column + hash_column at minimum) — " +
+        "the model's sql_query selects this run's batch of (id, dHash) " +
+        "rows")
+    require(mc.refreshType == "media_dedup_store" || mc.mediaDedupStore.isEmpty,
+      s"model '${mc.modelId}': media_dedup_store is only used by " +
+        "refresh_type media_dedup_store")
+    require(mc.refreshType != "media_dedup_store" || mc.primaryKeys.isEmpty,
+      s"model '${mc.modelId}': media_dedup_store derives its identity " +
+        "from media_dedup_store.id_column — primary_keys is unused and " +
         "would silently diverge")
     require(mc.refreshType != "quantile_view" || (mc.primaryKeys.nonEmpty &&
       mc.quantileColumn.nonEmpty),

@@ -244,6 +244,37 @@ object Sinks {
      else writer).start()
   }
 
+  /** Streaming twin of [[MediaDedupStore.maintain]] — the perceptual-
+    * hash image store maintained from a (media_id, dhash) stream. The
+    * stream carries HASHES, not payloads (dHash is scan-fused map work
+    * upstream of the landing path), so the sink moves 8 bytes per
+    * image. Same batchId epoch fence and replay contract as the text
+    * store sink: a replayed uncommitted epoch no-ops through the
+    * fence, and the identity guard keeps a re-delivered media_id from
+    * appending twice inside the crash window.
+    */
+  def streamMediaDedupStore(stream: DataFrame, table: String,
+      idCol: String, hashCol: String, checkpoint: String,
+      bands: Int = 4, maxHamming: Long = 16L,
+      maxBucketSize: Option[Long] = None, storeBuckets: Int = 0,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MediaDedupStore.maintain(batch.sparkSession, table, batch,
+          idCol, hashCol, bands, maxHamming,
+          maxBucketSize = maxBucketSize, storeBuckets = storeBuckets,
+          epochId = Some(batchId))
+        stream.sparkSession.catalog.refreshTable(table)
+        ()
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
+
   /** Streaming twin of [[VectorDedupStore.maintain]] — the embedding
     * store maintained from a vector stream. The FIRST micro-batch is
     * the founding batch: it freezes the calibration model (amax + the

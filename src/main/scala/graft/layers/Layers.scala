@@ -270,6 +270,11 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           Sinks.streamVectorDedupStore(stream, m.targetTable, v.idColumn,
             v.vectorColumn, v.minScore, checkpoint, v.numCentroids,
             v.nprobe, v.trainIters, v.maxCellSize, keeper = v.keeper)
+        case "media_dedup_store" =>
+          val d = m.mediaDedupStore.get
+          Sinks.streamMediaDedupStore(stream, m.targetTable, d.idColumn,
+            d.hashColumn, checkpoint, d.bands, d.maxHamming,
+            d.maxBucketSize, d.storeBuckets)
         case "scd2" =>
           Sinks.streamScd2(stream, m.targetTable, m.primaryKeys,
             m.trackedColumns, m.effectiveColumn.get, checkpoint)
@@ -310,7 +315,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
         if (m.refreshType == "additive" || m.refreshType == "extremes" ||
           m.refreshType == "scd2" || m.refreshType == "distinct_view" ||
           m.refreshType == "quantile_view" || m.refreshType == "dedup_store" ||
-          m.refreshType == "vector_dedup_store") df0
+          m.refreshType == "vector_dedup_store" ||
+          m.refreshType == "media_dedup_store") df0
         else df0.withColumn("gold_insert_timestamp", current_timestamp())
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${m.targetTable.split('.').head}")
       // incremental-view-maintenance refreshes: fold THIS RUN's batch
@@ -408,6 +414,17 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             v.minScore, v.numCentroids, v.nprobe, v.trainIters,
             v.maxCellSize, epochId = Some(epoch),
             keeper = v.keeper).batchRows
+        } else if (m.refreshType == "media_dedup_store") {
+          // perceptual-hash twin of dedup_store: the batch frame is
+          // (id, dHash) rows — hashes computed upstream, payloads
+          // never enter the store path. Same epoch fence, same
+          // self-reported count (maintain persists the banded frame)
+          val d = m.mediaDedupStore.get
+          graft.io.MediaDedupStore.maintain(
+            spark, m.targetTable, df, d.idColumn, d.hashColumn,
+            d.bands, d.maxHamming, maxBucketSize = d.maxBucketSize,
+            storeBuckets = d.storeBuckets,
+            epochId = Some(epoch)).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is

@@ -461,6 +461,57 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_a", "media_b")
   }
 
+  /** Standing MEDIA dedup store as a LIFECYCLE, oracle-checked end to
+    * end ([[graft.io.MediaDedupStore]]) — m6's perceptual-hash near-dup
+    * promoted to the third member of the store family (text `ds1`,
+    * vectors `vds1`): crawl 1 = images with media_id < 100, hashed by
+    * the real dHash pipeline (stub pixels, real algorithm) and folded
+    * as (id, 64-bit hash) rows; crawl 2 = the remaining images PLUS a
+    * planted "lossy re-encode" variant of every sixth image of BOTH
+    * crawls ([[graft.multimodal.Multimodal.noisyVariants]]). Variants
+    * of crawl-1 content are caught by the batch×store band-equi probe
+    * (precomputed band keys — the accumulated corpus is never
+    * re-decoded); variants of crawl-2 content die in the within-batch
+    * self-dedup (banded pairs → exact `bit_count(xor)` ≤ 16 → CC,
+    * smallest id keeps). `MdsBucketCap` is live on both capped paths
+    * and SPELLED in the oracle (the d9/fi1 discipline). All integer
+    * end-to-end, so the two-fold lifecycle — dHash, noise plant,
+    * banding, probe, keepers, epochs — is ONE hash-exact oracle row.
+    * Scale shape: payloads never shuffle (hashing rides the image
+    * scan); only 8-byte hashes enter the store; fold cost rides the
+    * BATCH (the store side probes band-equi, bucketable shuffle-free
+    * via `storeBuckets`).
+    */
+  def mds1MediaDedupStore(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Multimodal
+    val media = M.syntheticMedia(s, 200)
+    val variants = M.noisyVariants(
+      media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
+      everyN = 50, delta = 64)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.mds1_media_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+        table.split('.')(1))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.MediaDedupStore.maintain(s, table,
+      M.dHash(media.filter(_.media_id < 100)), "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(1L))
+    graft.io.MediaDedupStore.maintain(s, table,
+      M.dHash(media.filter(_.media_id >= 100).unionByName(variants)),
+      "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(2L))
+    graft.io.MediaDedupStore.storedMediaIds(s, table)
+      .select(col("media_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("media_id")
+  }
+
+  private val MdsBucketCap = 8L
+
   /** Image RESIZE as a FULL oracle row — the last of the multimodal
     * quartet (decode = all, feature-extract = m1, frame-sample = m2,
     * resize = here): every image thumbnails to 8×8 through the batched
@@ -1123,6 +1174,7 @@ object ExtendedQueries extends QuerySet {
     "g4_source_mix" -> g4SourceMix _,
     "m1_image_features" -> m1ImageFeatures _,
     "m6_phash_neardup" -> m6PhashNeardup _,
+    "mds1_media_dedup_store" -> mds1MediaDedupStore _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
     "m4_thumbnails" -> m4Thumbnails _,
@@ -1664,6 +1716,125 @@ object ExtendedQueries extends QuerySet {
          |            JOIN norms nb ON nb.doc_id = d2)
          |SELECT d1, d2, n_shared, cos_micro FROM cosv
          |WHERE cos_micro >= 200000 ORDER BY d1, d2""".stripMargin,
+    // the full two-fold media-store lifecycle re-derived: m6's
+    // dHash/band CTE chain (variant bytes, 9x8 sample, 64 comparison
+    // bits, 4x16-bit bands), then fold 1's capped within-batch
+    // pairs -> Hamming verify -> WITH RECURSIVE min-label closure,
+    // fold 2's batchxstore band-equi probe (store-side hot buckets
+    // excluded — MdsBucketCap spelled here), the store-fresh remnant's
+    // own capped pair/closure pass, and the epoch stamps — every stage
+    // mirrors MediaDedupStore.maintain operation for operation
+    "mds1_media_dedup_store" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT i AS src_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
+        |u AS (
+        |  SELECT src_id AS out_id, src_id, w, h, 0 AS var FROM m
+        |  UNION ALL
+        |  SELECT src_id + 1000, src_id, w, h, 1 FROM m WHERE src_id % 6 = 0),
+        |px AS MATERIALIZED (
+        |  SELECT out_id, y, x,
+        |    CASE WHEN var = 1 AND p % 50 = 7
+        |      THEN (('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT + 64) % 256
+        |      ELSE ('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT END AS v
+        |  FROM (
+        |    SELECT out_id, src_id, var, y, x, (y * h // 8) * w + (x * w // 9) AS p
+        |    FROM u,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy,
+        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) gx)),
+        |bits AS MATERIALIZED (
+        |  SELECT a.out_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.out_id = b.out_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS MATERIALIZED (
+        |  SELECT out_id, idx // 16 AS band,
+        |    SUM(bit * (1 << (idx % 16))) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |f1 AS (SELECT out_id FROM u WHERE var = 0 AND out_id < 100),
+        |hot1 AS (SELECT band, bval FROM bands JOIN f1 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand1 AS MATERIALIZED (
+        |  SELECT DISTINCT a.out_id AS da, b.out_id AS db
+        |  FROM bands a JOIN f1 fa ON fa.out_id = a.out_id
+        |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
+        |    AND a.out_id < b.out_id
+        |  JOIN f1 fb ON fb.out_id = b.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+        |    WHERE h.band = a.band AND h.bval = a.bval)),
+        |ham1 AS MATERIALIZED (
+        |  SELECT c.da, c.db FROM cand1 c
+        |  JOIN bits ba ON ba.out_id = c.da
+        |  JOIN bits bb ON bb.out_id = c.db AND bb.idx = ba.idx
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16),
+        |e1 AS MATERIALIZED (
+        |  SELECT da AS src, db AS dst FROM ham1
+        |  UNION SELECT db, da FROM ham1),
+        |r1(src, dst) AS (
+        |  SELECT src, dst FROM e1
+        |  UNION
+        |  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src),
+        |cc1 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
+        |        FROM r1 GROUP BY src),
+        |k1 AS MATERIALIZED (
+        |  SELECT out_id FROM f1 WHERE out_id NOT IN
+        |    (SELECT out_id FROM cc1 WHERE cid <> out_id)),
+        |f2 AS (SELECT out_id FROM u WHERE out_id >= 100),
+        |hots AS (SELECT band, bval FROM bands JOIN k1 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand2s AS MATERIALIZED (
+        |  SELECT DISTINCT p.out_id AS pid, s.out_id AS sid
+        |  FROM bands p JOIN f2 fp ON fp.out_id = p.out_id
+        |  JOIN bands s ON s.band = p.band AND s.bval = p.bval
+        |  JOIN k1 ks ON ks.out_id = s.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hots h
+        |    WHERE h.band = s.band AND h.bval = s.bval)),
+        |hits AS MATERIALIZED (
+        |  SELECT DISTINCT pid AS out_id FROM (
+        |    SELECT c.pid, c.sid FROM cand2s c
+        |    JOIN bits ba ON ba.out_id = c.pid
+        |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
+        |    GROUP BY 1, 2
+        |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16)),
+        |fr2 AS MATERIALIZED (
+        |  SELECT out_id FROM f2 WHERE out_id NOT IN
+        |    (SELECT out_id FROM hits)),
+        |hot2 AS (SELECT band, bval FROM bands JOIN fr2 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand2 AS MATERIALIZED (
+        |  SELECT DISTINCT a.out_id AS da, b.out_id AS db
+        |  FROM bands a JOIN fr2 fa ON fa.out_id = a.out_id
+        |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
+        |    AND a.out_id < b.out_id
+        |  JOIN fr2 fb ON fb.out_id = b.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+        |    WHERE h.band = a.band AND h.bval = a.bval)),
+        |ham2 AS MATERIALIZED (
+        |  SELECT c.da, c.db FROM cand2 c
+        |  JOIN bits ba ON ba.out_id = c.da
+        |  JOIN bits bb ON bb.out_id = c.db AND bb.idx = ba.idx
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16),
+        |e2 AS MATERIALIZED (
+        |  SELECT da AS src, db AS dst FROM ham2
+        |  UNION SELECT db, da FROM ham2),
+        |r2(src, dst) AS (
+        |  SELECT src, dst FROM e2
+        |  UNION
+        |  SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src),
+        |cc2 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
+        |        FROM r2 GROUP BY src),
+        |k2 AS (
+        |  SELECT out_id FROM fr2 WHERE out_id NOT IN
+        |    (SELECT out_id FROM cc2 WHERE cid <> out_id))
+        |SELECT out_id AS media_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+        |UNION ALL
+        |SELECT out_id, CAST(2 AS BIGINT) FROM k2
+        |ORDER BY media_id""".stripMargin,
     // the full dHash/LSH/Hamming lifecycle re-derived: variant payload
     // byte p flips by +64 (mod 256) where p % 50 = 7 (the noisyVariants
     // formula); the 9x8 nearest-neighbor sample, the 64 comparison

@@ -69,6 +69,7 @@ class MainSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_dedup_store")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_vector_store_model")
+      spark.sql("DROP TABLE IF EXISTS gold_corpus.corpus_media_store")
       spark.sql("DROP TABLE IF EXISTS gold_corpus.source_volume_live")
       val exit = Main.run(spark,
         Main.Args("2031-07-07", Seq("bronze", "silver", "gold", "maintenance"),
@@ -141,6 +142,19 @@ class MainSpec extends SparkSpec {
       assert(vModel.count() == 8L &&
         vModel.columns.toSet == Set("centroid_id", "qsum", "n", "amax"),
         "founding run freezes the 8-centroid TRAINED calibration model")
+      // the MEDIA store folded the curated batch's (id, hash) rows —
+      // the third store family member through the same plane; the
+      // xxhash64 stand-in only collides on exact text, so survivors
+      // track the curated docs, bucketed as declared
+      val mediaStored = graft.io.MediaDedupStore.storedMediaIds(spark,
+        "gold_corpus.corpus_media_store")
+      val nMedia = mediaStored.count()
+      assert(nMedia > 0 && nMedia <= curated, s"$nMedia vs $curated")
+      assert(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier("gold_corpus.corpus_media_store"))
+        .bucketSpec.map(_.numBuckets).contains(8),
+        "declared store_buckets must reach the media store's layout")
       // the declared STREAMING model drained the landing path through
       // the additive sink: per-source raw volume, one row per source,
       // n_rows covering every raw doc (the stream reads the landing
@@ -165,6 +179,8 @@ class MainSpec extends SparkSpec {
         .contains("\"refresh_type\":\"dedup_store\""))
       assert(snaps("gold_corpus.corpus_vector_store")
         .contains("\"refresh_type\":\"vector_dedup_store\""))
+      assert(snaps("gold_corpus.corpus_media_store")
+        .contains("\"refresh_type\":\"media_dedup_store\""))
       assert(snaps("gold_corpus.source_volume_live")
         .contains("\"mode\":\"streaming\""))
       // the declarative maintenance plane ran after gold: the store
@@ -179,10 +195,14 @@ class MainSpec extends SparkSpec {
         .as[(String, String)].collect().toMap
       assert(maint.keySet == Set("maintenance.compact_dedup_store",
         "maintenance.zone_maps_curated", "maintenance.vacuum_staging",
-        "maintenance.prune_vector_store",
+        "maintenance.prune_vector_store", "maintenance.stats_vector_store",
         "maintenance.retrain_vector_store"), maint.keySet)
       assert(maint("maintenance.compact_dedup_store")
         .contains("\"task_type\":\"compact\""))
+      // occupancy stats ran before the (drift-gated) retrain: the
+      // spread signal lands in the control row as records_processed
+      assert(maint("maintenance.stats_vector_store")
+        .contains("\"task_type\":\"store_stats\""))
       // retention ran against the vector store (365-day window over a
       // same-day fold: nothing prunable, the store is intact, and the
       // model sibling is untouched by construction), then the retrain

@@ -1307,7 +1307,21 @@ class PipelineSpec extends SparkSpec {
     Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding").write.mode("append").parquet(vecLanding)
+    val mediaLanding = s"$stage/media-landing"
+    Seq((1L, 0x0123456789ABCDEFL), (2L, 0x0123456789ABCDE0L), // hamming 4
+      (3L, ~0x0123456789ABCDEFL))
+      .toDF("media_id", "dhash").write.mode("append").parquet(mediaLanding)
     val storesYaml = "models:\n" + Seq(
+      s"""  - model_id: sm_mediastore
+         |    mode: streaming
+         |    stream_source: {path: $mediaLanding, format: parquet}
+         |    checkpoint: $stage/chk-sm_mediastore
+         |    target_table: gold_e2e.sm_mediastore
+         |    refresh_type: media_dedup_store
+         |    media_dedup_store:
+         |      id_column: media_id
+         |      hash_column: dhash
+         |      max_hamming: 8""".stripMargin,
       s"""  - model_id: sm_docstore
          |    mode: streaming
          |    stream_source: {path: $docLanding, format: parquet}
@@ -1329,18 +1343,22 @@ class PipelineSpec extends SparkSpec {
          |      min_score: 15000
          |      num_centroids: 2
          |      nprobe: 1""".stripMargin).mkString("\n") + "\n"
-    Seq("sm_docstore", "sm_vecstore", "sm_vecstore_model")
+    Seq("sm_docstore", "sm_vecstore", "sm_vecstore_model", "sm_mediastore")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS gold_e2e.$t"))
     val p2 = new Pipeline(spark, "2024-09-02", new FixedClock(1796100000000L))
     val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(storesYaml)))
     assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
-    // each store dropped the within-batch exact dup and kept 2 of 3
+    // each store dropped the within-batch near/exact dup and kept 2 of 3
     assert(graft.io.DedupStore.storedDocIds(spark, "gold_e2e.sm_docstore")
       .count() == 2)
     assert(graft.io.VectorDedupStore.storedVecIds(spark, "gold_e2e.sm_vecstore")
       .count() == 2)
     assert(spark.table("gold_e2e.sm_vecstore_model").count() == 2,
       "founding micro-batch freezes the declared 2-centroid model")
+    assert(graft.io.MediaDedupStore
+      .storedMediaIds(spark, "gold_e2e.sm_mediastore")
+      .select("media_id").as[Long].collect().toSet == Set(1L, 3L),
+      "the media store's hamming-4 re-encode dies under max_hamming 8")
   }
 
   test("streaming config refusals: each misdeclaration names its rule") {
@@ -2204,6 +2222,113 @@ class PipelineSpec extends SparkSpec {
           |""".stripMargin)
     }
     assert(e7.getMessage.contains("keeper must be one of"), e7.getMessage)
+  }
+
+  test("media_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
+    val mdsYaml =
+      """models:
+        |  - model_id: corpus_media_store
+        |    sql_query: >
+        |      SELECT media_id, dhash FROM bronze_e2e.media_batch
+        |    target_table: gold_e2e.media_store
+        |    refresh_type: media_dedup_store
+        |    media_dedup_store:
+        |      id_column: media_id
+        |      hash_column: dhash
+        |      max_hamming: 8
+        |""".stripMargin
+    Seq("gold_e2e.media_store", "bronze_e2e.media_batch")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    val hA = 0x0123456789ABCDEFL
+    val hB = ~hA
+    val hC = 0x00FF00FF00FF00FFL
+    def batch(rows: (Long, Long)*): Unit =
+      rows.toDF("media_id", "dhash")
+        .write.mode("overwrite").saveAsTable("bronze_e2e.media_batch")
+    val ep1 = java.time.LocalDate.parse("2024-08-01").toEpochDay
+    val ep2 = java.time.LocalDate.parse("2024-08-02").toEpochDay
+    def stored = graft.io.MediaDedupStore
+      .storedMediaIds(spark, "gold_e2e.media_store")
+      .select("media_id", "_epoch").as[(Long, Long)].collect().toSet
+    // crawl 1: 101/103 near-dup re-encodes (101 keeps), 105 unrelated
+    batch(101L -> hA, 103L -> (hA ^ 0x3L), 105L -> hB)
+    val r1 = new Pipeline(spark, "2024-08-01", new FixedClock(1803000000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(mdsYaml)))
+    assert(r1.forall(_.failed.isEmpty), r1.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1), stored.toString)
+    // crawl 2: 202 re-delivers stored content (probe drops it), 204 fresh
+    batch(202L -> (hA ^ 0x30L), 204L -> hC)
+    val p2 = new Pipeline(spark, "2024-08-02", new FixedClock(1803100000000L))
+    val r2 = p2.run(Map("gold" -> EtlConfig.fromYaml(mdsYaml)))
+    assert(r2.forall(_.failed.isEmpty), r2.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2), stored.toString)
+    assert(spark.table(p2.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.media_store")
+      .select("records_processed").as[Long].head() == 2L,
+      "records_processed rides the batch")
+    // same-date retry no-ops through the epoch fence
+    val p2r = new Pipeline(spark, "2024-08-02", new FixedClock(1803200000000L))
+    val r3 = p2r.run(Map("gold" -> EtlConfig.fromYaml(mdsYaml)))
+    assert(r3.forall(_.failed.isEmpty), r3.flatMap(_.failed).toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2))
+    assert(spark.table(p2r.meta.controlTable)
+      .filter($"table_name" === "gold_e2e.media_store")
+      .select("records_processed").as[Long].head() == 0L)
+    // backfill fails loudly, store untouched
+    val rOld = new Pipeline(spark, "2024-07-31", new FixedClock(1803300000000L))
+      .run(Map("gold" -> EtlConfig.fromYaml(mdsYaml)))
+    val failedOld = rOld.head.failed
+    assert(failedOld.map(_._1) == Seq("corpus_media_store") &&
+      failedOld.head._2.contains("OLDER"), rOld.toString)
+    assert(stored == Set(101L -> ep1, 105L -> ep1, 204L -> ep2))
+  }
+
+  test("media_dedup_store config: missing block, stray block, bad knobs refuse at parse") {
+    def bad(y: String): IllegalArgumentException =
+      intercept[IllegalArgumentException](EtlConfig.fromYaml(y))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: media_dedup_store
+                 |""".stripMargin).getMessage.contains("media_dedup_store block"))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: full
+                 |    media_dedup_store: {id_column: a, hash_column: b}
+                 |""".stripMargin).getMessage.contains("only used by"))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: media_dedup_store
+                 |    primary_keys: [media_id]
+                 |    media_dedup_store: {id_column: a, hash_column: b}
+                 |""".stripMargin).getMessage.contains("primary_keys is unused"))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: media_dedup_store
+                 |    media_dedup_store: {id_column: a, hash_column: b, bands: 5}
+                 |""".stripMargin).getMessage.contains("bands must divide 64"))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: media_dedup_store
+                 |    media_dedup_store: {id_column: a, hash_column: b, max_hamming: 64}
+                 |""".stripMargin).getMessage.contains("max_hamming"))
+    assert(bad("""models:
+                 |  - model_id: m
+                 |    sql_query: SELECT 1
+                 |    target_table: g.t
+                 |    refresh_type: media_dedup_store
+                 |    media_dedup_store: {id_column: a, hash_column: ''}
+                 |""".stripMargin).getMessage.contains("hash_column"))
   }
 
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {

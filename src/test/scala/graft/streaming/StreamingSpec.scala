@@ -278,6 +278,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamMediaDedupStore folds a phash stream; stream equals batch; fence stops a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.{DedupStore, MediaDedupStore, Sinks}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = "stream_mds_out"
+    val twin = "stream_mds_twin"
+    Seq(table, twin).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}/__ckpt_stream_mds"
+    val hA = 0x0123456789ABCDEFL
+    val hB = ~hA
+    val hC = 0x00FF00FF00FF00FFL
+    val ms = MemoryStream[(Long, Long)]
+    val q = Sinks.streamMediaDedupStore(
+      ms.toDF.toDF("media_id", "dhash"), table, "media_id", "dhash", ckpt,
+      availableNow = false)
+    try {
+      // micro-batch 0: 101/103 near-dup re-encodes (101 keeps), 105 unique
+      ms.addData(101L -> hA, 103L -> (hA ^ 0x7L), 105L -> hB)
+      q.processAllAvailable()
+      // micro-batch 1: 202 re-delivers stored content, 204/206 cluster
+      ms.addData(202L -> (hA ^ 0x30L), 204L -> hC, 206L -> (hC ^ 0x5L))
+      q.processAllAvailable()
+      def stored(t: String) = MediaDedupStore.storedMediaIds(spark, t)
+        .select("media_id", "_epoch").as[(Long, Long)].collect().toSet
+      assert(stored(table) == Set(101L -> 0L, 105L -> 0L, 204L -> 1L),
+        stored(table).toString)
+      // stream ≡ batch with the stream's batchIds as epochs
+      MediaDedupStore.maintain(spark, twin,
+        Seq(101L -> hA, 103L -> (hA ^ 0x7L), 105L -> hB)
+          .toDF("media_id", "dhash"),
+        "media_id", "dhash", epochId = Some(0L))
+      MediaDedupStore.maintain(spark, twin,
+        Seq(202L -> (hA ^ 0x30L), 204L -> hC, 206L -> (hC ^ 0x5L))
+          .toDF("media_id", "dhash"),
+        "media_id", "dhash", epochId = Some(1L))
+      assert(stored(table) == stored(twin), "stream must equal batch")
+      // the committed batchId IS the epoch property: a crash-replay of
+      // the last micro-batch (at-least-once delivery) no-ops
+      assert(DedupStore.committedEpoch(spark, table).contains(1L))
+      assert(!MediaDedupStore.maintain(spark, table,
+        Seq(202L -> (hA ^ 0x30L), 204L -> hC, 206L -> (hC ^ 0x5L))
+          .toDF("media_id", "dhash"),
+        "media_id", "dhash", epochId = Some(1L)).applied)
+      assert(stored(table) == stored(twin), "replayed epoch appends nothing")
+    } finally {
+      q.stop()
+      Seq(table, twin).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streamVectorDedupStore folds a vector stream; first batch freezes calibration") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.{DedupStore, Sinks, VectorDedupStore}
