@@ -157,6 +157,46 @@ final case class RelevanceFilterStepConfig(
     terms: Seq[String],
     minScoreMicro: Long)
 
+/** Declarative SCD2 as-of READ (silver `transform_type: asof`): write
+  * the dimension snapshot in force at `as_of` (a date string;
+  * `${PROCESSING_DATE}` substitutes to the run date) — the read the
+  * type-2 shape exists for, reachable from YAML so a config-driven
+  * consumer can feed downstream models "the dimension as of X" without
+  * API code. `source_table` is the scd2 table ([[graft.io.Scd2]]).
+  */
+final case class AsOfStepConfig(asOf: String)
+
+/** Declarative store-membership probe (silver `transform_type:
+  * store_probe`): flag each input row by whether its content near-dups
+  * the ACCUMULATED standing store — the READ half of the store family
+  * (the fold both probes and appends; this only probes). Output = the
+  * input plus a boolean `flag_column` (default `store_hit`), so
+  * downstream steps filter/route either way — a dry-run dedup, a
+  * coverage report, a pre-ingest novelty gate that must not advance
+  * the store. `store_type` picks the engine; the content/knob columns
+  * must match the store's own fold settings (band keys are a function
+  * of them): `content_column` is the text (dedup_store), embedding
+  * (vector_dedup_store) or 64-bit hash (media_dedup_store) column.
+  */
+final case class StoreProbeStepConfig(
+    storeTable: String,
+    storeType: String, // dedup_store | vector_dedup_store | media_dedup_store
+    idColumn: String,
+    contentColumn: String,
+    flagColumn: String = "store_hit",
+    // dedup_store knobs
+    shingleSize: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    jaccardPct: Int = 0,
+    // vector_dedup_store knobs
+    minScore: Long = -1L,
+    nprobe: Int = 2,
+    // media_dedup_store knob (bands is shared)
+    maxHamming: Long = 16L,
+    // hot-bucket/cell cap, all types
+    maxBucketSize: Option[Long] = None)
+
 final case class TransformConfig(
     transformId: String,
     sourceTable: String,
@@ -166,7 +206,8 @@ final case class TransformConfig(
     dataQuality: Seq[DqRuleConfig],
     enabled: Boolean,
     // sql | dedup | curation | chunk | quota | mix | split |
-    // decontaminate | weighted_sample
+    // decontaminate | weighted_sample | relevance_filter | asof |
+    // store_probe
     transformType: String = "sql",
     dedup: Option[DedupStepConfig] = None,
     curation: Option[CurationStepConfig] = None,
@@ -176,7 +217,9 @@ final case class TransformConfig(
     split: Option[SplitStepConfig] = None,
     decontaminate: Option[DecontaminateStepConfig] = None,
     weightedSample: Option[WeightedSampleStepConfig] = None,
-    relevanceFilter: Option[RelevanceFilterStepConfig] = None)
+    relevanceFilter: Option[RelevanceFilterStepConfig] = None,
+    asof: Option[AsOfStepConfig] = None,
+    storeProbe: Option[StoreProbeStepConfig] = None)
 
 /** Declarative standing dedup store (gold `refresh_type: dedup_store`,
   * [[graft.io.DedupStore]]): the model's sql_query selects this run's
@@ -511,6 +554,12 @@ object ConfigJson {
         "id_column" -> js(x.idColumn), "text_column" -> js(x.textColumn),
         "terms" -> jarr(x.terms),
         "min_score_micro" -> x.minScoreMicro.toString)) ++
+      t.asof.toSeq.map(x => "asof" -> jobj("as_of" -> js(x.asOf))) ++
+      t.storeProbe.toSeq.map(x => "store_probe" -> jobj(
+        "store_table" -> js(x.storeTable), "store_type" -> js(x.storeType),
+        "id_column" -> js(x.idColumn),
+        "content_column" -> js(x.contentColumn),
+        "flag_column" -> js(x.flagColumn))) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
@@ -669,7 +718,10 @@ object EtlConfig {
       weightedSample = m.get("weighted_sample")
         .map(x => parseWeightedSample(asMap(x))),
       relevanceFilter = m.get("relevance_filter")
-        .map(x => parseRelevanceFilter(asMap(x))))
+        .map(x => parseRelevanceFilter(asMap(x))),
+      asof = m.get("asof").map(x => parseAsOf(asMap(x))),
+      storeProbe = m.get("store_probe")
+        .map(x => parseStoreProbe(asMap(x))))
     // config shape errors fail at PARSE time, not at run time inside a
     // per-item catch: a verb step without its params block (or vice
     // versa) is an authoring bug, never a data error
@@ -678,7 +730,8 @@ object EtlConfig {
       "quota" -> t.quota, "mix" -> t.mix, "split" -> t.split,
       "decontaminate" -> t.decontaminate,
       "weighted_sample" -> t.weightedSample,
-      "relevance_filter" -> t.relevanceFilter)
+      "relevance_filter" -> t.relevanceFilter,
+      "asof" -> t.asof, "store_probe" -> t.storeProbe)
     for ((verb, block) <- blocks) {
       require(t.transformType != verb || block.nonEmpty,
         s"transform '${t.transformId}': transform_type $verb needs a $verb: block")
@@ -978,6 +1031,72 @@ object EtlConfig {
     require(v.maxCellSize.forall(_ > 0),
       s"max_cell_size must be positive when set, got ${v.maxCellSize.get}")
     v
+  }
+
+  private def parseAsOf(m: Map[String, Object]): AsOfStepConfig = {
+    val a = AsOfStepConfig(asOf = str(m, "as_of"))
+    require(a.asOf.nonEmpty,
+      "asof needs as_of (a date string; ${PROCESSING_DATE} substitutes " +
+        "to the run date)")
+    a
+  }
+
+  private def parseStoreProbe(m: Map[String, Object]): StoreProbeStepConfig = {
+    val p = StoreProbeStepConfig(
+      storeTable = str(m, "store_table"),
+      storeType = str(m, "store_type"),
+      idColumn = str(m, "id_column"),
+      contentColumn = str(m, "content_column"),
+      flagColumn = str(m, "flag_column", "store_hit"),
+      shingleSize = num(m, "shingle_size", 3),
+      numHashes = num(m, "num_hashes", 16),
+      bands = num(m, "bands", 4),
+      jaccardPct = num(m, "jaccard_pct", 0),
+      minScore = opt(m, "min_score").map(_.toLong).getOrElse(-1L),
+      nprobe = num(m, "nprobe", 2),
+      maxHamming = opt(m, "max_hamming").map(_.toLong).getOrElse(16L),
+      maxBucketSize = opt(m, "max_bucket_size").map(_.toLong))
+    require(p.storeTable.nonEmpty && p.idColumn.nonEmpty &&
+        p.contentColumn.nonEmpty,
+      "store_probe needs store_table, id_column and content_column")
+    require(Set("dedup_store", "vector_dedup_store",
+        "media_dedup_store")(p.storeType),
+      s"store_probe: unknown store_type '${p.storeType}' (expected " +
+        "dedup_store | vector_dedup_store | media_dedup_store)")
+    require(p.flagColumn.nonEmpty, "store_probe: flag_column must be named")
+    require(p.storeType != "vector_dedup_store" || p.minScore >= 0,
+      "store_probe: vector_dedup_store needs min_score (the exact " +
+        "int8-code dot threshold, >= 0)")
+    require(p.storeType == "vector_dedup_store" ||
+        (p.minScore == -1L && !m.contains("nprobe")),
+      "store_probe: min_score/nprobe are only used by store_type " +
+        "vector_dedup_store")
+    require(p.storeType == "dedup_store" ||
+        (!m.contains("shingle_size") && !m.contains("num_hashes") &&
+          !m.contains("jaccard_pct")),
+      "store_probe: shingle_size/num_hashes/jaccard_pct are only used " +
+        "by store_type dedup_store")
+    require(p.storeType == "media_dedup_store" || !m.contains("max_hamming"),
+      "store_probe: max_hamming is only used by store_type " +
+        "media_dedup_store")
+    require(p.storeType != "vector_dedup_store" || !m.contains("bands"),
+      "store_probe: bands is not used by store_type vector_dedup_store")
+    require(p.numHashes >= 1 && p.bands >= 1,
+      s"store_probe: bands/num_hashes must be >= 1")
+    require(p.storeType != "dedup_store" || p.numHashes % p.bands == 0,
+      s"store_probe: bands (${p.bands}) must divide num_hashes " +
+        s"(${p.numHashes}) evenly")
+    require(p.storeType != "media_dedup_store" ||
+        (p.bands <= 64 && 64 % p.bands == 0),
+      s"store_probe: bands must divide 64 for media_dedup_store, " +
+        s"got ${p.bands}")
+    require(p.jaccardPct >= 0 && p.jaccardPct <= 100,
+      s"store_probe: jaccard_pct must be 0..100, got ${p.jaccardPct}")
+    require(p.maxHamming >= 0L && p.maxHamming < 64L,
+      s"store_probe: max_hamming must be in [0, 64), got ${p.maxHamming}")
+    require(p.maxBucketSize.forall(_ > 0),
+      "store_probe: max_bucket_size must be positive when set")
+    p
   }
 
   private def parseMediaDedupStore(m: Map[String, Object]): MediaDedupStoreConfig = {

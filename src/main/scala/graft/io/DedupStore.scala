@@ -290,6 +290,31 @@ object DedupStore {
       .select("doc_id").distinct()
   }
 
+  /** READ-path membership probe — "has the accumulated corpus seen
+    * this content?" WITHOUT folding: shingle+band the batch once (the
+    * fold's own first stage), banded equi-join against the store,
+    * exact-Jaccard verify per collision. Returns the distinct batch
+    * ids that near-dup ANY stored doc. The shingle/hash knobs must
+    * match the store's fold settings (same contract as the fold
+    * itself — band keys are a function of them).
+    */
+  def probeHits(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.0,
+      maxBucketSize: Option[Long] = None,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    val bandNames = (0 until bands).map(b => s"band_$b")
+    val banded = Dedup.withMinhashBands(
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+        "_text", shingleN, numHashes, bands, mode)
+      .drop("_text")
+    storeHits(spark, table, banded, bandNames, jaccardThreshold,
+      maxBucketSize)
+  }
+
   /** The accumulated deduped corpus: one row per stored doc
     * (`doc_id, _epoch` — the epoch its batch folded in). Reads one
     * band slice, never the shingle arrays.

@@ -228,6 +228,27 @@ object MediaDedupStore {
       .select("media_id").distinct()
   }
 
+  /** READ-path membership probe — band the batch hashes and Hamming-
+    * verify banded collisions against the store, WITHOUT folding.
+    * Returns the distinct batch ids within `maxHamming` of ANY stored
+    * image. `bands` must match the store's fold setting.
+    */
+  def probeHits(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, hashCol: String,
+      bands: Int = 4, maxHamming: Long = 16L,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (the dHash width), got $bands")
+    val bandNames = (0 until bands).map(b => s"band_$b")
+    val base = batch.select(col(idCol).as("media_id"),
+      col(hashCol).cast("long").as("dhash"))
+    val banded = base.select(
+      Seq(col("media_id"), col("dhash")) ++
+        bandKeys(col("dhash"), bands).zip(bandNames)
+          .map { case (c, n) => c.as(n) }: _*)
+    storeHits(spark, table, banded, bandNames, maxHamming, maxBucketSize)
+  }
+
   /** The accumulated deduped image corpus: one row per stored image
     * (`media_id, dhash, _epoch`). Reads one band slice.
     */

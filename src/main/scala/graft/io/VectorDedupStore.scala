@@ -577,6 +577,46 @@ object VectorDedupStore {
       .select("vec_id").distinct()
   }
 
+  /** READ-path membership probe — quantize the batch with the STORED
+    * calibration, rank the frozen centroids, and score the `nprobe`
+    * best cells against the stored codes, WITHOUT folding. Returns the
+    * distinct batch ids whose integer dot vs any stored vector reaches
+    * `minScore` — "has the corpus seen this embedding?" as a pure
+    * read (the dry-run half of the fold, e.g. for coverage reports or
+    * a pre-ingest filter that must not advance the store).
+    */
+  def probeHits(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, vecCol: String, minScore: Long,
+      nprobe: Int = 2, maxCellSize: Option[Long] = None): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(spark.catalog.tableExists(modelTable(table)),
+      s"store probe: vector dedup store '$table' has no model table " +
+        s"'${modelTable(table)}' — the frozen calibration is half the store")
+    val model0 = spark.table(modelTable(table))
+    val model =
+      if (model0.columns.contains("cv"))
+        model0.select(col("centroid_id"),
+          transform(col("cv"), _.cast("long")).as("qsum"),
+          lit(1L).as("n"), col("amax"))
+      else model0.select("centroid_id", "qsum", "n", "amax")
+    val stats = model.agg(max(col("amax")).as("amax"))
+    val cents = model.select(col("centroid_id"), col("qsum"), col("n"))
+    val bu = Similarity.withUnitVector(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
+      .select(col("vec_id"), col("uv"))
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("_cscore").desc, col("centroid_id"))
+    val ranked = Similarity.withQuantized(bu, stats, "uv")
+      .select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cscore",
+        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
+      .withColumn("_crank", row_number().over(wc))
+      .filter(col("_crank") <= nprobe)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"))
+    storeHits(spark, table, ranked, minScore, maxCellSize)
+  }
+
   /** The accumulated deduped corpus: one row per stored vector. */
   def storedVecIds(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select("vec_id", "_epoch")

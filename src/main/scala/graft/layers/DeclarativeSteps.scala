@@ -165,6 +165,64 @@ object DeclarativeSteps {
     * one semi join on the id. A document with no hits has no score row
     * and is kept only when the threshold is 0.
     */
+  /** SCD2 as-of READ: the snapshot of a type-2 dimension in force at
+    * `cfg.asOf` (already template-substituted by the layer) — a pure
+    * interval filter over the versioned table ([[graft.io.Scd2.asOf]]).
+    * Shape-checked here so a non-scd2 source fails with a named error
+    * at the step, not a missing-column error inside the filter.
+    */
+  def asOfFrame(spark: org.apache.spark.sql.SparkSession,
+      sourceTable: String, cfg: AsOfStepConfig): DataFrame = {
+    val cols = spark.table(sourceTable).columns.toSet
+    require(cols.contains("valid_from") && cols.contains("valid_to"),
+      s"asof source '$sourceTable' is not an scd2 dimension: needs " +
+        "valid_from/valid_to interval columns (refresh_type scd2 " +
+        "produces them)")
+    graft.io.Scd2.asOf(spark, sourceTable, cfg.asOf)
+  }
+
+  /** Store-membership probe: the input plus a boolean `flag_column`
+    * marking rows whose content near-dups the accumulated standing
+    * store — the READ half of the store family (probes, never
+    * appends). Dispatches on `store_type` to the store's own
+    * [[graft.io.DedupStore.probeHits]] /
+    * [[graft.io.VectorDedupStore.probeHits]] /
+    * [[graft.io.MediaDedupStore.probeHits]]; the hit set is an
+    * id-column frame, so the flag join is broadcast-able and the
+    * input's columns all pass through.
+    */
+  def storeProbeFrame(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, cfg: StoreProbeStepConfig): DataFrame = {
+    val missing = Seq(cfg.idColumn, cfg.contentColumn)
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"store_probe columns not in input: ${missing.mkString(", ")}")
+    require(!df.columns.contains(cfg.flagColumn),
+      s"store_probe flag_column '${cfg.flagColumn}' already exists in " +
+        "the input — name a fresh column")
+    val hits = cfg.storeType match {
+      case "dedup_store" =>
+        graft.io.DedupStore.probeHits(spark, cfg.storeTable, df,
+          cfg.idColumn, cfg.contentColumn, cfg.shingleSize, cfg.numHashes,
+          cfg.bands, cfg.jaccardPct / 100.0, cfg.maxBucketSize)
+          .withColumnRenamed("doc_id", cfg.idColumn)
+      case "vector_dedup_store" =>
+        graft.io.VectorDedupStore.probeHits(spark, cfg.storeTable, df,
+          cfg.idColumn, cfg.contentColumn, cfg.minScore, cfg.nprobe,
+          cfg.maxBucketSize)
+          .withColumnRenamed("vec_id", cfg.idColumn)
+      case "media_dedup_store" =>
+        graft.io.MediaDedupStore.probeHits(spark, cfg.storeTable, df,
+          cfg.idColumn, cfg.contentColumn, cfg.bands, cfg.maxHamming,
+          cfg.maxBucketSize)
+          .withColumnRenamed("media_id", cfg.idColumn)
+    }
+    df.join(hits.withColumn(cfg.flagColumn, lit(true)),
+        Seq(cfg.idColumn), "left")
+      .withColumn(cfg.flagColumn,
+        coalesce(col(cfg.flagColumn), lit(false)))
+  }
+
   def relevanceFilterFrame(df: DataFrame,
       cfg: RelevanceFilterStepConfig): DataFrame = {
     val missing = Seq(cfg.idColumn, cfg.textColumn)

@@ -137,6 +137,18 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
         case "relevance_filter" =>
           DeclarativeSteps.relevanceFilterFrame(spark.table(t.sourceTable),
             t.relevanceFilter.get)
+        case "asof" =>
+          // READ verb: snapshot the scd2 source as of the declared
+          // date (${PROCESSING_DATE} = this run's date)
+          val a = t.asof.get
+          DeclarativeSteps.asOfFrame(spark, t.sourceTable, a.copy(
+            asOf = EtlConfig.substitute(a.asOf,
+              Map("PROCESSING_DATE" -> runDate))))
+        case "store_probe" =>
+          // READ verb: flag rows against the accumulated standing
+          // store without folding (the store never advances)
+          DeclarativeSteps.storeProbeFrame(spark,
+            spark.table(t.sourceTable), t.storeProbe.get)
         case _ =>
           val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
           spark.sql(sql)

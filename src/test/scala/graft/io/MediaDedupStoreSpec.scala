@@ -117,6 +117,18 @@ class MediaDedupStoreSpec extends SparkSpec {
       "uncapped, the probe catches the stored near-dup")
   }
 
+  test("probeHits is a pure READ: stored near-dups found, store never advances") {
+    val t = table("t_probe_read")
+    drop(t)
+    MediaDedupStore.maintain(spark, t, df(1L -> hA, 5L -> hB),
+      "media_id", "dhash", epochId = Some(1L))
+    val hits = MediaDedupStore.probeHits(spark, t,
+        df(10L -> hA2, 11L -> hC), "media_id", "dhash")
+      .as[Long].collect().toSet
+    assert(hits == Set(10L), hits.toString)
+    assert(stored(t).map(_._1) == Set(1L, 5L), "a probe must never append")
+  }
+
   test("identity guard: a stored media_id never appends twice, even with changed content") {
     val t = table("t_identity")
     drop(t)

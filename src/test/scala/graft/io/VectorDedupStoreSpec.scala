@@ -438,6 +438,20 @@ class VectorDedupStoreSpec extends SparkSpec {
       s"retrain must collapse the spread: $s0 -> $s1")
   }
 
+  test("probeHits is a pure READ: stored near-dups found, store never advances") {
+    val t = table("t_probe_read")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    val hits = VectorDedupStore.probeHits(spark, t,
+        df(10L -> vA2, 11L -> vC), "vec_id", "embedding", Score)
+      .as[Long].collect().toSet
+    assert(hits == Set(10L), hits.toString)
+    assert(stored(t).map(_._1) == Set(1L, 2L),
+      "a probe must never append")
+  }
+
   test("converged retrain touches neither table (no rewrite, no crash window)") {
     val t = table("t_retrain_noop")
     spark.sql(s"DROP TABLE IF EXISTS $t")

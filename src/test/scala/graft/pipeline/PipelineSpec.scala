@@ -2331,6 +2331,109 @@ class PipelineSpec extends SparkSpec {
                  |""".stripMargin).getMessage.contains("hash_column"))
   }
 
+  test("declarative READ verbs: asof snapshots an scd2 dimension; store_probe flags without folding") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver_e2e")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_e2e")
+    // an scd2 dimension with history: k1 changes value on 2024-03-01
+    val dim = "silver_e2e.read_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    def obs(rows: (String, Long, String)*) =
+      rows.toDF("k", "v", "eff").withColumn("eff", $"eff".cast("date"))
+    graft.io.Scd2.merge(spark, dim, obs(("k1", 1L, "2024-01-01"),
+      ("k2", 5L, "2024-01-01")), Seq("k"), Seq("v"), "eff")
+    graft.io.Scd2.merge(spark, dim, obs(("k1", 2L, "2024-03-01")),
+      Seq("k"), Seq("v"), "eff")
+    // a standing text store with known content
+    val store = "silver_e2e.read_store"
+    spark.sql(s"DROP TABLE IF EXISTS $store")
+    graft.io.DedupStore.maintain(spark, store,
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", epochId = Some(1L))
+    // the probe batch: 10 re-delivers stored content, 11 is fresh
+    spark.sql("DROP TABLE IF EXISTS bronze_e2e.read_batch")
+    Seq(10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "an entirely novel document never stored anywhere")
+      .toDF("doc_id", "text")
+      .write.saveAsTable("bronze_e2e.read_batch")
+    val yaml =
+      s"""transformations:
+         |  - transform_id: dim_snapshot
+         |    transformation_type: asof
+         |    source_table: $dim
+         |    target_table: silver_e2e.read_dim_asof
+         |    asof:
+         |      as_of: "2024-02-01"
+         |  - transform_id: probe_batch
+         |    transformation_type: store_probe
+         |    source_table: bronze_e2e.read_batch
+         |    target_table: silver_e2e.read_batch_flagged
+         |    store_probe:
+         |      store_table: $store
+         |      store_type: dedup_store
+         |      id_column: doc_id
+         |      content_column: text
+         |""".stripMargin
+    val p = new Pipeline(spark, "2024-09-10", new FixedClock(1804500000000L))
+    val r = p.run(Map("silver" -> EtlConfig.fromYaml(yaml)), Seq("silver"))
+    assert(r.head.failed.isEmpty, r.toString)
+    // asof: the 2024-02-01 snapshot sees k1's FIRST version
+    val snap = spark.table("silver_e2e.read_dim_asof")
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(snap == Map("k1" -> 1L, "k2" -> 5L), snap.toString)
+    // store_probe: flags ride the rows, every source column intact,
+    // and the store did NOT advance (a read, not a fold)
+    val flagged = spark.table("silver_e2e.read_batch_flagged")
+      .select("doc_id", "store_hit").as[(Long, Boolean)].collect().toMap
+    assert(flagged == Map(10L -> true, 11L -> false), flagged.toString)
+    assert(spark.table("silver_e2e.read_batch_flagged").columns.toSet ==
+      Set("doc_id", "text", "store_hit"))
+    assert(graft.io.DedupStore.storedDocIds(spark, store).count() == 1L,
+      "a probe must never append to the store")
+  }
+
+  test("read-verb configs: missing blocks, unknown store_type, stray knobs refuse at parse") {
+    def bad(y: String): IllegalArgumentException =
+      intercept[IllegalArgumentException](EtlConfig.fromYaml(y))
+    def tr(body: String): String =
+      s"""transformations:
+         |  - transform_id: t
+         |    source_table: a.b
+         |    target_table: a.c
+         |$body""".stripMargin
+    assert(bad(tr("    transformation_type: asof"))
+      .getMessage.contains("needs a asof"))
+    assert(bad(tr("""    transformation_type: asof
+                    |    asof: {as_of: ''}""".stripMargin))
+      .getMessage.contains("as_of"))
+    assert(bad(tr("""    transformation_type: store_probe
+                    |    store_probe:
+                    |      store_table: g.s
+                    |      store_type: bloom_store
+                    |      id_column: a
+                    |      content_column: b""".stripMargin))
+      .getMessage.contains("unknown store_type"))
+    assert(bad(tr("""    transformation_type: store_probe
+                    |    store_probe:
+                    |      store_table: g.s
+                    |      store_type: vector_dedup_store
+                    |      id_column: a
+                    |      content_column: b""".stripMargin))
+      .getMessage.contains("needs min_score"))
+    assert(bad(tr("""    transformation_type: store_probe
+                    |    store_probe:
+                    |      store_table: g.s
+                    |      store_type: dedup_store
+                    |      id_column: a
+                    |      content_column: b
+                    |      max_hamming: 8""".stripMargin))
+      .getMessage.contains("only used by store_type media_dedup_store"))
+    assert(bad(tr("""    transformation_type: sql
+                    |    sql_query: SELECT 1
+                    |    asof: {as_of: '2024-01-01'}""".stripMargin))
+      .getMessage.contains("not used by"))
+  }
+
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
