@@ -559,7 +559,19 @@ object ConfigJson {
         "store_table" -> js(x.storeTable), "store_type" -> js(x.storeType),
         "id_column" -> js(x.idColumn),
         "content_column" -> js(x.contentColumn),
-        "flag_column" -> js(x.flagColumn))) ++
+        "flag_column" -> js(x.flagColumn),
+        // every tuning knob lands in the snapshot — two runs with
+        // different thresholds must be distinguishable from the
+        // audit trail alone (review-caught)
+        "shingle_size" -> x.shingleSize.toString,
+        "num_hashes" -> x.numHashes.toString,
+        "bands" -> x.bands.toString,
+        "jaccard_pct" -> x.jaccardPct.toString,
+        "min_score" -> x.minScore.toString,
+        "nprobe" -> x.nprobe.toString,
+        "max_hamming" -> x.maxHamming.toString,
+        "max_bucket_size" -> x.maxBucketSize.map(_.toString)
+          .getOrElse("0"))) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(

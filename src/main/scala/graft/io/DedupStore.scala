@@ -71,6 +71,34 @@ object DedupStore {
     */
   val EpochProperty = "graft.dedupstore.epoch"
 
+  /** Catalog property freezing the store's KEY-AFFECTING fold knobs
+    * (shingle size, hash count, band count, hash mode): band keys are
+    * a pure function of them, so a fold or probe run with different
+    * values would band-join against incompatible keys and silently
+    * match NOTHING — every row would read as fresh (review-caught: the
+    * scaladoc contract alone left a mis-declared `store_probe` waving
+    * everything through as novel). Stamped at every fold; later folds
+    * and [[probeHits]] refuse on mismatch. Stores written before the
+    * property existed pass once and are stamped by their next fold.
+    */
+  val KnobsProperty = "graft.dedupstore.knobs"
+
+  private[io] def knobsValue(shingleN: Int, numHashes: Int, bands: Int,
+      mode: Dedup.HashMode): String =
+    s"shingleN=$shingleN,numHashes=$numHashes,bands=$bands,mode=$mode"
+
+  private[io] def requireKnobs(spark: SparkSession, table: String,
+      property: String, declared: String, what: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    for (stored <- meta.properties.get(property))
+      require(stored == declared,
+        s"$what for '$table': declared knobs [$declared] do not match " +
+          s"the store's frozen fold settings [$stored] — band keys are " +
+          "a pure function of these, so the mismatch would silently " +
+          "match nothing; use the store's own settings")
+  }
+
   /** Outcome of one fold: whether it applied (false = the epoch fence
     * skipped a same-epoch replay) and the batch's row count, counted on
     * the fold's own persisted shingle frame. The count is returned HERE
@@ -177,6 +205,8 @@ object DedupStore {
           " — the bucket layout is fixed at store creation; fold with the " +
           s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
           "store under the new layout")
+      requireKnobs(spark, table, KnobsProperty,
+        knobsValue(shingleN, numHashes, bands, mode), "dedup-store fold")
       for (id <- epochId; c <- committedEpoch(spark, table)) {
         if (c == id) return FoldResult(applied = false, batchRows = 0L)
         if (c > id) throw new IllegalStateException(
@@ -242,10 +272,13 @@ object DedupStore {
        else writer).saveAsTable(table)
     } finally fs.delete(scratchPath, true)
     // stamp the committed epoch as a table property — the O(1) fence
-    // read for every future fold (see EpochProperty)
+    // read for every future fold (see EpochProperty) — and freeze the
+    // key-affecting knobs (see KnobsProperty)
     for (id <- epochId)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('$EpochProperty' = '$id')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$KnobsProperty' = " +
+      s"'${knobsValue(shingleN, numHashes, bands, mode)}')")
     spark.catalog.refreshTable(table)
     // one row per batch doc; the fold's writes materialized the cache,
     // so this count rides the in-memory frame, not a second text scan
@@ -306,6 +339,12 @@ object DedupStore {
       mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    require(jaccardThreshold >= 0.0 && jaccardThreshold <= 1.0,
+      s"jaccardThreshold must be in [0,1], got $jaccardThreshold")
+    require(maxBucketSize.forall(_ > 0),
+      s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
+    requireKnobs(spark, table, KnobsProperty,
+      knobsValue(shingleN, numHashes, bands, mode), "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val banded = Dedup.withMinhashBands(
         batch.select(col(idCol).as("doc_id"), col(textCol).as("_text")),

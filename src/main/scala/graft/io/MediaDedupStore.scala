@@ -53,6 +53,14 @@ import graft.operators.FrameCaches.track
   */
 object MediaDedupStore {
 
+  /** Catalog property freezing the store's key-affecting fold knob
+    * (the band count): band keys are a pure function of it, so a fold
+    * or probe with a different `bands` would band-join incompatible
+    * keys and silently match nothing. Same contract as
+    * [[DedupStore.KnobsProperty]].
+    */
+  val KnobsProperty = "graft.mediadedupstore.knobs"
+
   /** Band keys of a 64-bit hash: `bands` values of 64/bands bits,
     * band b = bits [b·w, (b+1)·w). All integer shifts/masks — the
     * m6 oracle re-derives them bit for bit.
@@ -129,6 +137,8 @@ object MediaDedupStore {
           " — the bucket layout is fixed at store creation; fold with the " +
           s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
           "store under the new layout")
+      DedupStore.requireKnobs(spark, table, KnobsProperty,
+        s"bands=$bands", "media-dedup-store fold")
       for (id <- epochId; c <- DedupStore.committedEpoch(spark, table)) {
         if (c == id) return DedupStore.FoldResult(applied = false, batchRows = 0L)
         if (c > id) throw new IllegalStateException(
@@ -190,6 +200,8 @@ object MediaDedupStore {
     for (id <- epochId)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('${DedupStore.EpochProperty}' = '$id')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$KnobsProperty' = 'bands=$bands')")
     spark.catalog.refreshTable(table)
     DedupStore.FoldResult(applied = true, batchRows = banded.count())
   }
@@ -239,6 +251,17 @@ object MediaDedupStore {
       maxBucketSize: Option[Long] = None): DataFrame = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"bands must divide 64 (the dHash width), got $bands")
+    // the fold's own guards, mirrored: a read path that accepted
+    // maxHamming = 64 would flag EVERY banded collision a hit —
+    // including the shared-band false friends the verify exists to
+    // reject (review-caught)
+    require(maxHamming >= 0L && maxHamming < 64L,
+      s"maxHamming must be in [0, 64), got $maxHamming (64 would accept " +
+        "every pair)")
+    require(maxBucketSize.forall(_ > 0),
+      s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
+    DedupStore.requireKnobs(spark, table, KnobsProperty,
+      s"bands=$bands", "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val base = batch.select(col(idCol).as("media_id"),
       col(hashCol).cast("long").as("dhash"))

@@ -72,6 +72,42 @@ object VectorDedupStore {
 
   private def modelTable(table: String) = s"${table}_model"
 
+  /** The store's calibration model, normalized: pre-training model
+    * tables stored integer code-vector centroids (`cv`), which read
+    * back as (qsum = cv, n = 1) — ranking identical to their integer
+    * dot. ONE definition shared by the fold and the read-path probe so
+    * the legacy normalization can never diverge between them.
+    */
+  private def normalizedModel(spark: SparkSession, table: String): DataFrame = {
+    val model0 = spark.table(modelTable(table))
+    if (model0.columns.contains("cv"))
+      model0.select(col("centroid_id"),
+        transform(col("cv"), _.cast("long")).as("qsum"),
+        lit(1L).as("n"), col("amax"))
+    else model0.select("centroid_id", "qsum", "n", "amax")
+  }
+
+  /** Rank the broadcast rational centroids per quantized vector by the
+    * exact score qsum·code / n (one IEEE division of exact integers,
+    * ties to the lowest centroid id) and keep cranks ≤ `nprobe`.
+    * Input (vec_id, qv); output adds `cell` and `_crank`. Shared by
+    * the fold and [[probeHits]] — a fix to the tie-break or the score
+    * applies to both paths by construction.
+    */
+  private def rankCells(quantized: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("_cscore").desc, col("centroid_id"))
+    quantized
+      .crossJoin(broadcast(cents))
+      .withColumn("_cscore",
+        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
+      .withColumn("_crank", row_number().over(wc))
+      .filter(col("_crank") <= nprobe)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"),
+        col("_crank"))
+  }
+
   /** Folds `batch` into the standing store at `table` (created, with
     * its frozen trained model, on first call). Same [[DedupStore
     * .FoldResult]] contract: the fold reports its OWN batch count (the
@@ -177,15 +213,7 @@ object VectorDedupStore {
       model.write.mode(SaveMode.ErrorIfExists).format("parquet")
         .saveAsTable(modelTable(table))
     }
-    val model0 = spark.table(modelTable(table))
-    // pre-training model tables stored integer code-vector centroids
-    // (`cv`); (qsum = cv, n = 1) ranks identically to their integer dot
-    val model =
-      if (model0.columns.contains("cv"))
-        model0.select(col("centroid_id"),
-          transform(col("cv"), _.cast("long")).as("qsum"),
-          lit(1L).as("n"), col("amax"))
-      else model0.select("centroid_id", "qsum", "n", "amax")
+    val model = normalizedModel(spark, table)
     require(!model.isEmpty,
       s"vector dedup store '$table': model table '${modelTable(table)}' " +
         "has no centroid rows — the frozen calibration is unusable; " +
@@ -194,23 +222,13 @@ object VectorDedupStore {
     val cents = model.select(col("centroid_id"), col("qsum"), col("n"))
 
     // quantize the batch with the STORED calibration; rank the
-    // broadcast trained centroids per vector by the exact rational
-    // score qsum·code / n: crank 1 = home cell (stored, and the
-    // self-dedup blocking key), crank <= nprobe = probe cells
-    val wc = Window.partitionBy("vec_id")
-      .orderBy(col("_cscore").desc, col("centroid_id"))
+    // broadcast trained centroids per vector: crank 1 = home cell
+    // (stored, and the self-dedup blocking key), crank <= nprobe =
+    // probe cells
     val quantized = foundingCodes.getOrElse(
       Similarity.withQuantized(bu, stats, "uv")
         .select(col("vec_id"), col("qv")))
-    val ranked = track(quantized
-      .crossJoin(broadcast(cents))
-      .withColumn("_cscore",
-        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
-      .withColumn("_crank", row_number().over(wc))
-      .filter(col("_crank") <= nprobe)
-      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"),
-        col("_crank"))
-      .persist())
+    val ranked = track(rankCells(quantized, cents, nprobe).persist())
     val homed = ranked.filter(col("_crank") === 1).drop("_crank")
 
     val fresh =
@@ -330,16 +348,26 @@ object VectorDedupStore {
     require(t.columns.contains("cell"),
       s"store_stats: '$table' has no 'cell' column — occupancy stats " +
         "profile a vector dedup store's IVF cells")
+    require(spark.catalog.tableExists(modelTable(table)),
+      s"store_stats: vector dedup store '$table' has no model table " +
+        s"'${modelTable(table)}' — cells = the model's k, so the spread " +
+        "is undefined without it")
+    // cells = the MODEL's k, never the count of OCCUPIED cells: a
+    // store whose rows all collapsed into one of k cells is MAXIMAL
+    // drift (spread = k·1000) — counting occupied cells would read
+    // exactly that catastrophe as perfectly balanced (spread = 1000)
+    // and the drift gate would never fire (review-caught)
+    val k = spark.table(modelTable(table)).count()
     val occ = t.groupBy("cell").agg(count(lit(1)).as("n"))
-    val r = occ.agg(count(lit(1)).as("cells"),
+    val r = occ.agg(
       coalesce(sum(col("n")), lit(0L)).as("rows"),
       coalesce(max(col("n")), lit(0L)).as("max_cell"),
       coalesce(sum(when(col("n") > lit(maxCellSize.getOrElse(Long.MaxValue)),
         1L).otherwise(0L)), lit(0L)).as("hot")).head()
-    val (cells, rows) = (r.getLong(0), r.getLong(1))
-    val maxCell = r.getLong(2)
-    val spread = if (rows == 0L) 0L else 1000L * maxCell * cells / rows
-    OccupancyStats(cells, rows, maxCell, spread, r.getLong(3))
+    val rows = r.getLong(0)
+    val maxCell = r.getLong(1)
+    val spread = if (rows == 0L) 0L else 1000L * maxCell * k / rows
+    OccupancyStats(k, rows, maxCell, spread, r.getLong(2))
   }
 
   /** Re-trains the store's centroids over the ACCUMULATED codes and
@@ -433,10 +461,15 @@ object VectorDedupStore {
     // drift gate: a nightly-scheduled retrain must not pay trainIters
     // store-linear k-means jobs while the store is still balanced. The
     // occupancy spread is ONE cheap cell-column aggregate; below the
-    // threshold the retrain is a declared no-op (moved = 0). Legacy cv
-    // models are exempt — their migration is the point of the run
+    // threshold the retrain is a declared no-op (moved = 0). Two
+    // exemptions the gate must never swallow: a legacy cv model (its
+    // migration is the point of the run) and a DECLARED k-resize (a
+    // balanced store would gate `num_centroids: 64` forever, silently
+    // ignoring the config — review-caught)
     if (spreadThresholdPermille > 0L &&
-        !spark.table(modelTable(table)).columns.contains("cv")) {
+        !spark.table(modelTable(table)).columns.contains("cv") &&
+        numCentroids.forall(_.toLong ==
+          spark.table(modelTable(table)).count())) {
       val s = occupancyStats(spark, table)
       if (s.rows > 0L && s.spreadPermille < spreadThresholdPermille)
         return RetrainResult(spark.table(modelTable(table)).count(),
@@ -592,28 +625,16 @@ object VectorDedupStore {
     require(spark.catalog.tableExists(modelTable(table)),
       s"store probe: vector dedup store '$table' has no model table " +
         s"'${modelTable(table)}' — the frozen calibration is half the store")
-    val model0 = spark.table(modelTable(table))
-    val model =
-      if (model0.columns.contains("cv"))
-        model0.select(col("centroid_id"),
-          transform(col("cv"), _.cast("long")).as("qsum"),
-          lit(1L).as("n"), col("amax"))
-      else model0.select("centroid_id", "qsum", "n", "amax")
+    val model = normalizedModel(spark, table)
     val stats = model.agg(max(col("amax")).as("amax"))
     val cents = model.select(col("centroid_id"), col("qsum"), col("n"))
     val bu = Similarity.withUnitVector(
         batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v")), "_v")
       .select(col("vec_id"), col("uv"))
-    val wc = Window.partitionBy("vec_id")
-      .orderBy(col("_cscore").desc, col("centroid_id"))
-    val ranked = Similarity.withQuantized(bu, stats, "uv")
-      .select(col("vec_id"), col("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_cscore",
-        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
-      .withColumn("_crank", row_number().over(wc))
-      .filter(col("_crank") <= nprobe)
-      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"))
+    val ranked = rankCells(
+      Similarity.withQuantized(bu, stats, "uv")
+        .select(col("vec_id"), col("qv")),
+      cents, nprobe).drop("_crank")
     storeHits(spark, table, ranked, minScore, maxCellSize)
   }
 

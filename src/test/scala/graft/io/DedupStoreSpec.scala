@@ -277,6 +277,26 @@ class DedupStoreSpec extends SparkSpec {
       "control: the unbucketed twin DOES shuffle")
   }
 
+  test("knob drift refuses: frozen shingle/hash/band settings gate folds AND probes") {
+    val t = table("t_knob_drift")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      epochId = Some(1L))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+        shingleN = 5, epochId = Some(2L))
+    }.getMessage.contains("frozen fold settings"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.probeHits(spark, t, df(10L -> textA), "doc_id", "text",
+        numHashes = 8, bands = 4)
+    }.getMessage.contains("frozen fold settings"))
+    // matching settings: the probe is a pure read that finds the dup
+    assert(DedupStore.probeHits(spark, t, df(10L -> textA),
+      "doc_id", "text").as[Long].collect().toSet == Set(10L))
+    assert(DedupStore.storedDocIds(spark, t).count() == 1L,
+      "a probe must never append")
+  }
+
   test("fold order changes keepers but never the dedup invariant (exact-dup corpus)") {
     val fwd = table("t_order_fwd")
     val rev = table("t_order_rev")

@@ -183,6 +183,26 @@ class MediaDedupStoreSpec extends SparkSpec {
     }.getMessage.contains("maxHamming"))
   }
 
+  test("knob drift refuses: the frozen band count gates later folds AND probes") {
+    val t = table("t_knob_drift")
+    drop(t)
+    MediaDedupStore.maintain(spark, t, df(1L -> hA),
+      "media_id", "dhash", bands = 4, epochId = Some(1L))
+    // band keys are a function of `bands` — a mismatched fold or probe
+    // would band-join incompatible keys and silently match NOTHING
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.maintain(spark, t, df(2L -> hB),
+        "media_id", "dhash", bands = 8, epochId = Some(2L))
+    }.getMessage.contains("frozen fold settings"))
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.probeHits(spark, t, df(10L -> hA2),
+        "media_id", "dhash", bands = 2)
+    }.getMessage.contains("frozen fold settings"))
+    // the matching settings still work both ways
+    assert(MediaDedupStore.probeHits(spark, t, df(10L -> hA2),
+      "media_id", "dhash", bands = 4).as[Long].collect().toSet == Set(10L))
+  }
+
   test("fold order changes keepers but never the dedup invariant") {
     val fwd = table("t_order_fwd")
     val rev = table("t_order_rev")

@@ -452,6 +452,53 @@ class VectorDedupStoreSpec extends SparkSpec {
       "a probe must never append")
   }
 
+  test("occupancyStats reads cells from the MODEL's k: total collapse is k*1000, never 'balanced'") {
+    val t = table("t_stats_ksrc")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    // plant the post-prune drift shape: every surviving row in ONE of
+    // the model's two cells. Counting only OCCUPIED cells would read
+    // this catastrophe as spread = 1000 ("perfectly balanced") and the
+    // drift gate would never fire
+    val hot = spark.table(t).select("cell").as[Long].head()
+    val tc = table("t_stats_ksrc_collapsed")
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+    spark.sql(s"DROP TABLE IF EXISTS ${tc}_model")
+    spark.table(t).filter($"cell" === hot).write.saveAsTable(tc)
+    spark.table(s"${t}_model").write.saveAsTable(s"${tc}_model")
+    val s = VectorDedupStore.occupancyStats(spark, tc)
+    assert(s.cells == 2L && s.rows == 1L && s.spreadPermille == 2000L,
+      s.toString)
+    // and a store with no model table refuses (cells would be a guess)
+    spark.sql(s"DROP TABLE ${tc}_model")
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.occupancyStats(spark, tc)
+    }.getMessage.contains("no model table"))
+  }
+
+  test("a declared k-resize bypasses the spread gate (a balanced store must not veto config)") {
+    val t = table("t_resize_gate")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t, df(1L -> vA, 2L -> vB, 3L -> vC),
+      "vec_id", "embedding", minScore = 16200L, numCentroids = 2,
+      epochId = Some(1L))
+    // occupancy {2,1} with k=2 -> spread 1333 < 1500: the same-k
+    // retrain gates...
+    val r0 = VectorDedupStore.retrain(spark, t,
+      spreadThresholdPermille = 1500L)
+    assert(r0.k == 2L && r0.moved == 0L, r0.toString)
+    // ...but a DECLARED num_centroids change must run regardless
+    val r1 = VectorDedupStore.retrain(spark, t, numCentroids = Some(3),
+      spreadThresholdPermille = 1500L)
+    assert(r1.k == 3L, r1.toString)
+    assert(spark.table(s"${t}_model").count() == 3L,
+      "the declared resize must reach the installed model")
+  }
+
   test("converged retrain touches neither table (no rewrite, no crash window)") {
     val t = table("t_retrain_noop")
     spark.sql(s"DROP TABLE IF EXISTS $t")
