@@ -275,8 +275,42 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** Store-membership PROBE as a full oracle row — the READ half of
+    * the store family on the driver gate ([[graft.io.DedupStore
+    * .probeHits]], the engine behind the declarative `store_probe`
+    * verb): fold the odd docs into a standing store (ds1's fold-1
+    * stage exactly), then probe the even docs WITHOUT folding — each
+    * probe row comes back flagged by whether its exact Jaccard vs any
+    * stored doc reaches 0.5, candidates from the banded equi-join
+    * only. The store provably never advances (it is rebuilt per call,
+    * but the probe itself appends nothing — the fold/probe split is
+    * the point). The knobs-property handshake is exercised live: the
+    * probe declares the store's own md5 fold settings or refuses.
+    */
+  def sp1StoreProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.sp1_probe_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/sp1_probe_store")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(1L))
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val hits = graft.io.DedupStore.probeHits(s, table, batch,
+      "doc_id", "text", N, H, B, jaccardThreshold = 0.5, mode = Md5Hash)
+    batch.join(hits.withColumn("store_hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("store_hit"), lit(false)).as("store_hit"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "ds1_dedup_store" -> ds1DedupStore _,
+    "sp1_store_probe" -> sp1StoreProbe _,
     "d13_containment_pairs" -> d13ContainmentPairs _,
     "d12_shared_spans" -> d12SharedSpans _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
@@ -388,6 +422,24 @@ object DedupQueries extends QuerySet {
          |UNION ALL
          |SELECT doc_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
          |ORDER BY doc_id""".stripMargin,
+    // ds1's fold-1 CTE chain verbatim (odd docs -> keepers = the
+    // standing store), then the probe: every EVEN doc flagged by the
+    // banded-candidate + exact-Jaccard membership test — the read
+    // path re-derived stage for stage
+    "sp1_store_probe" ->
+      s"""WITH RECURSIVE
+         |a AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
+         |${keeperCtes("a", "1")},
+         |s1 AS (SELECT a.* FROM a JOIN k1 USING (doc_id)),
+         |b AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")}),
+         |hits AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON ${bandOrSql("b", "s1")}
+         |  WHERE ${jacSql("b", "s1")} >= 0.5)
+         |SELECT doc_id,
+         |  doc_id IN (SELECT doc_id FROM hits) AS store_hit
+         |FROM b ORDER BY doc_id""".stripMargin,
     // the sorted hash-run derivation verbatim: 50-token rolling windows
     // (md5 of the space-joined slice), the posting cap, the equi join,
     // diagonal islands via pos - row_number, span = run + 49

@@ -203,6 +203,37 @@ class MediaDedupStoreSpec extends SparkSpec {
       "media_id", "dhash", bands = 4).as[Long].collect().toSet == Set(10L))
   }
 
+  test("lifecycle completeness: compact and prune_store work on the media store, properties survive") {
+    val t = table("t_lifecycle_full")
+    drop(t)
+    MediaDedupStore.maintain(spark, t, df(1L -> hA, 5L -> hB),
+      "media_id", "dhash", epochId = Some(10L))
+    MediaDedupStore.maintain(spark, t, df(204L -> hC),
+      "media_id", "dhash", epochId = Some(20L))
+    // compaction folds the per-fold file growth; the graft.* properties
+    // (epoch fence + frozen knobs) survive the staged rewrite
+    val (before, after) = Maintenance.compact(spark, t, 1000000L)
+    assert(after <= before && spark.table(t).count() == 12L)
+    assert(DedupStore.committedEpoch(spark, t).contains(20L),
+      "the epoch fence must survive compaction")
+    // retention: the 5-epoch window anchored at the committed epoch 20
+    // drops the epoch-10 fold; probes against the surviving window work
+    val (deleted, kept) = Maintenance.pruneStore(spark, t, keepEpochs = 5L)
+    assert(deleted == 8L && kept == 4L, s"$deleted/$kept")
+    assert(stored(t).map(_._1) == Set(204L), stored(t).toString)
+    // the knob guard survived both rewrites: a drifted fold still
+    // refuses, a matching fold still lands
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.maintain(spark, t, df(7L -> hA2),
+        "media_id", "dhash", bands = 8, epochId = Some(30L))
+    }.getMessage.contains("frozen fold settings"))
+    MediaDedupStore.maintain(spark, t, df(7L -> hA2),
+      "media_id", "dhash", epochId = Some(30L))
+    // hA was PRUNED, so its re-encode is re-admittable — the
+    // documented retention trade, visible end to end
+    assert(stored(t).map(_._1) == Set(204L, 7L), stored(t).toString)
+  }
+
   test("fold order changes keepers but never the dedup invariant") {
     val fwd = table("t_order_fwd")
     val rev = table("t_order_rev")
