@@ -197,6 +197,24 @@ final case class StoreProbeStepConfig(
     // hot-bucket/cell cap, all types
     maxBucketSize: Option[Long] = None)
 
+/** Declarative sketch-view READBACK (silver `transform_type:
+  * view_estimate`): materialize the estimates a gold-plane sketch view
+  * maintains — the read half of the distinct/quantile view members,
+  * completing the read-verb family (`asof` reads scd2, `store_probe`
+  * reads the dedup stores, this reads the HLL/HDR views). `source_table`
+  * is the view's register/sketch table; `view_type` picks the engine:
+  *  - `distinct_view`: per-key approximate distinct counts
+  *    ([[graft.io.Maintenance.distinctViewEstimate]] — the register
+  *    count m derives from the table's persisted `_m`);
+  *  - `quantile_view`: per-key quantile estimates at the declared
+  *    `q_permille` points ([[graft.io.Maintenance.quantileViewEstimate]]
+  *    — deterministic integers, ≤ 6.25% below the true quantile).
+  */
+final case class ViewEstimateStepConfig(
+    viewType: String, // distinct_view | quantile_view
+    keyColumns: Seq[String],
+    qPermille: Seq[Int] = Nil)
+
 final case class TransformConfig(
     transformId: String,
     sourceTable: String,
@@ -207,7 +225,7 @@ final case class TransformConfig(
     enabled: Boolean,
     // sql | dedup | curation | chunk | quota | mix | split |
     // decontaminate | weighted_sample | relevance_filter | asof |
-    // store_probe
+    // store_probe | view_estimate
     transformType: String = "sql",
     dedup: Option[DedupStepConfig] = None,
     curation: Option[CurationStepConfig] = None,
@@ -219,7 +237,8 @@ final case class TransformConfig(
     weightedSample: Option[WeightedSampleStepConfig] = None,
     relevanceFilter: Option[RelevanceFilterStepConfig] = None,
     asof: Option[AsOfStepConfig] = None,
-    storeProbe: Option[StoreProbeStepConfig] = None)
+    storeProbe: Option[StoreProbeStepConfig] = None,
+    viewEstimate: Option[ViewEstimateStepConfig] = None)
 
 /** Declarative standing dedup store (gold `refresh_type: dedup_store`,
   * [[graft.io.DedupStore]]): the model's sql_query selects this run's
@@ -240,7 +259,13 @@ final case class DedupStoreConfig(
     bands: Int = 4,
     jaccardPct: Int = 0,
     maxBucketSize: Option[Long] = None,
-    storeBuckets: Int = 0)
+    storeBuckets: Int = 0,
+    // within-batch keeper policy ([[graft.io.DedupStore.Keepers]]):
+    // `min_id` (default) or `max_quality` over the declared
+    // quality_column — the d8b/d10 curation policy on the maintained
+    // store (keep each duplicate cluster's highest-quality member)
+    keeper: String = "min_id",
+    qualityColumn: Option[String] = None)
 
 /** Declarative standing VECTOR dedup store (gold `refresh_type:
   * vector_dedup_store`, [[graft.io.VectorDedupStore]]): the model's
@@ -285,7 +310,12 @@ final case class MediaDedupStoreConfig(
     bands: Int = 4,
     maxHamming: Long = 16L,
     maxBucketSize: Option[Long] = None,
-    storeBuckets: Int = 0)
+    storeBuckets: Int = 0,
+    // same keeper surface as the text store: quality_column is the
+    // batch column (resolution, bytes, a decode-stage score) ranking
+    // which re-encode of a duplicate cluster survives
+    keeper: String = "min_id",
+    qualityColumn: Option[String] = None)
 
 /** Declarative streaming source (`mode: streaming` models): the file
   * stream a gold entry's foreachBatch sink twin consumes. `path` is
@@ -427,11 +457,16 @@ final case class ModelConfig(
   *    (1000·max·cells/rows) must reach the threshold before the
   *    store-linear k-means runs, so the task can sit on a nightly
   *    cadence without re-paying training while the store is balanced).
-  *  - `store_stats`: emit a vector store's cell-occupancy profile
-  *    ([[graft.io.VectorDedupStore.occupancyStats]]) — the signal the
-  *    retrain cadence reads; the control row's `records_processed`
-  *    carries `spreadPermille` (1000 = balanced), and `max_cell_size`
-  *    (optional) counts today's hot probe-exclusions.
+  *  - `store_stats`: emit a standing store's occupancy profile — the
+  *    signal the retrain/prune cadence reads. Dispatches on the store
+  *    family: vector stores profile per IVF cell
+  *    ([[graft.io.VectorDedupStore.occupancyStats]] — the retrain
+  *    signal), banded text/media stores per (band_idx, band_key)
+  *    bucket ([[graft.io.DedupStore.bandOccupancyStats]] — the
+  *    `max_bucket_size`-tuning signal). The control row's
+  *    `records_processed` carries `spreadPermille` (1000 = balanced
+  *    max/mean) for both; `max_cell_size` (alias `max_bucket_size`
+  *    for banded stores) counts today's hot probe-exclusions.
   */
 final case class MaintenanceTaskConfig(
     taskId: String,
@@ -572,6 +607,10 @@ object ConfigJson {
         "max_hamming" -> x.maxHamming.toString,
         "max_bucket_size" -> x.maxBucketSize.map(_.toString)
           .getOrElse("0"))) ++
+      t.viewEstimate.toSeq.map(x => "view_estimate" -> jobj(
+        "view_type" -> js(x.viewType),
+        "key_columns" -> jarr(x.keyColumns),
+        "q_permille" -> x.qPermille.mkString("[", ",", "]"))) ++
       Seq("enabled" -> t.enabled.toString)): _*)
 
   def apply(m: ModelConfig): String = jobj(
@@ -606,7 +645,9 @@ object ConfigJson {
       "num_hashes" -> d.numHashes.toString, "bands" -> d.bands.toString,
       "jaccard_pct" -> d.jaccardPct.toString,
       "max_bucket_size" -> d.maxBucketSize.map(_.toString).getOrElse("0"),
-      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"),
+      "store_buckets" -> d.storeBuckets.toString,
+      "keeper" -> js(d.keeper),
+      "quality_column" -> js(d.qualityColumn.getOrElse("")))).getOrElse("{}"),
     "vector_dedup_store" -> m.vectorDedupStore.map(v => jobj(
       "id_column" -> js(v.idColumn), "vector_column" -> js(v.vectorColumn),
       "min_score" -> v.minScore.toString,
@@ -621,7 +662,9 @@ object ConfigJson {
       "bands" -> d.bands.toString,
       "max_hamming" -> d.maxHamming.toString,
       "max_bucket_size" -> d.maxBucketSize.map(_.toString).getOrElse("0"),
-      "store_buckets" -> d.storeBuckets.toString)).getOrElse("{}"))
+      "store_buckets" -> d.storeBuckets.toString,
+      "keeper" -> js(d.keeper),
+      "quality_column" -> js(d.qualityColumn.getOrElse("")))).getOrElse("{}"))
 }
 
 object EtlConfig {
@@ -733,7 +776,9 @@ object EtlConfig {
         .map(x => parseRelevanceFilter(asMap(x))),
       asof = m.get("asof").map(x => parseAsOf(asMap(x))),
       storeProbe = m.get("store_probe")
-        .map(x => parseStoreProbe(asMap(x))))
+        .map(x => parseStoreProbe(asMap(x))),
+      viewEstimate = m.get("view_estimate")
+        .map(x => parseViewEstimate(asMap(x))))
     // config shape errors fail at PARSE time, not at run time inside a
     // per-item catch: a verb step without its params block (or vice
     // versa) is an authoring bug, never a data error
@@ -743,7 +788,8 @@ object EtlConfig {
       "decontaminate" -> t.decontaminate,
       "weighted_sample" -> t.weightedSample,
       "relevance_filter" -> t.relevanceFilter,
-      "asof" -> t.asof, "store_probe" -> t.storeProbe)
+      "asof" -> t.asof, "store_probe" -> t.storeProbe,
+      "view_estimate" -> t.viewEstimate)
     for ((verb, block) <- blocks) {
       require(t.transformType != verb || block.nonEmpty,
         s"transform '${t.transformId}': transform_type $verb needs a $verb: block")
@@ -927,7 +973,17 @@ object EtlConfig {
       bands = num(m, "bands", 4),
       jaccardPct = num(m, "jaccard_pct", 0),
       maxBucketSize = opt(m, "max_bucket_size").map(_.toLong),
-      storeBuckets = num(m, "store_buckets", 0))
+      storeBuckets = num(m, "store_buckets", 0),
+      keeper = str(m, "keeper", "min_id"),
+      qualityColumn = opt(m, "quality_column"))
+    require(graft.io.DedupStore.Keepers(d.keeper),
+      "dedup_store: keeper must be one of " +
+        s"[${graft.io.DedupStore.Keepers.mkString(", ")}], got '${d.keeper}'")
+    require((d.keeper == "max_quality") == d.qualityColumn.exists(_.nonEmpty),
+      if (d.keeper == "max_quality")
+        "dedup_store: keeper max_quality needs quality_column (the " +
+          "batch column ranking duplicate-cluster members)"
+      else "dedup_store: quality_column is only used by keeper max_quality")
     require(d.idColumn.nonEmpty && d.textColumn.nonEmpty,
       "dedup_store needs id_column and text_column")
     require(d.shingleSize >= 1, s"shingle_size must be >= 1, got ${d.shingleSize}")
@@ -959,8 +1015,17 @@ object EtlConfig {
       numCentroids = opt(m, "num_centroids").map(_.toInt).getOrElse(0),
       spreadThresholdPermille = opt(m, "spread_threshold_permille")
         .map(_.toLong).getOrElse(0L),
-      maxCellSize = opt(m, "max_cell_size").map(_.toLong),
+      // max_bucket_size is the banded stores' spelling of the same
+      // hot-count cap (unknown YAML keys are silently ignored, so
+      // without the alias a banded-store stats task writing its own
+      // knob name would silently count nothing as hot)
+      maxCellSize = opt(m, "max_cell_size")
+        .orElse(opt(m, "max_bucket_size")).map(_.toLong),
       enabled = bool(m, "enabled"))
+    require(!(m.contains("max_cell_size") && m.contains("max_bucket_size")),
+      s"maintenance task '${t.taskId}': max_cell_size and " +
+        "max_bucket_size are aliases for the same hot-bucket/cell cap — " +
+        "declare one, not both")
     require(t.taskId.nonEmpty, "maintenance task needs task_id")
     require(Set("compact", "zone_maps", "vacuum_staging", "prune_store",
         "retrain_store", "store_stats")(t.taskType),
@@ -1067,7 +1132,18 @@ object EtlConfig {
       minScore = opt(m, "min_score").map(_.toLong).getOrElse(-1L),
       nprobe = num(m, "nprobe", 2),
       maxHamming = opt(m, "max_hamming").map(_.toLong).getOrElse(16L),
-      maxBucketSize = opt(m, "max_bucket_size").map(_.toLong))
+      // the vector store's own knob name is max_cell_size; unknown YAML
+      // keys are silently ignored, so without the alias a user writing
+      // it here would get an UNCAPPED probe with no error (advice-caught)
+      maxBucketSize = opt(m, "max_bucket_size").orElse(opt(m, "max_cell_size"))
+        .map(_.toLong))
+    require(!(m.contains("max_bucket_size") && m.contains("max_cell_size")),
+      "store_probe: max_bucket_size and max_cell_size are aliases for " +
+        "the same hot-bucket/cell cap — declare one, not both")
+    require(p.storeType == "vector_dedup_store" || !m.contains("max_cell_size"),
+      "store_probe: max_cell_size (the vector store's cap spelling) is " +
+        "only accepted for store_type vector_dedup_store — banded stores " +
+        "call it max_bucket_size")
     require(p.storeTable.nonEmpty && p.idColumn.nonEmpty &&
         p.contentColumn.nonEmpty,
       "store_probe needs store_table, id_column and content_column")
@@ -1118,7 +1194,18 @@ object EtlConfig {
       bands = num(m, "bands", 4),
       maxHamming = opt(m, "max_hamming").map(_.toLong).getOrElse(16L),
       maxBucketSize = opt(m, "max_bucket_size").map(_.toLong),
-      storeBuckets = num(m, "store_buckets", 0))
+      storeBuckets = num(m, "store_buckets", 0),
+      keeper = str(m, "keeper", "min_id"),
+      qualityColumn = opt(m, "quality_column"))
+    require(graft.io.DedupStore.Keepers(d.keeper),
+      "media_dedup_store: keeper must be one of " +
+        s"[${graft.io.DedupStore.Keepers.mkString(", ")}], got '${d.keeper}'")
+    require((d.keeper == "max_quality") == d.qualityColumn.exists(_.nonEmpty),
+      if (d.keeper == "max_quality")
+        "media_dedup_store: keeper max_quality needs quality_column (the " +
+          "batch column ranking duplicate-cluster members)"
+      else "media_dedup_store: quality_column is only used by keeper " +
+        "max_quality")
     require(d.idColumn.nonEmpty && d.hashColumn.nonEmpty,
       "media_dedup_store needs id_column and hash_column (the 64-bit " +
         "dHash the upstream image scan computed)")
@@ -1134,6 +1221,35 @@ object EtlConfig {
       s"media_dedup_store: store_buckets must be >= 0 (0 = unbucketed), " +
         s"got ${d.storeBuckets}")
     d
+  }
+
+  private def parseViewEstimate(m: Map[String, Object]): ViewEstimateStepConfig = {
+    val v = ViewEstimateStepConfig(
+      viewType = str(m, "view_type"),
+      keyColumns = strSeq(m, "key_columns"),
+      qPermille = m.get("q_permille").map {
+        case l: ju.List[_] => l.toArray.map(_.toString.toInt).toSeq
+        case x => Seq(x.toString.toInt)
+      }.getOrElse(Nil))
+    require(Set("distinct_view", "quantile_view")(v.viewType),
+      s"view_estimate: unknown view_type '${v.viewType}' (expected " +
+        "distinct_view | quantile_view)")
+    require(v.keyColumns.nonEmpty && v.keyColumns.forall(_.nonEmpty),
+      "view_estimate needs key_columns (the view's grouping keys)")
+    v.viewType match {
+      case "quantile_view" =>
+        require(v.qPermille.nonEmpty,
+          "view_estimate: quantile_view needs q_permille (the quantile " +
+            "points, e.g. [500, 950, 990])")
+        require(v.qPermille.forall(q => q >= 1 && q <= 999),
+          s"view_estimate: q_permille points must be in [1, 999], got " +
+            s"${v.qPermille.mkString(", ")}")
+      case _ =>
+        require(v.qPermille.isEmpty,
+          "view_estimate: q_permille is only used by view_type " +
+            "quantile_view")
+    }
+    v
   }
 
   private def parseStreamSource(m: Map[String, Object]): StreamSourceConfig = {

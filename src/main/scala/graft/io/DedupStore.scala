@@ -83,20 +83,88 @@ object DedupStore {
     */
   val KnobsProperty = "graft.dedupstore.knobs"
 
+  /** Catalog property recording the store's VERIFY-stage threshold
+    * (exact-Jaccard percent here; the siblings stamp their minScore /
+    * maxHamming analogs) — INFORMATIONAL, unlike [[KnobsProperty]]:
+    * the threshold does not shape band keys, so a probe may
+    * legitimately ask a looser or tighter membership question than the
+    * fold enforces. Stamped at every fold; [[probeHits]] WARNS (never
+    * refuses) when its threshold diverges, so a silently different
+    * membership set is at least a logged divergence (advice-caught).
+    */
+  val VerifyProperty = "graft.dedupstore.verify"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[io] def knobsValue(shingleN: Int, numHashes: Int, bands: Int,
       mode: Dedup.HashMode): String =
     s"shingleN=$shingleN,numHashes=$numHashes,bands=$bands,mode=$mode"
 
+  /** Enforces the frozen key-affecting knobs. On the FOLD path
+    * (`requirePresent = false`) a store written before the property
+    * existed passes once and is stamped by the fold that follows; on
+    * the READ path (`requirePresent = true`) the property MUST exist —
+    * a probe has no stamping step, so a vacuous pass would band-join
+    * incompatible keys and silently match nothing, the exact failure
+    * the property prevents (advice-caught).
+    */
   private[io] def requireKnobs(spark: SparkSession, table: String,
-      property: String, declared: String, what: String): Unit = {
+      property: String, declared: String, what: String,
+      requirePresent: Boolean = false): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    for (stored <- meta.properties.get(property))
-      require(stored == declared,
-        s"$what for '$table': declared knobs [$declared] do not match " +
-          s"the store's frozen fold settings [$stored] — band keys are " +
-          "a pure function of these, so the mismatch would silently " +
-          "match nothing; use the store's own settings")
+    meta.properties.get(property) match {
+      case Some(stored) =>
+        require(stored == declared,
+          s"$what for '$table': declared knobs [$declared] do not match " +
+            s"the store's frozen fold settings [$stored] — band keys are " +
+            "a pure function of these, so the mismatch would silently " +
+            "match nothing; use the store's own settings")
+      case None =>
+        require(!requirePresent,
+          s"$what for '$table': the store carries no '$property' " +
+            "property, so the declared knobs cannot be checked — a " +
+            "mismatch would silently match nothing. The store predates " +
+            "the property (or is not this store family's table): run " +
+            "one fold to stamp it, or — after verifying the fold " +
+            "settings by hand — ALTER TABLE ... SET TBLPROPERTIES" +
+            s"('$property' = '$declared')")
+    }
+  }
+
+  /** Mirrors the fold's expected-columns check on the READ paths: a
+    * probe pointed at a wrong-family (or arbitrary) table must fail
+    * with a named error here, not a raw missing-column
+    * AnalysisException deep inside the band join (advice-caught).
+    */
+  private[io] def requireStoreSchema(spark: SparkSession, table: String,
+      expect: Seq[String], what: String): Unit = {
+    require(spark.catalog.tableExists(table), s"$what: no such table '$table'")
+    val have = spark.table(table).columns
+    require(have.sorted.toSeq == expect.sorted,
+      s"$what: '$table' is not this family's store: has " +
+        s"[${have.sorted.mkString(", ")}], expected " +
+        s"[${expect.sorted.mkString(", ")}]")
+  }
+
+  /** Compares a probe's verify threshold to the one the fold stamped
+    * ([[VerifyProperty]] et al.) and WARNS on divergence — returned
+    * (and logged) rather than thrown: the threshold is not
+    * key-affecting, so a divergent probe is a legitimate but
+    * flag-shifting read the operator should know about.
+    */
+  private[io] def warnVerifyDivergence(spark: SparkSession, table: String,
+      property: String, declared: String, what: String): Option[String] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    meta.properties.get(property).filter(_ != declared).map { stored =>
+      val msg = s"$what for '$table': verify threshold [$declared] " +
+        s"differs from the store's fold setting [$stored] — the " +
+        "membership flags will diverge from what the fold itself would " +
+        "drop (informational: band keys are unaffected)"
+      log.warn(msg)
+      msg
+    }
   }
 
   /** Outcome of one fold: whether it applied (false = the epoch fence
@@ -143,6 +211,20 @@ object DedupStore {
     }
   }
 
+  /** Within-batch keeper policies, the [[VectorDedupStore.Keepers]]
+    * contract on the TEXT store: `min_id` (each within-batch near-dup
+    * cluster keeps its smallest id — the founding d8/d10 curation
+    * default) and `max_quality` (keep the member with the HIGHEST
+    * value of a declared `qualityCol`, ties → smallest id — the
+    * d8b/d10 policy a real corpus cleanup wants when duplicates differ
+    * in quality: truncation, boilerplate). The policy only picks WHICH
+    * member of a duplicate cluster survives; the probe, banding, and
+    * store schema are identical, so the quality column never enters
+    * the store. Cost: one window over cluster members (duplicate mass,
+    * not batch mass).
+    */
+  val Keepers: Set[String] = Set("min_id", "max_quality")
+
   /** Folds `batch` into the standing store at `table` (created on
     * first call). Returns the [[FoldResult]]: applied=false means the
     * epoch fence skipped a same-epoch replay (batchRows 0 then — the
@@ -155,19 +237,30 @@ object DedupStore {
       mode: Dedup.HashMode = Dedup.XxHash,
       maxBucketSize: Option[Long] = None,
       storeBuckets: Int = 0,
-      epochId: Option[Long] = None): FoldResult = {
+      epochId: Option[Long] = None,
+      keeper: String = "min_id",
+      qualityCol: Option[String] = None): FoldResult = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly")
     require(jaccardThreshold >= 0.0 && jaccardThreshold <= 1.0,
       s"jaccardThreshold must be in [0,1], got $jaccardThreshold")
     require(storeBuckets >= 0, s"storeBuckets must be >= 0, got $storeBuckets")
+    require(Keepers(keeper),
+      s"keeper must be one of [${Keepers.mkString(", ")}], got '$keeper'")
+    require((keeper == "max_quality") == qualityCol.isDefined,
+      if (keeper == "max_quality")
+        "keeper max_quality needs qualityCol (the batch column ranking " +
+          "cluster members)"
+      else s"qualityCol is only used by keeper max_quality (got '$keeper')")
+    for (q <- qualityCol) require(batch.columns.contains(q),
+      s"qualityCol '$q' not in the batch")
     // every frame this fold persists (including the CC funnel's
     // checkpoints) drains when the fold's writes are done — the store
     // is a long-lived session's gold path, not a one-query session
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try maintainImpl(spark, table, batch, idCol, textCol, shingleN,
       numHashes, bands, jaccardThreshold, mode, maxBucketSize,
-      storeBuckets, epochId)
+      storeBuckets, epochId, keeper, qualityCol)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
   }
 
@@ -176,12 +269,16 @@ object DedupStore {
       shingleN: Int, numHashes: Int, bands: Int,
       jaccardThreshold: Double, mode: Dedup.HashMode,
       maxBucketSize: Option[Long], storeBuckets: Int,
-      epochId: Option[Long]): FoldResult = {
+      epochId: Option[Long], keeper: String,
+      qualityCol: Option[String]): FoldResult = {
     val bandNames = (0 until bands).map(b => s"band_$b")
     // one shingle+hash pass over the batch text; persisted — it feeds
-    // the store probe, the within-batch pairs, and the final append
+    // the store probe, the within-batch pairs, and the final append.
+    // The keeper's quality column (when declared) rides the same frame
+    val baseCols = Seq(col(idCol).as("doc_id"), col(textCol).as("_text")) ++
+      qualityCol.map(q => col(q).as("_q"))
     val banded = track(Dedup.withMinhashBands(
-        batch.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+        batch.select(baseCols: _*),
         "_text", shingleN, numHashes, bands, mode)
       .drop("_text").persist())
 
@@ -235,8 +332,8 @@ object DedupStore {
           Seq("doc_id"), "left_anti")
     val freshP = track(fresh.persist())
 
-    // within-batch near-dup clusters among the store-fresh docs; each
-    // keeps its smallest id (the d8/d10 curation policy)
+    // within-batch near-dup clusters among the store-fresh docs; the
+    // keeper policy picks each cluster's surviving member
     val pairs0 = Dedup.candidatePairs(freshP, "doc_id",
       bandNames.map(col), maxBucketSize)
     val pairs =
@@ -247,9 +344,23 @@ object DedupStore {
           .filter(Dedup.jaccard(col("_sh_a"), col("_sh_b")) >= jaccardThreshold)
           .select("doc_a", "doc_b")
       } else pairs0
-    val nonCanonical = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
-    val survivors = freshP.join(nonCanonical, Seq("doc_id"), "left_anti")
+    val clusters = Dedup.connectedComponents(pairs)
+    // docs in no pair never enter `clusters` and survive untouched
+    val nonKeepers = keeper match {
+      case "max_quality" =>
+        // d8b/d10's rule on the maintained store: one window per
+        // cluster ranks members by the declared quality (ties →
+        // smallest id); everything but rank 1 is anti-joined away
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(col("_q").desc, col("doc_id"))
+        clusters.join(freshP.select(col("doc_id"), col("_q")), Seq("doc_id"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") =!= 1).select("doc_id")
+      case _ => // min_id: the min-label closure's canonical id keeps
+        clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+    }
+    val survivors = freshP.join(nonKeepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         posexplode(array(bandNames.map(col): _*))
           .as(Seq("band_idx", "band_key")),
@@ -278,7 +389,8 @@ object DedupStore {
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('$EpochProperty' = '$id')")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$KnobsProperty' = " +
-      s"'${knobsValue(shingleN, numHashes, bands, mode)}')")
+      s"'${knobsValue(shingleN, numHashes, bands, mode)}', " +
+      s"'$VerifyProperty' = 'jaccardThreshold=$jaccardThreshold')")
     spark.catalog.refreshTable(table)
     // one row per batch doc; the fold's writes materialized the cache,
     // so this count rides the in-memory frame, not a second text scan
@@ -343,8 +455,13 @@ object DedupStore {
       s"jaccardThreshold must be in [0,1], got $jaccardThreshold")
     require(maxBucketSize.forall(_ > 0),
       s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
+    requireStoreSchema(spark, table,
+      Seq("doc_id", "band_idx", "band_key", "sh", "_epoch"), "store probe")
     requireKnobs(spark, table, KnobsProperty,
-      knobsValue(shingleN, numHashes, bands, mode), "store probe")
+      knobsValue(shingleN, numHashes, bands, mode), "store probe",
+      requirePresent = true)
+    warnVerifyDivergence(spark, table, VerifyProperty,
+      s"jaccardThreshold=$jaccardThreshold", "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val banded = Dedup.withMinhashBands(
         batch.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
@@ -361,4 +478,59 @@ object DedupStore {
   def storedDocIds(spark: SparkSession, table: String): DataFrame =
     spark.table(table).filter(col("band_idx") === 0)
       .select("doc_id", "_epoch")
+
+  /** Band-occupancy profile of a BANDED store (text or media — any
+    * table carrying `band_idx, band_key` rows), the
+    * [[VectorDedupStore.OccupancyStats]] analog for the LSH families
+    * and THE `maxBucketSize`-tuning / prune-cadence signal:
+    *
+    *  - `buckets` = distinct (band_idx, band_key) values observed;
+    *  - `maxBucket` / `spreadPermille` = the biggest bucket and its
+    *    size over the mean (1000·maxBucket·buckets/rows) — a
+    *    boilerplate band value (license header, flat image) shows up
+    *    as a spread orders of magnitude above 1000. Unlike the vector
+    *    store there is no model-k denominator (the LSH key space is
+    *    unbounded), so a FULLY collapsed store reads as balanced —
+    *    the actionable signals for banded stores are the next two;
+    *  - `hotBuckets` = buckets whose occupancy exceeds `maxBucketSize`
+    *    (0 when no cap given) — each is a probe-exclusion (recall
+    *    loss) TODAY;
+    *  - `hotRows` = band rows inside those buckets — the probe mass
+    *    the cap currently silences, i.e. what a prune or a cap re-tune
+    *    would win back.
+    *
+    * Cost: ONE map-side-combined aggregate over the two thin band
+    * columns (never `sh`/payload hashes) — cheap enough to trend
+    * nightly in the control table.
+    */
+  final case class BandOccupancyStats(buckets: Long, rows: Long,
+      maxBucket: Long, spreadPermille: Long, hotBuckets: Long,
+      hotRows: Long)
+
+  def bandOccupancyStats(spark: SparkSession, table: String,
+      maxBucketSize: Option[Long] = None): BandOccupancyStats = {
+    require(spark.catalog.tableExists(table),
+      s"store_stats: no such table '$table'")
+    val t = spark.table(table)
+    require(t.columns.contains("band_idx") && t.columns.contains("band_key"),
+      s"store_stats: '$table' has no band_idx/band_key columns — band " +
+        "occupancy profiles a banded (text/media) dedup store; vector " +
+        "stores profile per-cell via occupancyStats")
+    val cap = maxBucketSize.getOrElse(Long.MaxValue)
+    val occ = t.groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+    val r = occ.agg(
+      count(lit(1)).as("buckets"),
+      coalesce(sum(col("n")), lit(0L)).as("rows"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
+        .as("hot"),
+      coalesce(sum(when(col("n") > cap, col("n")).otherwise(0L)), lit(0L))
+        .as("hot_rows")).head()
+    val buckets = r.getLong(0)
+    val rows = r.getLong(1)
+    val maxBucket = r.getLong(2)
+    val spread = if (rows == 0L) 0L else 1000L * maxBucket * buckets / rows
+    BandOccupancyStats(buckets, rows, maxBucket, spread, r.getLong(3),
+      r.getLong(4))
+  }
 }

@@ -61,6 +61,12 @@ object MediaDedupStore {
     */
   val KnobsProperty = "graft.mediadedupstore.knobs"
 
+  /** Informational verify-threshold stamp, the
+    * [[DedupStore.VerifyProperty]] contract on this family: probes warn
+    * (never refuse) when their `maxHamming` diverges from the fold's.
+    */
+  val VerifyProperty = "graft.mediadedupstore.verify"
+
   /** Band keys of a 64-bit hash: `bands` values of 64/bands bits,
     * band b = bits [b·w, (b+1)·w). All integer shifts/masks — the
     * m6 oracle re-derives them bit for bit.
@@ -89,7 +95,9 @@ object MediaDedupStore {
       bands: Int = 4, maxHamming: Long = 16L,
       maxBucketSize: Option[Long] = None,
       storeBuckets: Int = 0,
-      epochId: Option[Long] = None): DedupStore.FoldResult = {
+      epochId: Option[Long] = None,
+      keeper: String = "min_id",
+      qualityCol: Option[String] = None): DedupStore.FoldResult = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"bands must divide 64 (the dHash width), got $bands")
     require(maxHamming >= 0L && maxHamming < 64L,
@@ -98,23 +106,41 @@ object MediaDedupStore {
     require(maxBucketSize.forall(_ > 0),
       s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
     require(storeBuckets >= 0, s"storeBuckets must be >= 0, got $storeBuckets")
+    // the [[DedupStore.Keepers]] policy surface on the media family:
+    // quality = a declared batch column (resolution, byte size, a
+    // decode-stage score) ranking which re-encode of a duplicate
+    // cluster survives
+    require(DedupStore.Keepers(keeper),
+      s"keeper must be one of [${DedupStore.Keepers.mkString(", ")}], " +
+        s"got '$keeper'")
+    require((keeper == "max_quality") == qualityCol.isDefined,
+      if (keeper == "max_quality")
+        "keeper max_quality needs qualityCol (the batch column ranking " +
+          "cluster members)"
+      else s"qualityCol is only used by keeper max_quality (got '$keeper')")
+    for (q <- qualityCol) require(batch.columns.contains(q),
+      s"qualityCol '$q' not in the batch")
     val cacheMark = graft.operators.FrameCaches.mark(spark)
     try maintainImpl(spark, table, batch, idCol, hashCol, bands,
-      maxHamming, maxBucketSize, storeBuckets, epochId)
+      maxHamming, maxBucketSize, storeBuckets, epochId, keeper, qualityCol)
     finally graft.operators.FrameCaches.releaseSince(spark, cacheMark)
   }
 
   private def maintainImpl(spark: SparkSession, table: String,
       batch: DataFrame, idCol: String, hashCol: String, bands: Int,
       maxHamming: Long, maxBucketSize: Option[Long], storeBuckets: Int,
-      epochId: Option[Long]): DedupStore.FoldResult = {
+      epochId: Option[Long], keeper: String,
+      qualityCol: Option[String]): DedupStore.FoldResult = {
     val bandNames = (0 until bands).map(b => s"band_$b")
     // one pass derives the band keys; persisted — it feeds the store
-    // probe, the within-batch pairs, and the final append
-    val base = batch.select(col(idCol).as("media_id"),
-      col(hashCol).cast("long").as("dhash"))
+    // probe, the within-batch pairs, and the final append. The
+    // keeper's quality column (when declared) rides the same frame
+    val base = batch.select(Seq(col(idCol).as("media_id"),
+      col(hashCol).cast("long").as("dhash")) ++
+      qualityCol.map(q => col(q).as("_q")): _*)
     val banded = track(base.select(
         Seq(col("media_id"), col("dhash")) ++
+          qualityCol.map(_ => col("_q")) ++
           bandKeys(col("dhash"), bands).zip(bandNames)
             .map { case (c, n) => c.as(n) }: _*)
       .persist())
@@ -172,11 +198,26 @@ object MediaDedupStore {
     val pairs = pairs0.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
       .filter(hamming(col("_ha"), col("_hb")) <= maxHamming)
       .select("doc_a", "doc_b")
-    val nonCanonical = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
+    val clusters = Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "media_id")
+    // images in no pair never enter `clusters` and survive untouched
+    val nonKeepers = keeper match {
+      case "max_quality" =>
+        // rank each cluster's members by the declared quality (ties →
+        // smallest id); everything but rank 1 is anti-joined away
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("_q").desc, col("media_id"))
+        clusters
+          .join(freshP.select(col("media_id"), col("_q")), Seq("media_id"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") =!= 1).select("media_id")
+      case _ => // min_id: the min-label closure's canonical id keeps
+        clusters.filter(col("media_id") =!= col("cluster_id"))
+          .select("media_id")
+    }
     val survivors = freshP
-      .join(nonCanonical.select("media_id"), Seq("media_id"), "left_anti")
+      .join(nonKeepers, Seq("media_id"), "left_anti")
       .select(col("media_id"), col("dhash"),
         posexplode(array(bandNames.map(col): _*))
           .as(Seq("band_idx", "band_key")))
@@ -201,7 +242,8 @@ object MediaDedupStore {
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('${DedupStore.EpochProperty}' = '$id')")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$KnobsProperty' = 'bands=$bands')")
+      s"('$KnobsProperty' = 'bands=$bands', " +
+      s"'$VerifyProperty' = 'maxHamming=$maxHamming')")
     spark.catalog.refreshTable(table)
     DedupStore.FoldResult(applied = true, batchRows = banded.count())
   }
@@ -260,8 +302,13 @@ object MediaDedupStore {
         "every pair)")
     require(maxBucketSize.forall(_ > 0),
       s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
+    DedupStore.requireStoreSchema(spark, table,
+      Seq("media_id", "band_idx", "band_key", "dhash", "_epoch"),
+      "store probe")
     DedupStore.requireKnobs(spark, table, KnobsProperty,
-      s"bands=$bands", "store probe")
+      s"bands=$bands", "store probe", requirePresent = true)
+    DedupStore.warnVerifyDivergence(spark, table, VerifyProperty,
+      s"maxHamming=$maxHamming", "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val base = batch.select(col(idCol).as("media_id"),
       col(hashCol).cast("long").as("dhash"))

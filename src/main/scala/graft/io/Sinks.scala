@@ -226,7 +226,8 @@ object Sinks {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.0,
       maxBucketSize: Option[Long] = None, storeBuckets: Int = 0,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true, keeper: String = "min_id",
+      qualityCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("update")
@@ -235,7 +236,7 @@ object Sinks {
         DedupStore.maintain(batch.sparkSession, table, batch, idCol,
           textCol, shingleN, numHashes, bands, jaccardThreshold,
           maxBucketSize = maxBucketSize, storeBuckets = storeBuckets,
-          epochId = Some(batchId))
+          epochId = Some(batchId), keeper = keeper, qualityCol = qualityCol)
         stream.sparkSession.catalog.refreshTable(table)
         ()
       }
@@ -257,7 +258,8 @@ object Sinks {
       idCol: String, hashCol: String, checkpoint: String,
       bands: Int = 4, maxHamming: Long = 16L,
       maxBucketSize: Option[Long] = None, storeBuckets: Int = 0,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true, keeper: String = "min_id",
+      qualityCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .outputMode("update")
@@ -266,7 +268,7 @@ object Sinks {
         MediaDedupStore.maintain(batch.sparkSession, table, batch,
           idCol, hashCol, bands, maxHamming,
           maxBucketSize = maxBucketSize, storeBuckets = storeBuckets,
-          epochId = Some(batchId))
+          epochId = Some(batchId), keeper = keeper, qualityCol = qualityCol)
         stream.sparkSession.catalog.refreshTable(table)
         ()
       }

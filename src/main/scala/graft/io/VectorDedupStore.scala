@@ -72,6 +72,16 @@ object VectorDedupStore {
 
   private def modelTable(table: String) = s"${table}_model"
 
+  /** Informational verify-threshold stamp ([[DedupStore.VerifyProperty]]
+    * contract): the vector store's key-affecting calibration is the
+    * frozen MODEL table itself (amax + centroids), so unlike the
+    * banded siblings there is no key-knobs property to enforce — but
+    * the fold's `minScore` is still the membership threshold a probe
+    * can silently diverge from, so it is stamped and probe divergence
+    * WARNS (advice-caught).
+    */
+  val VerifyProperty = "graft.vectordedupstore.verify"
+
   /** The store's calibration model, normalized: pre-training model
     * tables stored integer code-vector centroids (`cv`), which read
     * back as (qsum = cv, n = 1) — ranking identical to their integer
@@ -307,6 +317,8 @@ object VectorDedupStore {
     for (id <- epochId)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('${DedupStore.EpochProperty}' = '$id')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$VerifyProperty' = 'minScore=$minScore')")
     spark.catalog.refreshTable(table)
     // one crank-1 row per batch vector; rides the persisted rank frame
     DedupStore.FoldResult(applied = true, batchRows = homed.count())
@@ -566,6 +578,15 @@ object VectorDedupStore {
         .write.mode(SaveMode.Overwrite).insertInto(table)
       spark.catalog.refreshTable(table)
     }
+    // SUCCESSFUL retrain: sweep the stage dir NOW instead of waiting
+    // for vacuum_staging — a staged model that outlives its apply can
+    // be silently resurrected by the crash-recovery reinstall above
+    // when an operator INTENTIONALLY drops the model table to force a
+    // rebuild (advice-caught). Crashed retrains never reach this line,
+    // so the recovery copy survives exactly as long as it is needed
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scratchPath, true)
     RetrainResult(spark.table(modelTable(table)).count(), rows, moved)
   }
 
@@ -622,9 +643,13 @@ object VectorDedupStore {
       idCol: String, vecCol: String, minScore: Long,
       nprobe: Int = 2, maxCellSize: Option[Long] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    DedupStore.requireStoreSchema(spark, table,
+      Seq("vec_id", "qv", "cell", "_epoch"), "store probe")
     require(spark.catalog.tableExists(modelTable(table)),
       s"store probe: vector dedup store '$table' has no model table " +
         s"'${modelTable(table)}' — the frozen calibration is half the store")
+    DedupStore.warnVerifyDivergence(spark, table, VerifyProperty,
+      s"minScore=$minScore", "store probe")
     val model = normalizedModel(spark, table)
     val stats = model.agg(max(col("amax")).as("amax"))
     val cents = model.select(col("centroid_id"), col("qsum"), col("n"))

@@ -223,6 +223,43 @@ object DeclarativeSteps {
         coalesce(col(cfg.flagColumn), lit(false)))
   }
 
+  /** Sketch-view READBACK: materialize the estimates a gold-plane view
+    * maintains — per-key approximate distinct counts from an HLL
+    * register table, or per-key quantile estimates from an HDR sketch
+    * table ([[graft.io.Maintenance.distinctViewEstimate]] /
+    * [[graft.io.Maintenance.quantileViewEstimate]]). Shape-checked
+    * here so a mis-pointed source fails with a named error at the
+    * step, not a missing-column error inside the estimator. Pure read:
+    * the view table never changes. Scale shape: the estimators are one
+    * keys-grouped aggregate over the ≤ m-rows-per-key (HLL) /
+    * ≤ ~2k-buckets-per-key (HDR) register table — state-bounded, never
+    * history-sized.
+    */
+  def viewEstimateFrame(spark: org.apache.spark.sql.SparkSession,
+      sourceTable: String, cfg: ViewEstimateStepConfig): DataFrame = {
+    val cols = spark.table(sourceTable).columns.toSet
+    val missingKeys = cfg.keyColumns.filterNot(cols.contains)
+    require(missingKeys.isEmpty,
+      s"view_estimate: key_columns not in '$sourceTable': " +
+        missingKeys.mkString(", "))
+    cfg.viewType match {
+      case "distinct_view" =>
+        require(Set("bucket", "rho", "_m").subsetOf(cols),
+          s"view_estimate: '$sourceTable' is not a distinct_view " +
+            "register table (needs bucket/rho/_m — refresh_type " +
+            "distinct_view produces them)")
+        graft.io.Maintenance.distinctViewEstimate(spark, sourceTable,
+          cfg.keyColumns)
+      case _ =>
+        require(Set("bkey", "cnt").subsetOf(cols),
+          s"view_estimate: '$sourceTable' is not a quantile_view " +
+            "sketch table (needs bkey/cnt — refresh_type quantile_view " +
+            "produces them)")
+        graft.io.Maintenance.quantileViewEstimate(spark, sourceTable,
+          cfg.keyColumns, cfg.qPermille)
+    }
+  }
+
   def relevanceFilterFrame(df: DataFrame,
       cfg: RelevanceFilterStepConfig): DataFrame = {
     val missing = Seq(cfg.idColumn, cfg.textColumn)

@@ -149,6 +149,11 @@ class SilverLayer(spark: SparkSession, config: EtlConfig,
           // store without folding (the store never advances)
           DeclarativeSteps.storeProbeFrame(spark,
             spark.table(t.sourceTable), t.storeProbe.get)
+        case "view_estimate" =>
+          // READ verb: materialize the estimates the gold plane's
+          // HLL/HDR sketch views maintain (the view never changes)
+          DeclarativeSteps.viewEstimateFrame(spark, t.sourceTable,
+            t.viewEstimate.get)
         case _ =>
           val sql = EtlConfig.substitute(t.sqlQuery, Map("PROCESSING_DATE" -> runDate))
           spark.sql(sql)
@@ -276,7 +281,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           val d = m.dedupStore.get
           Sinks.streamDedupStore(stream, m.targetTable, d.idColumn,
             d.textColumn, checkpoint, d.shingleSize, d.numHashes, d.bands,
-            d.jaccardPct / 100.0, d.maxBucketSize, d.storeBuckets)
+            d.jaccardPct / 100.0, d.maxBucketSize, d.storeBuckets,
+            keeper = d.keeper, qualityCol = d.qualityColumn)
         case "vector_dedup_store" =>
           val v = m.vectorDedupStore.get
           Sinks.streamVectorDedupStore(stream, m.targetTable, v.idColumn,
@@ -286,7 +292,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
           val d = m.mediaDedupStore.get
           Sinks.streamMediaDedupStore(stream, m.targetTable, d.idColumn,
             d.hashColumn, checkpoint, d.bands, d.maxHamming,
-            d.maxBucketSize, d.storeBuckets)
+            d.maxBucketSize, d.storeBuckets,
+            keeper = d.keeper, qualityCol = d.qualityColumn)
         case "scd2" =>
           Sinks.streamScd2(stream, m.targetTable, m.primaryKeys,
             m.trackedColumns, m.effectiveColumn.get, checkpoint)
@@ -415,7 +422,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             spark, m.targetTable, df, d.idColumn, d.textColumn,
             d.shingleSize, d.numHashes, d.bands, d.jaccardPct / 100.0,
             maxBucketSize = d.maxBucketSize, storeBuckets = d.storeBuckets,
-            epochId = Some(epoch)).batchRows
+            epochId = Some(epoch), keeper = d.keeper,
+            qualityCol = d.qualityColumn).batchRows
         } else if (m.refreshType == "vector_dedup_store") {
           // embedding twin of dedup_store: same epoch fence, same
           // self-reported batch count (maintain persists the batch's
@@ -436,7 +444,8 @@ class GoldLayer(spark: SparkSession, config: EtlConfig,
             spark, m.targetTable, df, d.idColumn, d.hashColumn,
             d.bands, d.maxHamming, maxBucketSize = d.maxBucketSize,
             storeBuckets = d.storeBuckets,
-            epochId = Some(epoch)).batchRows
+            epochId = Some(epoch), keeper = d.keeper,
+            qualityCol = d.qualityColumn).batchRows
         } else if (m.refreshType == "scd2") {
           // type-2 dimension fold: close + open version rows per key
           // (graft.io.Scd2). No epoch fence needed — the merge is
@@ -553,10 +562,21 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
             t.spreadThresholdPermille).moved
         case "store_stats" =>
           // records_processed = the occupancy SPREAD in permille
-          // (1000 = balanced) — the retrain-cadence signal, trended
-          // in the control table run over run
-          graft.io.VectorDedupStore.occupancyStats(spark, t.table.get,
-            t.maxCellSize).spreadPermille
+          // (1000 = balanced) — the retrain/prune-cadence signal,
+          // trended in the control table run over run. Dispatches on
+          // the store family's own schema: vector stores profile
+          // per-cell (the retrain signal), banded text/media stores
+          // per (band_idx, band_key) bucket (the maxBucketSize-tuning
+          // signal); max_cell_size is the hot-count cap for both
+          require(spark.catalog.tableExists(t.table.get),
+            s"store_stats: no such table '${t.table.get}'")
+          val cols = spark.table(t.table.get).columns.toSet
+          if (cols.contains("cell"))
+            graft.io.VectorDedupStore.occupancyStats(spark, t.table.get,
+              t.maxCellSize).spreadPermille
+          else
+            graft.io.DedupStore.bandOccupancyStats(spark, t.table.get,
+              t.maxCellSize).spreadPermille
       }
       // control rows upsert on (table_name, layer): task-qualify the
       // layer so two tasks on the SAME table (compact + zone_maps is

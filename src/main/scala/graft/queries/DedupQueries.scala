@@ -308,8 +308,47 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** ds1's keeper-policy twin on the TEXT store — the same two-fold
+    * lifecycle run under `keeper = max_quality` ([[graft.io.DedupStore
+    * .Keepers]], mirroring the vector store's vds2): each within-batch
+    * near-dup cluster keeps its HIGHEST-quality member (the d8b/d10
+    * curation policy — ties → smallest id) instead of the smallest id,
+    * with quality = the t2-proven [[graft.functions.TextFunctions
+    * .qualityScore]] computed on the batch before the fold. The policy
+    * only changes WHICH duplicate survives — probe, banding, store
+    * schema identical — so stored ids + epochs still hash-match the
+    * full WITH RECURSIVE re-derivation with the keeper CTE swapped for
+    * the quality-ranked window. Discriminates from ds1 wherever a
+    * cluster's best member is not its smallest id.
+    */
+  def ds2KeeperStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.ds2_keeper_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/ds2_keeper_store")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(1L),
+      keeper = "max_quality", qualityCol = Some("quality"))
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(2L),
+      keeper = "max_quality", qualityCol = Some("quality"))
+    graft.io.DedupStore.storedDocIds(s, table)
+      .select(col("doc_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "ds1_dedup_store" -> ds1DedupStore _,
+    "ds2_keeper_store" -> ds2KeeperStore _,
     "sp1_store_probe" -> sp1StoreProbe _,
     "d13_containment_pairs" -> d13ContainmentPairs _,
     "d12_shared_spans" -> d12SharedSpans _,
@@ -384,7 +423,30 @@ object DedupQueries extends QuerySet {
   private def bandOrSql(x: String, y: String): String =
     (0 until B).map(i => s"$x.band_$i = $y.band_$i").mkString("(", " OR ", ")")
 
-  private def keeperCtes(base: String, tag: String): String =
+  /** The keep-one-per-cluster CTE chain. `qualityCte` names a
+    * (doc_id, quality) CTE to swap the min-id keeper for ds2's
+    * max_quality policy: rank each cluster's members by quality DESC
+    * (ties → smallest id), keep rank 1 — mirroring the Spark window in
+    * [[graft.io.DedupStore.maintain]].
+    */
+  private def keeperCtes(base: String, tag: String,
+      qualityCte: Option[String] = None): String = {
+    val keeperCte = qualityCte match {
+      case Some(q) =>
+        s"""k$tag AS (
+           |  SELECT doc_id FROM $base WHERE doc_id NOT IN (
+           |    SELECT doc_id FROM (
+           |      SELECT c.doc_id,
+           |        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           |          ORDER BY q.quality DESC, c.doc_id) AS rn
+           |      FROM c$tag c JOIN $q q USING (doc_id))
+           |    WHERE rn <> 1))""".stripMargin
+      case None =>
+        s"""k$tag AS (
+           |  SELECT doc_id FROM $base WHERE doc_id NOT IN
+           |    (SELECT doc_id FROM c$tag WHERE cluster_id <> doc_id))"""
+          .stripMargin
+    }
     s"""p$tag AS (
        |  SELECT x.doc_id AS da, y.doc_id AS db
        |  FROM $base x JOIN $base y ON x.doc_id < y.doc_id
@@ -400,9 +462,8 @@ object DedupQueries extends QuerySet {
        |c$tag AS (
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
        |  FROM r$tag GROUP BY src),
-       |k$tag AS (
-       |  SELECT doc_id FROM $base WHERE doc_id NOT IN
-       |    (SELECT doc_id FROM c$tag WHERE cluster_id <> doc_id))""".stripMargin
+       |$keeperCte""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ds1_dedup_store" ->
@@ -418,6 +479,29 @@ object DedupQueries extends QuerySet {
          |  WHERE ${jacSql("b", "s1")} >= 0.5),
          |f2 AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
          |${keeperCtes("f2", "2")}
+         |SELECT doc_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+         |UNION ALL
+         |SELECT doc_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
+         |ORDER BY doc_id""".stripMargin,
+    // ds1's lifecycle verbatim with the keeper CTEs swapped for the
+    // max_quality window (quality = t2's proven qualitySql, ranked
+    // DESC with doc_id tiebreak) — the d8b/d10 curation policy on the
+    // maintained store
+    "ds2_keeper_store" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |a AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
+         |${keeperCtes("a", "1", qualityCte = Some("q"))},
+         |s1 AS (SELECT a.* FROM a JOIN k1 USING (doc_id)),
+         |b AS (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")}),
+         |hits AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON ${bandOrSql("b", "s1")}
+         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |f2 AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |${keeperCtes("f2", "2", qualityCte = Some("q"))}
          |SELECT doc_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
          |UNION ALL
          |SELECT doc_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2

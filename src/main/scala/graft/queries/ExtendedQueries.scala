@@ -512,6 +512,46 @@ object ExtendedQueries extends QuerySet {
 
   private val MdsBucketCap = 8L
 
+  /** MEDIA store-membership PROBE as a full oracle row — the mds1
+    * lifecycle's read half on the driver gate ([[graft.io
+    * .MediaDedupStore.probeHits]], the engine behind the declarative
+    * `store_probe` verb for `store_type: media_dedup_store`): fold
+    * crawl 1 (media_id < 100) into a standing store, then probe crawl
+    * 2 + the planted re-encode variants WITHOUT folding — each probe
+    * image comes back flagged by the banded-candidate + exact-Hamming
+    * membership test, hot store-side buckets excluded (`MdsBucketCap`
+    * spelled in the oracle). Completes the sp1/sp2/sp3 trio: every
+    * store family's read path is hash-gated, not just spec-pinned.
+    */
+  def sp3StoreProbeMedia(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Multimodal
+    val media = M.syntheticMedia(s, 200)
+    val variants = M.noisyVariants(
+      media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
+      everyN = 50, delta = 64)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.sp3_probe_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+        table.split('.')(1))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.MediaDedupStore.maintain(s, table,
+      M.dHash(media.filter(_.media_id < 100)), "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(1L))
+    val batch = M.dHash(media.filter(_.media_id >= 100).unionByName(variants))
+    val hits = graft.io.MediaDedupStore.probeHits(s, table, batch,
+      "media_id", "dhash", bands = 4, maxHamming = 16L,
+      maxBucketSize = Some(MdsBucketCap))
+    batch.join(hits.withColumn("store_hit", lit(true)),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("store_hit"), lit(false)).as("store_hit"))
+      .orderBy("media_id")
+  }
+
   /** Image RESIZE as a FULL oracle row — the last of the multimodal
     * quartet (decode = all, feature-extract = m1, frame-sample = m2,
     * resize = here): every image thumbnails to 8×8 through the batched
@@ -1175,6 +1215,7 @@ object ExtendedQueries extends QuerySet {
     "m1_image_features" -> m1ImageFeatures _,
     "m6_phash_neardup" -> m6PhashNeardup _,
     "mds1_media_dedup_store" -> mds1MediaDedupStore _,
+    "sp3_store_probe_media" -> sp3StoreProbeMedia _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
     "m4_thumbnails" -> m4Thumbnails _,
@@ -1233,6 +1274,92 @@ object ExtendedQueries extends QuerySet {
 
   private val toksLowerSql =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
+
+  /** The media-store lifecycle's shared oracle prefix: m6's dHash
+    * CTE chain (variant bytes, 9x8 sample, 64 comparison bits,
+    * 4x16-bit bands), fold 1's capped pairs -> Hamming verify ->
+    * WITH RECURSIVE closure (k1 = the standing store), and fold 2's
+    * batch x store band-equi probe with the hot-bucket exclusion
+    * (`hits`). mds1 continues with the store-fresh remnant's own
+    * pair/closure pass; sp3 reads the membership flags straight off
+    * `hits`.
+    */
+  private val mdsLifecycleToProbe: String =
+    """WITH RECURSIVE m AS (
+        |  SELECT i AS src_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
+        |u AS (
+        |  SELECT src_id AS out_id, src_id, w, h, 0 AS var FROM m
+        |  UNION ALL
+        |  SELECT src_id + 1000, src_id, w, h, 1 FROM m WHERE src_id % 6 = 0),
+        |px AS MATERIALIZED (
+        |  SELECT out_id, y, x,
+        |    CASE WHEN var = 1 AND p % 50 = 7
+        |      THEN (('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT + 64) % 256
+        |      ELSE ('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
+        |              (p % 16) * 2 + 1, 2))::INT END AS v
+        |  FROM (
+        |    SELECT out_id, src_id, var, y, x, (y * h // 8) * w + (x * w // 9) AS p
+        |    FROM u,
+        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy,
+        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) gx)),
+        |bits AS MATERIALIZED (
+        |  SELECT a.out_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.out_id = b.out_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS MATERIALIZED (
+        |  SELECT out_id, idx // 16 AS band,
+        |    SUM(bit * (1 << (idx % 16))) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |f1 AS (SELECT out_id FROM u WHERE var = 0 AND out_id < 100),
+        |hot1 AS (SELECT band, bval FROM bands JOIN f1 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand1 AS MATERIALIZED (
+        |  SELECT DISTINCT a.out_id AS da, b.out_id AS db
+        |  FROM bands a JOIN f1 fa ON fa.out_id = a.out_id
+        |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
+        |    AND a.out_id < b.out_id
+        |  JOIN f1 fb ON fb.out_id = b.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+        |    WHERE h.band = a.band AND h.bval = a.bval)),
+        |ham1 AS MATERIALIZED (
+        |  SELECT c.da, c.db FROM cand1 c
+        |  JOIN bits ba ON ba.out_id = c.da
+        |  JOIN bits bb ON bb.out_id = c.db AND bb.idx = ba.idx
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16),
+        |e1 AS MATERIALIZED (
+        |  SELECT da AS src, db AS dst FROM ham1
+        |  UNION SELECT db, da FROM ham1),
+        |r1(src, dst) AS (
+        |  SELECT src, dst FROM e1
+        |  UNION
+        |  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src),
+        |cc1 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
+        |        FROM r1 GROUP BY src),
+        |k1 AS MATERIALIZED (
+        |  SELECT out_id FROM f1 WHERE out_id NOT IN
+        |    (SELECT out_id FROM cc1 WHERE cid <> out_id)),
+        |f2 AS (SELECT out_id FROM u WHERE out_id >= 100),
+        |hots AS (SELECT band, bval FROM bands JOIN k1 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand2s AS MATERIALIZED (
+        |  SELECT DISTINCT p.out_id AS pid, s.out_id AS sid
+        |  FROM bands p JOIN f2 fp ON fp.out_id = p.out_id
+        |  JOIN bands s ON s.band = p.band AND s.bval = p.bval
+        |  JOIN k1 ks ON ks.out_id = s.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hots h
+        |    WHERE h.band = s.band AND h.bval = s.bval)),
+        |hits AS MATERIALIZED (
+        |  SELECT DISTINCT pid AS out_id FROM (
+        |    SELECT c.pid, c.sid FROM cand2s c
+        |    JOIN bits ba ON ba.out_id = c.pid
+        |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
+        |    GROUP BY 1, 2
+        |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the operator's derivation: full outer on the key, per-column
@@ -1725,81 +1852,7 @@ object ExtendedQueries extends QuerySet {
     // own capped pair/closure pass, and the epoch stamps — every stage
     // mirrors MediaDedupStore.maintain operation for operation
     "mds1_media_dedup_store" ->
-      """WITH RECURSIVE m AS (
-        |  SELECT i AS src_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
-        |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
-        |u AS (
-        |  SELECT src_id AS out_id, src_id, w, h, 0 AS var FROM m
-        |  UNION ALL
-        |  SELECT src_id + 1000, src_id, w, h, 1 FROM m WHERE src_id % 6 = 0),
-        |px AS MATERIALIZED (
-        |  SELECT out_id, y, x,
-        |    CASE WHEN var = 1 AND p % 50 = 7
-        |      THEN (('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
-        |              (p % 16) * 2 + 1, 2))::INT + 64) % 256
-        |      ELSE ('0x' || substr(md5('media:' || src_id || ':' || (p // 16)),
-        |              (p % 16) * 2 + 1, 2))::INT END AS v
-        |  FROM (
-        |    SELECT out_id, src_id, var, y, x, (y * h // 8) * w + (x * w // 9) AS p
-        |    FROM u,
-        |      LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy,
-        |      LATERAL (SELECT unnest(generate_series(0, 8)) AS x) gx)),
-        |bits AS MATERIALIZED (
-        |  SELECT a.out_id, a.y * 8 + a.x AS idx,
-        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
-        |  FROM px a JOIN px b ON a.out_id = b.out_id AND a.y = b.y
-        |    AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |bands AS MATERIALIZED (
-        |  SELECT out_id, idx // 16 AS band,
-        |    SUM(bit * (1 << (idx % 16))) AS bval
-        |  FROM bits GROUP BY 1, 2),
-        |f1 AS (SELECT out_id FROM u WHERE var = 0 AND out_id < 100),
-        |hot1 AS (SELECT band, bval FROM bands JOIN f1 USING (out_id)
-        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
-        |cand1 AS MATERIALIZED (
-        |  SELECT DISTINCT a.out_id AS da, b.out_id AS db
-        |  FROM bands a JOIN f1 fa ON fa.out_id = a.out_id
-        |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
-        |    AND a.out_id < b.out_id
-        |  JOIN f1 fb ON fb.out_id = b.out_id
-        |  WHERE NOT EXISTS (SELECT 1 FROM hot1 h
-        |    WHERE h.band = a.band AND h.bval = a.bval)),
-        |ham1 AS MATERIALIZED (
-        |  SELECT c.da, c.db FROM cand1 c
-        |  JOIN bits ba ON ba.out_id = c.da
-        |  JOIN bits bb ON bb.out_id = c.db AND bb.idx = ba.idx
-        |  GROUP BY 1, 2
-        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16),
-        |e1 AS MATERIALIZED (
-        |  SELECT da AS src, db AS dst FROM ham1
-        |  UNION SELECT db, da FROM ham1),
-        |r1(src, dst) AS (
-        |  SELECT src, dst FROM e1
-        |  UNION
-        |  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src),
-        |cc1 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
-        |        FROM r1 GROUP BY src),
-        |k1 AS MATERIALIZED (
-        |  SELECT out_id FROM f1 WHERE out_id NOT IN
-        |    (SELECT out_id FROM cc1 WHERE cid <> out_id)),
-        |f2 AS (SELECT out_id FROM u WHERE out_id >= 100),
-        |hots AS (SELECT band, bval FROM bands JOIN k1 USING (out_id)
-        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
-        |cand2s AS MATERIALIZED (
-        |  SELECT DISTINCT p.out_id AS pid, s.out_id AS sid
-        |  FROM bands p JOIN f2 fp ON fp.out_id = p.out_id
-        |  JOIN bands s ON s.band = p.band AND s.bval = p.bval
-        |  JOIN k1 ks ON ks.out_id = s.out_id
-        |  WHERE NOT EXISTS (SELECT 1 FROM hots h
-        |    WHERE h.band = s.band AND h.bval = s.bval)),
-        |hits AS MATERIALIZED (
-        |  SELECT DISTINCT pid AS out_id FROM (
-        |    SELECT c.pid, c.sid FROM cand2s c
-        |    JOIN bits ba ON ba.out_id = c.pid
-        |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
-        |    GROUP BY 1, 2
-        |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16)),
+      s"""$mdsLifecycleToProbe,
         |fr2 AS MATERIALIZED (
         |  SELECT out_id FROM f2 WHERE out_id NOT IN
         |    (SELECT out_id FROM hits)),
@@ -1835,6 +1888,15 @@ object ExtendedQueries extends QuerySet {
         |UNION ALL
         |SELECT out_id, CAST(2 AS BIGINT) FROM k2
         |ORDER BY media_id""".stripMargin,
+    // the lifecycle prefix verbatim through the batch x store probe
+    // (`hits`), then the flags: every crawl-2 image + planted variant
+    // marked by whether it sits within Hamming 16 of ANY fold-1
+    // survivor — the read path re-derived stage for stage
+    "sp3_store_probe_media" ->
+      s"""$mdsLifecycleToProbe
+        |SELECT out_id AS media_id,
+        |  out_id IN (SELECT out_id FROM hits) AS store_hit
+        |FROM f2 ORDER BY media_id""".stripMargin,
     // the full dHash/LSH/Hamming lifecycle re-derived: variant payload
     // byte p flips by +64 (mod 256) where p % 50 = 7 (the noisyVariants
     // formula); the 9x8 nearest-neighbor sample, the 64 comparison

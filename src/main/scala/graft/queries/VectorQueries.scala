@@ -459,9 +459,50 @@ object VectorQueries extends QuerySet {
       .orderBy("vec_id")
   }
 
+  /** VECTOR store-membership PROBE as a full oracle row — the vds1
+    * lifecycle's read half on the driver gate ([[graft.io
+    * .VectorDedupStore.probeHits]], the engine behind the declarative
+    * `store_probe` verb for `store_type: vector_dedup_store`): found
+    * the store on the even vec_ids (vds1's fold-1 exactly — frozen
+    * amax, trained centroids, capped self-dedup), then probe the odd
+    * vec_ids WITHOUT folding — quantized with the STORED calibration,
+    * ranked against the frozen centroids, scored cell-equi against the
+    * stored codes with `VdsCellCap` excluding hot store cells. Each
+    * probe vector comes back flagged; the store provably never
+    * advances. All-integer scoring keeps the whole read path one
+    * hash-exact row.
+    */
+  def sp2StoreProbeVector(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.sp2_probe_store"
+    Seq(table, s"${table}_model").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+          t.split('.')(1))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(1L))
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val hits = graft.io.VectorDedupStore.probeHits(s, table, batch,
+      "vec_id", "embedding", MatchScore, nprobe = 2,
+      maxCellSize = Some(VdsCellCap))
+    batch.join(hits.withColumn("store_hit", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("store_hit"), lit(false)).as("store_hit"))
+      .orderBy("vec_id")
+  }
+
   val entries: Map[String, Q] = Map(
     "vds1_vector_dedup_store" -> vds1VectorDedupStore _,
     "vds2_semdedup_store" -> vds2KeeperSemdedup _,
+    "sp2_store_probe_vector" -> sp2StoreProbeVector _,
     "v14_centroid_outliers" -> v14CentroidOutliers _,
     "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
@@ -644,6 +685,63 @@ object VectorQueries extends QuerySet {
        |    FROM $base q, $cents c WHERE $filter)
        |  WHERE crank <= $maxCrank""".stripMargin
 
+  /** The vector-store lifecycle's shared oracle prefix, parametrized
+    * by the keeper policy: calibration amax over the FOUNDING (even)
+    * unit vectors, centroids TRAINED by the unrolled integer Lloyd's
+    * (v11's kmAssign/kmUpdate plumbing verbatim), fold-1 home cells +
+    * keepers (`k1`, min-id or centroid-farthest per `farthestCents`),
+    * and fold-2's capped cell-equi probe (`hits`). vds1/vds2 continue
+    * with the remnant's own keeper pass; sp2 reads the membership
+    * flags straight off `hits`.
+    */
+  private def vdsLifecycleToProbe(farthestCents: Option[String]): String =
+    s"""WITH RECURSIVE unit AS ($unitCte),
+       |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
+       |st AS (SELECT MAX(ABS(x)) AS amax
+       |       FROM (SELECT unnest(uv) AS x FROM eu)),
+       |qc AS (
+       |  SELECT vec_id, list_transform(uv, x ->
+       |    CASE WHEN amax > 0
+       |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
+       |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
+       |  FROM unit CROSS JOIN st),
+       |eqc AS MATERIALIZED (SELECT vec_id, qv FROM qc WHERE vec_id % 2 = 0),
+       |vkc0 AS MATERIALIZED (SELECT vec_id AS centroid_id, qv AS qsum,
+       |         CAST(1 AS BIGINT) AS n
+       |         FROM eqc ORDER BY vec_id LIMIT $NumCentroids),
+       |vka1 AS MATERIALIZED (${kmAssignSql("vkc0", "eqc")}),
+       |vkc1 AS MATERIALIZED (${kmUpdateSql("vka1", "vkc0")}),
+       |vka2 AS MATERIALIZED (${kmAssignSql("vkc1", "eqc")}),
+       |cents AS MATERIALIZED (${kmUpdateSql("vka2", "vkc1")}),
+       |h1 AS MATERIALIZED (
+       |  SELECT vec_id, qv, cell FROM (
+       |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
+       |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap),
+           farthestCents)},
+       |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
+       |pr2 AS MATERIALIZED (
+       |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
+       |hits AS MATERIALIZED (
+       |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
+       |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore
+       |    AND s.cell NOT IN (
+       |      SELECT cell FROM s1 GROUP BY cell HAVING COUNT(*) > $VdsCellCap))"""
+      .stripMargin
+
+  /** The two-fold store's shared suffix: the store-fresh remnant's own
+    * keeper pass and the epoch stamps.
+    */
+  private def vdsFoldTwoSuffix(farthestCents: Option[String]): String =
+    s"""f2 AS MATERIALIZED (
+       |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
+       |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
+       |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap),
+           farthestCents)}
+       |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+       |UNION ALL
+       |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
+       |ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the whole two-fold store lifecycle in SQL: calibration amax over
     // the FOUNDING (even) unit vectors only, centroids TRAINED by the
@@ -658,89 +756,24 @@ object VectorQueries extends QuerySet {
     // exact integers (one IEEE division in the rank) end to end, so
     // the stored ids + epochs hash-match
     "vds1_vector_dedup_store" ->
-      s"""WITH RECURSIVE unit AS ($unitCte),
-         |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
-         |st AS (SELECT MAX(ABS(x)) AS amax
-         |       FROM (SELECT unnest(uv) AS x FROM eu)),
-         |qc AS (
-         |  SELECT vec_id, list_transform(uv, x ->
-         |    CASE WHEN amax > 0
-         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
-         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
-         |  FROM unit CROSS JOIN st),
-         |eqc AS MATERIALIZED (SELECT vec_id, qv FROM qc WHERE vec_id % 2 = 0),
-         |vkc0 AS MATERIALIZED (SELECT vec_id AS centroid_id, qv AS qsum,
-         |         CAST(1 AS BIGINT) AS n
-         |         FROM eqc ORDER BY vec_id LIMIT $NumCentroids),
-         |vka1 AS MATERIALIZED (${kmAssignSql("vkc0", "eqc")}),
-         |vkc1 AS MATERIALIZED (${kmUpdateSql("vka1", "vkc0")}),
-         |vka2 AS MATERIALIZED (${kmAssignSql("vkc1", "eqc")}),
-         |cents AS MATERIALIZED (${kmUpdateSql("vka2", "vkc1")}),
-         |h1 AS MATERIALIZED (
-         |  SELECT vec_id, qv, cell FROM (
-         |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
-         |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap))},
-         |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
-         |pr2 AS MATERIALIZED (
-         |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
-         |hits AS MATERIALIZED (
-         |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
-         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore
-         |    AND s.cell NOT IN (
-         |      SELECT cell FROM s1 GROUP BY cell HAVING COUNT(*) > $VdsCellCap)),
-         |f2 AS MATERIALIZED (
-         |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
-         |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
-         |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap))}
-         |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
-         |UNION ALL
-         |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
-         |ORDER BY vec_id""".stripMargin,
+      s"""${vdsLifecycleToProbe(None)},
+         |${vdsFoldTwoSuffix(None)}""".stripMargin,
     // vds1's lifecycle verbatim with the keeper CTEs swapped for
     // SemDeDup's centroid-farthest argmin (integer qdot vs the trained
     // rational centroid — division-free within a cell); everything
     // upstream (training, calibration, capped probe) identical
     "vds2_semdedup_store" ->
-      s"""WITH RECURSIVE unit AS ($unitCte),
-         |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
-         |st AS (SELECT MAX(ABS(x)) AS amax
-         |       FROM (SELECT unnest(uv) AS x FROM eu)),
-         |qc AS (
-         |  SELECT vec_id, list_transform(uv, x ->
-         |    CASE WHEN amax > 0
-         |    THEN CAST(LEAST(GREATEST(FLOOR(x / amax * 127 + 0.5),
-         |      -127), 127) AS BIGINT) ELSE 0 END) AS qv
-         |  FROM unit CROSS JOIN st),
-         |eqc AS MATERIALIZED (SELECT vec_id, qv FROM qc WHERE vec_id % 2 = 0),
-         |vkc0 AS MATERIALIZED (SELECT vec_id AS centroid_id, qv AS qsum,
-         |         CAST(1 AS BIGINT) AS n
-         |         FROM eqc ORDER BY vec_id LIMIT $NumCentroids),
-         |vka1 AS MATERIALIZED (${kmAssignSql("vkc0", "eqc")}),
-         |vkc1 AS MATERIALIZED (${kmUpdateSql("vka1", "vkc0")}),
-         |vka2 AS MATERIALIZED (${kmAssignSql("vkc1", "eqc")}),
-         |cents AS MATERIALIZED (${kmUpdateSql("vka2", "vkc1")}),
-         |h1 AS MATERIALIZED (
-         |  SELECT vec_id, qv, cell FROM (
-         |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
-         |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap),
-             farthestCents = Some("cents"))},
-         |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
-         |pr2 AS MATERIALIZED (
-         |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
-         |hits AS MATERIALIZED (
-         |  SELECT DISTINCT p.vec_id FROM pr2 p JOIN s1 s ON p.cell = s.cell
-         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore
-         |    AND s.cell NOT IN (
-         |      SELECT cell FROM s1 GROUP BY cell HAVING COUNT(*) > $VdsCellCap)),
-         |f2 AS MATERIALIZED (
-         |  SELECT vec_id, qv, cell FROM pr2 WHERE crank = 1
-         |    AND vec_id NOT IN (SELECT vec_id FROM hits)),
-         |${vecKeeperCtes("f2", "2", MatchScore, Some(VdsCellCap),
-             farthestCents = Some("cents"))}
-         |SELECT vec_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
-         |UNION ALL
-         |SELECT vec_id, CAST(2 AS BIGINT) AS folded_epoch FROM k2
-         |ORDER BY vec_id""".stripMargin,
+      s"""${vdsLifecycleToProbe(Some("cents"))},
+         |${vdsFoldTwoSuffix(Some("cents"))}""".stripMargin,
+    // the lifecycle prefix verbatim through the capped cell-equi probe
+    // (`hits`), then the flags: every odd vector marked by whether its
+    // integer dot vs ANY fold-1 survivor in a probed cell reaches
+    // MatchScore — the read path re-derived stage for stage
+    "sp2_store_probe_vector" ->
+      s"""${vdsLifecycleToProbe(None)}
+         |SELECT vec_id,
+         |  vec_id IN (SELECT vec_id FROM hits) AS store_hit
+         |FROM qc WHERE vec_id % 2 = 1 ORDER BY vec_id""".stripMargin,
     // ref-only calibration (amax over the unit REFERENCE), first-k ref
     // centroids, integer centroid ranking, integer candidate scores —
     // the whole incremental matcher is exact arithmetic

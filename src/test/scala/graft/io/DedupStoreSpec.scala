@@ -323,4 +323,105 @@ class DedupStoreSpec extends SparkSpec {
     assert(DedupStore.storedDocIds(spark, rev).as[(Long, Long)]
       .collect().map(_._1).toSet == Set(2L, 3L, 4L))
   }
+
+  test("keeper policies: max_quality keeps the best member, min_id the smallest id") {
+    def qdf(rows: (Long, String, Double)*) =
+      rows.toDF("doc_id", "text", "quality")
+    // a planted high-quality-duplicate cluster: 103 carries the best
+    // quality but NOT the smallest id — the two policies must diverge
+    val batch = qdf((101L, textA, 0.2), (103L, textA, 0.9),
+      (105L, textB, 0.5))
+    val tMin = table("t_keeper_min")
+    val tQ = table("t_keeper_q")
+    Seq(tMin, tQ).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    DedupStore.maintain(spark, tMin, batch, "doc_id", "text",
+      epochId = Some(1L))
+    DedupStore.maintain(spark, tQ, batch, "doc_id", "text",
+      epochId = Some(1L), keeper = "max_quality",
+      qualityCol = Some("quality"))
+    assert(DedupStore.storedDocIds(spark, tMin).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(101L, 105L))
+    assert(DedupStore.storedDocIds(spark, tQ).as[(Long, Long)]
+      .collect().map(_._1).toSet == Set(103L, 105L),
+      "max_quality must keep the planted cluster's best member")
+    // the quality column never enters the store schema
+    assert(spark.table(tQ).columns.sorted.toSeq ==
+      Seq("_epoch", "band_idx", "band_key", "doc_id", "sh"))
+    // guards: unknown keeper; max_quality without the column; a
+    // column with min_id; a column missing from the batch
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, tQ, batch, "doc_id", "text",
+        keeper = "best_effort")
+    }.getMessage.contains("keeper"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, tQ, batch, "doc_id", "text",
+        keeper = "max_quality")
+    }.getMessage.contains("needs qualityCol"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, tQ, batch, "doc_id", "text",
+        qualityCol = Some("quality"))
+    }.getMessage.contains("only used by keeper max_quality"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.maintain(spark, tQ, batch.drop("quality"), "doc_id",
+        "text", keeper = "max_quality", qualityCol = Some("quality"))
+    }.getMessage.contains("not in the batch"))
+  }
+
+  test("read-path knob check is never vacuous: a property-less store refuses the probe") {
+    val t = table("t_probe_noprop")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      epochId = Some(1L))
+    // simulate a pre-property store: the fold stamped the knobs, strip
+    // them — the probe must refuse (the fold would pass once and
+    // re-stamp; the probe has no stamping step, so a vacuous pass
+    // would silently match nothing on mismatched knobs)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES " +
+      s"('${DedupStore.KnobsProperty}')")
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.probeHits(spark, t, df(10L -> textA), "doc_id", "text")
+    }
+    assert(e.getMessage.contains(DedupStore.KnobsProperty) &&
+      e.getMessage.contains("run one fold"), e.getMessage)
+    // one fold re-stamps; the probe works again
+    DedupStore.maintain(spark, t, df(2L -> textB), "doc_id", "text",
+      epochId = Some(2L))
+    assert(DedupStore.probeHits(spark, t, df(10L -> textA),
+      "doc_id", "text").as[Long].collect().toSet == Set(10L))
+  }
+
+  test("probe refuses a foreign table with a named error, not a missing-column crash") {
+    val t = table("t_probe_foreign")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.probeHits(spark, t, df(10L -> textA), "doc_id", "text")
+    }.getMessage.contains("not this family's store"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.probeHits(spark, table("t_probe_nonexistent"),
+        df(10L -> textA), "doc_id", "text")
+    }.getMessage.contains("no such table"))
+  }
+
+  test("verify threshold is stamped informationally: divergent probes warn but run") {
+    val t = table("t_probe_verify")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupStore.maintain(spark, t, df(1L -> textA), "doc_id", "text",
+      jaccardThreshold = 0.5, epochId = Some(1L))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    assert(meta.properties.get(DedupStore.VerifyProperty)
+      .contains("jaccardThreshold=0.5"))
+    // a matching probe produces no divergence message
+    assert(DedupStore.warnVerifyDivergence(spark, t,
+      DedupStore.VerifyProperty, "jaccardThreshold=0.5", "store probe")
+      .isEmpty)
+    // a divergent threshold WARNS (returned + logged) and the probe
+    // still answers its looser membership question
+    assert(DedupStore.warnVerifyDivergence(spark, t,
+      DedupStore.VerifyProperty, "jaccardThreshold=0.0", "store probe")
+      .exists(_.contains("diverge")))
+    assert(DedupStore.probeHits(spark, t, df(10L -> textA), "doc_id",
+      "text", jaccardThreshold = 0.0).as[Long].collect().toSet == Set(10L))
+  }
 }

@@ -588,4 +588,38 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("keepEpochs"), e3.getMessage)
   }
+
+  test("bandOccupancyStats profiles a planted hot band; guards refuse non-banded tables") {
+    val t = table("t_band_stats")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a text store whose batch plants one boilerplate band value:
+    // docs 1..6 share textA's content exactly in band terms only if
+    // their text matches — plant it directly instead: 6 rows in one
+    // (band_idx, band_key) bucket, 4 spread across distinct buckets
+    val rows =
+      (1L to 6L).map(i => (i, 0, "hotkey", Seq(i), 1L)) ++
+        (7L to 10L).map(i => (i, 0, s"cold$i", Seq(i), 1L))
+    rows.toDF("doc_id", "band_idx", "band_key", "sh", "_epoch")
+      .write.saveAsTable(t)
+    val s = DedupStore.bandOccupancyStats(spark, t, Some(3L))
+    // 5 buckets, 10 rows, max 6: spread = 1000*6*5/10 = 3000; one hot
+    // bucket carrying 6 rows of silenced probe mass
+    assert(s == DedupStore.BandOccupancyStats(5L, 10L, 6L, 3000L, 1L, 6L),
+      s.toString)
+    // no cap: nothing is hot, the profile itself is unchanged
+    val s2 = DedupStore.bandOccupancyStats(spark, t)
+    assert(s2.hotBuckets == 0L && s2.hotRows == 0L &&
+      s2.spreadPermille == 3000L, s2.toString)
+    // a vector store (no band columns) refuses with the named error
+    val tv = table("t_band_stats_vec")
+    spark.sql(s"DROP TABLE IF EXISTS $tv")
+    Seq((1L, Seq(1L), 0L, 1L)).toDF("vec_id", "qv", "cell", "_epoch")
+      .write.saveAsTable(tv)
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.bandOccupancyStats(spark, tv)
+    }.getMessage.contains("band_idx"))
+    assert(intercept[IllegalArgumentException] {
+      DedupStore.bandOccupancyStats(spark, table("t_band_stats_none"))
+    }.getMessage.contains("no such table"))
+  }
 }

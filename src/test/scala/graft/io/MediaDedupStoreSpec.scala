@@ -254,4 +254,63 @@ class MediaDedupStoreSpec extends SparkSpec {
     assert(stored(fwd).map(_._1).contains(1L))
     assert(stored(rev).map(_._1).contains(2L))
   }
+
+  test("keeper policies: max_quality keeps the best re-encode, min_id the smallest id") {
+    def qdf(rows: (Long, Long, Long)*) =
+      rows.toDF("media_id", "dhash", "bytes")
+    // 1/3 near-dup re-encodes; 3 is the higher-resolution copy (more
+    // bytes) but NOT the smallest id — the policies must diverge
+    val batch = qdf((1L, hA, 100L), (3L, hA2, 900L), (5L, hC, 400L))
+    val tMin = table("t_keeper_min")
+    val tQ = table("t_keeper_q")
+    Seq(tMin, tQ).foreach(drop)
+    MediaDedupStore.maintain(spark, tMin, batch, "media_id", "dhash",
+      epochId = Some(1L))
+    MediaDedupStore.maintain(spark, tQ, batch, "media_id", "dhash",
+      epochId = Some(1L), keeper = "max_quality",
+      qualityCol = Some("bytes"))
+    assert(stored(tMin).map(_._1) == Set(1L, 5L))
+    assert(stored(tQ).map(_._1) == Set(3L, 5L),
+      "max_quality must keep the planted cluster's best re-encode")
+    // quality never enters the store schema; guards mirror the text store
+    assert(spark.table(tQ).columns.sorted.toSeq ==
+      Seq("_epoch", "band_idx", "band_key", "dhash", "media_id"))
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.maintain(spark, tQ, batch, "media_id", "dhash",
+        keeper = "max_quality")
+    }.getMessage.contains("needs qualityCol"))
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.maintain(spark, tQ, batch, "media_id", "dhash",
+        qualityCol = Some("bytes"))
+    }.getMessage.contains("only used by keeper max_quality"))
+  }
+
+  test("probe guards: foreign table named error, property-less store refuses, verify stamp") {
+    val t = table("t_probe_guards")
+    drop(t)
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.probeHits(spark, t, df(9L -> hA), "media_id", "dhash")
+    }.getMessage.contains("not this family's store"))
+
+    val t2 = table("t_probe_noprop")
+    drop(t2)
+    MediaDedupStore.maintain(spark, t2, df(1L -> hA), "media_id", "dhash",
+      epochId = Some(1L))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t2))
+    assert(meta.properties.get(MediaDedupStore.VerifyProperty)
+      .contains("maxHamming=16"))
+    spark.sql(s"ALTER TABLE $t2 UNSET TBLPROPERTIES " +
+      s"('${MediaDedupStore.KnobsProperty}')")
+    assert(intercept[IllegalArgumentException] {
+      MediaDedupStore.probeHits(spark, t2, df(9L -> hA2),
+        "media_id", "dhash")
+    }.getMessage.contains(MediaDedupStore.KnobsProperty))
+    // a fold re-stamps; the probe reads again
+    MediaDedupStore.maintain(spark, t2, df(2L -> hC), "media_id", "dhash",
+      epochId = Some(2L))
+    assert(MediaDedupStore.probeHits(spark, t2, df(9L -> hA2),
+      "media_id", "dhash").as[Long].collect().toSet == Set(9L))
+  }
 }

@@ -625,4 +625,56 @@ class VectorDedupStoreSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"the batch x store probe must stay cell-equi:\n$sp")
   }
+
+  test("probe refuses a foreign table with a named error; verify divergence warns") {
+    val t = table("t_probe_foreign")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.probeHits(spark, t, df(9L -> vA),
+        "vec_id", "embedding", Score)
+    }.getMessage.contains("not this family's store"))
+
+    val t2 = table("t_probe_verify")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_model")
+    VectorDedupStore.maintain(spark, t2, df(1L -> vA, 2L -> vB),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t2))
+    assert(meta.properties.get(VectorDedupStore.VerifyProperty)
+      .contains(s"minScore=$Score"))
+    // a looser probe threshold warns but still answers its question
+    assert(DedupStore.warnVerifyDivergence(spark, t2,
+      VectorDedupStore.VerifyProperty, "minScore=1", "store probe")
+      .exists(_.contains("diverge")))
+    assert(VectorDedupStore.probeHits(spark, t2, df(9L -> vA),
+      "vec_id", "embedding", minScore = 1L).as[Long].collect()
+      .toSet == Set(9L))
+  }
+
+  test("successful retrain sweeps its stage: an intentionally dropped model is not resurrected") {
+    val t = table("t_retrain_sweep")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vB, 3L -> vC, 4L -> vC2),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    // a k-resize forces a real (modelChanged) retrain through the
+    // staged path
+    VectorDedupStore.retrain(spark, t, numCentroids = Some(3))
+    val stage = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/__retrain_stage/" +
+        t.replace('.', '_'))
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(stage),
+      "a SUCCESSFUL retrain must sweep its stage dir — a surviving " +
+        "staged model would resurrect an intentionally dropped model table")
+    // the intentional drop now refuses instead of silently reinstalling
+    // a stale calibration
+    spark.sql(s"DROP TABLE ${t}_model")
+    assert(intercept[IllegalArgumentException] {
+      VectorDedupStore.retrain(spark, t)
+    }.getMessage.contains("no model table"))
+  }
 }

@@ -196,12 +196,17 @@ class MainSpec extends SparkSpec {
       assert(maint.keySet == Set("maintenance.compact_dedup_store",
         "maintenance.zone_maps_curated", "maintenance.vacuum_staging",
         "maintenance.prune_vector_store", "maintenance.stats_vector_store",
+        "maintenance.stats_dedup_store",
         "maintenance.retrain_vector_store"), maint.keySet)
       assert(maint("maintenance.compact_dedup_store")
         .contains("\"task_type\":\"compact\""))
       // occupancy stats ran before the (drift-gated) retrain: the
       // spread signal lands in the control row as records_processed
       assert(maint("maintenance.stats_vector_store")
+        .contains("\"task_type\":\"store_stats\""))
+      // the banded TEXT store's occupancy profile (store_stats
+      // dispatches on the store family's own schema)
+      assert(maint("maintenance.stats_dedup_store")
         .contains("\"task_type\":\"store_stats\""))
       // retention ran against the vector store (365-day window over a
       // same-day fold: nothing prunable, the store is intact, and the

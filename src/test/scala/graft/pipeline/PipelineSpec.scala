@@ -899,6 +899,118 @@ class PipelineSpec extends SparkSpec {
     assert(p50 == 7L, s"P02 median of (7, 9) reads 7 exactly: $p50")
   }
 
+  test("view_estimate READ verb: the gold plane's sketch views read back through YAML") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver_e2e")
+    val dv = "gold_e2e.ve_distinct_view"
+    val qv = "gold_e2e.ve_quantile_view"
+    Seq(dv, qv, "silver_e2e.ve_buyers", "silver_e2e.ve_prices")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.io.Maintenance.maintainDistinctView(spark, dv,
+      Seq(("P01", "C1"), ("P01", "C2"), ("P01", "C3"), ("P02", "C1"))
+        .toDF("product_id", "customer_id"),
+      Seq("product_id"), "customer_id")
+    graft.io.Maintenance.maintainQuantileView(spark, qv,
+      Seq(("P01", 100L), ("P01", 900L), ("P02", 7L), ("P02", 9L))
+        .toDF("product_id", "cents"),
+      Seq("product_id"), "cents")
+    val yaml =
+      s"""transformations:
+         |  - transform_id: buyers_estimate
+         |    transformation_type: view_estimate
+         |    source_table: $dv
+         |    target_table: silver_e2e.ve_buyers
+         |    view_estimate:
+         |      view_type: distinct_view
+         |      key_columns: [product_id]
+         |  - transform_id: price_quantiles
+         |    transformation_type: view_estimate
+         |    source_table: $qv
+         |    target_table: silver_e2e.ve_prices
+         |    view_estimate:
+         |      view_type: quantile_view
+         |      key_columns: [product_id]
+         |      q_permille: [500, 950]
+         |""".stripMargin
+    val p = new Pipeline(spark, "2024-09-11", new FixedClock(1804600000000L))
+    val r = p.run(Map("silver" -> EtlConfig.fromYaml(yaml)), Seq("silver"))
+    assert(r.head.failed.isEmpty, r.toString)
+    // pinned ≡ the direct API, keys intact
+    val direct = graft.io.Maintenance.distinctViewEstimate(spark, dv,
+      Seq("product_id")).collect().map(_.toSeq).toSet
+    assert(spark.table("silver_e2e.ve_buyers").collect().map(_.toSeq).toSet
+      == direct, "YAML readback must equal the direct estimator")
+    val directQ = graft.io.Maintenance.quantileViewEstimate(spark, qv,
+      Seq("product_id"), Seq(500, 950)).collect().map(_.toSeq).toSet
+    assert(spark.table("silver_e2e.ve_prices").collect().map(_.toSeq).toSet
+      == directQ, "YAML readback must equal the direct estimator")
+    // the views themselves never changed (pure read)
+    assert(spark.table(dv).count() > 0 && spark.table(qv).count() > 0)
+    // shape guard: a mis-pointed source fails with the named error
+    val bad = new Pipeline(spark, "2024-09-12", new FixedClock(1804700000000L))
+      .run(Map("silver" -> EtlConfig.fromYaml(
+        s"""transformations:
+           |  - transform_id: mispointed
+           |    transformation_type: view_estimate
+           |    source_table: $qv
+           |    target_table: silver_e2e.ve_bad
+           |    view_estimate:
+           |      view_type: distinct_view
+           |      key_columns: [product_id]
+           |""".stripMargin)), Seq("silver"))
+    assert(bad.head.failed.nonEmpty &&
+      bad.head.failed.exists(_._2.contains("register table")),
+      bad.toString)
+  }
+
+  test("view_estimate configs: unknown view_type, missing keys, stray q_permille refuse") {
+    def bad(y: String): IllegalArgumentException =
+      intercept[IllegalArgumentException](EtlConfig.fromYaml(y))
+    def tr(body: String): String =
+      s"""transformations:
+         |  - transform_id: t
+         |    source_table: a.b
+         |    target_table: a.c
+         |    transformation_type: view_estimate
+         |$body""".stripMargin
+    assert(bad(tr("    view_estimate: {view_type: hll_view, key_columns: [k]}"))
+      .getMessage.contains("unknown view_type"))
+    assert(bad(tr("    view_estimate: {view_type: distinct_view}"))
+      .getMessage.contains("key_columns"))
+    assert(bad(tr("""    view_estimate:
+                    |      view_type: distinct_view
+                    |      key_columns: [k]
+                    |      q_permille: [500]""".stripMargin))
+      .getMessage.contains("only used by view_type quantile_view"))
+    assert(bad(tr("""    view_estimate:
+                    |      view_type: quantile_view
+                    |      key_columns: [k]""".stripMargin))
+      .getMessage.contains("needs q_permille"))
+    assert(bad(tr("""    view_estimate:
+                    |      view_type: quantile_view
+                    |      key_columns: [k]
+                    |      q_permille: [0]""".stripMargin))
+      .getMessage.contains("[1, 999]"))
+    assert(bad(
+      """transformations:
+        |  - transform_id: t
+        |    source_table: a.b
+        |    target_table: a.c
+        |    transformation_type: view_estimate
+        |""".stripMargin)
+      .getMessage.contains("needs a view_estimate"))
+    assert(bad(
+      """transformations:
+        |  - transform_id: t
+        |    source_table: a.b
+        |    target_table: a.c
+        |    transformation_type: sql
+        |    sql_query: SELECT 1
+        |    view_estimate: {view_type: distinct_view, key_columns: [k]}
+        |""".stripMargin)
+      .getMessage.contains("not used by"))
+  }
+
   test("quantile_view config: missing quantile_column and stray fields refuse at parse") {
     val e1 = intercept[IllegalArgumentException] {
       EtlConfig.fromYaml(
@@ -1922,6 +2034,22 @@ class PipelineSpec extends SparkSpec {
                  |    table: a.b
                  |    max_cell_size: 0
                  |""".stripMargin).getMessage.contains("max_cell_size"))
+    // the banded stores' spelling is an accepted alias — but never both
+    val aliased = EtlConfig.fromYaml(
+      """maintenance:
+        |  - task_id: t
+        |    task_type: store_stats
+        |    table: a.b
+        |    max_bucket_size: 8
+        |""".stripMargin)
+    assert(aliased.maintenance.head.maxCellSize.contains(8L))
+    assert(bad("""maintenance:
+                 |  - task_id: t
+                 |    task_type: store_stats
+                 |    table: a.b
+                 |    max_cell_size: 8
+                 |    max_bucket_size: 8
+                 |""".stripMargin).getMessage.contains("aliases"))
   }
 
   test("declarative prune_store task prunes the store through the metadata plane") {
@@ -2056,6 +2184,34 @@ class PipelineSpec extends SparkSpec {
     val c2 = ctl(p2, "2024-09-05")
     assert(c2("maintenance.vec_stats") == 1200L, c2.toString)
     assert(c2("maintenance.retrain_gated") == 0L, c2.toString)
+  }
+
+  test("store_stats dispatches on the store family: a banded text store profiles per bucket") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    val t = "gold_e2e.stats_band_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // one hot band value (6 rows), 4 cold buckets: spread 3000, and
+    // with max_bucket_size 3 (the banded alias) one hot bucket
+    val rows =
+      (1L to 6L).map(i => (i, 0, "hotkey", Seq(i), 1L)) ++
+        (7L to 10L).map(i => (i, 0, s"cold$i", Seq(i), 1L))
+    rows.toDF("doc_id", "band_idx", "band_key", "sh", "_epoch")
+      .write.saveAsTable(t)
+    val yaml =
+      s"""maintenance:
+         |  - task_id: band_stats
+         |    task_type: store_stats
+         |    table: $t
+         |    max_bucket_size: 3
+         |""".stripMargin
+    val p = new Pipeline(spark, "2024-09-06", new FixedClock(1804350000000L))
+    val r = p.run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+      Seq("maintenance"))
+    assert(r.head.failed.isEmpty, r.toString)
+    val spread = spark.table(p.meta.controlTable)
+      .filter($"layer" === "maintenance.band_stats")
+      .select("records_processed").as[Long].head()
+    assert(spread == 3000L, s"spread = $spread")
   }
 
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
@@ -2432,6 +2588,39 @@ class PipelineSpec extends SparkSpec {
                     |    sql_query: SELECT 1
                     |    asof: {as_of: '2024-01-01'}""".stripMargin))
       .getMessage.contains("not used by"))
+    // max_cell_size is the VECTOR store's own cap spelling: accepted as
+    // an alias there (unknown YAML keys are otherwise silently ignored,
+    // which would leave the probe uncapped), refused for banded stores,
+    // and never alongside max_bucket_size
+    val aliased = EtlConfig.fromYaml(tr(
+      """    transformation_type: store_probe
+        |    store_probe:
+        |      store_table: g.s
+        |      store_type: vector_dedup_store
+        |      id_column: a
+        |      content_column: b
+        |      min_score: 100
+        |      max_cell_size: 7""".stripMargin))
+    assert(aliased.transformations.head.storeProbe
+      .exists(_.maxBucketSize.contains(7L)))
+    assert(bad(tr("""    transformation_type: store_probe
+                    |    store_probe:
+                    |      store_table: g.s
+                    |      store_type: dedup_store
+                    |      id_column: a
+                    |      content_column: b
+                    |      max_cell_size: 7""".stripMargin))
+      .getMessage.contains("max_bucket_size"))
+    assert(bad(tr("""    transformation_type: store_probe
+                    |    store_probe:
+                    |      store_table: g.s
+                    |      store_type: vector_dedup_store
+                    |      id_column: a
+                    |      content_column: b
+                    |      min_score: 100
+                    |      max_bucket_size: 7
+                    |      max_cell_size: 7""".stripMargin))
+      .getMessage.contains("aliases"))
   }
 
   test("dedup_store config: missing block, stray block, and primary_keys refuse at parse") {
@@ -2488,6 +2677,37 @@ class PipelineSpec extends SparkSpec {
           |""".stripMargin)
     }
     assert(e4.getMessage.contains("must divide num_hashes"), e4.getMessage)
+    // keeper knob: unknown policy, max_quality without its column, and
+    // a stray quality_column under min_id all refuse at parse (both
+    // banded store families share the surface)
+    def badStore(storeKey: String, cols: String, body: String): String =
+      s"""models:
+         |  - model_id: k_$storeKey
+         |    sql_query: SELECT 1
+         |    target_table: g.t
+         |    refresh_type: $storeKey
+         |    $storeKey:
+         |$cols
+         |$body
+         |""".stripMargin
+    for ((key, cols) <- Seq(
+        "dedup_store" -> "      id_column: doc_id\n      text_column: text",
+        "media_dedup_store" ->
+          "      id_column: media_id\n      hash_column: dhash")) {
+      assert(intercept[IllegalArgumentException] {
+        EtlConfig.fromYaml(badStore(key, cols, "      keeper: best_effort"))
+      }.getMessage.contains("keeper must be one of"))
+      assert(intercept[IllegalArgumentException] {
+        EtlConfig.fromYaml(badStore(key, cols, "      keeper: max_quality"))
+      }.getMessage.contains("needs quality_column"))
+      assert(intercept[IllegalArgumentException] {
+        EtlConfig.fromYaml(badStore(key, cols, "      quality_column: q"))
+      }.getMessage.contains("only used by keeper max_quality"))
+      // the valid spelling parses
+      val ok = EtlConfig.fromYaml(badStore(key, cols,
+        "      keeper: max_quality\n      quality_column: q"))
+      assert(ok.models.nonEmpty)
+    }
   }
 }
 
