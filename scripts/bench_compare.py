@@ -21,9 +21,20 @@ side measured at load1 > 3 is load-contaminated (rounds 13 and 14
 both committed benches at load1 ~5 that manufactured ~10 false
 regressions each). The gate REFUSES to adjudicate such a pair (exit
 2) unless --allow-loaded is passed, in which case it only warns.
+
+Auto-adjudication (round-17 verdict item 1): --adjudicate re-runs any
+flagged query through the trusted targeted protocol (Bench --repeat 5
+--only ..., waiting for ambient load1 below the contamination
+threshold first) and re-prices it with min(candidate, re-run) — the
+manual "targeted 5-rep re-measure" that cleared sk5 in round 17, now
+machinery. Exit reflects the POST-adjudication verdict; re-priced
+queries print as [re-priced].
 """
 import json
+import os
+import subprocess
 import sys
+import time
 
 
 def load(path):
@@ -36,6 +47,57 @@ def load(path):
     return out, set(doc.get("failed") or []), doc.get("load1"), doc.get("cpus")
 
 
+def wait_for_idle(threshold, timeout_s=900, poll_s=30):
+    """Block until ambient load1 drops under the contamination
+    threshold (or the timeout passes) — the 'quiet window' the round-17
+    forensics had to hunt by hand."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 <= threshold:
+            return load1
+        if time.time() - t0 > timeout_s:
+            print(f"  [adjudicate] gave up waiting for idle "
+                  f"(load1={load1:.2f} > {threshold:.1f} after {timeout_s}s); "
+                  "re-running anyway — treat the re-price as a lower bound")
+            return load1
+        print(f"  [adjudicate] load1={load1:.2f} > {threshold:.1f}; "
+              f"waiting {poll_s}s for a quiet window")
+        time.sleep(poll_s)
+
+
+def targeted_rerun(names, cpus, repeat=5):
+    """Re-measure `names` with Bench's --only protocol; returns the
+    re-run's per-query mins (empty on any failure — adjudication then
+    keeps the original numbers and the gate stays red)."""
+    cmd = ["sbt", "-batch",
+           f"runMain graft.Bench --repeat {repeat} --only {','.join(names)}"]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus or 32))
+    print(f"  [adjudicate] re-running {len(names)} flagged quer"
+          f"{'y' if len(names) == 1 else 'ies'} x{repeat} reps: "
+          f"{' '.join(cmd)}")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600, env=env,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+    except Exception as e:  # noqa: BLE001 — report, keep gate red
+        print(f"  [adjudicate] re-run failed to launch: {e}")
+        return {}
+    line = next((ln for ln in reversed(out.stdout.splitlines())
+                 if ln.startswith('{"metric"')), None)
+    if out.returncode != 0 or line is None:
+        print(f"  [adjudicate] re-run failed (exit {out.returncode}); "
+              "keeping original numbers")
+        return {}
+    doc = json.loads(line)
+    spread = doc.get("spread") or {}
+    rerun = {q: v[0] for q, v in spread.items()}
+    for q, med in (doc.get("queries") or {}).items():
+        rerun.setdefault(q, med)
+    return rerun
+
+
 def max_load1(cpus):
     """Contamination threshold scaled to the box: 3.0 was calibrated on
     the 32-cpu runner (r13/r14 benches at ~4.4-5.0 manufactured false
@@ -45,8 +107,10 @@ def max_load1(cpus):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--allow-loaded"]
+    flags = {"--allow-loaded", "--adjudicate"}
+    argv = [a for a in sys.argv[1:] if a not in flags]
     allow_loaded = "--allow-loaded" in sys.argv
+    adjudicate = "--adjudicate" in sys.argv
     base_path, cand_path = argv[0], argv[1]
     factor = float(argv[2]) if len(argv) > 2 else 2.0
     floor = 0.3  # seconds: below this, ratios are scheduler noise
@@ -66,12 +130,31 @@ def main():
               "regressions this way")
         sys.exit(2)
     shared = sorted(set(base) & set(cand))
-    regressions = []
+
+    def flag(prices):
+        out = []
+        for q in shared:
+            b, c = base[q], prices[q]
+            if c > factor * b and c - b > floor:
+                out.append((q, b, c))
+        return out
+
+    regressions = flag(cand)
     broken = []
-    for q in shared:
-        b, c = base[q], cand[q]
-        if c > factor * b and c - b > floor:
-            regressions.append((q, b, c))
+    if regressions and adjudicate:
+        # the flag may be a load window, not a regression: re-run just
+        # the flagged queries through the trusted 5-rep min protocol on
+        # a quiet box and re-price with the best evidence either run
+        # produced (a re-run can only EXONERATE — min() never worsens a
+        # number, so a real regression stays red)
+        wait_for_idle(max_load1(cand_cpus))
+        rerun = targeted_rerun([q for q, _, _ in regressions], cand_cpus)
+        for q, new_min in rerun.items():
+            if q in cand and new_min < cand[q]:
+                print(f"  [re-priced] {q}: {cand[q]:.2f}s -> {new_min:.2f}s "
+                      "(targeted 5-rep re-run)")
+                cand[q] = new_min
+        regressions = flag(cand)
     for q in sorted(set(cand) - set(base)):
         print(f"  [new] {q}: {cand[q]:.2f}s (no baseline)")
     # a query in the candidate's failed list but absent from BOTH maps

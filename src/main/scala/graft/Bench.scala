@@ -151,9 +151,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     var failures = List.empty[String]
+    // per-query load stamp, sampled as each query's repeats START
+    // (round-17 verdict item 1b): the suite-level ambient stamp
+    // certifies the starting condition only, so a contention phase
+    // arriving mid-suite rotates 10-17x outliers through whichever
+    // queries it overlaps with no per-query evidence. The stamp
+    // INCLUDES the bench's own ~cpus/8 footprint by construction —
+    // read it relatively: a query whose qload sits far above its
+    // neighbors' was measured through an external spike, and
+    // bench_compare's --adjudicate re-runs exactly those
+    var qload = List.empty[(String, Double)]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
+      qload ::= (name -> currentLoad1)
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -176,9 +187,11 @@ object Bench {
     // "queries"; extra keys are additive): [min, median, max] per query
     val spread = results.map { case (k, (mn, med, mx)) =>
       s"\"" + k + s"\":[$mn,$med,$mx]" }.mkString("{", ",", "}")
+    val loads = qload.reverse.map { case (k, l) => s"\"" + k + s"\":$l" }
+      .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat",${envStamp(cpus.toInt)},"queries":$qs,"spread":$spread,"failed":$fails,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat",${envStamp(cpus.toInt)},"queries":$qs,"spread":$spread,"qload":$loads,"failed":$fails,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a truncated tail of this
     // line (~63 of 140+ per-query medians), which blinded cross-round
