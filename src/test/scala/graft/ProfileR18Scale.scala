@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
   *     adds one cluster-partitioned window over DUPLICATE mass only —
   *     claim: within noise of min_id at equal survivor cardinality.
   *
-  * Usage: Test/runMain graft.ProfileR18Scale
+  * Usage: Test/runMain graft.ProfileR18Scale [section ...]
+  * (sections: tw6 probes stats keeper; default all — name one to
+  * re-measure it in isolation, e.g. after its first pass absorbed the
+  * setup churn of an earlier section)
   */
 object ProfileR18Scale {
   def main(args: Array[String]): Unit = {
+    val sect: String => Boolean =
+      s => args.isEmpty || args.contains(s)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +58,7 @@ object ProfileR18Scale {
     // --- 1. tw6 maxDf sweep over the 10x jittered corpus ------------
     // same jitter scheme as ProfileR17Scale: per-replica vowel
     // rotation keeps replica vocabularies (mostly) disjoint
+    if (sect("tw6")) {
     val rots = Seq("aeiou", "bfjpv", "cgkqw", "dhlrx", "fmnsy",
       "gjptz", "hkqwb", "lmrxc", "npsyd", "qrtzf")
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
@@ -71,8 +77,14 @@ object ProfileR18Scale {
           .agg(sum("cos_micro"), sum("n_shared")).collect())._2)
       println(f"[r18] tw6 10x corpus, maxDf=$maxDf: $secs%.2f s")
     }
+    }
+
+    def hashBatch(n: Long, off: Long) =
+      spark.range(n).select((col("id") + off).as("media_id"),
+        xxhash64(col("id") + off).as("dhash"))
 
     // --- 2. read paths vs store mass --------------------------------
+    if (sect("probes")) {
     // vector: found at n rows (orthogonal-ish hash codes, matches rare
     // so the probe prices the scan+join, not survivor churn)
     def massVecs(n: Long, off: Long) =
@@ -99,9 +111,6 @@ object ProfileR18Scale {
     }
 
     // media: same shape on 64-bit hashes
-    def hashBatch(n: Long, off: Long) =
-      spark.range(n).select((col("id") + off).as("media_id"),
-        xxhash64(col("id") + off).as("dhash"))
     var mediaTimes = List.empty[Double]
     for ((n, tag) <- Seq(50000L -> "1x", 500000L -> "10x")) {
       val t = s"r18.mediastore_$tag"
@@ -117,8 +126,10 @@ object ProfileR18Scale {
     }
     println(f"[r18] media probe store-mass exponent: " +
       f"${expo(mediaTimes(1), mediaTimes(0))}%.2f")
+    }
 
     // --- 3. banded store_stats at 10x store mass ---------------------
+    if (sect("stats")) {
     val t10 = "r18.mediastore_10x"
     val statsSecs = med3(time(
       graft.io.DedupStore.bandOccupancyStats(spark, t10, Some(64L)))._2)
@@ -127,8 +138,10 @@ object ProfileR18Scale {
       epochId = Some(2L)))
     println(f"[r18] bandOccupancyStats (500k-row store): $statsSecs%.2f s; " +
       f"one 5k fold: $foldSecs%.2f s")
+    }
 
     // --- 4. TEXT keeper A/B at equal batch ---------------------------
+    if (sect("keeper")) {
     // 20k docs: 200 planted near-dup clusters of 100 members each
     // (cluster members share a 40-word body, differ in a 1-word tail
     // so ids/qualities diverge); quality = the member index, so
@@ -155,6 +168,7 @@ object ProfileR18Scale {
       val survivors = graft.io.DedupStore.storedDocIds(spark, t).count()
       println(f"[r18] text keeper=$k fold (20k batch, 200 clusters): " +
         f"$secs%.2f s, $survivors survivors")
+    }
     }
     spark.stop()
   }
