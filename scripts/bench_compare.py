@@ -44,7 +44,8 @@ def load(path):
     out = {q: v[0] for q, v in spread.items()}
     for q, med in (doc.get("queries") or {}).items():
         out.setdefault(q, med)
-    return out, set(doc.get("failed") or []), doc.get("load1"), doc.get("cpus")
+    return (out, set(doc.get("failed") or []), doc.get("load1"),
+            doc.get("cpus"), doc.get("sf"))
 
 
 def wait_for_idle(threshold, timeout_s=900, poll_s=30):
@@ -66,13 +67,18 @@ def wait_for_idle(threshold, timeout_s=900, poll_s=30):
         time.sleep(poll_s)
 
 
-def targeted_rerun(names, cpus, repeat=5):
-    """Re-measure `names` with Bench's --only protocol; returns the
-    re-run's per-query mins (empty on any failure — adjudication then
-    keeps the original numbers and the gate stays red)."""
+def targeted_rerun(names, cpus, sf, repeat=5):
+    """Re-measure `names` with Bench's --only protocol AT THE
+    CANDIDATE'S OWN scale factor (review-caught: a re-run defaulting to
+    sf0.1 against an sf1 candidate would 'exonerate' every real
+    regression); returns the re-run's per-query mins (empty on any
+    failure — adjudication then keeps the original numbers and the
+    gate stays red)."""
     cmd = ["sbt", "-batch",
            f"runMain graft.Bench --repeat {repeat} --only {','.join(names)}"]
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus or 32))
+    if sf:
+        env["SPARK_GRAFT_SF_DIR"] = sf
     print(f"  [adjudicate] re-running {len(names)} flagged quer"
           f"{'y' if len(names) == 1 else 'ies'} x{repeat} reps: "
           f"{' '.join(cmd)}")
@@ -114,8 +120,12 @@ def main():
     base_path, cand_path = argv[0], argv[1]
     factor = float(argv[2]) if len(argv) > 2 else 2.0
     floor = 0.3  # seconds: below this, ratios are scheduler noise
-    base, _, base_load, base_cpus = load(base_path)
-    cand, cand_failed, cand_load, cand_cpus = load(cand_path)
+    base, _, base_load, base_cpus, base_sf = load(base_path)
+    cand, cand_failed, cand_load, cand_cpus, cand_sf = load(cand_path)
+    if base_sf and cand_sf and base_sf != cand_sf:
+        print(f"refusing to compare different scale factors: "
+              f"{base_path} is {base_sf}, {cand_path} is {cand_sf}")
+        sys.exit(2)
     loaded = [(p, l, max_load1(c)) for p, l, c in
               ((base_path, base_load, base_cpus),
                (cand_path, cand_load, cand_cpus))
@@ -148,7 +158,8 @@ def main():
         # produced (a re-run can only EXONERATE — min() never worsens a
         # number, so a real regression stays red)
         wait_for_idle(max_load1(cand_cpus))
-        rerun = targeted_rerun([q for q, _, _ in regressions], cand_cpus)
+        rerun = targeted_rerun([q for q, _, _ in regressions], cand_cpus,
+                               cand_sf)
         for q, new_min in rerun.items():
             if q in cand and new_min < cand[q]:
                 print(f"  [re-priced] {q}: {cand[q]:.2f}s -> {new_min:.2f}s "

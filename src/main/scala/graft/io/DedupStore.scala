@@ -100,6 +100,16 @@ object DedupStore {
       mode: Dedup.HashMode): String =
     s"shingleN=$shingleN,numHashes=$numHashes,bands=$bands,mode=$mode"
 
+  /** One catalog metadata fetch per guard pass (review-caught: the
+    * read path previously resolved the table three times — schema,
+    * knobs, verify — per probe, pure driver-side metastore waste on
+    * the hot declarative path).
+    */
+  private[io] def tableMeta(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+
   /** Enforces the frozen key-affecting knobs. On the FOLD path
     * (`requirePresent = false`) a store written before the property
     * existed passes once and is stamped by the fold that follows; on
@@ -110,9 +120,14 @@ object DedupStore {
     */
   private[io] def requireKnobs(spark: SparkSession, table: String,
       property: String, declared: String, what: String,
-      requirePresent: Boolean = false): Unit = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      requirePresent: Boolean = false): Unit =
+    requireKnobsOn(tableMeta(spark, table), table, property, declared,
+      what, requirePresent)
+
+  private[io] def requireKnobsOn(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      table: String, property: String, declared: String, what: String,
+      requirePresent: Boolean): Unit = {
     meta.properties.get(property) match {
       case Some(stored) =>
         require(stored == declared,
@@ -132,19 +147,24 @@ object DedupStore {
     }
   }
 
-  /** Mirrors the fold's expected-columns check on the READ paths: a
-    * probe pointed at a wrong-family (or arbitrary) table must fail
-    * with a named error here, not a raw missing-column
-    * AnalysisException deep inside the band join (advice-caught).
+  /** The store family's expected-columns check, ONE definition for the
+    * fold and read paths of every family (review-caught clone): a
+    * caller pointed at a wrong-family (or arbitrary) table fails with
+    * the family's own named error, not a raw missing-column
+    * AnalysisException deep inside a join. Returns the CatalogTable so
+    * the property guards reuse the same metadata fetch.
     */
   private[io] def requireStoreSchema(spark: SparkSession, table: String,
-      expect: Seq[String], what: String): Unit = {
+      expect: Seq[String], what: String, family: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     require(spark.catalog.tableExists(table), s"$what: no such table '$table'")
-    val have = spark.table(table).columns
+    val meta = tableMeta(spark, table)
+    val have = meta.schema.fieldNames
     require(have.sorted.toSeq == expect.sorted,
-      s"$what: '$table' is not this family's store: has " +
+      s"$what: '$table' is not a $family: has " +
         s"[${have.sorted.mkString(", ")}], expected " +
         s"[${expect.sorted.mkString(", ")}]")
+    meta
   }
 
   /** Compares a probe's verify threshold to the one the fold stamped
@@ -154,9 +174,14 @@ object DedupStore {
     * flag-shifting read the operator should know about.
     */
   private[io] def warnVerifyDivergence(spark: SparkSession, table: String,
-      property: String, declared: String, what: String): Option[String] = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      property: String, declared: String, what: String): Option[String] =
+    warnVerifyDivergenceOn(tableMeta(spark, table), table, property,
+      declared, what)
+
+  private[io] def warnVerifyDivergenceOn(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      table: String, property: String, declared: String, what: String)
+      : Option[String] = {
     meta.properties.get(property).filter(_ != declared).map { stored =>
       val msg = s"$what for '$table': verify threshold [$declared] " +
         s"differs from the store's fold setting [$stored] — the " +
@@ -284,17 +309,12 @@ object DedupStore {
 
     val exists = spark.catalog.tableExists(table)
     if (exists) {
-      val t = spark.table(table)
-      val expect = Seq("doc_id", "band_idx", "band_key", "sh", "_epoch")
-      require(t.columns.sorted.toSeq == expect.sorted,
-        s"'$table' is not a dedup store: has " +
-          s"[${t.columns.sorted.mkString(", ")}], expected " +
-          s"[${expect.sorted.mkString(", ")}]")
+      val meta = requireStoreSchema(spark, table,
+        Seq("doc_id", "band_idx", "band_key", "sh", "_epoch"),
+        "dedup-store fold", "dedup store")
       // bucket-spec drift fails HERE with the store's own diagnostic,
       // not deep inside saveAsTable(Append) with a raw Spark error
-      val haveBuckets = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(table))
-        .bucketSpec.map(_.numBuckets).getOrElse(0)
+      val haveBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
       require(haveBuckets == storeBuckets,
         s"dedup-store fold for '$table': storeBuckets=$storeBuckets but the " +
           s"existing store was created with " +
@@ -302,8 +322,9 @@ object DedupStore {
           " — the bucket layout is fixed at store creation; fold with the " +
           s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
           "store under the new layout")
-      requireKnobs(spark, table, KnobsProperty,
-        knobsValue(shingleN, numHashes, bands, mode), "dedup-store fold")
+      requireKnobsOn(meta, table, KnobsProperty,
+        knobsValue(shingleN, numHashes, bands, mode), "dedup-store fold",
+        requirePresent = false)
       for (id <- epochId; c <- committedEpoch(spark, table)) {
         if (c == id) return FoldResult(applied = false, batchRows = 0L)
         if (c > id) throw new IllegalStateException(
@@ -455,12 +476,13 @@ object DedupStore {
       s"jaccardThreshold must be in [0,1], got $jaccardThreshold")
     require(maxBucketSize.forall(_ > 0),
       s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
-    requireStoreSchema(spark, table,
-      Seq("doc_id", "band_idx", "band_key", "sh", "_epoch"), "store probe")
-    requireKnobs(spark, table, KnobsProperty,
+    val meta = requireStoreSchema(spark, table,
+      Seq("doc_id", "band_idx", "band_key", "sh", "_epoch"), "store probe",
+      "dedup store")
+    requireKnobsOn(meta, table, KnobsProperty,
       knobsValue(shingleN, numHashes, bands, mode), "store probe",
       requirePresent = true)
-    warnVerifyDivergence(spark, table, VerifyProperty,
+    warnVerifyDivergenceOn(meta, table, VerifyProperty,
       s"jaccardThreshold=$jaccardThreshold", "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val banded = Dedup.withMinhashBands(

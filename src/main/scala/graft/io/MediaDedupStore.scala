@@ -147,15 +147,10 @@ object MediaDedupStore {
 
     val exists = spark.catalog.tableExists(table)
     if (exists) {
-      val t = spark.table(table)
-      val expect = Seq("media_id", "band_idx", "band_key", "dhash", "_epoch")
-      require(t.columns.sorted.toSeq == expect.sorted,
-        s"'$table' is not a media dedup store: has " +
-          s"[${t.columns.sorted.mkString(", ")}], expected " +
-          s"[${expect.sorted.mkString(", ")}]")
-      val haveBuckets = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(table))
-        .bucketSpec.map(_.numBuckets).getOrElse(0)
+      val meta = DedupStore.requireStoreSchema(spark, table,
+        Seq("media_id", "band_idx", "band_key", "dhash", "_epoch"),
+        "media-dedup-store fold", "media dedup store")
+      val haveBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
       require(haveBuckets == storeBuckets,
         s"media-dedup-store fold for '$table': storeBuckets=$storeBuckets " +
           "but the existing store was created with " +
@@ -163,8 +158,8 @@ object MediaDedupStore {
           " — the bucket layout is fixed at store creation; fold with the " +
           s"store's own setting (storeBuckets=$haveBuckets) or rebuild the " +
           "store under the new layout")
-      DedupStore.requireKnobs(spark, table, KnobsProperty,
-        s"bands=$bands", "media-dedup-store fold")
+      DedupStore.requireKnobsOn(meta, table, KnobsProperty,
+        s"bands=$bands", "media-dedup-store fold", requirePresent = false)
       for (id <- epochId; c <- DedupStore.committedEpoch(spark, table)) {
         if (c == id) return DedupStore.FoldResult(applied = false, batchRows = 0L)
         if (c > id) throw new IllegalStateException(
@@ -302,12 +297,12 @@ object MediaDedupStore {
         "every pair)")
     require(maxBucketSize.forall(_ > 0),
       s"maxBucketSize must be positive when set, got ${maxBucketSize.get}")
-    DedupStore.requireStoreSchema(spark, table,
+    val meta = DedupStore.requireStoreSchema(spark, table,
       Seq("media_id", "band_idx", "band_key", "dhash", "_epoch"),
-      "store probe")
-    DedupStore.requireKnobs(spark, table, KnobsProperty,
+      "store probe", "media dedup store")
+    DedupStore.requireKnobsOn(meta, table, KnobsProperty,
       s"bands=$bands", "store probe", requirePresent = true)
-    DedupStore.warnVerifyDivergence(spark, table, VerifyProperty,
+    DedupStore.warnVerifyDivergenceOn(meta, table, VerifyProperty,
       s"maxHamming=$maxHamming", "store probe")
     val bandNames = (0 until bands).map(b => s"band_$b")
     val base = batch.select(col(idCol).as("media_id"),

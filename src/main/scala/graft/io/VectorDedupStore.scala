@@ -165,12 +165,9 @@ object VectorDedupStore {
     val intDot = graft.functions.VectorExpressions.intDotProduct _
     val exists = spark.catalog.tableExists(table)
     if (exists) {
-      val t = spark.table(table)
-      val expect = Seq("vec_id", "qv", "cell", "_epoch")
-      require(t.columns.sorted.toSeq == expect.sorted,
-        s"'$table' is not a vector dedup store: has " +
-          s"[${t.columns.sorted.mkString(", ")}], expected " +
-          s"[${expect.sorted.mkString(", ")}]")
+      DedupStore.requireStoreSchema(spark, table,
+        Seq("vec_id", "qv", "cell", "_epoch"), "vector-dedup-store fold",
+        "vector dedup store"): Unit
       require(spark.catalog.tableExists(modelTable(table)),
         s"vector dedup store '$table' has no model table " +
           s"'${modelTable(table)}' — the frozen calibration is half the " +
@@ -439,14 +436,9 @@ object VectorDedupStore {
     require(spreadThresholdPermille >= 0L,
       "spreadThresholdPermille must be >= 0 (0 = always retrain), got " +
         spreadThresholdPermille)
-    require(spark.catalog.tableExists(table),
-      s"retrain_store: no such table '$table'")
-    val t = spark.table(table)
-    val expect = Seq("vec_id", "qv", "cell", "_epoch")
-    require(t.columns.sorted.toSeq == expect.sorted,
-      s"retrain_store: '$table' is not a vector dedup store: has " +
-        s"[${t.columns.sorted.mkString(", ")}], expected " +
-        s"[${expect.sorted.mkString(", ")}]")
+    DedupStore.requireStoreSchema(spark, table,
+      Seq("vec_id", "qv", "cell", "_epoch"), "retrain_store",
+      "vector dedup store"): Unit
     // crash recovery for the one drop-and-recreate window retrain keeps
     // (the legacy-cv schema migration): a store whose model table is
     // missing but whose staged __retrain_stage/model survives is that
@@ -643,12 +635,13 @@ object VectorDedupStore {
       idCol: String, vecCol: String, minScore: Long,
       nprobe: Int = 2, maxCellSize: Option[Long] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    DedupStore.requireStoreSchema(spark, table,
-      Seq("vec_id", "qv", "cell", "_epoch"), "store probe")
+    val meta = DedupStore.requireStoreSchema(spark, table,
+      Seq("vec_id", "qv", "cell", "_epoch"), "store probe",
+      "vector dedup store")
     require(spark.catalog.tableExists(modelTable(table)),
       s"store probe: vector dedup store '$table' has no model table " +
         s"'${modelTable(table)}' — the frozen calibration is half the store")
-    DedupStore.warnVerifyDivergence(spark, table, VerifyProperty,
+    DedupStore.warnVerifyDivergenceOn(meta, table, VerifyProperty,
       s"minScore=$minScore", "store probe")
     val model = normalizedModel(spark, table)
     val stats = model.agg(max(col("amax")).as("amax"))

@@ -512,6 +512,9 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
     */
   private var priorFailure = false
 
+  private lazy val statsLog =
+    org.slf4j.LoggerFactory.getLogger(classOf[MaintenanceLayer])
+
   def run(): LayerReport = {
     priorFailure = false
     runAll[MaintenanceTaskConfig](config.maintenance, _.taskId, _.enabled) { t =>
@@ -567,16 +570,27 @@ class MaintenanceLayer(spark: SparkSession, config: EtlConfig,
           // the store family's own schema: vector stores profile
           // per-cell (the retrain signal), banded text/media stores
           // per (band_idx, band_key) bucket (the maxBucketSize-tuning
-          // signal); max_cell_size is the hot-count cap for both
+          // signal); max_cell_size is the hot-count cap for both.
+          // The FULL profile (review-caught: the hot counts are the
+          // actionable half and were silently dropped) is logged —
+          // WARN when hot exclusions exist (each one is probe mass
+          // being silenced TODAY), INFO otherwise
           require(spark.catalog.tableExists(t.table.get),
             s"store_stats: no such table '${t.table.get}'")
           val cols = spark.table(t.table.get).columns.toSet
-          if (cols.contains("cell"))
-            graft.io.VectorDedupStore.occupancyStats(spark, t.table.get,
-              t.maxCellSize).spreadPermille
-          else
-            graft.io.DedupStore.bandOccupancyStats(spark, t.table.get,
-              t.maxCellSize).spreadPermille
+          if (cols.contains("cell")) {
+            val s = graft.io.VectorDedupStore.occupancyStats(spark,
+              t.table.get, t.maxCellSize)
+            val msg = s"store_stats '${t.taskId}' (${t.table.get}): $s"
+            if (s.hotCells > 0L) statsLog.warn(msg) else statsLog.info(msg)
+            s.spreadPermille
+          } else {
+            val s = graft.io.DedupStore.bandOccupancyStats(spark,
+              t.table.get, t.maxCellSize)
+            val msg = s"store_stats '${t.taskId}' (${t.table.get}): $s"
+            if (s.hotBuckets > 0L) statsLog.warn(msg) else statsLog.info(msg)
+            s.spreadPermille
+          }
       }
       // control rows upsert on (table_name, layer): task-qualify the
       // layer so two tasks on the SAME table (compact + zone_maps is

@@ -92,6 +92,7 @@ object ProfileR18Scale {
         transform(sequence(lit(0), lit(63)), j =>
           (pmod(xxhash64(col("id") + off, j), lit(2000)) - 1000)
             .cast("float")).as("embedding"))
+    var vecTimes = List.empty[Double]
     for ((n, tag) <- Seq(50000L -> "1x", 500000L -> "10x")) {
       val t = s"r18.vecstore_$tag"
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -106,9 +107,11 @@ object ProfileR18Scale {
       val secs = med3(time(graft.io.VectorDedupStore.probeHits(spark, t,
         massVecs(5000L, 900000000L), "vec_id", "embedding",
         minScore = 150000L).count())._2)
+      vecTimes ::= secs
       println(f"[r18] vector probeHits (5k batch, $tag store): $secs%.2f s")
-      if (tag == "10x") () else ()
     }
+    println(f"[r18] vector probe store-mass exponent: " +
+      f"${expo(vecTimes(1), vecTimes(0))}%.2f")
 
     // media: same shape on 64-bit hashes
     var mediaTimes = List.empty[Double]
@@ -130,7 +133,13 @@ object ProfileR18Scale {
 
     // --- 3. banded store_stats at 10x store mass ---------------------
     if (sect("stats")) {
+    // self-provision when run in isolation (review-caught: the
+    // warehouse dir is nanoTime-fresh per JVM, so the probes section's
+    // store does not survive into a `stats`-only run)
     val t10 = "r18.mediastore_10x"
+    if (!spark.catalog.tableExists(t10))
+      graft.io.MediaDedupStore.maintain(spark, t10, hashBatch(500000L, 0L),
+        "media_id", "dhash", epochId = Some(1L)): Unit
     val statsSecs = med3(time(
       graft.io.DedupStore.bandOccupancyStats(spark, t10, Some(64L)))._2)
     val (_, foldSecs) = time(graft.io.MediaDedupStore.maintain(spark, t10,

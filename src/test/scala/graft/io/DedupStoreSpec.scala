@@ -396,7 +396,7 @@ class DedupStoreSpec extends SparkSpec {
     Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
     assert(intercept[IllegalArgumentException] {
       DedupStore.probeHits(spark, t, df(10L -> textA), "doc_id", "text")
-    }.getMessage.contains("not this family's store"))
+    }.getMessage.contains("not a dedup store"))
     assert(intercept[IllegalArgumentException] {
       DedupStore.probeHits(spark, table("t_probe_nonexistent"),
         df(10L -> textA), "doc_id", "text")

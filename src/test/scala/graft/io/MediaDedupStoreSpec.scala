@@ -291,7 +291,7 @@ class MediaDedupStoreSpec extends SparkSpec {
     Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(t)
     assert(intercept[IllegalArgumentException] {
       MediaDedupStore.probeHits(spark, t, df(9L -> hA), "media_id", "dhash")
-    }.getMessage.contains("not this family's store"))
+    }.getMessage.contains("not a media dedup store"))
 
     val t2 = table("t_probe_noprop")
     drop(t2)

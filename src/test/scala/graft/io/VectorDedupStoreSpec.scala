@@ -633,7 +633,7 @@ class VectorDedupStoreSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       VectorDedupStore.probeHits(spark, t, df(9L -> vA),
         "vec_id", "embedding", Score)
-    }.getMessage.contains("not this family's store"))
+    }.getMessage.contains("not a vector dedup store"))
 
     val t2 = table("t_probe_verify")
     spark.sql(s"DROP TABLE IF EXISTS $t2")
