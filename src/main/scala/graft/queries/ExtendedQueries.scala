@@ -552,6 +552,48 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id")
   }
 
+  /** mds1's keeper-policy twin — the media-store lifecycle run under
+    * `keeper = max_quality` (completing the keeper symmetry: text
+    * `ds2`, vector `vds2`, media here): each within-batch near-dup
+    * cluster keeps the member with the highest declared quality
+    * (ties → smallest id) instead of the smallest id. Quality here is
+    * the dHash POPCOUNT — deliberately chosen because the oracle
+    * re-derives it bit for bit from its own `bits` CTE (SUM(bit) per
+    * image ≡ Spark's `bit_count(dhash)`), so the policy costs the
+    * lifecycle nothing in oracle precision. Diverges from mds1
+    * wherever a (source, re-encode) cluster's higher-popcount member
+    * is not its smallest id.
+    */
+  def mds2KeeperStore(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Multimodal
+    val media = M.syntheticMedia(s, 200)
+    val variants = M.noisyVariants(
+      media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
+      everyN = 50, delta = 64)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.mds2_keeper_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+        table.split('.')(1))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    def withQ(df: DataFrame): DataFrame =
+      df.withColumn("q", bit_count(col("dhash")).cast("long"))
+    graft.io.MediaDedupStore.maintain(s, table,
+      withQ(M.dHash(media.filter(_.media_id < 100))), "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(1L), keeper = "max_quality", qualityCol = Some("q"))
+    graft.io.MediaDedupStore.maintain(s, table,
+      withQ(M.dHash(media.filter(_.media_id >= 100).unionByName(variants))),
+      "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(2L), keeper = "max_quality", qualityCol = Some("q"))
+    graft.io.MediaDedupStore.storedMediaIds(s, table)
+      .select(col("media_id"), col("_epoch").as("folded_epoch"))
+      .orderBy("media_id")
+  }
+
   /** Image RESIZE as a FULL oracle row — the last of the multimodal
     * quartet (decode = all, feature-extract = m1, frame-sample = m2,
     * resize = here): every image thumbnails to 8×8 through the batched
@@ -1215,6 +1257,7 @@ object ExtendedQueries extends QuerySet {
     "m1_image_features" -> m1ImageFeatures _,
     "m6_phash_neardup" -> m6PhashNeardup _,
     "mds1_media_dedup_store" -> mds1MediaDedupStore _,
+    "mds2_keeper_store" -> mds2KeeperStore _,
     "sp3_store_probe_media" -> sp3StoreProbeMedia _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
@@ -1360,6 +1403,35 @@ object ExtendedQueries extends QuerySet {
         |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
         |    GROUP BY 1, 2
         |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16))""".stripMargin
+
+  /** mds1's lifecycle prefix with the fold-1 keeper swapped for the
+    * max_quality window (quality = the dHash POPCOUNT: `q` = SUM(bit)
+    * per image off the prefix's own `bits` CTE, exactly Spark's
+    * `bit_count(dhash)`) — mds2's oracle base. The splice anchors on
+    * the min-id keeper's exact text and REQUIRES a hit, so prefix
+    * drift breaks the build instead of silently shipping a stale
+    * oracle; mds1/sp3 keep the untouched original byte for byte.
+    */
+  private val mdsQualityLifecycleToProbe: String = {
+    val minK1 =
+      "k1 AS MATERIALIZED (\n" +
+      "  SELECT out_id FROM f1 WHERE out_id NOT IN\n" +
+      "    (SELECT out_id FROM cc1 WHERE cid <> out_id)),"
+    val qualityK1 =
+      """q AS MATERIALIZED (
+        |  SELECT out_id, SUM(bit) AS q FROM bits GROUP BY 1),
+        |k1 AS MATERIALIZED (
+        |  SELECT out_id FROM f1 WHERE out_id NOT IN (
+        |    SELECT out_id FROM (
+        |      SELECT c.out_id,
+        |        ROW_NUMBER() OVER (PARTITION BY c.cid
+        |          ORDER BY q.q DESC, c.out_id) AS rn
+        |      FROM cc1 c JOIN q USING (out_id))
+        |    WHERE rn <> 1)),""".stripMargin
+    require(mdsLifecycleToProbe.contains(minK1),
+      "mds keeper splice anchor drifted — update the quality prefix")
+    mdsLifecycleToProbe.replace(minK1, qualityK1)
+  }
 
   val oracles: Map[String, String] = Map(
     // the operator's derivation: full outer on the key, per-column
@@ -1884,6 +1956,52 @@ object ExtendedQueries extends QuerySet {
         |k2 AS (
         |  SELECT out_id FROM fr2 WHERE out_id NOT IN
         |    (SELECT out_id FROM cc2 WHERE cid <> out_id))
+        |SELECT out_id AS media_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
+        |UNION ALL
+        |SELECT out_id, CAST(2 AS BIGINT) FROM k2
+        |ORDER BY media_id""".stripMargin,
+    // mds1's lifecycle with BOTH keeper CTEs swapped for the
+    // max_quality window (quality = dHash popcount off the `bits`
+    // CTE, ranked DESC with the id tiebreak) — the keeper symmetry's
+    // media member, hash-gated like ds2/vds2
+    "mds2_keeper_store" ->
+      s"""$mdsQualityLifecycleToProbe,
+        |fr2 AS MATERIALIZED (
+        |  SELECT out_id FROM f2 WHERE out_id NOT IN
+        |    (SELECT out_id FROM hits)),
+        |hot2 AS (SELECT band, bval FROM bands JOIN fr2 USING (out_id)
+        |         GROUP BY 1, 2 HAVING COUNT(*) > 8),
+        |cand2 AS MATERIALIZED (
+        |  SELECT DISTINCT a.out_id AS da, b.out_id AS db
+        |  FROM bands a JOIN fr2 fa ON fa.out_id = a.out_id
+        |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
+        |    AND a.out_id < b.out_id
+        |  JOIN fr2 fb ON fb.out_id = b.out_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+        |    WHERE h.band = a.band AND h.bval = a.bval)),
+        |ham2 AS MATERIALIZED (
+        |  SELECT c.da, c.db FROM cand2 c
+        |  JOIN bits ba ON ba.out_id = c.da
+        |  JOIN bits bb ON bb.out_id = c.db AND bb.idx = ba.idx
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16),
+        |e2 AS MATERIALIZED (
+        |  SELECT da AS src, db AS dst FROM ham2
+        |  UNION SELECT db, da FROM ham2),
+        |r2(src, dst) AS (
+        |  SELECT src, dst FROM e2
+        |  UNION
+        |  SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src),
+        |cc2 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
+        |        FROM r2 GROUP BY src),
+        |k2 AS (
+        |  SELECT out_id FROM fr2 WHERE out_id NOT IN (
+        |    SELECT out_id FROM (
+        |      SELECT c.out_id,
+        |        ROW_NUMBER() OVER (PARTITION BY c.cid
+        |          ORDER BY q.q DESC, c.out_id) AS rn
+        |      FROM cc2 c JOIN q USING (out_id))
+        |    WHERE rn <> 1))
         |SELECT out_id AS media_id, CAST(1 AS BIGINT) AS folded_epoch FROM k1
         |UNION ALL
         |SELECT out_id, CAST(2 AS BIGINT) FROM k2
