@@ -90,8 +90,12 @@ def targeted_rerun(names, cpus, sf, repeat=5):
     except Exception as e:  # noqa: BLE001 — report, keep gate red
         print(f"  [adjudicate] re-run failed to launch: {e}")
         return {}
-    line = next((ln for ln in reversed(out.stdout.splitlines())
-                 if ln.startswith('{"metric"')), None)
+    # sbt prefixes forked stdout with "[info] ", so anchor on the
+    # marker anywhere in the line and slice from it (review-by-use:
+    # startswith silently discarded every re-run)
+    line = next((ln[ln.index('{"metric"'):]
+                 for ln in reversed(out.stdout.splitlines())
+                 if '{"metric"' in ln), None)
     if out.returncode != 0 or line is None:
         print(f"  [adjudicate] re-run failed (exit {out.returncode}); "
               "keeping original numbers")
