@@ -28,7 +28,19 @@ flagged query through the trusted targeted protocol (Bench --repeat 5
 threshold first) and re-prices it with min(candidate, re-run) — the
 manual "targeted 5-rep re-measure" that cleared sk5 in round 17, now
 machinery. Exit reflects the POST-adjudication verdict; re-priced
-queries print as [re-priced].
+queries print as [re-priced]. The candidate FILE is updated in place
+(round-19 advice: the in-memory-only re-price made every later
+comparison re-pay the adjudication): re-priced spread mins are
+written back, the old numbers are preserved under "adjudication",
+and "adjudicated": true is stamped — the close-out checklist
+(VerifySurfaceSpec under GRAFT_CLOSEOUT=1) requires that stamp on
+the committed closing bench.
+
+Same-host assumption: wait_for_idle and the targeted re-run sample
+THIS machine's load and run Bench locally, so adjudication is only
+meaningful when bench_compare runs on the same box that produced the
+candidate (true for the driver and the round workflow; a cross-host
+adjudication would wait on the wrong machine's quiet window).
 """
 import json
 import os
@@ -49,9 +61,11 @@ def load(path):
 
 
 def wait_for_idle(threshold, timeout_s=900, poll_s=30):
-    """Block until ambient load1 drops under the contamination
-    threshold (or the timeout passes) — the 'quiet window' the round-17
-    forensics had to hunt by hand."""
+    """Block until THIS machine's ambient load1 drops under the
+    contamination threshold (or the timeout passes) — the 'quiet
+    window' the round-17 forensics had to hunt by hand. Only
+    meaningful when bench_compare runs on the box that produced the
+    candidate (see the module docstring's same-host note)."""
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
@@ -155,6 +169,7 @@ def main():
 
     regressions = flag(cand)
     broken = []
+    repriced = {}
     if regressions and adjudicate:
         # the flag may be a load window, not a regression: re-run just
         # the flagged queries through the trusted 5-rep min protocol on
@@ -168,8 +183,27 @@ def main():
             if q in cand and new_min < cand[q]:
                 print(f"  [re-priced] {q}: {cand[q]:.2f}s -> {new_min:.2f}s "
                       "(targeted 5-rep re-run)")
+                repriced[q] = {"old_min": cand[q], "new_min": new_min}
                 cand[q] = new_min
         regressions = flag(cand)
+    if adjudicate:
+        # persist the verdict so later comparisons against the committed
+        # artifact see the cleared numbers instead of re-paying the
+        # re-run (round-19 advice); stamped even with zero flags — the
+        # stamp certifies "this artifact went through the protocol"
+        with open(cand_path) as f:
+            doc = json.load(f)
+        for q, pr in repriced.items():
+            if q in (doc.get("spread") or {}):
+                doc["spread"][q][0] = pr["new_min"]
+        if repriced:
+            doc["adjudication"] = {**doc.get("adjudication", {}), **repriced}
+        doc["adjudicated"] = True
+        with open(cand_path, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+            f.write("\n")
+        print(f"  [adjudicate] stamped {cand_path} adjudicated "
+              f"({len(repriced)} re-priced)")
     for q in sorted(set(cand) - set(base)):
         print(f"  [new] {q}: {cand[q]:.2f}s (no baseline)")
     # a query in the candidate's failed list but absent from BOTH maps

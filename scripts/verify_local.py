@@ -8,13 +8,27 @@ Reads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
 parquet tables, and compares values exactly (columns sorted by name,
 rows sorted by all columns). Exit code 1 on any mismatch.
+
+Every oracle runs under a per-row watchdog (ROW_TIMEOUT_S, override
+with --row-timeout N): a row that exceeds it is interrupted and
+recorded as a NAMED failure, so one pathological oracle can never eat
+the whole artifact window — the round-18 lesson, where the driver's
+CORRECTNESS file landed empty. Each [ok] line carries the row's oracle
+wall seconds so slow rows are visible without profiling.
 """
 import json
 import math
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
+
+# Generous per-row cap: the slowest honest oracle (vds lifecycle at
+# sf0.1) runs well under 2 min after the round-19 ClosureSql rewrite;
+# 600 s only fires on a genuinely pathological row.
+ROW_TIMEOUT_S = 600.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -88,14 +102,30 @@ def surface_violations(types):
     return bad
 
 
+def run_bounded(con, sql, timeout_s):
+    """Execute with a watchdog: interrupt the query at timeout_s and
+    raise. The connection survives an interrupt (tested on DuckDB
+    1.0.0), so the sweep continues with the next row."""
+    timer = threading.Timer(timeout_s, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql)
+    finally:
+        timer.cancel()
+
+
 def main():
-    # Usage: verify_local.py <sfDir> <outDir> [name ...]
+    # Usage: verify_local.py [--row-timeout N] <sfDir> <outDir> [name ...]
     # Optional names restrict the sweep to just those queries — the
-    # fast path when iterating on one new query (the full sweep is
-    # dominated by the recursive-CTE dedup oracles). The missing-result
+    # fast path when iterating on one new query. The missing-result
     # manifest check only runs on the FULL sweep.
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    row_timeout = ROW_TIMEOUT_S
+    if argv and argv[0] == "--row-timeout":
+        row_timeout = float(argv[1])
+        argv = argv[2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -157,15 +187,25 @@ def main():
             if len(spark_rows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
+        t0 = time.time()
         try:
-            cur = con.execute(oracle[name])
-            oracle_cols = [d[0] for d in cur.description]
-            cur = con.execute(
-                f"SELECT {order} FROM ({oracle[name]})")
-            oracle_rows = cur.fetchall()
+            # DESCRIBE is plan-only: column names without paying for an
+            # extra full execution (the pre-r19 spelling ran every
+            # oracle twice)
+            oracle_cols = [r[0] for r in run_bounded(
+                con, f"DESCRIBE ({oracle[name]})", row_timeout).fetchall()]
+            oracle_rows = run_bounded(
+                con, f"SELECT {order} FROM ({oracle[name]})",
+                row_timeout).fetchall()
+        except duckdb.InterruptException:
+            failures.append(
+                (name, f"oracle exceeded --row-timeout {row_timeout:.0f}s "
+                       f"(interrupted; sweep continues)"))
+            continue
         except Exception as e:
             failures.append((name, f"oracle failed: {e}"))
             continue
+        oracle_secs = time.time() - t0
         if sorted(spark_cols) != sorted(oracle_cols):
             failures.append(
                 (name, f"schema mismatch: {sorted(spark_cols)} vs "
@@ -198,7 +238,7 @@ def main():
                 (name, f"value mismatch at sorted row {bad}:\n"
                        f"    spark : {sa[bad]}\n    oracle: {sb[bad]}"))
             continue
-        print(f"  [ok] {name}: {len(a)} rows")
+        print(f"  [ok] {name}: {len(a)} rows ({oracle_secs:.1f}s oracle)")
     if failures:
         print(f"\n{len(failures)} FAILURES:")
         for n, msg in failures:

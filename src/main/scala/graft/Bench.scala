@@ -191,18 +191,29 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat",${envStamp(cpus.toInt)},"queries":$qs,"spread":$spread,"qload":$loads,"failed":$fails,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's BENCH_r*.json keeps only a truncated tail of this
-    // line (~63 of 140+ per-query medians), which blinded cross-round
-    // per-query comparison (round-9 verdict #6). Also write the FULL
-    // map to a file that survives the round; full suites only — a
-    // --only subset would overwrite the suite-wide record with a slice.
+    // Full-suite STDOUT gets the COMPACT medians-only line (round-19
+    // verdict item 2): the r15-r18 stdout line grew past the driver's
+    // capture (25.8 KB with spread triples + qload stamps) and every
+    // BENCH_r*.json since r15 landed tail-only/unparsed. This is the
+    // pre-r15 shape the driver parsed for 14 rounds; the full record
+    // (spread, qload, adjudication) lives in bench_full_latest.json.
+    // --only subsets keep the FULL line on stdout instead: they're a
+    // few queries (no capture risk) and bench_compare's --adjudicate
+    // re-price reads the re-run's spread MINS off that line.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat","adjudicated":false,${envStamp(cpus.toInt)},"queries":$qs,"spread":$spread,"qload":$loads,"failed":$fails,"sf":"$sfDir"}"""
     if (only.isEmpty) {
+      println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"median-of-$repeat",${envStamp(cpus.toInt)},"queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+      // The FULL artifact keeps the per-query spread + qload stamps the
+      // adjudication protocol reads; full suites only — a --only subset
+      // would overwrite the suite-wide record with a slice.
+      // "adjudicated" starts false; scripts/bench_compare.py
+      // --adjudicate flips it after the wait-for-idle re-price pass,
+      // and the close-out checklist (VerifySurfaceSpec under
+      // GRAFT_CLOSEOUT=1) requires it on the committed artifact.
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         s"${sys.props("user.dir")}/bench_full_latest.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    }
+    } else println(line)
     spark.stop()
   }
 }

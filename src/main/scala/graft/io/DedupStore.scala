@@ -551,7 +551,14 @@ object DedupStore {
     val buckets = r.getLong(0)
     val rows = r.getLong(1)
     val maxBucket = r.getLong(2)
-    val spread = if (rows == 0L) 0L else 1000L * maxBucket * buckets / rows
+    // Double intermediate: banded stores have UNBOUNDED bucket counts
+    // (unlike the vector store's model-k denominator), so the Long
+    // product 1000*maxBucket*buckets overflows past ~9.2e15 at corpus
+    // scale and would trend a negative/garbage spread in the control
+    // table (round-19 advice). The permille result itself fits easily.
+    val spread =
+      if (rows == 0L) 0L
+      else (1000.0 * maxBucket * buckets / rows).toLong
     BandOccupancyStats(buckets, rows, maxBucket, spread, r.getLong(3),
       r.getLong(4))
   }

@@ -414,8 +414,9 @@ object DedupQueries extends QuerySet {
 
   // ds1 oracle plumbing: jaccard between two aliased base rows, the
   // any-band collision condition, and the keep-one-per-cluster CTE
-  // chain (verified pairs -> symmetric edges -> transitive closure ->
-  // min-label clusters -> keepers), reused for both folds
+  // chain (verified pairs -> symmetric edges -> unrolled label
+  // propagation [ClosureSql] -> min-label clusters -> keepers),
+  // reused for both folds
   private def jacSql(x: String, y: String): String =
     s"len(list_intersect($x.sh, $y.sh)) * 1.0 / " +
       s"len(list_distinct(list_concat($x.sh, $y.sh)))"
@@ -447,27 +448,23 @@ object DedupQueries extends QuerySet {
            |    (SELECT doc_id FROM c$tag WHERE cluster_id <> doc_id))"""
           .stripMargin
     }
-    s"""p$tag AS (
+    s"""p$tag AS MATERIALIZED (
        |  SELECT x.doc_id AS da, y.doc_id AS db
        |  FROM $base x JOIN $base y ON x.doc_id < y.doc_id
        |    AND ${bandOrSql("x", "y")}
        |  WHERE ${jacSql("x", "y")} >= 0.5),
-       |e$tag AS (
+       |e$tag AS MATERIALIZED (
        |  SELECT da AS src, db AS dst FROM p$tag
        |  UNION SELECT db, da FROM p$tag),
-       |r$tag(src, dst) AS (
-       |  SELECT src, dst FROM e$tag
-       |  UNION
-       |  SELECT r.src, e.dst FROM r$tag r JOIN e$tag e ON r.dst = e.src),
+       |${ClosureSql.lpCtes(s"e$tag", s"l$tag")},
        |c$tag AS (
-       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-       |  FROM r$tag GROUP BY src),
+       |  ${ClosureSql.componentsSql(s"l$tag", "doc_id", "cluster_id")}),
        |$keeperCte""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "ds1_dedup_store" ->
-      s"""WITH RECURSIVE
+      s"""WITH
          |a AS (${minhashBaseFrom(
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
          |${keeperCtes("a", "1")},
@@ -488,7 +485,7 @@ object DedupQueries extends QuerySet {
     // DESC with doc_id tiebreak) — the d8b/d10 curation policy on the
     // maintained store
     "ds2_keeper_store" ->
-      s"""WITH RECURSIVE
+      s"""WITH
          |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
          |      FROM documents),
          |a AS (${minhashBaseFrom(
@@ -511,7 +508,7 @@ object DedupQueries extends QuerySet {
     // banded-candidate + exact-Jaccard membership test — the read
     // path re-derived stage for stage
     "sp1_store_probe" ->
-      s"""WITH RECURSIVE
+      s"""WITH
          |a AS (${minhashBaseFrom(
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
          |${keeperCtes("a", "1")},
@@ -580,38 +577,31 @@ object DedupQueries extends QuerySet {
          |  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+      s"""WITH base AS ($minhashBaseCte),
          |cpairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
          |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+         |${ClosureSql.lpCtes("edges", "lp")}
+         |${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}
+         |ORDER BY doc_id""".stripMargin,
     "d7_cluster_signatures" ->
-      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+      s"""WITH base AS ($minhashBaseCte),
          |cpairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
          |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |${ClosureSql.lpCtes("edges", "lp")},
          |clusters AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}),
          |sigs AS (
          |  SELECT doc_id,
          |  ${(0 until H).map(j => s"${minhashSql(j, "sh")} AS mh_$j").mkString(",\n  ")}
@@ -621,22 +611,18 @@ object DedupQueries extends QuerySet {
          |FROM clusters c JOIN sigs s USING (doc_id)
          |GROUP BY c.cluster_id ORDER BY cluster_id""".stripMargin,
     "d10_cluster_keepers" ->
-      s"""WITH RECURSIVE base AS ($minhashBaseCte),
+      s"""WITH base AS ($minhashBaseCte),
          |cpairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
          |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |${ClosureSql.lpCtes("edges", "lp")},
          |clusters AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}),
          |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
          |      FROM documents),
          |ranked AS (
@@ -647,7 +633,7 @@ object DedupQueries extends QuerySet {
          |SELECT cluster_id, doc_id AS keep_id, quality
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "d8_dedup_pipeline" ->
-      s"""WITH RECURSIVE gated AS (
+      s"""WITH gated AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE (${TextQueries.qualitySql}) >= 0.6
          |    AND (${TextQueries.langCaseSql}) = 'en'),
@@ -662,22 +648,18 @@ object DedupQueries extends QuerySet {
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
          |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |${ClosureSql.lpCtes("edges", "lp")},
          |clusters AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src)
+         |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")})
          |SELECT e.doc_id FROM ex e
          |WHERE e.doc_id NOT IN
          |  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
     "d8b_dedup_quality" ->
-      s"""WITH RECURSIVE gated AS (
+      s"""WITH gated AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE (${TextQueries.qualitySql}) >= 0.6
          |    AND (${TextQueries.langCaseSql}) = 'en'),
@@ -692,16 +674,12 @@ object DedupQueries extends QuerySet {
          |  FROM base a JOIN base b ON a.doc_id < b.doc_id AND
          |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
          |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |${ClosureSql.lpCtes("edges", "lp")},
          |clusters AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}),
          |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality FROM ex),
          |ranked AS (
          |  SELECT c.doc_id,

@@ -1321,14 +1321,15 @@ object ExtendedQueries extends QuerySet {
   /** The media-store lifecycle's shared oracle prefix: m6's dHash
     * CTE chain (variant bytes, 9x8 sample, 64 comparison bits,
     * 4x16-bit bands), fold 1's capped pairs -> Hamming verify ->
-    * WITH RECURSIVE closure (k1 = the standing store), and fold 2's
+    * unrolled lp closure (ClosureSql; k1 = the standing store), and
+    * fold 2's
     * batch x store band-equi probe with the hot-bucket exclusion
     * (`hits`). mds1 continues with the store-fresh remnant's own
     * pair/closure pass; sp3 reads the membership flags straight off
     * `hits`.
     */
   private val mdsLifecycleToProbe: String =
-    """WITH RECURSIVE m AS (
+    """WITH m AS (
         |  SELECT i AS src_id, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         |  FROM generate_series(0, 199) t(i) WHERE i % 3 <> 2),
         |u AS (
@@ -1377,12 +1378,8 @@ object ExtendedQueries extends QuerySet {
         |e1 AS MATERIALIZED (
         |  SELECT da AS src, db AS dst FROM ham1
         |  UNION SELECT db, da FROM ham1),
-        |r1(src, dst) AS (
-        |  SELECT src, dst FROM e1
-        |  UNION
-        |  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src),
-        |cc1 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
-        |        FROM r1 GROUP BY src),
+        |@@LP1@@,
+        |cc1 AS (@@CC1@@),
         |k1 AS MATERIALIZED (
         |  SELECT out_id FROM f1 WHERE out_id NOT IN
         |    (SELECT out_id FROM cc1 WHERE cid <> out_id)),
@@ -1403,6 +1400,8 @@ object ExtendedQueries extends QuerySet {
         |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
         |    GROUP BY 1, 2
         |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16))""".stripMargin
+      .replace("@@LP1@@", ClosureSql.lpCtes("e1", "l1"))
+      .replace("@@CC1@@", ClosureSql.componentsSql("l1", "out_id", "cid"))
 
   /** mds1's lifecycle prefix with the fold-1 keeper swapped for the
     * max_quality window (quality = the dHash POPCOUNT: `q` = SUM(bit)
@@ -1918,7 +1917,7 @@ object ExtendedQueries extends QuerySet {
     // the full two-fold media-store lifecycle re-derived: m6's
     // dHash/band CTE chain (variant bytes, 9x8 sample, 64 comparison
     // bits, 4x16-bit bands), then fold 1's capped within-batch
-    // pairs -> Hamming verify -> WITH RECURSIVE min-label closure,
+    // pairs -> Hamming verify -> unrolled min-label lp closure,
     // fold 2's batchxstore band-equi probe (store-side hot buckets
     // excluded — MdsBucketCap spelled here), the store-fresh remnant's
     // own capped pair/closure pass, and the epoch stamps — every stage
@@ -1947,12 +1946,8 @@ object ExtendedQueries extends QuerySet {
         |e2 AS MATERIALIZED (
         |  SELECT da AS src, db AS dst FROM ham2
         |  UNION SELECT db, da FROM ham2),
-        |r2(src, dst) AS (
-        |  SELECT src, dst FROM e2
-        |  UNION
-        |  SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src),
-        |cc2 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
-        |        FROM r2 GROUP BY src),
+        |${ClosureSql.lpCtes("e2", "l2")},
+        |cc2 AS (${ClosureSql.componentsSql("l2", "out_id", "cid")}),
         |k2 AS (
         |  SELECT out_id FROM fr2 WHERE out_id NOT IN
         |    (SELECT out_id FROM cc2 WHERE cid <> out_id))
@@ -1988,12 +1983,8 @@ object ExtendedQueries extends QuerySet {
         |e2 AS MATERIALIZED (
         |  SELECT da AS src, db AS dst FROM ham2
         |  UNION SELECT db, da FROM ham2),
-        |r2(src, dst) AS (
-        |  SELECT src, dst FROM e2
-        |  UNION
-        |  SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src),
-        |cc2 AS (SELECT src AS out_id, LEAST(src, MIN(dst)) AS cid
-        |        FROM r2 GROUP BY src),
+        |${ClosureSql.lpCtes("e2", "l2")},
+        |cc2 AS (${ClosureSql.componentsSql("l2", "out_id", "cid")}),
         |k2 AS (
         |  SELECT out_id FROM fr2 WHERE out_id NOT IN (
         |    SELECT out_id FROM (

@@ -706,24 +706,21 @@ object TextQueries extends QuerySet {
          |FROM s4 ORDER BY doc_id""".stripMargin
     },
     "t17_leakage_split" ->
-      // chunk-grain duplicate components via the d6-style transitive
-      // closure (tiny: collision pairs only), then the md5 group-keyed
-      // split — the whole chain re-derives from the shared chunk CTE
-      s"""WITH RECURSIVE $chunkCteSql,
+      // chunk-grain duplicate components via the d6-style unrolled
+      // label propagation (ClosureSql; collision pairs only), then the
+      // md5 group-keyed split — the whole chain re-derives from the
+      // shared chunk CTE
+      s"""WITH $chunkCteSql,
          |cpairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ch a JOIN ch b
          |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
          |  UNION SELECT doc_b, doc_a FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |${ClosureSql.lpCtes("edges", "lp")},
          |labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         |  FROM reach GROUP BY src),
+         |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}),
          |grp AS (
          |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_id
          |  FROM documents d LEFT JOIN labels l USING (doc_id)),

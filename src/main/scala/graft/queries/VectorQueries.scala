@@ -648,10 +648,10 @@ object VectorQueries extends QuerySet {
            |    (SELECT vec_id FROM c$tag WHERE cluster_id <> vec_id))"""
           .stripMargin
     }
-    // MATERIALIZED: the closure CTE r$tag re-reads e$tag every
-    // iteration; without the hint DuckDB re-inlines the whole upstream
-    // chain (training included) per iteration and the oracle runs for
-    // minutes instead of sub-second
+    // MATERIALIZED: the lp rounds re-read e$tag every step; without
+    // the hint DuckDB re-inlines the whole upstream chain (training
+    // included) per step and the oracle runs for minutes instead of
+    // sub-second
     s"""p$tag AS MATERIALIZED (
        |  SELECT x.vec_id AS da, y.vec_id AS db
        |  FROM $base x JOIN $base y
@@ -660,13 +660,9 @@ object VectorQueries extends QuerySet {
        |e$tag AS MATERIALIZED (
        |  SELECT da AS src, db AS dst FROM p$tag
        |  UNION SELECT db, da FROM p$tag),
-       |r$tag(src, dst) AS (
-       |  SELECT src, dst FROM e$tag
-       |  UNION
-       |  SELECT r.src, e.dst FROM r$tag r JOIN e$tag e ON r.dst = e.src),
+       |${ClosureSql.lpCtes(s"e$tag", s"l$tag")},
        |c$tag AS (
-       |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-       |  FROM r$tag GROUP BY src),
+       |  ${ClosureSql.componentsSql(s"l$tag", "vec_id", "cluster_id")}),
        |$keeperCte""".stripMargin
   }
 
@@ -695,7 +691,7 @@ object VectorQueries extends QuerySet {
     * flags straight off `hits`.
     */
   private def vdsLifecycleToProbe(farthestCents: Option[String]): String =
-    s"""WITH RECURSIVE unit AS ($unitCte),
+    s"""WITH unit AS ($unitCte),
        |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
        |st AS (SELECT MAX(ABS(x)) AS amax
        |       FROM (SELECT unnest(uv) AS x FROM eu)),
@@ -860,7 +856,7 @@ object VectorQueries extends QuerySet {
     // dot (same cell => same n, so the rational score ranks by its
     // numerator — no division anywhere), ties to the lowest vec_id
     "v16_semdedup" ->
-      s"""WITH RECURSIVE unit AS ($unitCte),
+      s"""WITH unit AS ($unitCte),
          |st AS (SELECT MAX(ABS(x)) AS amax
          |       FROM (SELECT unnest(uv) AS x FROM unit)),
          |kcodes AS (
@@ -1159,22 +1155,19 @@ object VectorQueries extends QuerySet {
          |FROM base LEFT JOIN hits USING (query_id, nprobe)
          |ORDER BY query_id, nprobe""".stripMargin,
     "v7_embedding_clusters" ->
-      s"""WITH RECURSIVE unit AS ($unitCte),
+      s"""WITH unit AS ($unitCte),
          |assigned AS ($assignedCte),
          |cpairs AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ROUND(${dotDSql("a.uv", "b.uv")}, 6) >= 0.25),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT va AS src, vb AS dst FROM cpairs
          |  UNION SELECT vb, va FROM cpairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
+         |${ClosureSql.lpCtes("edges", "lp")}
+         |${ClosureSql.componentsSql("lp", "vec_id", "cluster_id")}
+         |ORDER BY vec_id""".stripMargin,
     "v6_rp_lsh_neardup" ->
       s"""WITH unit AS ($unitCte),
          |rpbase AS ($rpBaseCte),
