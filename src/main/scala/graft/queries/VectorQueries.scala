@@ -499,10 +499,70 @@ object VectorQueries extends QuerySet {
       .orderBy("vec_id")
   }
 
+  /** Measured RECALL of the capped store probe (round-19 verdict
+    * item 3) — v15's recall discipline pointed at the STANDING store's
+    * read path: found the store on the even vec_ids (sp2's fold-1
+    * exactly), then probe the odd vec_ids under every (nprobe, capped)
+    * configuration the YAML plane can declare, scoring each against
+    * the UNCAPPED brute-force membership truth over the same store.
+    * Truth reuses [[graft.io.VectorDedupStore.probeHits]] itself with
+    * nprobe = NumCentroids and no cap — every cell probed, so the
+    * cell-equi join degenerates to exact brute force THROUGH the same
+    * quantization and integer dots, keeping the whole matrix
+    * hash-exact (the v15 recipe). Config hits are provably subsets of
+    * the truth (fewer cells, same score bar), so recall_permille is
+    * exact integer arithmetic and nprobe=2 dominates nprobe=1 at equal
+    * cap by construction — pinned here with a loud require and priced
+    * in VectorDedupStoreSpec. Scale shape: the truth side is
+    * store-mass x batch work BY DEFINITION (it is the eval bar, run at
+    * evaluation scale, never in production paths); the config side is
+    * the production capped cell-equi probe.
+    */
+  def v17StoreProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select("vec_id", "embedding")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.v17_recall_store"
+    Seq(table, s"${table}_model").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+          t.split('.')(1))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    graft.io.VectorDedupStore.maintain(s, table,
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      MatchScore, NumCentroids, nprobe = 2, trainIters = KmIters,
+      maxCellSize = Some(VdsCellCap), epochId = Some(1L))
+    val batch = graft.operators.FrameCaches.track(
+      e.filter(col("vec_id") % 2 === 1).persist())
+    def hitsUnder(np: Int, cap: Option[Long]): Long =
+      graft.io.VectorDedupStore.probeHits(s, table, batch,
+        "vec_id", "embedding", MatchScore, nprobe = np,
+        maxCellSize = cap).count()
+    val trueHits = hitsUnder(NumCentroids, None)
+    val rows = for {
+      np <- Seq(1, 2); capped <- Seq(false, true)
+    } yield {
+      val hits = hitsUnder(np, if (capped) Some(VdsCellCap) else None)
+      (np.toLong, capped, hits, trueHits,
+        if (trueHits == 0L) 1000L else hits * 1000L / trueHits)
+    }
+    for (capped <- Seq(false, true)) {
+      val Seq(r1, r2) = rows.filter(_._2 == capped).map(_._3)
+      require(r2 >= r1, s"recall dominance violated (capped=$capped): " +
+        s"nprobe=2 found $r2 < nprobe=1's $r1")
+    }
+    rows.toDF("nprobe", "capped", "hits", "true_hits", "recall_permille")
+      .orderBy("nprobe", "capped")
+  }
+
   val entries: Map[String, Q] = Map(
     "vds1_vector_dedup_store" -> vds1VectorDedupStore _,
     "vds2_semdedup_store" -> vds2KeeperSemdedup _,
     "sp2_store_probe_vector" -> sp2StoreProbeVector _,
+    "v17_store_probe_recall" -> v17StoreProbeRecall _,
     "v14_centroid_outliers" -> v14CentroidOutliers _,
     "v13_pq_adc" -> v13PqAdc _,
     "v12_cross_corpus_ann" -> v12CrossCorpusAnn _,
@@ -690,7 +750,12 @@ object VectorQueries extends QuerySet {
     * with the remnant's own keeper pass; sp2 reads the membership
     * flags straight off `hits`.
     */
-  private def vdsLifecycleToProbe(farthestCents: Option[String]): String =
+  /** The lifecycle prefix through the STANDING STORE only (`s1` =
+    * fold-1 survivors with home cells) — shared by the fold/probe
+    * continuations and v17's recall matrix, which probes `s1` under
+    * several (nprobe, cap) configurations at once.
+    */
+  private def vdsLifecycleToStore(farthestCents: Option[String]): String =
     s"""WITH unit AS ($unitCte),
        |eu AS (SELECT vec_id, uv FROM unit WHERE vec_id % 2 = 0),
        |st AS (SELECT MAX(ABS(x)) AS amax
@@ -714,7 +779,11 @@ object VectorQueries extends QuerySet {
        |  ${vecRankSql("qc", "q.vec_id % 2 = 0", "cents", 1)})),
        |${vecKeeperCtes("h1", "1", MatchScore, Some(VdsCellCap),
            farthestCents)},
-       |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id)),
+       |s1 AS MATERIALIZED (SELECT h1.* FROM h1 JOIN k1 USING (vec_id))"""
+      .stripMargin
+
+  private def vdsLifecycleToProbe(farthestCents: Option[String]): String =
+    s"""${vdsLifecycleToStore(farthestCents)},
        |pr2 AS MATERIALIZED (
        |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", 2)}),
        |hits AS MATERIALIZED (
@@ -770,6 +839,38 @@ object VectorQueries extends QuerySet {
          |SELECT vec_id,
          |  vec_id IN (SELECT vec_id FROM hits) AS store_hit
          |FROM qc WHERE vec_id % 2 = 1 ORDER BY vec_id""".stripMargin,
+    // the lifecycle prefix through the standing store (`s1`), then the
+    // recall matrix: rank EVERY centroid per odd vector (prall), score
+    // each (nprobe, capped) configuration's cell subset against the
+    // store, and divide by the uncapped all-cell truth — the same
+    // integer dots on both sides, so the permille is exact
+    "v17_store_probe_recall" ->
+      s"""${vdsLifecycleToStore(None)},
+         |prall AS MATERIALIZED (
+         |  ${vecRankSql("qc", "q.vec_id % 2 = 1", "cents", NumCentroids)}),
+         |hot AS (SELECT cell FROM s1 GROUP BY cell
+         |        HAVING COUNT(*) > $VdsCellCap),
+         |scored AS MATERIALIZED (
+         |  SELECT p.vec_id, p.crank, s.cell
+         |  FROM prall p JOIN s1 s ON p.cell = s.cell
+         |  WHERE ${qdotSql("p.qv", "s.qv")} >= $MatchScore),
+         |cfg(nprobe, capped) AS (
+         |  VALUES (1, FALSE), (1, TRUE), (2, FALSE), (2, TRUE)),
+         |counts AS (
+         |  SELECT c.nprobe, c.capped, COUNT(DISTINCT m.vec_id) AS hits
+         |  FROM cfg c JOIN scored m ON m.crank <= c.nprobe
+         |    AND (NOT c.capped OR m.cell NOT IN (SELECT cell FROM hot))
+         |  GROUP BY 1, 2),
+         |t AS (SELECT COUNT(DISTINCT vec_id) AS true_hits FROM scored)
+         |SELECT CAST(c.nprobe AS BIGINT) AS nprobe, c.capped,
+         |  CAST(COALESCE(k.hits, 0) AS BIGINT) AS hits,
+         |  CAST(t.true_hits AS BIGINT) AS true_hits,
+         |  CAST(CASE WHEN t.true_hits = 0 THEN 1000
+         |    ELSE COALESCE(k.hits, 0) * 1000 // t.true_hits END AS BIGINT)
+         |    AS recall_permille
+         |FROM cfg c LEFT JOIN counts k
+         |  ON k.nprobe = c.nprobe AND k.capped = c.capped
+         |CROSS JOIN t ORDER BY c.nprobe, c.capped""".stripMargin,
     // ref-only calibration (amax over the unit REFERENCE), first-k ref
     // centroids, integer centroid ranking, integer candidate scores —
     // the whole incremental matcher is exact arithmetic

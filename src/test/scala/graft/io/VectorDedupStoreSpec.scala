@@ -181,6 +181,43 @@ class VectorDedupStoreSpec extends SparkSpec {
       "uncapped control: both re-deliveries drop")
   }
 
+  test("probe recall matrix: nprobe dominance; the cap's bite is exactly the hot cell") {
+    // the v17_store_probe_recall contract on a PLANTED hot cell (the
+    // gate's organic corpus never trips the cap — trained centroids
+    // keep occupancy under it, the maxDf lesson): truth = probeHits at
+    // nprobe=numCentroids/no-cap (all cells = brute force through the
+    // same quantization), then the (nprobe, capped) matrix against it
+    val t = table("t_recall_matrix")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_model")
+    val vD = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    // vA/vC/vD all home to centroid 1's cell (occupancy 3); vB alone
+    VectorDedupStore.maintain(spark, t,
+      df(1L -> vA, 2L -> vB, 3L -> vC, 4L -> vD),
+      "vec_id", "embedding", Score, numCentroids = 2, epochId = Some(1L))
+    // batch: near-dups of hot-cell content (vA2, vC2), of the cold
+    // cell (vB), and a genuine novel direction (diagonal, no match)
+    val batch = df(90L -> vA2, 91L -> vC2, 92L -> vB,
+      93L -> Array(0.6f, -0.6f, 0.4f, -0.3f))
+    def hits(np: Int, cap: Option[Long]): Set[Long] =
+      VectorDedupStore.probeHits(spark, t, batch, "vec_id", "embedding",
+        Score, nprobe = np, maxCellSize = cap)
+        .as[Long].collect().toSet
+    val truth = hits(2, None) // numCentroids = 2: every cell probed
+    assert(truth == Set(90L, 91L, 92L), truth.toString)
+    // capped at 2: the 3-occupant hot cell is excluded — recall loses
+    // EXACTLY its content (90/91); the cold cell still answers
+    assert(hits(2, Some(2L)) == Set(92L))
+    // dominance: nprobe=2 hits are a superset of nprobe=1's, capped or
+    // not (more cells probed, same score bar)
+    for (cap <- Seq(None, Some(2L): Option[Long])) {
+      val h1 = hits(1, cap); val h2 = hits(2, cap)
+      assert(h1.subsetOf(h2), s"cap=$cap: $h1 !subset $h2")
+    }
+    // pure read throughout: five probes advanced nothing
+    assert(stored(t).map(_._1) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("founding guard: an empty or all-zero founding batch refuses loudly") {
     val t = table("t_founding_guard")
     spark.sql(s"DROP TABLE IF EXISTS $t")
