@@ -480,6 +480,7 @@ final case class MaintenanceTaskConfig(
     numCentroids: Int = 0,
     spreadThresholdPermille: Long = 0L,
     maxCellSize: Option[Long] = None,
+    spreadTrendPct: Int = 0,
     enabled: Boolean = true)
 
 final case class EtlConfig(
@@ -519,6 +520,7 @@ object ConfigJson {
     "num_centroids" -> t.numCentroids.toString,
     "spread_threshold_permille" -> t.spreadThresholdPermille.toString,
     "max_cell_size" -> t.maxCellSize.map(_.toString).getOrElse("0"),
+    "spread_trend_pct" -> t.spreadTrendPct.toString,
     "enabled" -> t.enabled.toString)
 
   def apply(s: SourceConfig): String = jobj(
@@ -1021,6 +1023,7 @@ object EtlConfig {
       // knob name would silently count nothing as hot)
       maxCellSize = opt(m, "max_cell_size")
         .orElse(opt(m, "max_bucket_size")).map(_.toLong),
+      spreadTrendPct = opt(m, "spread_trend_pct").map(_.toInt).getOrElse(0),
       enabled = bool(m, "enabled"))
     require(!(m.contains("max_cell_size") && m.contains("max_bucket_size")),
       s"maintenance task '${t.taskId}': max_cell_size and " +
@@ -1077,6 +1080,12 @@ object EtlConfig {
     require(t.taskType == "store_stats" || t.maxCellSize.isEmpty,
       s"maintenance task '${t.taskId}': max_cell_size is only used by " +
         "store_stats (the hot-cell count's cap)")
+    require(t.spreadTrendPct >= 0,
+      s"maintenance task '${t.taskId}': spread_trend_pct must be >= 0 " +
+        s"(0 = no trend gate), got ${t.spreadTrendPct}")
+    require(t.taskType == "store_stats" || t.spreadTrendPct == 0,
+      s"maintenance task '${t.taskId}': spread_trend_pct is only used " +
+        "by store_stats (the spread-vs-trailing-median alert)")
     t
   }
 

@@ -79,4 +79,58 @@ object VolumeGuard {
         "with a raised volume_guard_pct or after pruning the audit " +
         "history window.")
   }
+
+  /** Trend check for a MAINTENANCE-plane metric (round-19 verdict
+    * item 7 — store_stats' occupancy spread): same trailing-median /
+    * integer-deviation discipline as [[check]], but the history is the
+    * SAME task's own SUCCESS rows — matched on (layer = maintenance,
+    * operation, source_id, target_table). [[check]]'s data-layer
+    * filter exists to keep these rows OUT of volume medians; here they
+    * ARE the series, and the operation+source_id match keeps two tasks
+    * profiling the same table from poisoning each other's baseline.
+    */
+  def checkMetric(spark: SparkSession, auditTable: String,
+      targetTable: String, operation: String, sourceId: String,
+      observed: Long, tolerancePct: Int, window: Int = 7,
+      minHistory: Int = 3): Verdict = {
+    require(tolerancePct > 0, "tolerancePct must be positive")
+    require(window >= minHistory && minHistory >= 1,
+      s"need window >= minHistory >= 1, got $window/$minHistory")
+    val hist = spark.table(auditTable)
+      .filter(col("target_table") === targetTable &&
+        col("layer") === "maintenance" &&
+        col("operation") === operation &&
+        col("source_id") === sourceId &&
+        col("status") === "SUCCESS" && col("rows_processed") > 0)
+      .orderBy(col("event_timestamp").desc, col("log_id").desc)
+      .select(col("rows_processed")).limit(window)
+      .collect().map(_.getLong(0))
+    if (observed == 0L || hist.length < minHistory)
+      return Verdict(observed, None, hist.length, breach = false)
+    val sorted = hist.sorted
+    val med = sorted((sorted.length - 1) / 2)
+    val breach = math.abs(observed - med) * 100L > tolerancePct.toLong * med
+    Verdict(observed, Some(med), hist.length, breach)
+  }
+
+  /** [[checkMetric]] and THROW — the store_stats trend gate: a spread
+    * that jumps vs its own trailing median means the store's occupancy
+    * profile moved (a hot band forming, a skewed crawl landing) and
+    * the tuning the stats exist to drive should run NOW, not after the
+    * probe mass silently degrades.
+    */
+  def enforceMetric(spark: SparkSession, auditTable: String,
+      targetTable: String, operation: String, sourceId: String,
+      observed: Long, tolerancePct: Int): Unit = {
+    val v = checkMetric(spark, auditTable, targetTable, operation,
+      sourceId, observed, tolerancePct)
+    if (v.breach) throw new IllegalStateException(
+      s"store_stats trend anomaly for '$targetTable' ($sourceId): " +
+        s"occupancy spread ${v.observed} permille vs a trailing median " +
+        s"of ${v.median.get} over ${v.historyRuns} runs — outside " +
+        s"±$tolerancePct%. The store's occupancy profile moved: " +
+        "re-tune max_bucket_size/max_cell_size, or run compact/prune/" +
+        "retrain before the next fold. If the shift is intended " +
+        "(corpus scope change), re-run with a raised spread_trend_pct.")
+  }
 }

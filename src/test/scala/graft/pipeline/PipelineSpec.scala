@@ -2214,6 +2214,71 @@ class PipelineSpec extends SparkSpec {
     assert(spread == 3000L, s"spread = $spread")
   }
 
+  test("store_stats spread_trend_pct: stable spreads pass, a profile jump fails the task") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS gold_e2e")
+    val t = "gold_e2e.stats_trend_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def plant(hot: Int, cold: Int): Unit = {
+      val rows =
+        (1L to hot.toLong).map(i => (i, 0, "hotkey", Seq(i), 1L)) ++
+          (1L to cold.toLong).map(i => (i + 1000L, 0, s"cold$i", Seq(i), 1L))
+      rows.toDF("doc_id", "band_idx", "band_key", "sh", "_epoch")
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    plant(hot = 6, cold = 4) // 5 buckets, 10 rows, max 6: spread 3000
+    val yaml =
+      s"""maintenance:
+         |  - task_id: trend_stats
+         |    task_type: store_stats
+         |    table: $t
+         |    spread_trend_pct: 50
+         |""".stripMargin
+    // three runs build the baseline (first runs pass on insufficient
+    // history, exactly like volume_guard_pct's new-model rule), a
+    // fourth stable run passes against the 3000 median
+    for (d <- Seq("2024-09-10", "2024-09-11", "2024-09-12", "2024-09-13")) {
+      val r = new Pipeline(spark, d, new FixedClock(1804350000000L))
+        .run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+          Seq("maintenance"))
+      assert(r.head.failed.isEmpty, s"$d: ${r.toString}")
+    }
+    // the store's occupancy profile MOVES (a boilerplate band forming:
+    // 24 one-off buckets join, hot mass unchanged -> spread 5000, a
+    // 67% jump): the task must fail LOUDLY, not log-and-trend
+    plant(hot = 6, cold = 24) // 25 buckets, 30 rows, max 6: spread 5000
+    val p = new Pipeline(spark, "2024-09-14", new FixedClock(1804350000000L))
+    val r = p.run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+      Seq("maintenance"))
+    assert(r.head.failed.exists(_._1 == "trend_stats"), r.toString)
+    val err = spark.table(p.meta.auditTable)
+      .filter($"source_id" === "trend_stats" && $"status" === "ERROR")
+      .select("error_message").as[String].collect()
+    assert(err.exists(m => m.contains("trend anomaly") &&
+      m.contains("5000") && m.contains("3000")), err.mkString("; "))
+    // the anomalous run's ERROR row never enters the baseline: a
+    // RE-run against the same history still judges 5000 vs 3000
+    val r2 = new Pipeline(spark, "2024-09-15", new FixedClock(1804350000000L))
+      .run(Map("maintenance" -> EtlConfig.fromYaml(yaml)),
+        Seq("maintenance"))
+    assert(r2.head.failed.exists(_._1 == "trend_stats"), r2.toString)
+    // parse refusals: wrong task type, negative pct
+    def bad2(y: String) =
+      intercept[IllegalArgumentException](EtlConfig.fromYaml(y))
+    assert(bad2("""maintenance:
+                  |  - task_id: t
+                  |    task_type: compact
+                  |    table: a.b
+                  |    spread_trend_pct: 50
+                  |""".stripMargin).getMessage.contains(
+      "only used by store_stats"))
+    assert(bad2("""maintenance:
+                  |  - task_id: t
+                  |    task_type: store_stats
+                  |    table: a.b
+                  |    spread_trend_pct: -1
+                  |""".stripMargin).getMessage.contains("spread_trend_pct"))
+  }
+
   test("vector_dedup_store gold model folds dated batches; replay no-ops; backfill fails") {
     val vdsYaml =
       """models:
