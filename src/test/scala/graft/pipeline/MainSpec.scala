@@ -196,7 +196,8 @@ class MainSpec extends SparkSpec {
       assert(maint.keySet == Set("maintenance.compact_dedup_store",
         "maintenance.zone_maps_curated", "maintenance.vacuum_staging",
         "maintenance.prune_vector_store", "maintenance.stats_vector_store",
-        "maintenance.stats_dedup_store",
+        "maintenance.stats_dedup_store", "maintenance.compact_media_store",
+        "maintenance.stats_media_store",
         "maintenance.retrain_vector_store"), maint.keySet)
       assert(maint("maintenance.compact_dedup_store")
         .contains("\"task_type\":\"compact\""))
