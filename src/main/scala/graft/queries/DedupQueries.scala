@@ -391,10 +391,27 @@ object DedupQueries extends QuerySet {
   private val jaccardSql =
     "len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh)))"
 
+  // minhash_j over precomputed md5 halves: h1[i] + j*h2[i] — the
+  // Kirsch-Mitzenmacher family with each shingle hashed ONCE (the
+  // inline spelling recomputed md5 32x per shingle: 16 j-values x two
+  // halves; at sf0.1 that was ~150-190 s PER minhash oracle)
+  private def minhashHalvesSql(j: Int): String =
+    s"""list_min(list_transform(generate_series(1, len(h1)),
+       | i -> h1[i] + $j * h2[i]))""".stripMargin
+
+  private def bandHalvesSql(b: Int): String = {
+    val parts = (0 until H / B).map(r => minhashHalvesSql(b * (H / B) + r))
+    s"md5(array_to_string([${parts.mkString(", ")}], ','))"
+  }
+
   private def minhashBaseFrom(src: String): String =
-    s"""SELECT doc_id, $shSql AS sh,
-       | ${(0 until B).map(b => s"${bandSql(b, shSql)} AS band_$b").mkString(",\n ")}
-       |FROM $src""".stripMargin
+    s"""SELECT doc_id, sh, h1, h2,
+       | ${(0 until B).map(b => s"${bandHalvesSql(b)} AS band_$b").mkString(",\n ")}
+       |FROM (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h1,
+       |    list_transform(sh, s -> ('0x' || substr(md5(s), 15, 14))::BIGINT) AS h2
+       |  FROM (SELECT doc_id, $shSql AS sh FROM $src))""".stripMargin
 
   private val minhashBaseCte = minhashBaseFrom("documents")
 
@@ -560,11 +577,13 @@ object DedupQueries extends QuerySet {
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
          |b AS (${minhashBaseFrom(
              "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")})
-         |SELECT a.doc_id AS batch_id, b.doc_id AS ref_id, $jaccardSql AS jaccard
-         |FROM a JOIN b ON
-         | (a.band_0 = b.band_0 OR a.band_1 = b.band_1
-         |  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
-         |WHERE $jaccardSql >= 0.5
+         |SELECT batch_id, ref_id, jaccard FROM (
+         |  SELECT a.doc_id AS batch_id, b.doc_id AS ref_id,
+         |    $jaccardSql AS jaccard
+         |  FROM a JOIN b ON
+         |   (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+         |    OR a.band_2 = b.band_2 OR a.band_3 = b.band_3))
+         |WHERE jaccard >= 0.5
          |ORDER BY batch_id, ref_id""".stripMargin,
     "d2_minhash_bands" ->
       s"""SELECT doc_id, band_0, band_1, band_2, band_3
@@ -604,7 +623,7 @@ object DedupQueries extends QuerySet {
          |  ${ClosureSql.componentsSql("lp", "doc_id", "cluster_id")}),
          |sigs AS (
          |  SELECT doc_id,
-         |  ${(0 until H).map(j => s"${minhashSql(j, "sh")} AS mh_$j").mkString(",\n  ")}
+         |  ${(0 until H).map(j => s"${minhashHalvesSql(j)} AS mh_$j").mkString(",\n  ")}
          |  FROM base)
          |SELECT c.cluster_id,
          | ${(0 until H).map(j => s"MIN(s.mh_$j) AS sig_$j").mkString(",\n ")}
@@ -695,28 +714,37 @@ object DedupQueries extends QuerySet {
     // ASYMMETRIC length filter (containment divides by |A| only, so
     // only B's size is bounded below) spelled with the same +999 DIV
     // trick
+    // the pair intersection computes ONCE in an inner projection (the
+    // SELECT+WHERE twin spelling paid it twice over the pair mass)
     "d13_containment_pairs" ->
-      s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform($shSql,
          |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  (1000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
-         |    AS containment_permille,
-         |  len(a.sh) AS sz_a, len(b.sh) AS sz_b
-         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-         | AND len(b.sh) >= (700 * len(a.sh) + 999) // 1000
-         |WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= 700 * len(a.sh)
+         |SELECT doc_a, doc_b, (1000 * isect) // sz_a AS containment_permille,
+         |  sz_a, sz_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS isect,
+         |    len(a.sh) AS sz_a, len(b.sh) AS sz_b
+         |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         |   AND len(b.sh) >= (700 * len(a.sh) + 999) // 1000)
+         |WHERE isect * 1000 >= 700 * sz_a
          |ORDER BY doc_a, doc_b""".stripMargin,
     // definitionally quadratic (the point: the Spark side must NOT be);
     // shingle sets hashed exactly like the Spark side (60-bit md5
     // slice), and the length filter (J >= t forces t*|b| <= |a| when
     // |a| <= |b|) is exact and keeps the 500x500 oracle join cheap
+    // the pair jaccard computes ONCE in an inner projection (the
+    // SELECT+WHERE twin spelling paid the list_intersect twice over
+    // the quadratic pair mass)
     "d9_ngram_jaccard" ->
-      s"""WITH s AS (SELECT doc_id, list_distinct(list_transform($shSql,
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform($shSql,
          |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         | AND len(a.sh) >= 0.5 * len(b.sh) AND len(b.sh) >= 0.5 * len(a.sh)
-         |WHERE $jaccardSql >= 0.5
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardSql AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |   AND len(a.sh) >= 0.5 * len(b.sh) AND len(b.sh) >= 0.5 * len(a.sh))
+         |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash_chunks" ->
       s"""SELECT doc_id, sim_chunk_0, sim_chunk_1, sim_chunk_2, sim_chunk_3
