@@ -346,10 +346,76 @@ object DedupQueries extends QuerySet {
       .orderBy("doc_id")
   }
 
+  /** The hot-bucket cap v17/sp4 measure the recall cost of — matches
+    * the media family's spelled cap scale (MdsBucketCap).
+    */
+  private val TextBucketCap = 8L
+
+  /** Measured RECALL of the banded TEXT store probe — v17's matrix on
+    * the text family (round 19; completing the read-path recall
+    * symmetry: vector `v17`, text here, media `sp5`). Two
+    * approximations stand between a true near-dup and a probe hit:
+    * LSH banding (a pair with jaccard >= 0.5 sharing NO band is
+    * invisible — the classic MinHash false-negative rate, here
+    * 1-(1-J^4)^4 per pair) and the `maxBucketSize` hot-bucket
+    * exclusion. Both are now hash-checked numbers: store = sp1's
+    * fold-1 (odd docs), probes = the even docs under capped/uncapped
+    * banding, truth = exact Jaccard >= 0.5 against EVERY stored doc
+    * with banding removed (length-blocked only — jaccard >= 0.5
+    * implies 2*min(|A|,|B|) >= max, so the block loses nothing).
+    * Config hits are subsets of the truth (band collision AND the
+    * same jaccard bar), so recall_permille is exact integers. Scale
+    * shape: the truth side is batch x store-doc BY DEFINITION (the
+    * eval bar, run at evaluation scale); the config side is the
+    * production banded probe.
+    */
+  def sp4StoreProbeRecallText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.sp4_recall_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/sp4_recall_store")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.DedupStore.maintain(s, table,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      N, H, B, jaccardThreshold = 0.5, mode = Md5Hash, epochId = Some(1L))
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    def hitsUnder(cap: Option[Long]): Long =
+      graft.io.DedupStore.probeHits(s, table, batch, "doc_id", "text",
+        N, H, B, jaccardThreshold = 0.5, maxBucketSize = cap,
+        mode = Md5Hash).count()
+    // truth: shingle the batch once, exact jaccard vs every stored
+    // doc's sh — no bands, no cap; the length block is implied by the
+    // jaccard bar itself
+    val shingled = graft.operators.FrameCaches.track(
+      Dedup.withMinhashBands(
+          batch.select(col("doc_id"), col("text").as("_text")),
+          "_text", N, H, B, Md5Hash)
+        .select(col("doc_id"), col("sh").as("_sh_b")).persist())
+    val stored = s.table(table).filter(col("band_idx") === 0)
+      .select(col("sh").as("_sh_r"))
+    val trueHits = shingled
+      .join(stored, size(col("_sh_b")) * 2 >= size(col("_sh_r")) &&
+        size(col("_sh_r")) * 2 >= size(col("_sh_b")))
+      .filter(Dedup.jaccard(col("_sh_b"), col("_sh_r")) >= 0.5)
+      .select("doc_id").distinct().count()
+    val rows = Seq(false, true).map { capped =>
+      val h = hitsUnder(if (capped) Some(TextBucketCap) else None)
+      (capped, h, trueHits,
+        if (trueHits == 0L) 1000L else h * 1000L / trueHits)
+    }
+    rows.toDF("capped", "hits", "true_hits", "recall_permille")
+      .orderBy("capped")
+  }
+
   val entries: Map[String, Q] = Map(
     "ds1_dedup_store" -> ds1DedupStore _,
     "ds2_keeper_store" -> ds2KeeperStore _,
     "sp1_store_probe" -> sp1StoreProbe _,
+    "sp4_store_probe_recall_text" -> sp4StoreProbeRecallText _,
     "d13_containment_pairs" -> d13ContainmentPairs _,
     "d12_shared_spans" -> d12SharedSpans _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
@@ -538,6 +604,52 @@ object DedupQueries extends QuerySet {
          |SELECT doc_id,
          |  doc_id IN (SELECT doc_id FROM hits) AS store_hit
          |FROM b ORDER BY doc_id""".stripMargin,
+    // sp1's fold-1 store, then the recall matrix: banded probe hits
+    // (capped / uncapped) over the truth = exact jaccard vs EVERY
+    // stored doc with banding removed (the length block is implied by
+    // jaccard >= 0.5: 2*min >= max). Hot buckets = store-side
+    // (band_idx, band_key) occupancy over the cap, exactly
+    // DedupStore.storeHits' exclusion
+    "sp4_store_probe_recall_text" ->
+      s"""WITH
+         |a AS MATERIALIZED (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}),
+         |${keeperCtes("a", "1")},
+         |s1 AS MATERIALIZED (SELECT a.* FROM a JOIN k1 USING (doc_id)),
+         |b AS MATERIALIZED (${minhashBaseFrom(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")}),
+         |hotb AS MATERIALIZED (
+         |  ${(0 until B).map(i =>
+               s"SELECT $i AS bi, band_$i AS bk FROM s1 GROUP BY 2 " +
+                 s"HAVING COUNT(*) > $TextBucketCap")
+               .mkString("\n  UNION ALL ")}),
+         |huncap AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON ${bandOrSql("b", "s1")}
+         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |hcap AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON (
+         |    ${(0 until B).map(i =>
+               s"(b.band_$i = s1.band_$i AND NOT EXISTS (SELECT 1 " +
+                 s"FROM hotb h WHERE h.bi = $i AND h.bk = s1.band_$i))")
+               .mkString("\n    OR ")})
+         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |truth AS (
+         |  SELECT DISTINCT b.doc_id FROM b JOIN s1
+         |    ON len(b.sh) * 2 >= len(s1.sh) AND len(s1.sh) * 2 >= len(b.sh)
+         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |t AS (SELECT COUNT(*) AS th FROM truth)
+         |SELECT capped, hits, true_hits,
+         |  CAST(CASE WHEN true_hits = 0 THEN 1000
+         |    ELSE hits * 1000 // true_hits END AS BIGINT) AS recall_permille
+         |FROM (
+         |  SELECT FALSE AS capped,
+         |    CAST((SELECT COUNT(*) FROM huncap) AS BIGINT) AS hits,
+         |    CAST(t.th AS BIGINT) AS true_hits FROM t
+         |  UNION ALL
+         |  SELECT TRUE,
+         |    CAST((SELECT COUNT(*) FROM hcap) AS BIGINT),
+         |    CAST(t.th AS BIGINT) FROM t)
+         |ORDER BY capped""".stripMargin,
     // the sorted hash-run derivation verbatim: 50-token rolling windows
     // (md5 of the space-joined slice), the posting cap, the equi join,
     // diagonal islands via pos - row_number, span = run + 49

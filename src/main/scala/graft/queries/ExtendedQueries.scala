@@ -552,6 +552,61 @@ object ExtendedQueries extends QuerySet {
       .orderBy("media_id")
   }
 
+  /** Measured RECALL of the banded MEDIA store probe — v17's matrix on
+    * the media family (round 19; completing the read-path recall
+    * symmetry: vector `v17`, text `sp4`, media here). Two
+    * approximations stand between a true near-dup and a probe hit:
+    * Hamming-LSH banding (a pair within 16 bits that differs in EVERY
+    * 16-bit band is invisible — possible from 4 spread bit flips) and
+    * the `maxBucketSize` hot-bucket exclusion. Truth = exact 64-bit
+    * Hamming <= 16 against EVERY stored hash, banding removed; config
+    * hits are subsets (band collision AND the same Hamming bar), so
+    * recall_permille is exact integers. Scale shape: the truth side is
+    * batch x stored-hash BY DEFINITION (the eval bar — 64-bit
+    * popcounts over a bounded eval set); the config side is the
+    * production banded probe.
+    */
+  def sp5StoreProbeRecallMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.multimodal.Multimodal
+    val media = M.syntheticMedia(s, 200)
+    val variants = M.noisyVariants(
+      media.filter(m => m.media_id % 6 == 0 && m.kind == "image"),
+      everyN = 50, delta = 64)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    val table = "graft_tmp.sp5_recall_store"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_tmp.db/" +
+        table.split('.')(1))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.io.MediaDedupStore.maintain(s, table,
+      M.dHash(media.filter(_.media_id < 100)), "media_id", "dhash",
+      bands = 4, maxHamming = 16L, maxBucketSize = Some(MdsBucketCap),
+      epochId = Some(1L))
+    val batch = graft.operators.FrameCaches.track(
+      M.dHash(media.filter(_.media_id >= 100).unionByName(variants))
+        .persist())
+    def hitsUnder(cap: Option[Long]): Long =
+      graft.io.MediaDedupStore.probeHits(s, table, batch,
+        "media_id", "dhash", bands = 4, maxHamming = 16L,
+        maxBucketSize = cap).count()
+    val stored = s.table(table).filter(col("band_idx") === 0)
+      .select(col("dhash").as("_dh_r"))
+    val trueHits = batch.select(col("media_id"), col("dhash").as("_dh_b"))
+      .join(stored,
+        bit_count(col("_dh_b").bitwiseXOR(col("_dh_r"))) <= 16)
+      .select("media_id").distinct().count()
+    val rows = Seq(false, true).map { capped =>
+      val h = hitsUnder(if (capped) Some(MdsBucketCap) else None)
+      (capped, h, trueHits,
+        if (trueHits == 0L) 1000L else h * 1000L / trueHits)
+    }
+    rows.toDF("capped", "hits", "true_hits", "recall_permille")
+      .orderBy("capped")
+  }
+
   /** mds1's keeper-policy twin — the media-store lifecycle run under
     * `keeper = max_quality` (completing the keeper symmetry: text
     * `ds2`, vector `vds2`, media here): each within-batch near-dup
@@ -1259,6 +1314,7 @@ object ExtendedQueries extends QuerySet {
     "mds1_media_dedup_store" -> mds1MediaDedupStore _,
     "mds2_keeper_store" -> mds2KeeperStore _,
     "sp3_store_probe_media" -> sp3StoreProbeMedia _,
+    "sp5_store_probe_recall_media" -> sp5StoreProbeRecallMedia _,
     "m2_frame_stats" -> m2FrameStats _,
     "m3_audio_chunks" -> m3AudioChunks _,
     "m4_thumbnails" -> m4Thumbnails _,
@@ -2006,6 +2062,45 @@ object ExtendedQueries extends QuerySet {
         |SELECT out_id AS media_id,
         |  out_id IN (SELECT out_id FROM hits) AS store_hit
         |FROM f2 ORDER BY media_id""".stripMargin,
+    // the lifecycle prefix through the CAPPED probe (`hits`), plus the
+    // same banded probe WITHOUT the hot-bucket exclusion and the
+    // banding-free truth (exact Hamming <= 16 vs every k1 hash off the
+    // prefix's own bits CTE) — the media read path's recall matrix
+    "sp5_store_probe_recall_media" ->
+      s"""$mdsLifecycleToProbe,
+        |cand2u AS MATERIALIZED (
+        |  SELECT DISTINCT p.out_id AS pid, s.out_id AS sid
+        |  FROM bands p JOIN f2 fp ON fp.out_id = p.out_id
+        |  JOIN bands s ON s.band = p.band AND s.bval = p.bval
+        |  JOIN k1 ks ON ks.out_id = s.out_id),
+        |huncap AS MATERIALIZED (
+        |  SELECT DISTINCT pid AS out_id FROM (
+        |    SELECT c.pid, c.sid FROM cand2u c
+        |    JOIN bits ba ON ba.out_id = c.pid
+        |    JOIN bits bb ON bb.out_id = c.sid AND bb.idx = ba.idx
+        |    GROUP BY 1, 2
+        |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16)),
+        |truth AS MATERIALIZED (
+        |  SELECT DISTINCT pid AS out_id FROM (
+        |    SELECT ba.out_id AS pid, bb.out_id AS sid
+        |    FROM bits ba JOIN f2 fp ON fp.out_id = ba.out_id
+        |    JOIN bits bb ON bb.idx = ba.idx
+        |    JOIN k1 ks ON ks.out_id = bb.out_id
+        |    GROUP BY 1, 2
+        |    HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 16)),
+        |t AS (SELECT COUNT(*) AS th FROM truth)
+        |SELECT capped, hits, true_hits,
+        |  CAST(CASE WHEN true_hits = 0 THEN 1000
+        |    ELSE hits * 1000 // true_hits END AS BIGINT) AS recall_permille
+        |FROM (
+        |  SELECT FALSE AS capped,
+        |    CAST((SELECT COUNT(*) FROM huncap) AS BIGINT) AS hits,
+        |    CAST(t.th AS BIGINT) AS true_hits FROM t
+        |  UNION ALL
+        |  SELECT TRUE,
+        |    CAST((SELECT COUNT(*) FROM hits) AS BIGINT),
+        |    CAST(t.th AS BIGINT) FROM t)
+        |ORDER BY capped""".stripMargin,
     // the full dHash/LSH/Hamming lifecycle re-derived: variant payload
     // byte p flips by +64 (mod 256) where p % 50 = 7 (the noisyVariants
     // formula); the 9x8 nearest-neighbor sample, the 64 comparison
