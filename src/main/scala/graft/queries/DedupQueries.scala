@@ -360,11 +360,14 @@ object DedupQueries extends QuerySet {
     * 1-(1-J^4)^4 per pair) and the `maxBucketSize` hot-bucket
     * exclusion. Both are now hash-checked numbers: store = sp1's
     * fold-1 (odd docs), probes = the even docs under capped/uncapped
-    * banding, truth = exact Jaccard >= 0.5 against EVERY stored doc
-    * with banding removed (length-blocked only — jaccard >= 0.5
-    * implies 2*min(|A|,|B|) >= max, so the block loses nothing).
-    * Config hits are subsets of the truth (band collision AND the
-    * same jaccard bar), so recall_permille is exact integers. Scale
+    * banding, truth = exact jaccard >= 0.5 over d9's HASHED distinct
+    * shingle sets against EVERY stored doc with banding removed
+    * (length-blocked only — jaccard >= 0.5 implies 2*min(|A|,|B|) >=
+    * max, so the block loses nothing; the bar is the pure-integer
+    * 3*isect >= |A|+|B|). Config hits are subsets of the truth (band
+    * collision AND string-jaccard >= 0.5, and hash-J >= string-J
+    * always — equal strings hash equal, the union can only shrink),
+    * so recall_permille is exact integers. Scale
     * shape: the truth side is batch x store-doc BY DEFINITION (the
     * eval bar, run at evaluation scale); the config side is the
     * production banded probe.
@@ -387,20 +390,28 @@ object DedupQueries extends QuerySet {
       graft.io.DedupStore.probeHits(s, table, batch, "doc_id", "text",
         N, H, B, jaccardThreshold = 0.5, maxBucketSize = cap,
         mode = Md5Hash).count()
-    // truth: shingle the batch once, exact jaccard vs every stored
-    // doc's sh — no bands, no cap; the length block is implied by the
-    // jaccard bar itself
-    val shingled = graft.operators.FrameCaches.track(
-      Dedup.withMinhashBands(
-          batch.select(col("doc_id"), col("text").as("_text")),
-          "_text", N, H, B, Md5Hash)
-        .select(col("doc_id"), col("sh").as("_sh_b")).persist())
-    val stored = s.table(table).filter(col("band_idx") === 0)
-      .select(col("sh").as("_sh_r"))
-    val trueHits = shingled
-      .join(stored, size(col("_sh_b")) * 2 >= size(col("_sh_r")) &&
-        size(col("_sh_r")) * 2 >= size(col("_sh_b")))
-      .filter(Dedup.jaccard(col("_sh_b"), col("_sh_r")) >= 0.5)
+    // truth: exact jaccard over d9's HASHED distinct shingle sets vs
+    // every stored doc — no bands, no cap. Hashed (60-bit md5), not
+    // string, sets: BIGINT intersects price ~10x under string ones at
+    // the truth's quadratic pair mass, and hash-J >= string-J (equal
+    // strings hash equal; the union can only shrink), so a probe hit
+    // (string-J >= 0.5) is STILL always inside the truth — the
+    // subset/recall<=1000 invariant survives the change. The 0.5 bar
+    // is the pure-integer compare 3*isect >= |A|+|B| (== 2*isect >=
+    // union); the length block is implied by the bar itself.
+    val bsh = batch.select(col("doc_id"),
+      Dedup.hashedShingles(col("text"), N, Md5Hash).as("_shb"))
+      .withColumn("_lb", size(col("_shb")))
+    val storeSh = docs
+      .join(graft.io.DedupStore.storedDocIds(s, table).select("doc_id"),
+        "doc_id")
+      .select(Dedup.hashedShingles(col("text"), N, Md5Hash).as("_shr"))
+      .withColumn("_lr", size(col("_shr")))
+    val trueHits = bsh
+      .join(storeSh, col("_lb") * 2 >= col("_lr") &&
+        col("_lr") * 2 >= col("_lb"))
+      .filter(size(array_intersect(col("_shb"), col("_shr"))) * 3 >=
+        col("_lb") + col("_lr"))
       .select("doc_id").distinct().count()
     val rows = Seq(false, true).map { capped =>
       val h = hitsUnder(if (capped) Some(TextBucketCap) else None)
@@ -604,12 +615,16 @@ object DedupQueries extends QuerySet {
          |SELECT doc_id,
          |  doc_id IN (SELECT doc_id FROM hits) AS store_hit
          |FROM b ORDER BY doc_id""".stripMargin,
-    // sp1's fold-1 store, then the recall matrix: banded probe hits
-    // (capped / uncapped) over the truth = exact jaccard vs EVERY
-    // stored doc with banding removed (the length block is implied by
-    // jaccard >= 0.5: 2*min >= max). Hot buckets = store-side
-    // (band_idx, band_key) occupancy over the cap, exactly
-    // DedupStore.storeHits' exclusion
+    // sp1's fold-1 store, then the recall matrix. Banded hits: ONE
+    // scan over band COLLISIONS only (string jaccard, intersect once,
+    // union by size arithmetic — the sh lists are distinct so
+    // |A|+|B|-isect equals len(list_distinct(list_concat)) with none
+    // of its allocation), cold-band flag per pair. Truth: d9's HASHED
+    // distinct shingle sets, length-blocked, pure-integer bar
+    // 3*isect >= |A|+|B| — BIGINT intersects price ~10x under string
+    // ones at the truth's quadratic mass (the string spelling cost
+    // 527 s at sf0.1). Hot buckets = store-side (band_idx, band_key)
+    // occupancy over the cap, exactly DedupStore.storeHits' exclusion
     "sp4_store_probe_recall_text" ->
       s"""WITH
          |a AS MATERIALIZED (${minhashBaseFrom(
@@ -623,31 +638,46 @@ object DedupQueries extends QuerySet {
                s"SELECT $i AS bi, band_$i AS bk FROM s1 GROUP BY 2 " +
                  s"HAVING COUNT(*) > $TextBucketCap")
                .mkString("\n  UNION ALL ")}),
-         |huncap AS (
-         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON ${bandOrSql("b", "s1")}
-         |  WHERE ${jacSql("b", "s1")} >= 0.5),
-         |hcap AS (
-         |  SELECT DISTINCT b.doc_id FROM b JOIN s1 ON (
-         |    ${(0 until B).map(i =>
+         |bpairs AS MATERIALIZED (
+         |  SELECT doc_id, isect * 1.0 / (lb + ls - isect) AS jac, cold_any
+         |  FROM (
+         |    SELECT b.doc_id, len(list_intersect(b.sh, s1.sh)) AS isect,
+         |      len(b.sh) AS lb, len(s1.sh) AS ls,
+         |      (${(0 until B).map(i =>
                s"(b.band_$i = s1.band_$i AND NOT EXISTS (SELECT 1 " +
                  s"FROM hotb h WHERE h.bi = $i AND h.bk = s1.band_$i))")
-               .mkString("\n    OR ")})
-         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+               .mkString("\n       OR ")}) AS cold_any
+         |    FROM b JOIN s1 ON ${bandOrSql("b", "s1")})),
+         |hb AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform($shSql,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hsh
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |hs AS MATERIALIZED (
+         |  SELECT list_distinct(list_transform($shSql,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hsh
+         |  FROM documents d JOIN k1 USING (doc_id)),
          |truth AS (
-         |  SELECT DISTINCT b.doc_id FROM b JOIN s1
-         |    ON len(b.sh) * 2 >= len(s1.sh) AND len(s1.sh) * 2 >= len(b.sh)
-         |  WHERE ${jacSql("b", "s1")} >= 0.5),
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT hb.doc_id, len(list_intersect(hb.hsh, hs.hsh)) AS isect,
+         |      len(hb.hsh) AS lb, len(hs.hsh) AS ls
+         |    FROM hb JOIN hs
+         |      ON len(hb.hsh) * 2 >= len(hs.hsh)
+         |      AND len(hs.hsh) * 2 >= len(hb.hsh))
+         |  WHERE isect * 3 >= lb + ls),
          |t AS (SELECT COUNT(*) AS th FROM truth)
          |SELECT capped, hits, true_hits,
          |  CAST(CASE WHEN true_hits = 0 THEN 1000
          |    ELSE hits * 1000 // true_hits END AS BIGINT) AS recall_permille
          |FROM (
          |  SELECT FALSE AS capped,
-         |    CAST((SELECT COUNT(*) FROM huncap) AS BIGINT) AS hits,
+         |    CAST((SELECT COUNT(DISTINCT doc_id) FROM bpairs
+         |          WHERE jac >= 0.5) AS BIGINT) AS hits,
          |    CAST(t.th AS BIGINT) AS true_hits FROM t
          |  UNION ALL
          |  SELECT TRUE,
-         |    CAST((SELECT COUNT(*) FROM hcap) AS BIGINT),
+         |    CAST((SELECT COUNT(DISTINCT doc_id) FROM bpairs
+         |          WHERE jac >= 0.5 AND COALESCE(cold_any, FALSE))
+         |      AS BIGINT),
          |    CAST(t.th AS BIGINT) FROM t)
          |ORDER BY capped""".stripMargin,
     // the sorted hash-run derivation verbatim: 50-token rolling windows
