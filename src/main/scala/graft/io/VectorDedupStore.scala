@@ -103,19 +103,40 @@ object VectorDedupStore {
     * Input (vec_id, qv); output adds `cell` and `_crank`. Shared by
     * the fold and [[probeHits]] — a fix to the tie-break or the score
     * applies to both paths by construction.
+    *
+    * ZERO-shuffle formulation ([[Similarity.assignCellsQuantized]]'s
+    * broadcast-fold idiom generalized to top-nprobe): the k centroids
+    * collapse to ONE broadcast row holding an array, each batch row
+    * scores all k with a `transform`, sorts the k-element array by
+    * (score desc, centroid_id asc) and keeps the nprobe head — pure
+    * map work fused into the batch scan. The previous crossJoin +
+    * row_number window shuffled batch×k rows by vec_id on EVERY fold
+    * and probe (guide §2.4: remove shuffles outright — the per-vector
+    * rank needs no cross-row data at all). NULL scores (zero-norm
+    * degenerate codes) sort last via the -Inf coalesce, matching the
+    * window's DESC NULLS LAST.
     */
   private def rankCells(quantized: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
-    val wc = Window.partitionBy("vec_id")
-      .orderBy(col("_cscore").desc, col("centroid_id"))
+    val centArr = cents.agg(collect_list(
+      struct(col("centroid_id"), col("qsum"), col("n"))).as("_cents"))
     quantized
-      .crossJoin(broadcast(cents))
-      .withColumn("_cscore",
-        Similarity.qcellScore(col("qv"), col("qsum"), col("n")))
-      .withColumn("_crank", row_number().over(wc))
-      .filter(col("_crank") <= nprobe)
-      .select(col("vec_id"), col("qv"), col("centroid_id").as("cell"),
-        col("_crank"))
+      .join(broadcast(centArr))
+      .withColumn("_top", slice(array_sort(
+        transform(col("_cents"), c => struct(
+          coalesce(Similarity.qcellScore(col("qv"), c.getField("qsum"),
+            c.getField("n")), lit(Double.NegativeInfinity)).as("s"),
+          c.getField("centroid_id").as("cid"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)),
+        1, nprobe))
+      .select(col("vec_id"), col("qv"),
+        posexplode(col("_top")).as(Seq("_p", "_c")))
+      .select(col("vec_id"), col("qv"), col("_c.cid").as("cell"),
+        (col("_p") + 1).as("_crank"))
   }
 
   /** Folds `batch` into the standing store at `table` (created, with

@@ -362,9 +362,9 @@ object DedupQueries extends QuerySet {
     * fold-1 (odd docs), probes = the even docs under capped/uncapped
     * banding, truth = exact jaccard >= 0.5 over d9's HASHED distinct
     * shingle sets against EVERY stored doc with banding removed
-    * (length-blocked only — jaccard >= 0.5 implies 2*min(|A|,|B|) >=
-    * max, so the block loses nothing; the bar is the pure-integer
-    * 3*isect >= |A|+|B|). Config hits are subsets of the truth (band
+    * (computed term-at-a-time over the shared-shingle posting join —
+    * exact: |A∩B| is Σ-additive over shared hashes, and the bar is
+    * the pure-integer 3*isect >= |A|+|B|). Config hits are subsets of the truth (band
     * collision AND string-jaccard >= 0.5, and hash-J >= string-J
     * always — equal strings hash equal, the union can only shrink),
     * so recall_permille is exact integers. Scale
@@ -392,27 +392,44 @@ object DedupQueries extends QuerySet {
         mode = Md5Hash).count()
     // truth: exact jaccard over d9's HASHED distinct shingle sets vs
     // every stored doc — no bands, no cap. Hashed (60-bit md5), not
-    // string, sets: BIGINT intersects price ~10x under string ones at
-    // the truth's quadratic pair mass, and hash-J >= string-J (equal
-    // strings hash equal; the union can only shrink), so a probe hit
-    // (string-J >= 0.5) is STILL always inside the truth — the
-    // subset/recall<=1000 invariant survives the change. The 0.5 bar
-    // is the pure-integer compare 3*isect >= |A|+|B| (== 2*isect >=
-    // union); the length block is implied by the bar itself.
+    // string, sets: hash-J >= string-J (equal strings hash equal; the
+    // union can only shrink), so a probe hit (string-J >= 0.5) is
+    // STILL always inside the truth — the subset/recall<=1000
+    // invariant survives. The 0.5 bar is the pure-integer compare
+    // 3*isect >= |A|+|B| (== 2*isect >= union). Computed TERM-AT-A-TIME
+    // (guide §3: semi-join the pair space instead of scanning it): the
+    // first sp4 spelling length-blocked batch×store and ran
+    // array_intersect per surviving pair — ~4M intersects whose answer
+    // is 0 for almost every pair (17.4 s engine-side at sf0.1). The
+    // intersect count is Σ-additive over shared hashes, so the posting
+    // self-join computes exactly |A∩B| for exactly the pairs with
+    // |A∩B| >= 1 — and a pair with isect = 0 can only pass the bar
+    // when BOTH sets are empty, the one case the index cannot see,
+    // handled by the explicit empty-vs-empty branch below (same
+    // degenerate pass the length block allowed: 0*2 >= 0).
     val bsh = batch.select(col("doc_id"),
       Dedup.hashedShingles(col("text"), N, Md5Hash).as("_shb"))
       .withColumn("_lb", size(col("_shb")))
     val storeSh = docs
       .join(graft.io.DedupStore.storedDocIds(s, table).select("doc_id"),
         "doc_id")
-      .select(Dedup.hashedShingles(col("text"), N, Md5Hash).as("_shr"))
+      .select(col("doc_id").as("_rid"),
+        Dedup.hashedShingles(col("text"), N, Md5Hash).as("_shr"))
       .withColumn("_lr", size(col("_shr")))
-    val trueHits = bsh
-      .join(storeSh, col("_lb") * 2 >= col("_lr") &&
-        col("_lr") * 2 >= col("_lb"))
-      .filter(size(array_intersect(col("_shb"), col("_shr"))) * 3 >=
-        col("_lb") + col("_lr"))
-      .select("doc_id").distinct().count()
+    val bPost = bsh.select(col("doc_id"), col("_lb"),
+      explode(col("_shb")).as("_h"))
+    val rPost = storeSh.select(col("_rid"), col("_lr"),
+      explode(col("_shr")).as("_h"))
+    val nonEmptyHits = bPost.join(rPost, "_h")
+      .groupBy("doc_id", "_rid", "_lb", "_lr")
+      .agg(count(lit(1)).as("_isect"))
+      .filter(col("_isect") * 3 >= col("_lb") + col("_lr"))
+      .select("doc_id")
+    val emptyHits = bsh.filter(col("_lb") === 0).select("doc_id")
+      .crossJoin(broadcast(
+        storeSh.filter(col("_lr") === 0).select(lit(1).as("_one")).limit(1)))
+      .select("doc_id")
+    val trueHits = nonEmptyHits.union(emptyHits).distinct().count()
     val rows = Seq(false, true).map { capped =>
       val h = hitsUnder(if (capped) Some(TextBucketCap) else None)
       (capped, h, trueHits,

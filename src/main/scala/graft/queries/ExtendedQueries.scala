@@ -844,13 +844,12 @@ object ExtendedQueries extends QuerySet {
     * filled at every SF), so the inner-join step never breaks a chain.
     * Scale shape: the series is one map-side-combined aggregate
     * (135 rows at any SF — aggregates before recursing, the IVM
-    * lesson); the loop is 27 joins against the PERSISTED tiny series
-    * (rc2's persist-the-loop-relation rule), frontier = |priorities|.
-    * Wall-clock is PACING-bound, not data-bound: 27 SERIAL UnionLoop
-    * iterations each pay ~0.1 s of per-step planning/materialization
-    * (~3.3 s at any SF; measured invariant to broadcast hints and
-    * series partitioning — v11's training-rounds bound, same cause).
-    * More groups ride along free; only a LONGER series costs more.
+    * lesson); the recurrence itself is one ordered `aggregate` fold
+    * per priority over the collected quarter structs — a single map
+    * pass, NO serial iteration plan (the r18 WITH RECURSIVE spelling
+    * paid 27 serial UnionLoop steps ≈ 3.6 s of pure pacing at any SF;
+    * the fold computes the identical chain in one job). More groups
+    * ride along free; a longer series costs one longer array scan.
     */
   def rc3EmaSeries(s: SparkSession, dir: String): DataFrame = {
     val series = t(s, dir, "orders")
@@ -859,27 +858,51 @@ object ExtendedQueries extends QuerySet {
           quarter(col("o_orderdate").cast("date")) - 1).as("qidx"))
       .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
         .cast("long").as("cents"))
-    graft.operators.FrameCaches.track(series.persist())
-      .createOrReplaceTempView("ema_series")
-    // the anchor is each priority's MIN(qidx) — not a literal 0 — so
-    // the recurrence always starts at the series HEAD: a dataset whose
-    // orders begin before the qidx origin year would otherwise have its
-    // early quarters silently excluded from the chain (round-11 advice;
-    // on this corpus min(qidx) = 0 per priority, so results are
-    // unchanged and the gate stays green)
-    s.sql(
-      """WITH RECURSIVE ema(pri, qidx, cents, ema_cents) AS (
-        |  SELECT pri, qidx, cents, cents FROM (
-        |    SELECT pri, qidx, cents,
-        |      MIN(qidx) OVER (PARTITION BY pri) AS _mn
-        |    FROM ema_series) WHERE qidx = _mn
-        |  UNION ALL
-        |  SELECT s.pri, s.qidx, s.cents,
-        |    (200 * s.cents + 800 * e.ema_cents) DIV 1000
-        |  FROM ema e JOIN ema_series s
-        |    ON s.pri = e.pri AND s.qidx = e.qidx + 1)
-        |SELECT pri, qidx, cents, ema_cents FROM ema
-        |ORDER BY pri, qidx""".stripMargin)
+    // The recurrence runs as ONE ordered fold per priority (`aggregate`
+    // over the sort_array'd quarter structs) instead of the r18
+    // WITH RECURSIVE spelling: the UnionLoop plan paid 27 SERIAL
+    // per-iteration planning/materialization steps (~3.6 s at ANY SF —
+    // pacing-bound, measured invariant to hints), while the fold is a
+    // single map pass after one 135-row aggregate (guide §1.2: fix the
+    // algorithm first — the serial step count WAS the algorithm here).
+    // The recursive join's chain rules are reproduced exactly:
+    //  - the anchor is each priority's MIN(qidx) — the sorted array's
+    //    head, not a literal 0 (round-11 advice: a dataset whose orders
+    //    begin before the qidx origin year must still chain from its
+    //    own series head);
+    //  - the step consumes qidx = prev + 1 ONLY: at the first gap the
+    //    chain dies for good (rows past a gap never emit, exactly as
+    //    the recursive join found no e.qidx + 1 row to extend; the
+    //    grid is provably dense on this corpus, so no row changes).
+    // All-integer: (200·v + 800·prev) DIV 1000 per step, positive
+    // throughout, so truncating/flooring division agree cross-engine.
+    series
+      .groupBy("pri")
+      .agg(sort_array(collect_list(struct(col("qidx"), col("cents"))))
+        .as("xs"))
+      .select(col("pri"), explode(expr(
+        """aggregate(xs,
+          |  struct(cast(array() as
+          |    array<struct<qidx:int,cents:bigint,ema_cents:bigint>>) AS rows,
+          |    false AS dead),
+          |  (acc, x) -> CASE
+          |    WHEN acc.dead THEN acc
+          |    WHEN size(acc.rows) = 0 THEN named_struct(
+          |      'rows', array(named_struct(
+          |        'qidx', x.qidx, 'cents', x.cents, 'ema_cents', x.cents)),
+          |      'dead', false)
+          |    WHEN x.qidx = element_at(acc.rows, -1).qidx + 1 THEN named_struct(
+          |      'rows', concat(acc.rows, array(named_struct(
+          |        'qidx', x.qidx, 'cents', x.cents,
+          |        'ema_cents', (200 * x.cents +
+          |          800 * element_at(acc.rows, -1).ema_cents) DIV 1000))),
+          |      'dead', false)
+          |    ELSE named_struct('rows', acc.rows, 'dead', true)
+          |  END,
+          |  acc -> acc.rows)""".stripMargin)).as("r"))
+      .select(col("pri"), col("r.qidx").as("qidx"), col("r.cents").as("cents"),
+        col("r.ema_cents").as("ema_cents"))
+      .orderBy("pri", "qidx")
   }
 
   /** LATERAL correlated subquery — the top-k-per-group shape spelled
