@@ -390,26 +390,35 @@ object DedupStore {
       .select("doc_id", "band_idx", "band_key", "sh", "_epoch")
 
     // stage before touching the catalog: the survivor plan READS the
-    // store table it is about to append to
-    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-      table.replace('.', '_')
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-      val staged = spark.read.parquet(s"$scratch/batch")
-      val writer = staged.write.mode(if (exists) SaveMode.Append
+    // store table it is about to append to. FOUNDING folds skip the
+    // stage outright (r19 optimization, guide §6): with exists=false
+    // the survivor plan reads no store table (fresh = banded), so the
+    // write-to-scratch + read-back cycle bought nothing — one direct
+    // write per store creation saved across every founding fold
+    def writeTo(df: DataFrame): Unit = {
+      val writer = df.write.mode(if (exists) SaveMode.Append
         else SaveMode.ErrorIfExists).format("parquet")
       (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
        else writer).saveAsTable(table)
-    } finally fs.delete(scratchPath, true)
+    }
+    if (!exists) writeTo(survivors)
+    else {
+      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+        table.replace('.', '_')
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+        writeTo(spark.read.parquet(s"$scratch/batch"))
+      } finally fs.delete(scratchPath, true)
+    }
     // stamp the committed epoch as a table property — the O(1) fence
     // read for every future fold (see EpochProperty) — and freeze the
-    // key-affecting knobs (see KnobsProperty)
-    for (id <- epochId)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('$EpochProperty' = '$id')")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$KnobsProperty' = " +
+    // key-affecting knobs (see KnobsProperty). ONE catalog round-trip
+    // for all properties: each ALTER is a serial driver-side write
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      epochId.map(id => s"'$EpochProperty' = '$id', ").getOrElse("") +
+      s"'$KnobsProperty' = " +
       s"'${knobsValue(shingleN, numHashes, bands, mode)}', " +
       s"'$VerifyProperty' = 'jaccardThreshold=$jaccardThreshold')")
     spark.catalog.refreshTable(table)

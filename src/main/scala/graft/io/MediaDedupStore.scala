@@ -220,24 +220,32 @@ object MediaDedupStore {
       .select("media_id", "band_idx", "band_key", "dhash", "_epoch")
 
     // stage before touching the catalog: the survivor plan reads the
-    // store table it is about to append to
-    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-      table.replace('.', '_')
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-      val staged = spark.read.parquet(s"$scratch/batch")
-      val writer = staged.write.mode(if (exists) SaveMode.Append
+    // store table it is about to append to. Founding folds write
+    // DIRECTLY (exists=false ⇒ fresh = banded reads no store table;
+    // the scratch round-trip bought nothing — DedupStore's r19 note)
+    def writeTo(df: DataFrame): Unit = {
+      val writer = df.write.mode(if (exists) SaveMode.Append
         else SaveMode.ErrorIfExists).format("parquet")
       (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
        else writer).saveAsTable(table)
-    } finally fs.delete(scratchPath, true)
-    for (id <- epochId)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('${DedupStore.EpochProperty}' = '$id')")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$KnobsProperty' = 'bands=$bands', " +
+    }
+    if (!exists) writeTo(survivors)
+    else {
+      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+        table.replace('.', '_')
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+        writeTo(spark.read.parquet(s"$scratch/batch"))
+      } finally fs.delete(scratchPath, true)
+    }
+    // one catalog round-trip for all properties (each ALTER is a
+    // serial driver-side write)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      epochId.map(id =>
+        s"'${DedupStore.EpochProperty}' = '$id', ").getOrElse("") +
+      s"'$KnobsProperty' = 'bands=$bands', " +
       s"'$VerifyProperty' = 'maxHamming=$maxHamming')")
     spark.catalog.refreshTable(table)
     DedupStore.FoldResult(applied = true, batchRows = banded.count())

@@ -321,22 +321,31 @@ object VectorDedupStore {
       .select("vec_id", "qv", "cell", "_epoch")
 
     // stage before touching the catalog (the survivor plan reads the
-    // store table it appends to), exactly as the text store does
-    val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-      table.replace('.', '_')
-    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-    val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-      spark.read.parquet(s"$scratch/batch")
-        .write.mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
+    // store table it appends to), exactly as the text store does.
+    // Founding folds write DIRECTLY (exists=false ⇒ the survivor plan
+    // reads no store table; the scratch round-trip bought nothing —
+    // DedupStore's r19 note)
+    if (!exists)
+      survivors.write.mode(SaveMode.ErrorIfExists)
         .format("parquet").saveAsTable(table)
-    } finally fs.delete(scratchPath, true)
-    for (id <- epochId)
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-        s"('${DedupStore.EpochProperty}' = '$id')")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$VerifyProperty' = 'minScore=$minScore')")
+    else {
+      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
+        table.replace('.', '_')
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
+        spark.read.parquet(s"$scratch/batch")
+          .write.mode(SaveMode.Append)
+          .format("parquet").saveAsTable(table)
+      } finally fs.delete(scratchPath, true)
+    }
+    // one catalog round-trip for both properties (each ALTER is a
+    // serial driver-side write)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      epochId.map(id =>
+        s"'${DedupStore.EpochProperty}' = '$id', ").getOrElse("") +
+      s"'$VerifyProperty' = 'minScore=$minScore')")
     spark.catalog.refreshTable(table)
     // one crank-1 row per batch vector; rides the persisted rank frame
     DedupStore.FoldResult(applied = true, batchRows = homed.count())

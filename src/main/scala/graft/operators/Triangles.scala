@@ -92,9 +92,15 @@ object Triangles {
             .as("a"),
           col("b"))
         .persist())
-    val deg = e.select(col("a").as("v"))
+    // persisted (r19): deg has THREE plan consumers — BOTH sides of
+    // the orientation join below and the caller's final nodes/left
+    // join — and an unpersisted aggregate re-runs its 2m-row union +
+    // exchange once per consumer (the before-plan showed the subtree
+    // three times; guide §2.4 — one exchange, shared)
+    val deg = FrameCaches.track(e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist())
     val oriented = FrameCaches.track(e
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
