@@ -242,11 +242,17 @@ object VectorDedupStore {
         .saveAsTable(modelTable(table))
     }
     val model = normalizedModel(spark, table)
-    require(!model.isEmpty,
+    // ONE k-row action reads amax AND proves the model non-empty (the
+    // r18 shape paid a separate isEmpty job before a lazy stats agg);
+    // the scalar re-broadcasts as a literal frame — the founding
+    // branch's own idiom
+    val amaxRow = model.agg(max(col("amax")).as("amax")).head()
+    require(!amaxRow.isNullAt(0),
       s"vector dedup store '$table': model table '${modelTable(table)}' " +
         "has no centroid rows — the frozen calibration is unusable; " +
         "restore it or rebuild the store")
-    val stats = model.agg(max(col("amax")).as("amax"))
+    import spark.implicits._
+    val stats = Seq(amaxRow.getDouble(0)).toDF("amax")
     val cents = model.select(col("centroid_id"), col("qsum"), col("n"))
 
     // quantize the batch with the STORED calibration; rank the
@@ -633,18 +639,16 @@ object VectorDedupStore {
     val store0 = spark.table(table).select(col("cell"), col("qv").as("_qr"))
     val store = maxCellSize match {
       case Some(cap) =>
-        val hot = track(store0.groupBy("cell")
+        // UNLIKE the banded siblings (whose hot-key space is unbounded
+        // and needs the counted degrade rule), hot CELLS are bounded by
+        // the model's k — provably broadcast-sized at any store mass.
+        // Broadcasting unconditionally drops the hot.count() action the
+        // r18 shape paid per probe (v17 runs five probes per call;
+        // guide §1.2 — don't spend a job deciding what is already known)
+        val hot = store0.groupBy("cell")
           .agg(count(lit(1)).as("_cn")).filter(col("_cn") > cap)
-          .select("cell").persist())
-        // same degrade rule as the text store: broadcast the hot keys
-        // only while provably few (cells are bounded by numCentroids,
-        // so this is always tiny — the guard keeps the idiom uniform)
-        val nHot = hot.count()
-        if (nHot == 0) store0
-        else {
-          val hotSide = if (nHot <= 100000L) broadcast(hot) else hot
-          store0.join(hotSide, Seq("cell"), "left_anti")
-        }
+          .select("cell")
+        store0.join(broadcast(hot), Seq("cell"), "left_anti")
       case None => store0
     }
     probes.select(col("vec_id"), col("qv").as("_qb"), col("cell"))

@@ -521,18 +521,29 @@ object Similarity {
         acc => acc.getField("cid")))
       .select(col(idCol).as("ref_id"), col("qv").as("rq"), col("cell"))
     // batch side: quantize with the REFERENCE calibration, rank the k
-    // broadcast centroids per vector, keep the nprobe best
-    val wc = Window.partitionBy("batch_id")
-      .orderBy(col("cscore").desc, col("centroid_id"))
+    // broadcast centroids per vector, keep the nprobe best — as a
+    // ZERO-shuffle top-nprobe broadcast fold (the refCells argmax
+    // generalized, r19): the batch is the unbounded side of this
+    // operator at crawl scale, and the previous crossJoin + row_number
+    // window shuffled batch×k rows by batch_id per call
     val bu = withUnitVector(batch, vecCol)
       .select(col(idCol).as("batch_id"), col("uv"))
     val probes = withQuantized(bu, stats, "uv").select(col("batch_id"), col("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore", intDot(col("qv"), col("cv")))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe)
+      .join(broadcast(centArr))
+      .withColumn("_top", slice(array_sort(
+        transform(col("cents"), c => struct(
+          coalesce(intDot(col("qv"), c.getField("cv")), lit(Long.MinValue))
+            .as("s"),
+          c.getField("centroid_id").as("cid"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)),
+        1, nprobe))
       .select(col("batch_id"), col("qv").as("bq"),
-        col("centroid_id").as("cell"))
+        explode(col("_top")).as("_c"))
+      .select(col("batch_id"), col("bq"), col("_c.cid").as("cell"))
     refCells.join(probes, Seq("cell"))
       .withColumn("qscore", intDot(col("bq"), col("rq")))
       .filter(col("qscore") >= minScore)
