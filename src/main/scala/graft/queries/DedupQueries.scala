@@ -429,10 +429,15 @@ object DedupQueries extends QuerySet {
       .crossJoin(broadcast(
         storeSh.filter(col("_lr") === 0).select(lit(1).as("_one")).limit(1)))
       .select("doc_id")
-    val trueHits = nonEmptyHits.union(emptyHits).distinct().count()
-    val rows = Seq(false, true).map { capped =>
-      val h = hitsUnder(if (capped) Some(TextBucketCap) else None)
-      (capped, h, trueHits,
+    // truth count and the two config probes are independent pure reads
+    // of the folded store, so their three jobs overlap (guide §2.6 —
+    // each config still runs the production probeHits path it gates)
+    val Seq(trueHits, uncapped, capped) = graft.util.Concurrent.all(Seq(
+      () => nonEmptyHits.union(emptyHits).distinct().count(),
+      () => hitsUnder(None),
+      () => hitsUnder(Some(TextBucketCap))))
+    val rows = Seq((false, uncapped), (true, capped)).map { case (c, h) =>
+      (c, h, trueHits,
         if (trueHits == 0L) 1000L else h * 1000L / trueHits)
     }
     rows.toDF("capped", "hits", "true_hits", "recall_permille")

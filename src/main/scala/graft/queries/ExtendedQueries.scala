@@ -594,14 +594,21 @@ object ExtendedQueries extends QuerySet {
         maxBucketSize = cap).count()
     val stored = s.table(table).filter(col("band_idx") === 0)
       .select(col("dhash").as("_dh_r"))
-    val trueHits = batch.select(col("media_id"), col("dhash").as("_dh_b"))
-      .join(stored,
-        bit_count(col("_dh_b").bitwiseXOR(col("_dh_r"))) <= 16)
-      .select("media_id").distinct().count()
-    val rows = Seq(false, true).map { capped =>
-      val h = hitsUnder(if (capped) Some(MdsBucketCap) else None)
-      (capped, h, trueHits,
-        if (trueHits == 0L) 1000L else h * 1000L / trueHits)
+    // truth count and the two config probes are independent pure reads
+    // of the folded store, so their three jobs overlap (guide §2.6 —
+    // each config still runs the production probeHits path it gates)
+    val Seq(trueHits, uncapped, cappedHits) =
+      graft.util.Concurrent.all(Seq(
+        () => batch.select(col("media_id"), col("dhash").as("_dh_b"))
+          .join(stored,
+            bit_count(col("_dh_b").bitwiseXOR(col("_dh_r"))) <= 16)
+          .select("media_id").distinct().count(),
+        () => hitsUnder(None),
+        () => hitsUnder(Some(MdsBucketCap))))
+    val rows = Seq((false, uncapped), (true, cappedHits)).map {
+      case (c, h) =>
+        (c, h, trueHits,
+          if (trueHits == 0L) 1000L else h * 1000L / trueHits)
     }
     rows.toDF("capped", "hits", "true_hits", "recall_permille")
       .orderBy("capped")

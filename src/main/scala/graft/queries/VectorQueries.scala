@@ -541,11 +541,20 @@ object VectorQueries extends QuerySet {
       graft.io.VectorDedupStore.probeHits(s, table, batch,
         "vec_id", "embedding", MatchScore, nprobe = np,
         maxCellSize = cap).count()
-    val trueHits = hitsUnder(NumCentroids, None)
-    val rows = for {
+    // the truth probe and the four config probes are independent pure
+    // reads of the folded store, so their five count jobs overlap
+    // (guide §2.6 — each still runs the production probeHits path it
+    // gates; values identical to the serial spelling)
+    val cfgs = for {
       np <- Seq(1, 2); capped <- Seq(false, true)
-    } yield {
-      val hits = hitsUnder(np, if (capped) Some(VdsCellCap) else None)
+    } yield (np, capped)
+    val counts = graft.util.Concurrent.all(
+      (() => hitsUnder(NumCentroids, None)) +: cfgs.map {
+        case (np, capped) =>
+          () => hitsUnder(np, if (capped) Some(VdsCellCap) else None)
+      })
+    val trueHits = counts.head
+    val rows = cfgs.zip(counts.tail).map { case ((np, capped), hits) =>
       (np.toLong, capped, hits, trueHits,
         if (trueHits == 0L) 1000L else hits * 1000L / trueHits)
     }
