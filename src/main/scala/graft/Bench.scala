@@ -210,9 +210,18 @@ object Bench {
       // --adjudicate flips it after the wait-for-idle re-price pass,
       // and the close-out checklist (VerifySurfaceSpec under
       // GRAFT_CLOSEOUT=1) requires it on the committed artifact.
+      // Default under target/ (round-20 verdict item 2): the repo-root
+      // bench_full_latest.json is the COMMITTED, adjudicated closing
+      // record — a bare driver/bench run must never overwrite it (the
+      // r19 driver run clobbered the adjudicated artifact and the
+      // clobber got committed). Close-out copies target/… to the repo
+      // root explicitly after --adjudicate.
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        s"${sys.props("user.dir")}/bench_full_latest.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+        s"${sys.props("user.dir")}/target/bench_full_latest.json")
+      val outPath = java.nio.file.Paths.get(out)
+      Option(outPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, line + "\n")
     } else println(line)
     spark.stop()
   }

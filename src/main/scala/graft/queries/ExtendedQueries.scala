@@ -759,38 +759,50 @@ object ExtendedQueries extends QuerySet {
     * the range sum is an exact integer. Two window shuffles (order key,
     * part key), both partitioned — no global sort anywhere.
     */
-  /** WITH RECURSIVE — Spark 4's recursive CTE on a DATA-SEEDED anchor:
-    * a 24-month amortization schedule per region (principal = the
+  /** A 24-month amortization schedule per region (principal = the
     * region's supplier balances in cents, 1%/month interest, payment =
     * principal/48) — the inherently SEQUENTIAL computation class
-    * (balance n+1 needs balance n) that joins/windows cannot express
-    * and pre-4.x Spark delegated to driver loops. All-integer
-    * arithmetic; `DIV`(Spark)/`//`(DuckDB) agree because every balance
-    * stays positive by construction (payment ≈ 2.1%/month vs 1%
-    * interest ⇒ balance shrinks ~1%/month, never crossing zero inside
-    * 24 months — truncating and flooring division only differ below
-    * zero). Scale shape: recursion depth is the CONSTANT 24 (never
-    * data-dependent); each step is one tiny self-map — the frontier is
-    * |regions| rows. 125 rows at every SF (5 regions × 25 months).
+    * (balance n+1 needs balance n) that joins/windows cannot express.
+    * All-integer arithmetic; `DIV`(Spark)/`//`(DuckDB) agree because
+    * every balance stays positive by construction (payment ≈ 2.1%/month
+    * vs 1% interest ⇒ balance shrinks ~1%/month, never crossing zero
+    * inside 24 months — truncating and flooring division only differ
+    * below zero). Scale shape (round-20, the rc3 fold lesson — guide
+    * §1.2): each region's 25-row schedule depends ONLY on that region's
+    * (principal, pay), so the recurrence runs as ONE `aggregate`
+    * higher-order fold over `sequence(1, 24)` fused into the 5-row
+    * aggregate's projection — a single map pass. The r18 WITH RECURSIVE
+    * spelling paid 24 SERIAL UnionLoop planning/materialization steps
+    * (~0.4 s of pure pacing at ANY SF) to walk 5 independent rows; the
+    * oracle keeps the recursive spelling, so the fold is value-checked
+    * against an independent derivation. The recursion CLASS stays
+    * covered by rc2 (data-graph join step) and gr2 — rows where the
+    * loop relation IS the point. 125 rows at every SF (5 regions × 25
+    * months).
     */
   def rc1Amortization(s: SparkSession, dir: String): DataFrame = {
     Tables.register(s, dir, Seq("supplier", "nation", "region"))
     s.sql(
-      """WITH RECURSIVE am(region, month, balance_cents, pay) AS (
-        |  SELECT r_name, 0,
+      """WITH base AS (
+        |  SELECT r_name AS region,
         |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT))
-        |      AS BIGINT),
+        |      AS BIGINT) AS principal,
         |    CAST(SUM(CAST(FLOOR(ABS(s_acctbal) * 100 + 0.5) AS BIGINT))
-        |      DIV 48 AS BIGINT)
+        |      DIV 48 AS BIGINT) AS pay
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |    JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY r_name
-        |  UNION ALL
-        |  SELECT region, month + 1,
-        |    balance_cents + balance_cents DIV 100 - pay, pay
-        |  FROM am WHERE month < 24)
-        |SELECT region, month, balance_cents FROM am
-        |ORDER BY region, month""".stripMargin)
+        |  GROUP BY r_name)
+        |SELECT region, r.month, r.balance_cents
+        |FROM (
+        |  SELECT region, explode(aggregate(sequence(1, 24),
+        |    array(named_struct('month', 0, 'balance_cents', principal)),
+        |    (acc, m) -> concat(acc, array(named_struct(
+        |      'month', m,
+        |      'balance_cents', element_at(acc, -1).balance_cents
+        |        + element_at(acc, -1).balance_cents DIV 100 - pay))),
+        |    acc -> acc)) AS r
+        |  FROM base)
+        |ORDER BY region, r.month""".stripMargin)
   }
 
   /** WITH RECURSIVE over a DATA graph — rc1's complement: the

@@ -385,44 +385,39 @@ object Relational extends QuerySet {
     * forms against the same derived relation: EXISTS (another supplier
     * participated → left-semi) and NOT EXISTS (another supplier was
     * late → left-anti), stacked on one per-(order, supplier) aggregate.
-    * All keys and flags are integers; counts are exact. Scale shape:
-    * ol is one map-side-combined aggregate over the lineitem⋈orders
-    * join, PERSISTED and consumed three times (the SQL-CTE spelling
-    * recomputes it per consumer — Spark inlines CTEs — which benched
-    * 2.5 s at sf0.1, the second-costliest query in the suite — the
-    * explicit semi/anti joins below keep the exact decorrelated plan
-    * shape the subquery form would produce while computing ol once,
-    * 2.0 s same-machine; the residual cost IS the one ol aggregate);
-    * the probes shuffle on the order key they share with ol's own
-    * partitioning; supplier is a broadcast dim. 10 / 100 / 1000
-    * suppliers at sf0.001 / 0.01 / 0.1 (every supplier ends up
-    * sole-late somewhere — the counts, not the row set, are the
-    * discriminative part: 40 / 41 / 51 max waits).
+    * All keys and flags are integers; counts are exact. Scale shape
+    * (round-20 rewrite, guide §2.4/§3): ol is one map-side-combined
+    * aggregate over the lineitem⋈orders join, and BOTH residual
+    * predicates read off one order-keyed window over it — EXISTS
+    * (another supplier participated) ⟺ the order's supplier count ≥ 2,
+    * NOT EXISTS (another supplier late) ⟺ the order's late-supplier
+    * count is exactly own late = 1 — so lineitem is scanned ONCE and ol
+    * flows through ONE re-shuffle (the window's order key) instead of
+    * being persisted and probed by two more order-keyed joins (the r19
+    * spelling: semi + anti over the cached frame, 3 consumers, 3
+    * exchanges; the SQL-CTE spelling before that recomputed ol per
+    * consumer and benched 2.5 s at sf0.1). Supplier stays a broadcast
+    * dim. 10 / 100 / 1000 suppliers at sf0.001 / 0.01 / 0.1 (every
+    * supplier ends up sole-late somewhere — the counts, not the row
+    * set, are the discriminative part: 40 / 41 / 51 max waits).
     */
   def q21LateSolo(s: SparkSession, dir: String): DataFrame = {
-    // tracked in FrameCaches so Dedup.releaseCaches frees it under the
-    // same contract as the operator pipelines' cached intermediates —
-    // a library caller outside the Bench/Verify harness (which call
-    // clearCache) must not accumulate it for the session (advice r9)
-    val ol = graft.operators.FrameCaches.track(
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(
-          col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAY"), 1)
-          .otherwise(0)).as("late"))
-        .persist())
-    // renamed projections over the one cached relation — self-join-safe
-    val others = ol.select(col("l_orderkey").as("p_ok"),
-      col("l_suppkey").as("p_sk"), col("late").as("p_late"))
-    ol.filter(col("late") === 1)
-      .join(others.select("p_ok", "p_sk"),
-        col("p_ok") === col("l_orderkey") &&
-          col("p_sk") =!= col("l_suppkey"), "left_semi")
-      .join(others.filter(col("p_late") === 1).select("p_ok", "p_sk"),
-        col("p_ok") === col("l_orderkey") &&
-          col("p_sk") =!= col("l_suppkey"), "left_anti")
+    val ol = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAY"), 1)
+        .otherwise(0)).as("late"))
+    // one window, two order-level counts: ol has exactly one row per
+    // (order, supplier), so rows-per-order = distinct suppliers and
+    // sum(late) = late suppliers — the EXISTS/NOT EXISTS pair becomes
+    // n_supp >= 2 && n_late == 1 on the late = 1 rows (own late is the
+    // 1 in n_late), row-for-row identical to the semi/anti spelling
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    ol.withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("late").over(w))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
       .join(broadcast(t(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")

@@ -100,11 +100,14 @@ class VerifySurfaceSpec extends AnyFunSuite {
     // Round-19 verdict item 5: the closing artifact must be produced
     // BY the adjudication protocol (wait-for-idle + targeted re-price,
     // scripts/bench_compare.py --adjudicate), never by hand-picking a
-    // window. Gated on GRAFT_CLOSEOUT=1 because graft.Bench rewrites
-    // bench_full_latest.json with "adjudicated":false on every full
-    // run — mid-round iteration must stay green; the close-out step is
+    // window. Gated on GRAFT_CLOSEOUT=1 because mid-round iteration
+    // must stay green; the close-out step is
     //   GRAFT_CLOSEOUT=1 sbt "testOnly graft.VerifySurfaceSpec"
-    // run AFTER the final bench_compare --adjudicate pass.
+    // run AFTER the final bench_compare --adjudicate pass. Since
+    // round 20 a bare Bench run writes target/bench_full_latest.json
+    // (r20 verdict item 2 — a driver run must not clobber the
+    // committed record); close-out copies the adjudicated file to the
+    // repo root explicitly, and THIS file is what the check reads.
     assume(sys.env.get("GRAFT_CLOSEOUT").contains("1"),
       "close-out-only check; set GRAFT_CLOSEOUT=1 to enforce")
     val bench = new String(java.nio.file.Files.readAllBytes(
