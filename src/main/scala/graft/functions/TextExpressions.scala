@@ -521,6 +521,91 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection ELEMENTS of two array<long> columns that are SORTED
+  * ascending and duplicate-free — [[SortedIntersectSize]]'s sibling for
+  * callers that need the members, not the count (the triangle census
+  * credits each closing third corner: [[graft.operators.Triangles]]).
+  * Output order is ascending, which equals `array_intersect`'s
+  * first-array order under the sorted-set precondition, so swapping it
+  * in changes no result. One linear two-pointer merge per call instead
+  * of array_intersect's per-call hash-set build + probe — the r20
+  * profile put gr4's whole cost in that one codegen'd intersect stage
+  * (guide §4: cheapen the per-row kernel once the shape is right).
+  * Inputs MUST be sorted and duplicate-free; the operator sorts at
+  * set-build time, never per pair.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "sorted_long_intersect"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "sorted_long_intersect needs two array<long> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { buf(n) = xv; n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) { out(k) = buf(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("sliNx")
+      val ny = ctx.freshName("sliNy")
+      val i = ctx.freshName("sliI")
+      val j = ctx.freshName("sliJ")
+      val n = ctx.freshName("sliN")
+      val xv = ctx.freshName("sliXv")
+      val yv = ctx.freshName("sliYv")
+      val buf = ctx.freshName("sliBuf")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |long[] $buf = new long[java.lang.Math.min($nx, $ny)];
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $buf[$n++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
+         |  .toArrayData(java.util.Arrays.copyOf($buf, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
@@ -542,6 +627,10 @@ object TextExpressions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLongIntersect(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def hashedShingleSet(sh: Column, useMd5: Boolean): Column =

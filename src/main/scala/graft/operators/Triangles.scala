@@ -144,17 +144,48 @@ object Triangles {
     * bounded (the hub that would explode a collect_list emits no
     * out-edges). Same asymptotics, different constant.
     */
-  private def adjCommon(oriented: DataFrame): DataFrame = {
+  /** Join each oriented edge to both endpoints' sorted out-neighbor
+    * arrays. `bcastAdj` (decided by the caller from the PERSISTED edge
+    * count against [[defaultBroadcastCloseMax]] — the [[closer]] rule)
+    * broadcasts the adjacency frame into BOTH probes: the whole close
+    * then runs as map work over the persisted `oriented` frame — no
+    * exchange of the edge set on src, none on dst, no SMJ sorts (the
+    * r20 before-plan shuffled oriented + adj three times; AQE did not
+    * convert, the array side sits just over the 10 MB estimate). The
+    * adjacency mass is bounded by the edge count (Σ out_deg = m longs),
+    * so the same cap that makes the wedge close's edge broadcast safe
+    * makes this one safe; above the cap the keyed-shuffle joins remain
+    * the no-cap 100 TB path.
+    */
+  private def adjJoined(oriented: DataFrame, bcastAdj: Boolean): DataFrame = {
     val adj = oriented.groupBy(col("src").as("v"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val side = if (bcastAdj) broadcast(adj) else adj
     oriented
-      .join(adj.select(col("v").as("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(side.select(col("v").as("src"), col("nbrs").as("nu")), Seq("src"))
       // inner: a sink dst has N+ = ∅ and detects nothing
-      .join(adj.select(col("v").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        array_intersect(col("nu"), col("nv")).as("common"))
-      .filter(size(col("common")) > 0)
+      .join(side.select(col("v").as("dst"), col("nbrs").as("nv")), Seq("dst"))
   }
+
+  private def longIds(oriented: DataFrame): Boolean =
+    oriented.schema("dst").dataType ==
+      org.apache.spark.sql.types.LongType
+
+  private def adjCommon(oriented: DataFrame, bcastAdj: Boolean): DataFrame =
+    adjJoined(oriented, bcastAdj)
+      // sorted-merge intersect, not array_intersect, on the long-id
+      // path: the adjacency arrays are sorted duplicate-free sets by
+      // construction (sort_array over each src's distinct dsts), so
+      // the two-pointer merge returns the identical ascending element
+      // list while skipping array_intersect's per-call hash-set build
+      // — the r20 8-core profile put gr4's entire cost in this one
+      // stage (§4). Non-long ids keep the generic built-in.
+      .select(col("src"), col("dst"),
+        (if (longIds(oriented))
+          graft.functions.TextExpressions
+            .sortedLongIntersect(col("nu"), col("nv"))
+        else array_intersect(col("nu"), col("nv"))).as("common"))
+      .filter(size(col("common")) > 0)
 
   /** Per-vertex triangle participation: `(v, deg, tri)` for every
     * vertex of degree ≥ 1 — the row local clustering coefficients,
@@ -202,13 +233,22 @@ object Triangles {
     * Σ out_deg² wedge frame; works at any edge count (no broadcast
     * needed), so it is also the no-cap 100 TB path.
     */
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+      broadcastCloseMax: Long = defaultBroadcastCloseMax): DataFrame = {
     val (e, deg, oriented, _) = wedgeEngine(edges, aCol, bCol)
     val nEdges = e.count()
-    val tm = adjCommon(oriented)
+    val bcast = nEdges <= broadcastCloseMax
+    // census only needs SIZES: the long-id path sums the two-pointer
+    // merge count directly and never materializes an intersection
+    // array (the filter(size > 0) is vacuous under a sum of zeros)
+    val tm = (if (longIds(oriented))
+      adjJoined(oriented, bcast).agg(coalesce(sum(
+        graft.functions.TextExpressions
+          .sortedIntersectSize(col("nu"), col("nv")).cast("long")),
+        lit(0L)).as("n_triangles"))
+    else adjCommon(oriented, bcast)
       .agg(coalesce(sum(size(col("common")).cast("long")), lit(0L))
-        .as("n_triangles"))
+        .as("n_triangles")))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     nodes.select(col("n_nodes"), lit(nEdges).as("n_edges"))
       .crossJoin(broadcast(tm))
@@ -220,13 +260,15 @@ object Triangles {
     * corner takes 1 via one explode (3·n_triangles rows — vs the
     * wedge path's Σ out_deg² intermediate).
     */
-  def vertexTriangles(edges: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
+  def vertexTriangles(edges: DataFrame, aCol: String, bCol: String,
+      broadcastCloseMax: Long = defaultBroadcastCloseMax): DataFrame = {
     val (e, deg, oriented, _) = wedgeEngine(edges, aCol, bCol)
     // SINGLE-PASS credits: each detecting edge emits |common| for both
     // endpoints and 1 per third corner in one explode — the common
-    // frame is consumed once, so nothing needs to persist
-    val credits = adjCommon(oriented)
+    // frame is consumed once, so nothing needs to persist. The count
+    // rides the persisted edge frame (one cheap action) and buys the
+    // broadcast-vs-shuffle decision for both adjacency probes.
+    val credits = adjCommon(oriented, e.count() <= broadcastCloseMax)
       .select(explode(concat(
         array(
           struct(col("src").as("v"), size(col("common")).cast("long").as("c")),

@@ -275,6 +275,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted-merge long intersect equals array_intersect element-for-element") {
+    // the gr3/gr4 close kernel (r20): on sorted duplicate-free long
+    // sets the two-pointer merge must return array_intersect's exact
+    // element list (ascending = first-array order under the sorted-set
+    // precondition) — hot keys, disjoint sets, empties, negatives
+    import graft.functions.TextExpressions
+    for (seed <- seeds) {
+      val rnd = new Random(seed)
+      def randSet(): Seq[Long] = {
+        val n = rnd.nextInt(40)
+        Seq.fill(n)(rnd.nextInt(60).toLong - 20L).distinct.sorted
+      }
+      val rows = Seq.fill(60)((randSet(), randSet())).toDF("a", "b")
+      val both = rows.select(
+        TextExpressions.sortedLongIntersect(col("a"), col("b")).as("merge"),
+        array_intersect(col("a"), col("b")).as("ref"),
+        TextExpressions.sortedIntersectSize(col("a"), col("b")).as("msize"))
+        .as[(Seq[Long], Seq[Long], Int)].collect()
+      both.foreach { case (m, r, s) =>
+        assert(m == r, s"seed $seed: $m != $r")
+        assert(s == m.length, s"seed $seed: size $s != ${m.length}")
+      }
+    }
+  }
+
   test("native minhash signature equals the HOF spec on random unicode text") {
     // random texts spanning whitespace runs, empty strings, short texts
     // (whole-text shingle fallback), repeats, and multi-byte codepoints —

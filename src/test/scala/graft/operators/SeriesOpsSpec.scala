@@ -219,6 +219,19 @@ class SeriesOpsSpec extends SparkSpec {
     val sVt = Triangles.vertexTrianglesWedge(e, "a", "b", broadcastCloseMax = 0L)
       .as[(Long, Long, Long)].collect.toSet
     assert(bVt == sVt, s"broadcast $bVt vs shuffle $sVt")
+    // r20: the edge-iterator close gained the same guarded broadcast on
+    // its adjacency probes — the shuffle fallback (the 100 TB path)
+    // must stay census- and per-corner-identical
+    val bAdj = Triangles.triangleStats(e, "a", "b")
+      .as[(Long, Long, Long)].collect.head
+    val sAdj = Triangles.triangleStats(e, "a", "b", broadcastCloseMax = 0L)
+      .as[(Long, Long, Long)].collect.head
+    assert(bAdj == sAdj && bAdj == ((8L, 10L, 5L)), (bAdj, sAdj))
+    val bAVt = Triangles.vertexTriangles(e, "a", "b")
+      .as[(Long, Long, Long)].collect.toSet
+    val sAVt = Triangles.vertexTriangles(e, "a", "b", broadcastCloseMax = 0L)
+      .as[(Long, Long, Long)].collect.toSet
+    assert(bAVt == sAVt, s"broadcast $bAVt vs shuffle $sAVt")
   }
 
   test("triangles: the edge-iterator close equals the wedge close") {
