@@ -402,16 +402,22 @@ object DedupStore {
        else writer).saveAsTable(table)
     }
     if (!exists) writeTo(survivors)
-    else {
-      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-        table.replace('.', '_')
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-        writeTo(spark.read.parquet(s"$scratch/batch"))
-      } finally fs.delete(scratchPath, true)
-    }
+    else
+      // sever the read-own-table cycle IN MEMORY (r20, guide §6): the
+      // survivor plan reads the store it appends to, which saveAsTable
+      // refuses; an EAGER localCheckpoint materializes the survivors
+      // (memory-and-disk blocks) and swaps the plan for the
+      // checkpointed RDD, so the append no longer references the table
+      // — the same barrier the __maint_stage parquet round-trip
+      // provided, minus one parquet encode + write + read + fs delete
+      // per fold. Crash posture unchanged: a failure mid-append commits
+      // nothing under the writer's commit protocol either way, and the
+      // retry re-runs the whole fold behind the identity guard. Blocks
+      // are tracked and drain with the fold's cache mark; the write is
+      // re-packed to read-sized splits (packedForWrite — the file
+      // sizing the scratch read-back used to provide).
+      writeTo(org.apache.spark.sql.GraftColumnBridge.packedForWrite(
+        track(survivors.localCheckpoint(true))))
     // stamp the committed epoch as a table property — the O(1) fence
     // read for every future fold (see EpochProperty) — and freeze the
     // key-affecting knobs (see KnobsProperty). ONE catalog round-trip

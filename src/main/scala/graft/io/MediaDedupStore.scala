@@ -229,17 +229,14 @@ object MediaDedupStore {
       (if (storeBuckets > 0) writer.bucketBy(storeBuckets, "band_key")
        else writer).saveAsTable(table)
     }
+    // append folds sever the read-own-table cycle with an EAGER
+    // localCheckpoint (r20, guide §6 — DedupStore's note): same
+    // barrier the __maint_stage parquet round-trip provided, minus a
+    // parquet encode + write + read + fs delete per fold; blocks are
+    // tracked and drain with the fold's cache mark
     if (!exists) writeTo(survivors)
-    else {
-      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-        table.replace('.', '_')
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-        writeTo(spark.read.parquet(s"$scratch/batch"))
-      } finally fs.delete(scratchPath, true)
-    }
+    else writeTo(org.apache.spark.sql.GraftColumnBridge.packedForWrite(
+      track(survivors.localCheckpoint(true))))
     // one catalog round-trip for all properties (each ALTER is a
     // serial driver-side write)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +

@@ -331,21 +331,19 @@ object VectorDedupStore {
     // Founding folds write DIRECTLY (exists=false ⇒ the survivor plan
     // reads no store table; the scratch round-trip bought nothing —
     // DedupStore's r19 note)
+    // append folds sever the read-own-table cycle with an EAGER
+    // localCheckpoint (r20, guide §6 — DedupStore's note): same
+    // barrier the __maint_stage parquet round-trip provided, minus a
+    // parquet encode + write + read + fs delete per fold; blocks are
+    // tracked and drain with the fold's cache mark
     if (!exists)
       survivors.write.mode(SaveMode.ErrorIfExists)
         .format("parquet").saveAsTable(table)
-    else {
-      val scratch = s"${spark.conf.get("spark.sql.warehouse.dir")}/__maint_stage/" +
-        table.replace('.', '_')
-      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
-      val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        survivors.write.mode(SaveMode.Overwrite).parquet(s"$scratch/batch")
-        spark.read.parquet(s"$scratch/batch")
-          .write.mode(SaveMode.Append)
-          .format("parquet").saveAsTable(table)
-      } finally fs.delete(scratchPath, true)
-    }
+    else
+      org.apache.spark.sql.GraftColumnBridge.packedForWrite(
+        track(survivors.localCheckpoint(true)))
+        .write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(table)
     // one catalog round-trip for both properties (each ALTER is a
     // serial driver-side write)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +

@@ -23,4 +23,33 @@ object GraftColumnBridge {
       case _ =>
     }
   }
+
+  /** Coalesce a localCheckpoint-ed frame to read-sized output splits
+    * before writing it out. The checkpointed RDD keeps the source
+    * plan's task partitioning (a small batch staged across 32 tasks
+    * would append 32 shard files per fold — the §6 small-files trap
+    * the old write-to-scratch-and-read-back staging avoided by
+    * re-packing splits on the read). Sizing is scale-adaptive: actual
+    * stored bytes from the block manager over
+    * `spark.sql.files.maxPartitionBytes` (the in-memory size
+    * overestimates the parquet-encoded result, so files land under the
+    * split target — the safe side). Frames with no checkpointed RDD or
+    * no reported blocks (nothing stored yet) pass through unchanged.
+    */
+  def packedForWrite(df: Dataset[Row]): Dataset[Row] = {
+    val ids = df.queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    if (ids.isEmpty) df
+    else {
+      val stored = df.sparkSession.sparkContext.getRDDStorageInfo
+        .filter(i => ids.contains(i.id))
+      if (stored.isEmpty) df
+      else {
+        val bytes = stored.map(i => i.memSize + i.diskSize).sum
+        val target = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        df.coalesce(math.max(1L, (bytes + target - 1) / target).toInt)
+      }
+    }
+  }
 }
