@@ -192,23 +192,21 @@ class PlanSpec extends SparkSpec {
       "per-part quantity aggregate must map-side combine")
   }
 
-  test("q21: semi AND anti probes stack on ONE cached ol relation") {
-    // finally: a failed assert must still drain the shared session's
-    // cache, or one failure cascades into later suites (advice r9)
-    try {
-      val p = plan("q21_late_solo")
-      assert(p.contains("LeftSemi"), p.take(1500))
-      assert(p.contains("LeftAnti"), p.take(1500))
-      assert(!p.contains("CartesianProduct"), p.take(1500))
-      // the per-(order, supplier) aggregate must be computed once and
-      // served from cache to all three consumers — the SQL-CTE spelling
-      // recomputed it per consumer (2.5 s at sf0.1)
-      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-        "ol must be served from cache:\n" + p.take(1500))
-    } finally {
-      graft.operators.Dedup.releaseCaches(spark)
-      spark.catalog.clearCache()
-    }
+  test("q21: both residual probes read off ONE order-keyed window, no self-joins") {
+    // r20 rewrite: EXISTS/NOT EXISTS over the per-(order, supplier)
+    // aggregate became two order-level window counts — lineitem flows
+    // through the plan once, no cache, no semi/anti self-joins (the
+    // r19 spelling probed a persisted ol with LeftSemi + LeftAnti)
+    val p = plan("q21_late_solo")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "the residual predicates must ride the window, not probe joins:\n" +
+        p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("InMemoryTableScan"),
+      "the one-pass spelling needs no cache:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier must stay a broadcast dim:\n" + p.take(1500))
   }
 
   test("q2: correlated scalar MIN decorrelates — aggregate + equi join, no nested loop") {
@@ -502,11 +500,18 @@ class PlanSpec extends SparkSpec {
       s"lateral must not plan a nested loop:\n${p.take(1500)}")
   }
 
-  test("rc1: WITH RECURSIVE plans the native loop operator") {
+  test("rc1: the schedule folds in one pass — no serial loop operator") {
+    // r20 rewrite (the rc3 fold lesson): each region's 25-row schedule
+    // is one aggregate() HOF over sequence(1, 24) — the 24-step
+    // UnionLoop paid ~0.4 s of serial per-iteration pacing at ANY SF.
+    // The recursion CLASS stays covered by rc2/gr2 (whose loop step
+    // joins a data graph — TraversalSpec pins rc2's CTE semantics).
     val p = graft.SparkEntry.queries("rc1_amortization")(spark, dir)
       .queryExecution.optimizedPlan.toString
-    assert(p.contains("UnionLoop"),
-      s"recursion must plan UnionLoop (not an unrolled union):\n${p.take(1500)}")
+    assert(!p.contains("UnionLoop"),
+      s"rc1 must fold, not loop (24 serial steps for 5 rows):\n${p.take(1500)}")
+    assert(p.toLowerCase.contains("aggregate("),
+      s"the recurrence must run as the aggregate HOF:\n${p.take(1500)}")
   }
 
   test("fi2: rule joins broadcast the item supports; pair pipeline stays equi") {
